@@ -1,0 +1,164 @@
+"""Decode / normalization scalar functions.
+
+Mirrors the *semantics* of the reference decode path (reference
+``utils.py:15-37``: bytes → UnicodeDammit.detwingle → encoding guess → ftfy
+mojibake repair) with a self-contained implementation — neither bs4 nor ftfy
+exists in this environment, so the byte-identical-text invariant is defined
+against THIS decoder and pinned by golden fixtures in tests/.
+
+All functions are deterministic and stateless; they run inside
+``map_batches`` task stages (no actor needed).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Iterable, Optional, Tuple, Union
+
+RE_WHITESPACE = re.compile(r"\s", flags=re.U)
+RE_NUMBERS = re.compile(r"\b\d+\b", flags=re.U)
+RE_MULTISPACE = re.compile(r"\s+", flags=re.U)
+
+# Reference guardrail: documents larger than this are truncated before any UDF
+# (reference ``preprocessing.py:13``).
+BYTE_LENGTH_LIMIT = 10 * 1024 * 1024
+
+# Bytes 0x80-0x9F are C1 controls in latin-1 but printable in windows-1252;
+# their presence in a non-UTF-8 byte string almost always means cp1252.
+_CP1252_PRINTABLE = set(range(0x80, 0xA0)) - {0x81, 0x8D, 0x8F, 0x90, 0x9D}
+
+# Common UTF-8-read-as-cp1252 mojibake lead chars ('Ã', 'Â', 'â', 'Ê', ...).
+_MOJIBAKE_HINT = re.compile("[Â-Åâ][-¿Œœ–—‘’‚“”„†‡•…‰‹›€™]")
+
+
+def decode_bytes(data: Union[bytes, bytearray], most_likely_encodings: Iterable[str] = ()) -> str:
+    """bytes → str: try caller hints, then UTF-8 (with BOM), then cp1252/latin-1.
+
+    Stands in for UnicodeDammit (reference ``utils.py:26-34``).  Deterministic
+    priority order; never raises.
+    """
+    data = bytes(data)
+    for enc in list(most_likely_encodings) + ["utf-8-sig"]:
+        try:
+            return data.decode(enc)
+        except (UnicodeDecodeError, LookupError):
+            continue
+    # non-UTF-8: windows-1252 if its printable C1 range is used, else latin-1
+    if any(b in _CP1252_PRINTABLE for b in data):
+        return data.decode("cp1252", errors="replace")
+    return data.decode("latin-1")
+
+
+def fix_mojibake(text: str, max_passes: int = 2) -> str:
+    """Repair UTF-8-decoded-as-cp1252 mojibake ('â€™' → '’'), the core ftfy
+    behavior relied on by the reference (``utils.py:37``).  Applies only when
+    a re-encode→decode round trip succeeds AND the tell-tale lead bytes are
+    present, so plain text is untouched."""
+    for _ in range(max_passes):
+        if not _MOJIBAKE_HINT.search(text):
+            return text
+        try:
+            fixed = text.encode("cp1252", errors="strict").decode("utf-8", errors="strict")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            try:
+                fixed = text.encode("latin-1", errors="strict").decode("utf-8", errors="strict")
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                return text
+        if fixed == text:
+            return text
+        text = fixed
+    return text
+
+
+def ensure_unicode(text: Union[str, bytes, bytearray], most_likely_encodings: Iterable[str] = ()) -> str:
+    """Decode + mojibake-fix, the engine's equivalent of reference
+    ``utils.py:15-37``."""
+    if isinstance(text, (bytes, bytearray)):
+        text = decode_bytes(text, most_likely_encodings)
+    elif not isinstance(text, str):
+        text = str(text)
+    return fix_mojibake(text)
+
+
+def clean_text(text: Union[str, bytes]) -> str:
+    """Normalize for language-ID scoring, matching reference
+    ``preprocessing.py:16-27`` except that empty output returns '' instead of
+    raising (a Dataset row must not throw): ensure unicode, delete standalone
+    numbers, collapse whitespace."""
+    text = ensure_unicode(text)
+    text = RE_NUMBERS.sub("", text)
+    text = RE_MULTISPACE.sub(" ", text).strip()
+    return text
+
+
+def truncate_text(
+    text: str,
+    max_bytes_length: Optional[int] = None,
+    max_str_length: Optional[int] = None,
+    truncate_to_space: bool = True,
+) -> str:
+    """Truncate to a UTF-8 byte cap and/or char cap, backing off to the last
+    whitespace in the final 1% — same contract as reference
+    ``utils.py:91-132`` (the bisect there is replaced by an exact UTF-8
+    boundary backoff, which yields the same maximal prefix)."""
+    if not text:
+        return ""
+
+    cut = len(text)
+    if max_str_length is not None:
+        cut = min(cut, max_str_length)
+
+    if max_bytes_length is not None:
+        cut = min(cut, max_bytes_length)
+        encoded = text[:cut].encode("utf-8")
+        if len(encoded) > max_bytes_length:
+            # cut the byte string at the cap, then back off to a char boundary
+            clipped = encoded[:max_bytes_length]
+            # drop trailing continuation bytes of a split codepoint
+            while clipped and (clipped[-1] & 0xC0) == 0x80:
+                clipped = clipped[:-1]
+            # drop a dangling lead byte
+            if clipped and clipped[-1] >= 0xC0:
+                clipped = clipped[:-1]
+            cut = len(clipped.decode("utf-8"))
+
+    if truncate_to_space and cut < len(text):
+        window = max(cut // 100, 0)
+        for i in range(window):
+            if RE_WHITESPACE.fullmatch(text[cut - i]) is not None:
+                cut = cut - i
+                break
+
+    return text[:cut].strip()
+
+
+_COMPRESSION_SUFFIXES = {".gz", ".bz2", ".lz", ".lzma", ".lzo", ".xz", ".z", ".zst"} | {
+    f".{i:03d}" for i in range(100)
+}
+
+
+def split_filename(filename: Union[os.PathLike, str]) -> Tuple[str, str]:
+    """filename → (stem, normalized extension), keeping compression/.NNN
+    suffixes attached — same contract as reference ``utils.py:50-88``."""
+    extension_max_len = 6
+    name = ensure_unicode(os.path.basename(os.fspath(filename)))
+    if "." not in name:
+        return name.strip(), ""
+    stem, ext = name.rsplit(".", 1)
+    ext = "." + ext.strip().lower()
+
+    suffix = ""
+    if ext in _COMPRESSION_SUFFIXES and "." in stem[-extension_max_len:]:
+        suffix = ext
+        stem, ext = stem.rsplit(".", 1)
+        ext = "." + ext.strip().lower()
+
+    if len(ext) > extension_max_len:
+        stem, ext = stem + ext, ""
+    elif ext == ".htm":
+        ext = ".html"
+    elif ext == ".jpeg":
+        ext = ".jpg"
+
+    return stem.strip(), ext + suffix

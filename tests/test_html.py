@@ -1,0 +1,56 @@
+"""HTML stripping contract tests (reference remove_html_tags.py:146-168)."""
+
+from language_identification_ray.functions.html import (
+    extract_text,
+    get_comments,
+    remove_html_tags,
+)
+
+
+def test_strip_simple_tags():
+    assert remove_html_tags("<p>hello <b>world</b></p>").split() == ["hello", "world"]
+
+
+def test_strip_attrs_and_selfclose():
+    out = remove_html_tags('<a href="http://x.com" class="y">link</a><br/><img src="z.png"/>')
+    assert out.split() == ["link"]
+
+
+def test_unknown_tag_survives():
+    # the reference only strips KNOWN tags, so a<b>c math-ish text keeps <notatag>
+    assert "<notatag>" in remove_html_tags("keep <notatag> this")
+
+
+def test_comments_removed_first():
+    # a comment containing half a script must not leave tag debris
+    out = remove_html_tags("a <!-- <script>x --> b")
+    assert out.split() == ["a", "b"]
+
+
+def test_script_block_removed_entirely():
+    out = remove_html_tags("before <script>var x = '<p>';</script> after")
+    assert out.split() == ["before", "after"]
+
+
+def test_case_insensitive():
+    assert remove_html_tags("<DIV>x</DiV>").split() == ["x"]
+
+
+def test_get_comments():
+    assert get_comments("a <!-- one --> b") == [" one "]
+    assert get_comments("no comments") == []
+
+
+def test_extract_text_entities():
+    assert extract_text("<p>fish &amp; chips</p>").split() == ["fish", "&", "chips"]
+
+
+def test_full_page():
+    page = (
+        "<!DOCTYPE html><html><head><title>T</title>"
+        "<style>body{color:red}</style></head>"
+        "<body><h1>Header</h1><p>Body text here.</p>"
+        "<script>alert(1)</script></body></html>"
+    )
+    words = extract_text(page).split()
+    assert words == ["T", "Header", "Body", "text", "here."]

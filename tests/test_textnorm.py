@@ -1,0 +1,102 @@
+"""Decode / clean / truncate contract tests (reference utils.py:15-132,
+preprocessing.py:16-27 semantics; byte-identical invariant pinned here)."""
+
+import pytest
+
+from language_identification_ray.functions.textnorm import (
+    clean_text,
+    decode_bytes,
+    ensure_unicode,
+    fix_mojibake,
+    split_filename,
+    truncate_text,
+)
+
+
+def test_decode_utf8():
+    assert decode_bytes("héllo wörld".encode("utf-8")) == "héllo wörld"
+
+
+def test_decode_utf8_bom():
+    assert decode_bytes(b"\xef\xbb\xbfhi") == "hi"
+
+
+def test_decode_cp1252():
+    raw = "curly ’quote’ and –dash".encode("cp1252")
+    assert decode_bytes(raw) == "curly ’quote’ and –dash"
+
+
+def test_decode_latin1():
+    assert decode_bytes("café".encode("latin-1")) == "café"
+
+
+def test_decode_hint_wins():
+    raw = "日本語".encode("shift-jis")
+    assert decode_bytes(raw, ["shift-jis"]) == "日本語"
+
+
+def test_fix_mojibake():
+    # UTF-8 bytes mis-decoded as cp1252: the classic â€™ case
+    bad = "it’s fine".encode("utf-8").decode("cp1252")
+    assert "â" in bad
+    assert fix_mojibake(bad) == "it’s fine"
+
+
+def test_fix_mojibake_leaves_clean_text():
+    for s in ["plain ascii", "café crème", "Привет мир", "日本語テスト"]:
+        assert fix_mojibake(s) == s
+
+
+def test_ensure_unicode_types():
+    assert ensure_unicode(b"bytes in") == "bytes in"
+    assert ensure_unicode("str in") == "str in"
+    assert ensure_unicode(12345) == "12345"
+
+
+def test_clean_text():
+    # numbers deleted, whitespace collapsed (preprocessing.py:16-27)
+    assert clean_text("hello   42 world\n\t73 x9y") == "hello world x9y"
+    assert clean_text("  only 123 456  ") == "only"
+    assert clean_text("123") == ""  # engine returns '' instead of raising
+
+
+def test_truncate_noop():
+    assert truncate_text("short", max_bytes_length=100) == "short"
+    assert truncate_text("") == ""
+
+
+def test_truncate_bytes_cap_multibyte():
+    text = "é" * 100  # 2 bytes each
+    out = truncate_text(text, max_bytes_length=7, truncate_to_space=False)
+    assert len(out.encode("utf-8")) <= 7
+    assert out == "é" * 3
+
+
+def test_truncate_str_cap():
+    assert truncate_text("abcdef", max_str_length=3, truncate_to_space=False) == "abc"
+
+
+def test_truncate_to_space():
+    text = ("word " * 50).strip()  # 249 chars
+    out = truncate_text(text, max_str_length=200, truncate_to_space=True)
+    assert len(out) <= 200
+    assert not out.endswith(" ")
+    # backed off to a whole word within the 1% window
+    assert out.split()[-1] == "word"
+
+
+def test_truncate_never_exceeds_cap_property():
+    text = "αβγ δεζ " * 40
+    for cap in range(1, 60):
+        out = truncate_text(text, max_bytes_length=cap)
+        assert len(out.encode("utf-8")) <= cap
+
+
+def test_split_filename():
+    assert split_filename("report.PDF") == ("report", ".pdf")
+    assert split_filename("archive.tar.gz") == ("archive", ".tar.gz")
+    assert split_filename("data.001") == ("data", ".001")
+    assert split_filename("page.htm") == ("page", ".html")
+    assert split_filename("photo.jpeg") == ("photo", ".jpg")
+    assert split_filename("/tmp/x/noext.") == ("noext", ".")
+    assert split_filename("plain") == ("plain", "")
