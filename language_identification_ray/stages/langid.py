@@ -1,0 +1,313 @@
+"""Language identification detectors + the Ray Data actor-pool stage.
+
+Detector contract (mirrors the reference wrapper plug-in surface,
+``preprocessing.py:16-46`` + the five ``*_wrapper.py`` modules): a detector
+exposes ``SUPPORTED_LANGUAGES`` and ``predict_batch(texts, language_codes)``
+returning, per text, a ``[(lang, prob), ...]`` ranking sorted descending —
+the reference's universal result shape (``fasttext_wrapper.py:39-45``).
+
+Detectors here (all from-scratch, public techniques):
+
+* :class:`NgramDetector` — hashed char-n-gram multinomial Naive Bayes
+  (Cavnar & Trenkle 1994 / langid.py-style), trained by
+  ``scripts/train_langid.py`` on the seed corpus, weights in
+  ``state/assets/langid_ngram.npz``.  Scoring is a numpy gather+reduceat over
+  the whole batch's codepoints — no per-char Python.
+* :class:`ScriptDetector` — Unicode-script voting with script→language
+  priors (the reference's script_langid idea, ``scripts_langid.py:51-84``,
+  re-derived from public Unicode block data).
+* :class:`EnsembleDetector` — script evidence first; same-script ambiguity
+  (Latin, Cyrillic, Arabic, Han±Kana) resolved by the n-gram model restricted
+  to that script's candidate languages.  This is the engine's stand-in for
+  the warm fastText lid.176 model (not installable here).
+
+The Ray stage is :class:`LangIdStage`: a callable class for
+``ds.map_batches(LangIdStage, concurrency=N, batch_format="pyarrow")`` —
+model loaded once per actor in ``__init__``, batches scored vectorized.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from language_identification_ray.state.scripts import (
+    SCRIPT_ID,
+    SCRIPT_LANGS,
+    SCRIPT_NAMES,
+    load_chartables,
+    load_lower_table,
+)
+
+_MODEL_ASSET = Path(__file__).resolve().parents[1] / "state" / "assets" / "langid_ngram.npz"
+
+# feature-hash parameters — must match scripts/train_langid.py
+HASH_BUCKETS = 1 << 16
+_H1 = np.uint64(1000003)
+
+Ranking = List[Tuple[str, float]]
+
+
+_H2 = np.uint64(2654435761)
+_MASK = np.uint64(HASH_BUCKETS - 1)
+
+
+def ngram_hashes(cps_lower: np.ndarray) -> np.ndarray:
+    """uint32/uint64 codepoint array → bucket ids of all char bi- AND
+    trigrams, fully vectorized.  Bigrams are re-mixed with a second constant
+    so the two orders land in (mostly) distinct buckets."""
+    c = cps_lower.astype(np.uint64)
+    out = []
+    if len(c) >= 3:
+        h3 = ((c[:-2] * _H1 + c[1:-1]) * _H1 + c[2:]) & _MASK
+        out.append(h3.astype(np.int64))
+    if len(c) >= 2:
+        h2 = ((c[:-1] * _H1 + c[1:]) * _H2) & _MASK
+        out.append(h2.astype(np.int64))
+    if not out:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(out)
+
+
+# backwards-compat alias used by the trainer
+trigram_hashes = ngram_hashes
+
+
+def check_languages(specified: Optional[Iterable[str]], supported: Sequence[str]) -> List[str]:
+    """Allowlist intersection, reference ``preprocessing.py:30-46`` semantics
+    (unsupported codes silently dropped; empty/None → all supported)."""
+    if not specified:
+        return sorted(supported)
+    sup = set(supported)
+    return sorted({c for c in specified if isinstance(c, str) and c in sup})
+
+
+class NgramDetector:
+    """Hashed char-trigram multinomial NB. Weights trained offline."""
+
+    def __init__(self, model_path: Optional[Path] = None):
+        with np.load(model_path or _MODEL_ASSET, allow_pickle=False) as z:
+            self.langs: List[str] = [str(x) for x in z["langs"]]
+            self.matrix: np.ndarray = z["matrix"].astype(np.float32)  # [L, HASH_BUCKETS] log P
+        self.lang_index = {l: i for i, l in enumerate(self.langs)}
+        self.SUPPORTED_LANGUAGES = sorted(self.langs)
+        self._lower = load_lower_table()
+
+    def _score_doc(self, text: str, lang_rows: Optional[np.ndarray] = None) -> np.ndarray:
+        """→ log-likelihood per language (rows restricted if given)."""
+        cps = np.frombuffer((" " + text + " ").encode("utf-32-le"), dtype=np.uint32)
+        hashes = ngram_hashes(self._lower[cps])
+        m = self.matrix if lang_rows is None else self.matrix[lang_rows]
+        if len(hashes) == 0:
+            return np.zeros(m.shape[0], dtype=np.float64)
+        return m[:, hashes].sum(axis=1, dtype=np.float64) / len(hashes)
+
+    def rank(self, text: str, langs: Optional[Sequence[str]] = None, max_chars: int = 400) -> Ranking:
+        """softmax over per-ngram average log-likelihoods → (lang, prob) desc."""
+        allowed = check_languages(langs, self.langs)
+        rows = np.array([self.lang_index[l] for l in allowed], dtype=np.int64)
+        if len(rows) == 0:
+            return []
+        ll = self._score_doc(text[:max_chars], rows)
+        # temperature ~ ngram count: use summed ll for contrast
+        ll = ll * min(len(text[:max_chars]), 64)
+        ll -= ll.max()
+        p = np.exp(ll)
+        p /= p.sum()
+        order = np.argsort(-p, kind="stable")
+        return [(allowed[i], float(p[i])) for i in order]
+
+    def predict_batch(self, texts: Sequence[str], language_codes: Optional[Iterable[str]] = None) -> List[Ranking]:
+        return [self.rank(t, language_codes) for t in texts]
+
+
+class ScriptDetector:
+    """Script-fraction voting (vectorized per batch).
+
+    Per document: fraction of word chars in each Unicode script; each script
+    distributes its fraction over its candidate languages (prior weight 1/k,
+    first-listed lang favored 2×).  Matches the *spirit* of the reference
+    script detector (``scripts_langid.py:40-84``): per-word charset fractions
+    with probability normalization — but operates on char counts so the whole
+    batch is two numpy gathers and one bincount.
+    """
+
+    def __init__(self):
+        charclass, script = load_chartables()
+        self._charclass = charclass
+        self._script = script
+        n_scripts = len(SCRIPT_NAMES)
+        langs = sorted({l for ls in SCRIPT_LANGS.values() for l in ls})
+        self.SUPPORTED_LANGUAGES = langs
+        self.lang_index = {l: i for i, l in enumerate(langs)}
+        # prior[script_id, lang_id]
+        prior = np.zeros((n_scripts, len(langs)), dtype=np.float64)
+        for sname, ls in SCRIPT_LANGS.items():
+            sid = SCRIPT_ID[sname]
+            w = np.array([2.0] + [1.0] * (len(ls) - 1))
+            w /= w.sum()
+            for lang, wi in zip(ls, w):
+                prior[sid, self.lang_index[lang]] += wi
+        self.prior = prior
+
+    def script_fractions(self, texts: Sequence[str]) -> np.ndarray:
+        """float64[n_docs, n_scripts] — word-char script distribution."""
+        n = len(texts)
+        out = np.zeros((n, len(SCRIPT_NAMES)), dtype=np.float64)
+        joined = "\n".join(texts) if n else ""
+        cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        if not len(cps):
+            return out
+        cls = self._charclass[cps]
+        scr = self._script[cps]
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+        offsets = np.concatenate([[0], np.cumsum(lens + 1)])
+        doc_of = np.searchsorted(offsets[1:], np.arange(len(cps)), side="right")
+        word_mask = cls == 1
+        key = doc_of[word_mask] * len(SCRIPT_NAMES) + scr[word_mask]
+        flat = np.bincount(key, minlength=n * len(SCRIPT_NAMES))
+        counts = flat.reshape(n, len(SCRIPT_NAMES)).astype(np.float64)
+        totals = counts.sum(axis=1, keepdims=True)
+        np.divide(counts, totals, out=out, where=totals > 0)
+        return out
+
+    def predict_batch(self, texts: Sequence[str], language_codes: Optional[Iterable[str]] = None) -> List[Ranking]:
+        allowed = set(check_languages(language_codes, self.SUPPORTED_LANGUAGES))
+        fracs = self.script_fractions(texts)
+        scores = fracs @ self.prior  # [n_docs, n_langs]
+        out: List[Ranking] = []
+        for row in scores:
+            nz = np.flatnonzero(row > 0)
+            ranking = sorted(
+                ((self.SUPPORTED_LANGUAGES[i], float(row[i])) for i in nz if self.SUPPORTED_LANGUAGES[i] in allowed),
+                key=lambda x: -x[1],
+            )
+            total = sum(p for _, p in ranking)
+            out.append([(l, p / total) for l, p in ranking] if total > 0 else [])
+        return out
+
+
+# scripts whose language is ambiguous enough to need n-gram evidence
+_AMBIGUOUS_SCRIPTS = {"Latin", "Cyrillic", "Arabic", "Devanagari", "Han"}
+
+
+class EnsembleDetector:
+    """Script evidence + n-gram NB fallback — the default hot-path detector.
+
+    Decision per document (vectorized script pass, NB only when needed):
+      1. dominant script of the word chars;
+      2. Hiragana/Katakana present → ja; HangulSyllables/Jamo → ko;
+         Han w/o kana → zh;
+      3. single-language scripts (Thai→th, …) → that language;
+      4. ambiguous scripts (Latin/Cyrillic/Arabic/Devanagari) → NB restricted
+         to that script's candidate languages;
+      5. no word chars at all → unknown ('und').
+    """
+
+    def __init__(self, model_path: Optional[Path] = None):
+        self.script = ScriptDetector()
+        self.ngram = NgramDetector(model_path)
+        self.SUPPORTED_LANGUAGES = sorted(set(self.script.SUPPORTED_LANGUAGES) | set(self.ngram.langs))
+        self._sid = SCRIPT_ID
+
+    def predict_batch(self, texts: Sequence[str], language_codes: Optional[Iterable[str]] = None) -> List[Ranking]:
+        allowed = check_languages(language_codes, self.SUPPORTED_LANGUAGES)
+        allowed_set = set(allowed)
+        fracs = self.script.script_fractions(texts)
+        sid = self._sid
+        kana = fracs[:, sid["Hiragana"]] + fracs[:, sid["Katakana"]]
+        hangul = fracs[:, sid["HangulSyllables"]] + fracs[:, sid["HangulJamo"]]
+        han = fracs[:, sid["Han"]]
+        out: List[Ranking] = []
+        for d, text in enumerate(texts):
+            row = fracs[d]
+            total = row.sum()
+            if total == 0:
+                out.append([])
+                continue
+            if kana[d] > 0.05:
+                out.append(_clip([("ja", float(min(1.0, kana[d] + han[d] + 0.5)))], allowed_set))
+                continue
+            if hangul[d] > 0.3:
+                out.append(_clip([("ko", float(min(1.0, hangul[d] + 0.5)))], allowed_set))
+                continue
+            dom = int(np.argmax(row))
+            dom_name = SCRIPT_NAMES[dom]
+            if dom_name == "Han":
+                out.append(_clip([("zh", float(min(1.0, han[d] + 0.3)))], allowed_set))
+                continue
+            cand = SCRIPT_LANGS.get(dom_name, [])
+            if dom_name in _AMBIGUOUS_SCRIPTS:
+                nb_langs = [l for l in cand if l in self.ngram.lang_index and (not allowed_set or l in allowed_set)]
+                if nb_langs:
+                    ranking = self.ngram.rank(text, nb_langs)
+                    # scale by script confidence
+                    conf = float(row[dom])
+                    out.append([(l, p * conf) for l, p in ranking])
+                    continue
+            if len(cand) >= 1:
+                ranking = [(l, float(row[dom]) / (1 + i)) for i, l in enumerate(cand)]
+                s = sum(p for _, p in ranking)
+                out.append(_clip([(l, p / s) for l, p in ranking], allowed_set))
+            else:
+                out.append([])
+        return out
+
+
+def _clip(ranking: Ranking, allowed: set) -> Ranking:
+    if not allowed:
+        return ranking
+    return [(l, p) for l, p in ranking if l in allowed]
+
+
+class LangIdStage:
+    """Actor-pool stage: adds ``lang`` (top-1, 'und' when unknown) and
+    ``lang_conf`` columns.
+
+    Use: ``ds.map_batches(LangIdStage, batch_format="pyarrow",
+    concurrency=N, batch_size=B, fn_constructor_kwargs={...})``.
+    The detector loads its tables ONCE per actor here in ``__init__`` —
+    the Ray analogue of the reference's module-level model singleton
+    (``fasttext_wrapper.py:25-33``).
+    """
+
+    def __init__(
+        self,
+        text_column: str = "text",
+        language_codes: Optional[Sequence[str]] = None,
+        detector: str = "ensemble",
+        max_chars: int = 1000,
+    ):
+        if detector == "ensemble":
+            self.detector = EnsembleDetector()
+        elif detector == "ngram":
+            self.detector = NgramDetector()
+        elif detector == "script":
+            self.detector = ScriptDetector()
+        else:
+            raise ValueError(f"unknown detector {detector!r}")
+        self.text_column = text_column
+        self.language_codes = list(language_codes) if language_codes else None
+        self.max_chars = max_chars
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_column].to_pylist()
+        texts = [(t or "")[: self.max_chars] for t in texts]
+        rankings = self.detector.predict_batch(texts, self.language_codes)
+        langs = [r[0][0] if r else "und" for r in rankings]
+        confs = [float(r[0][1]) if r else 0.0 for r in rankings]
+        batch = set_or_append(batch, "lang", pa.array(langs, pa.string()))
+        return set_or_append(batch, "lang_conf", pa.array(confs, pa.float64()))
+
+
+def set_or_append(batch: pa.Table, name: str, col: pa.Array) -> pa.Table:
+    """Replace a column if it exists (e.g. the upstream-claimed ``lang`` hint
+    on Common-Crawl-style inputs), else append — avoids Arrow duplicate-name
+    tables that break downstream concat."""
+    names = batch.schema.names
+    if name in names:
+        return batch.set_column(names.index(name), name, col)
+    return batch.append_column(name, col)

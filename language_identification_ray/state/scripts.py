@@ -126,3 +126,10 @@ def load_chartables() -> tuple[np.ndarray, np.ndarray]:
     """
     with np.load(_ASSET) as z:
         return z["charclass"].copy(), z["script"].copy()
+
+
+@lru_cache(maxsize=1)
+def load_lower_table() -> np.ndarray:
+    """codepoint → lowercase codepoint (uint32 gather table)."""
+    with np.load(_ASSET) as z:
+        return z["lower"].copy()

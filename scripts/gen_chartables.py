@@ -12,6 +12,8 @@ codepoints into ``language_identification_ray/state/assets/chartables.npz``:
     unprintables into punctuation, tokenizer.py:164-173)
   * ``script``: index into SCRIPT_NAMES (see state/scripts.py) from
     public Unicode block ranges.
+  * ``lower``: codepoint → lowercased codepoint (first char of str.lower()),
+    so batch-level lowercasing is a numpy gather too.
 
 Deterministic: depends only on the CPython unicodedata version, which is
 pinned by the container.  Run: ``python scripts/gen_chartables.py``.
@@ -64,7 +66,13 @@ def main() -> None:
     # punctuation shared across scripts doesn't vote
     script[charclass != 1] = 0
 
-    np.savez_compressed(OUT, charclass=charclass, script=script)
+    lower = np.arange(N, dtype=np.uint32)
+    for cp in range(N):
+        lo = chr(cp).lower()
+        if len(lo) >= 1 and lo != chr(cp):
+            lower[cp] = ord(lo[0])
+
+    np.savez_compressed(OUT, charclass=charclass, script=script, lower=lower)
     print(f"wrote {OUT} ({OUT.stat().st_size} bytes)")
 
 
