@@ -1,0 +1,174 @@
+"""The flagship pipeline: langid + quality filter + PII scrub over pages.
+
+Topology (all lazy; Ray's streaming executor pipelines the stages):
+
+    pages (url, warc_ts, html, text, lang)
+      → map_batches(decode_extract_batch)            # stateless tasks, fused
+      → map_batches(LangIdStage,  actor pool)        # warm detector per actor
+      → map_batches(QualityStats, actor pool)        # broadcast stopwords
+      → map_batches(Scrubber,     actor pool)        # precompiled regexes
+      → map_batches(KeepDropRules)                   # vectorized masks, fused
+      → select output schema
+      [→ optional PerplexityScorer once an LM table is trained]
+
+Output schema per BASELINE.md: (url, lang, lang_conf, perplexity, keep,
+drop_reason, scrubbed_text, q_* stats, pii_* counts).  Shuffle-free on the
+keep/drop path; the only wide op is the optional salted partitioned write
+(`write_partitioned`) for language-balanced output layout + resume manifest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from language_identification_ray.sources.pages import read_pages, synthesize_pages
+from language_identification_ray.stages.decode import decode_extract_batch
+from language_identification_ray.stages.langid import LangIdStage, set_or_append
+from language_identification_ray.stages.quality import QualityStats
+from language_identification_ray.stages.rules import KeepDropRules
+from language_identification_ray.stages.scrub import Scrubber
+
+OUTPUT_COLUMNS = [
+    "url",
+    "lang",
+    "lang_conf",
+    "keep",
+    "drop_reason",
+    "scrubbed_text",
+    "q_n_words",
+    "q_n_chars",
+    "q_n_sentences",
+    "q_mean_word_len",
+    "q_symbol_word_ratio",
+    "q_digit_ratio",
+    "q_stopword_hits",
+    "q_stopword_ratio",
+    "q_max_line_frac",
+    "q_dup_ngram_frac",
+    "pii_emails",
+    "pii_phones",
+    "pii_ssns",
+    "pii_slurs",
+]
+
+
+def build(
+    pages: "rd.Dataset",
+    language_codes: Optional[Sequence[str]] = None,
+    langid_concurrency=(1, 8),
+    batch_size: int = 1024,
+    with_perplexity: bool = False,
+) -> "rd.Dataset":
+    """Compose the flagship pipeline over a pages Dataset (lazy).
+
+    ``langid_concurrency`` is the (min, max) autoscaling actor-pool size for
+    the stateful stages; (1, 8) keeps small runs light while letting the pool
+    grow to the node. Size to cluster CPUs minus I/O headroom at scale."""
+    ds = pages.map_batches(decode_extract_batch, batch_format="pyarrow")
+    ds = ds.map_batches(
+        LangIdStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=langid_concurrency,
+        fn_constructor_kwargs={"language_codes": list(language_codes) if language_codes else None},
+    )
+    ds = ds.map_batches(
+        QualityStats,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=langid_concurrency,
+    )
+    if with_perplexity:
+        from language_identification_ray.stages.perplexity import PerplexityScorer
+
+        ds = ds.map_batches(
+            PerplexityScorer,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=langid_concurrency,
+        )
+    ds = ds.map_batches(
+        Scrubber,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=langid_concurrency,
+    )
+    ds = ds.map_batches(KeepDropRules(), batch_format="pyarrow")
+    cols = [c for c in OUTPUT_COLUMNS if with_perplexity or c != "perplexity"]
+    return ds.map_batches(lambda t: t.select([c for c in cols if c in t.schema.names]), batch_format="pyarrow")
+
+
+def run(sf_dir: str, **kwargs) -> "rd.Dataset":
+    """Synthesized pages from the driver testdata → flagship output."""
+    return build(synthesize_pages(sf_dir), **kwargs)
+
+
+def run_from_parquet(path: str, **kwargs) -> "rd.Dataset":
+    return build(read_pages(path), **kwargs)
+
+
+# ---------------------------------------------------------------------------
+# partitioned, resumable output
+
+_SALT_BUCKETS = 8
+
+
+def _add_partition_key(batch: pa.Table) -> pa.Table:
+    """(lang, salt) partition key: language-skew rebalance per north_rule.
+
+    Head languages (en ≈ 60% of the web) would make one partition 100×
+    another; salting by a stable hash of url spreads each language over
+    ``_SALT_BUCKETS`` sub-partitions while keeping files language-pure."""
+    urls = batch["url"].to_pylist()
+    salt = np.fromiter((hash_url(u) % _SALT_BUCKETS for u in urls), dtype=np.int64, count=len(urls))
+    return set_or_append(batch, "part_salt", pa.array(salt, pa.int64()))
+
+
+def hash_url(url: str) -> int:
+    """Stable (process-independent) url hash — NOT Python's randomized hash()."""
+    import zlib
+
+    return zlib.crc32(url.encode("utf-8"))
+
+
+def write_partitioned(ds: "rd.Dataset", out_dir: str, manifest: bool = True) -> dict:
+    """Write keyed by (lang, part_salt) with a resume manifest.
+
+    Layout: ``{out_dir}/lang=<l>/part_salt=<s>/*.parquet`` + ``_MANIFEST.json``
+    recording completed partitions and row counts.  A re-run calls
+    ``completed_partitions(out_dir)`` and can prune finished (lang, salt)
+    pairs before writing — idempotent resume per north_rule.
+    """
+    ds = ds.map_batches(_add_partition_key, batch_format="pyarrow")
+    ds.write_parquet(out_dir, partition_cols=["lang", "part_salt"])
+    info = {"partitions": _list_partitions(out_dir)}
+    if manifest:
+        with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as f:
+            json.dump(info, f, sort_keys=True)
+    return info
+
+
+def _list_partitions(out_dir: str) -> list:
+    parts = []
+    for root, _dirs, files in os.walk(out_dir):
+        if any(f.endswith(".parquet") for f in files):
+            rel = os.path.relpath(root, out_dir)
+            if rel != ".":
+                parts.append(rel)
+    return sorted(parts)
+
+
+def completed_partitions(out_dir: str) -> set:
+    """Partitions recorded complete by a previous run (resume support)."""
+    path = os.path.join(out_dir, "_MANIFEST.json")
+    if not os.path.exists(path):
+        return set()
+    with open(path) as f:
+        return set(json.load(f).get("partitions", []))

@@ -1,0 +1,57 @@
+"""Decode + extract stage: (html, text) → canonical ``text``.
+
+Stateless ``map_batches`` task stage (fuses with neighbours).  Per row:
+
+  1. if the pre-extracted ``text`` is non-empty, keep it;
+     else decode ``html`` bytes (reference decode semantics,
+     ``utils.py:15-37``) and strip tags/entities
+     (reference ``remove_html_tags.py:160-164``);
+  2. fix mojibake, collapse whitespace;
+  3. truncate to the 10 MiB per-document cap
+     (reference ``preprocessing.py:13``).
+
+Emits ``text`` (canonical extracted text — the byte-identical-per-url
+invariant is defined on this column) and ``n_bytes`` (pre-truncation UTF-8
+size, for run metrics).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from language_identification_ray.functions.html import extract_text
+from language_identification_ray.functions.textnorm import (
+    BYTE_LENGTH_LIMIT,
+    ensure_unicode,
+    truncate_text,
+)
+
+_RE_WS = re.compile(r"\s+", flags=re.U)
+
+
+def decode_and_extract(text: str | None, html: bytes | None) -> str:
+    if text:
+        out = ensure_unicode(text)
+    elif html is not None and len(html):
+        out = extract_text(ensure_unicode(html))
+    else:
+        return ""
+    out = _RE_WS.sub(" ", out).strip()
+    return truncate_text(out, max_bytes_length=BYTE_LENGTH_LIMIT)
+
+
+def decode_extract_batch(batch: pa.Table) -> pa.Table:
+    texts = batch["text"].to_pylist() if "text" in batch.schema.names else [None] * len(batch)
+    htmls = batch["html"].to_pylist() if "html" in batch.schema.names else [None] * len(batch)
+    out = [decode_and_extract(t, h) for t, h in zip(texts, htmls)]
+    n_bytes = pa.array([len(t.encode("utf-8")) for t in out], pa.int64())
+
+    names = batch.schema.names
+    result = batch.set_column(names.index("text"), "text", pa.array(out, pa.string())) if "text" in names else batch.append_column("text", pa.array(out, pa.string()))
+    # html bytes are dead weight downstream — drop them here so the object
+    # store only carries extracted text through the rest of the pipeline
+    if "html" in result.schema.names:
+        result = result.drop_columns(["html"])
+    return result.append_column("n_bytes", n_bytes)

@@ -1,0 +1,67 @@
+"""Keep/drop rule fusion — the quality-filter decision.
+
+Gopher/C4-style heuristic thresholds over the ``q_*`` stats + langid
+confidence + PII/toxicity counts.  Fully vectorized (numpy boolean masks);
+the FIRST failing rule (in the declared order) becomes ``drop_reason`` —
+deterministic and auditable.  Threshold provenance: Rae et al. 2021 (Gopher)
+§A1.1 and Raffel et al. 2020 (C4) §2.2, adapted to the reference's own
+design notes (reference README.md:128-153: gibberish/boilerplate/repetition
+heuristics).
+
+The rule registry is the engine's user-extension surface (the analogue of
+the reference's detector-wrapper plug-in contract, SURVEY.md §2.10): each
+rule is (name, fn(batch)->bool-mask-of-drops) and callers may pass a custom
+list.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pyarrow as pa
+
+from language_identification_ray.stages.langid import set_or_append
+
+Rule = Tuple[str, Callable[[pa.Table], np.ndarray]]
+
+
+def _col(batch: pa.Table, name: str) -> np.ndarray:
+    return batch[name].to_numpy(zero_copy_only=False)
+
+
+DEFAULT_RULES: List[Rule] = [
+    ("empty", lambda b: _col(b, "q_n_words") == 0),
+    ("too_short", lambda b: _col(b, "q_n_words") < 5),
+    ("mean_word_len", lambda b: (_col(b, "q_mean_word_len") < 2.0) | (_col(b, "q_mean_word_len") > 12.0)),
+    ("symbol_ratio", lambda b: _col(b, "q_symbol_word_ratio") > 1.5),
+    ("digit_ratio", lambda b: _col(b, "q_digit_ratio") > 0.3),
+    ("repetition", lambda b: _col(b, "q_dup_ngram_frac") > 0.30),
+    ("stopword", lambda b: (_col(b, "q_stopword_hits") < 1) & (_col(b, "q_n_words") >= 20)),
+    ("low_lang_conf", lambda b: _col(b, "lang_conf") < 0.20),
+    ("toxicity", lambda b: _col(b, "pii_slurs").astype(np.int64) >= 3),
+]
+
+
+class KeepDropRules:
+    """``ds.map_batches(KeepDropRules, batch_format="pyarrow")`` — adds
+    ``keep: bool`` and ``drop_reason: string`` ('' when kept)."""
+
+    def __init__(self, rules: Optional[Sequence[Rule]] = None):
+        self.rules = list(rules) if rules is not None else list(DEFAULT_RULES)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        drop_reason = np.full(n, "", dtype=object)
+        dropped = np.zeros(n, dtype=bool)
+        names = set(batch.schema.names)
+        for name, fn in self.rules:
+            try:
+                mask = np.asarray(fn(batch), dtype=bool)
+            except KeyError:
+                continue  # rule's input column not present in this pipeline variant
+            newly = mask & ~dropped
+            drop_reason[newly] = name
+            dropped |= mask
+        batch = set_or_append(batch, "keep", pa.array(~dropped))
+        return set_or_append(batch, "drop_reason", pa.array(drop_reason.tolist(), pa.string()))

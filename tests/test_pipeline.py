@@ -1,0 +1,82 @@
+"""End-to-end flagship pipeline tests over the synthesized pages table
+(Ray session from conftest)."""
+
+import pyarrow as pa
+import pytest
+
+from language_identification_ray.stages.decode import decode_and_extract
+
+
+def test_decode_prefers_text():
+    assert decode_and_extract("already here", b"<p>ignored</p>") == "already here"
+
+
+def test_decode_falls_back_to_html():
+    assert decode_and_extract("", b"<html><body><p>from html</p></body></html>") == "from html"
+    assert decode_and_extract(None, None) == ""
+
+
+def test_decode_cp1252_html():
+    raw = "<p>curly ’quote’</p>".encode("cp1252")
+    assert decode_and_extract("", raw) == "curly ’quote’"
+
+
+@pytest.fixture(scope="module")
+def flagship(ray_session, sf_dir):
+    from language_identification_ray.pipelines.quality_filter import run
+
+    return run(sf_dir).to_pandas()
+
+
+def test_flagship_rows_and_schema(flagship):
+    assert len(flagship) == 500
+    for col in ["url", "lang", "lang_conf", "keep", "drop_reason", "scrubbed_text",
+                "q_n_words", "pii_emails"]:
+        assert col in flagship.columns, col
+    assert flagship["url"].is_unique
+
+
+def test_flagship_determinism(ray_session, sf_dir):
+    from language_identification_ray.pipelines.quality_filter import run
+
+    a = run(sf_dir).to_pandas().sort_values("url").reset_index(drop=True)
+    b = run(sf_dir).to_pandas().sort_values("url").reset_index(drop=True)
+    # byte-identical scrubbed text per url across runs — the parity invariant
+    assert (a["scrubbed_text"] == b["scrubbed_text"]).all()
+    assert (a["keep"] == b["keep"]).all()
+
+
+def test_flagship_pii_scrubbed(flagship):
+    # every 7th doc got PII injected; all of it must be masked
+    pii_rows = flagship[flagship["pii_emails"] > 0]
+    assert len(pii_rows) > 0
+    assert not pii_rows["scrubbed_text"].str.contains("@example.com").any()
+    assert pii_rows["scrubbed_text"].str.contains("<EMAIL>").all()
+
+
+def test_flagship_keeps_majority(flagship):
+    assert 0.5 < flagship["keep"].mean() <= 1.0
+    dropped = flagship[~flagship["keep"]]
+    assert (dropped["drop_reason"] != "").all()
+    kept = flagship[flagship["keep"]]
+    assert (kept["drop_reason"] == "").all()
+
+
+def test_partitioned_write_and_resume(ray_session, sf_dir, tmp_path):
+    from language_identification_ray.pipelines.quality_filter import (
+        completed_partitions,
+        run,
+        write_partitioned,
+    )
+
+    out = str(tmp_path / "out")
+    info = write_partitioned(run(sf_dir), out)
+    assert info["partitions"], "no partitions written"
+    assert all(p.startswith("lang=") for p in info["partitions"])
+    # manifest round-trips for resume
+    assert completed_partitions(out) == set(info["partitions"])
+
+    import ray.data as rd
+
+    back = rd.read_parquet(out)
+    assert back.count() == 500
