@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship quality-filter pipeline on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible subset
+(tables pre-registered as views: region nation customer supplier part orders
+lineitem events documents embeddings).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE importing this module — nothing here
+(or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +15,111 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_SQL_STOP_LIST = "('the','and','of','a','to','in','is')"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    from language_identification_ray.pipelines.quality_filter import run
+
+    return run("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from language_identification_ray.pipelines import analysis, quality_filter
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def langid_documents(sf_dir: str):
+        import ray.data as rd
+        from language_identification_ray.stages.langid import LangIdStage
+
+        return (
+            rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+            .map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+            .map_batches(lambda t: t.select(["doc_id", "lang", "lang_conf"]), batch_format="pyarrow")
+        )
+
+    return {
+        # --- SQL-checkable operators -------------------------------------
+        "token_count": analysis.token_count,
+        "filter_mid_length": analysis.filter_mid_length,
+        "doc_fingerprint": analysis.doc_fingerprint,
+        "stopword_stats": analysis.stopword_stats,
+        "lang_stats": analysis.lang_stats,
+        "source_stats": analysis.source_stats,
+        "word_freq_top100": analysis.word_freq_top100,
+        "exact_dedup": analysis.exact_dedup,
+        "events_hourly": analysis.events_hourly,
+        "knn_cosine_top10": analysis.knn_cosine_top10,
+        # --- non-SQL-expressible pipelines (rows-only checks) -------------
+        "quality_filter_pages": quality_filter.run,
+        "langid_documents": langid_documents,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "token_count": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        """,
+        "filter_mid_length": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE n_chars BETWEEN 100 AND 300
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS fp
+            FROM documents
+        """,
+        "stopword_stats": f"""
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '), w -> w IN {_SQL_STOP_LIST})) AS stop_hits,
+                   len(string_split(text, ' ')) AS n_words
+            FROM documents
+        """,
+        "lang_stats": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS total_chars,
+                   avg(n_chars) AS avg_chars
+            FROM documents
+            GROUP BY lang
+        """,
+        "source_stats": """
+            SELECT source,
+                   count(*) AS n_docs,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars
+            FROM documents
+            GROUP BY source
+        """,
+        "word_freq_top100": """
+            SELECT word, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            GROUP BY word
+            ORDER BY cnt DESC, word ASC
+            LIMIT 100
+        """,
+        "exact_dedup": """
+            SELECT md5(substr(text, 1, 40)) AS k,
+                   min(doc_id) AS keep_doc_id,
+                   count(*) AS n_dups
+            FROM documents
+            GROUP BY 1
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events,
+                   sum(value) AS total_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "knn_cosine_top10": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+            SELECT e.vec_id
+            FROM embeddings e, q
+            ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC
+            LIMIT 10
+        """,
+    }

@@ -1,0 +1,232 @@
+"""Oracle-checkable analysis operators over the driver testdata tables.
+
+Every function here is a Ray-Data-first implementation of an operator from
+SURVEY.md §2 (or a scale extension the north_star requires), written so a
+DuckDB SQL oracle over the same parquet produces identical rows — same
+column NAMES, same value semantics.  The matching SQL lives in
+``__ray_entry__.oracle_sql``.
+
+Scale notes per operator are in the docstrings: what shuffles, what
+pre-aggregates, what broadcasts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+# A fixed, tiny English stopword list used ONLY by the SQL-parity query
+# (the real quality stage uses the full per-language tables).
+SQL_STOPWORDS = ("the", "and", "of", "a", "to", "in", "is")
+
+
+def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# per-record maps / filters (SURVEY §2.2)
+
+
+def token_count(sf_dir: str) -> "rd.Dataset":
+    """Per-doc whitespace token count.  Map-only — no shuffle; column-pruned
+    read.  (Tokenization M9 reduced to the SQL-parity split.)"""
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        n = [len((t or "").split(" ")) for t in texts]
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def filter_mid_length(sf_dir: str) -> "rd.Dataset":
+    """Threshold filter (T4): vectorized Arrow predicate inside map_batches."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.greater_equal(batch["n_chars"], 100), pc.less_equal(batch["n_chars"], 300))
+        return batch.filter(mask).select(["doc_id", "lang", "n_chars"])
+
+    return _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(f, batch_format="pyarrow")
+
+
+def doc_fingerprint(sf_dir: str) -> "rd.Dataset":
+    """Content fingerprint per document (md5 — stable across engines).
+    The dedup key for exact dedup; map-only."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        fps = [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(fps, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def stopword_stats(sf_dir: str) -> "rd.Dataset":
+    """SQL-parity stopword counting (J6): fixed broadcast list, map-only."""
+    stop = frozenset(SQL_STOPWORDS)
+
+    def f(batch: pa.Table) -> pa.Table:
+        hits, n_words = [], []
+        for t in batch["text"].to_pylist():
+            words = (t or "").split(" ")
+            n_words.append(len(words))
+            hits.append(sum(1 for w in words if w in stop))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "stop_hits": pa.array(hits, pa.int64()),
+                "n_words": pa.array(n_words, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# grouped aggregations (SURVEY §2.5)
+
+
+def lang_stats(sf_dir: str) -> "rd.Dataset":
+    """G4-style grouped aggregate.  One small shuffle over 5 keys."""
+    return (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+            Mean("n_chars", alias_name="avg_chars"),
+        )
+    )
+
+
+def source_stats(sf_dir: str) -> "rd.Dataset":
+    return (
+        _docs(sf_dir, ["source", "n_chars"])
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+        )
+    )
+
+
+def word_freq_top100(sf_dir: str) -> "rd.Dataset":
+    """Global word frequency, top 100 (G4 document-frequency analogue).
+
+    Scale path: counts are PRE-AGGREGATED inside each batch (Counter →
+    (word, cnt) partial rows), so the shuffle moves one row per distinct
+    word per batch — not one per token.  Deterministic tie-break (cnt desc,
+    word asc) matches the oracle."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch["text"].to_pylist():
+            c.update((t or "").split(" "))
+        if not c:
+            return pa.table({"word": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        words, cnts = zip(*c.items())
+        return pa.table({"word": pa.array(words, pa.string()), "cnt": pa.array(cnts, pa.int64())})
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "word"], descending=[True, False])
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup (new scale operators per the task brief)
+
+
+def exact_dedup(sf_dir: str, prefix: int = 40) -> "rd.Dataset":
+    """Exact near-key dedup: hash a 40-char prefix, keep min doc_id per key.
+
+    Scale path: the shuffle is on the HASH (fixed 32-byte key), never the
+    text; groups are tiny so per-group first is cheap.  (D2/D-new.)"""
+
+    def key(batch: pa.Table) -> pa.Table:
+        ks = [hashlib.md5((t or "")[:prefix].encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "k": pa.array(ks, pa.string())})
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(key, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: windowed aggregate (streaming-shaped; SURVEY §2.9 note)
+
+
+def events_hourly(sf_dir: str) -> "rd.Dataset":
+    """Tumbling 1-hour window per event_type: count + sum(value).
+
+    The window key is computed map-side (vectorized timestamp floor), so the
+    shuffle is a plain grouped aggregate over (type, window) — the Ray Data
+    expression of a tumbling window."""
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.table(
+            {"event_type": batch["event_type"], "window_start": w, "value": batch["value"]}
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+        .map_batches(add_window, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search (new scale operator)
+
+
+def knn_cosine_top10(sf_dir: str) -> "rd.Dataset":
+    """Brute-force cosine top-k against a broadcast query vector.
+
+    The query matrix is read ONCE driver-side (single row lookup) and closed
+    over — at scale this is ``ray.put`` + per-actor ``ray.get``; the scan
+    stays streaming and emits only per-batch top-k candidates (k rows per
+    batch), so the final exact sort is over a tiny candidate set."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_numpy()
+    q = np.array(tbl["embedding"].to_pylist()[int(np.argmin(ids))], dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        cos = (mat @ qn) / np.where(norms == 0, 1.0, norms)
+        order = np.argsort(-cos, kind="stable")[:10]  # per-batch top-k candidates
+        return pa.table(
+            {
+                "vec_id": pa.array(batch["vec_id"].to_numpy()[order]),
+                "cos_sim": pa.array(cos[order], pa.float64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(score, batch_format="pyarrow")
+        .sort(["cos_sim", "vec_id"], descending=[True, False])
+        .limit(10)
+        .map_batches(lambda t: t.select(["vec_id"]), batch_format="pyarrow")
+    )

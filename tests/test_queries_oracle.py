@@ -1,0 +1,76 @@
+"""Replicates the driver's correctness gate: every SQL-backed queries() entry
+must match its oracle_sql() on row count, column names, and an
+order-insensitive value hash at the test scale factor."""
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __ray_entry__ as entrymod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _to_pandas(result):
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(result, rd.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes for hashing: floats rounded, everything to str
+    out = pd.DataFrame()
+    for c in df.columns:
+        col = df[c]
+        if col.dtype.kind == "f":
+            out[c] = col.round(6)
+        else:
+            out[c] = col
+    return out.sort_values(list(out.columns)).reset_index(drop=True)
+
+
+@pytest.fixture(scope="module")
+def oracle_con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+SQL_BACKED = sorted(set(entrymod.queries()) & set(entrymod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", SQL_BACKED)
+def test_query_matches_oracle(ray_session, oracle_con, sf_dir, name):
+    ray_df = _canon(_to_pandas(entrymod.queries()[name](sf_dir)))
+    sql_df = _canon(oracle_con.sql(entrymod.oracle_sql()[name]).df())
+    assert list(ray_df.columns) == list(sql_df.columns), f"{name}: column mismatch"
+    assert len(ray_df) == len(sql_df), f"{name}: row count {len(ray_df)} != {len(sql_df)}"
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False, check_exact=False, atol=1e-6)
+
+
+def test_rows_only_queries_run(ray_session, sf_dir):
+    qs = entrymod.queries()
+    for name in set(qs) - set(entrymod.oracle_sql()):
+        df = _to_pandas(qs[name](sf_dir))
+        assert len(df) >= 0 and len(df.columns) > 0, name
+
+
+def test_entry_smoke(ray_session):
+    df = _to_pandas(entrymod.entry())
+    assert len(df) >= 0
+    assert "keep" in df.columns
