@@ -22,7 +22,7 @@ def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
     from language_identification_ray.pipelines.quality_filter import run
 
-    return run("/root/testdata/sf0.001")
+    return run("/root/testdata/sf0.001", with_perplexity=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -36,6 +36,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
             .map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
             .map_batches(lambda t: t.select(["doc_id", "lang", "lang_conf"]), batch_format="pyarrow")
+        )
+
+    def perplexity_documents(sf_dir: str):
+        import ray.data as rd
+        from language_identification_ray.stages.perplexity import PerplexityScorer
+
+        return (
+            rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+            .map_batches(PerplexityScorer, batch_format="pyarrow", concurrency=(1, 4))
+            .map_batches(lambda t: t.select(["doc_id", "perplexity"]), batch_format="pyarrow")
         )
 
     return {
@@ -53,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- non-SQL-expressible pipelines (rows-only checks) -------------
         "quality_filter_pages": quality_filter.run,
         "langid_documents": langid_documents,
+        "perplexity_documents": perplexity_documents,
     }
 
 

@@ -1,0 +1,227 @@
+"""Interpolated modified Kneser–Ney n-gram language model (pure functions).
+
+The reference implements two Kneser–Ney variants for its perplexity work
+(reference ``modified_kneser_ney.py:28-587`` ModifiedKneserNey, ``590-805``
+KneserNeyLM).  This is a from-scratch implementation of the same published
+algorithm (Chen & Goodman 1999, "An empirical study of smoothing techniques
+for language modeling"; discount estimation per Sundermeyer et al. —
+the same formulas the reference cites at ``modified_kneser_ney.py:203-272``):
+
+  * counts at the highest order, continuation counts below (the KN idea),
+  * three discounts D1/D2/D3+ per order from count-of-counts,
+  * interpolation with backoff weights γ(ctx),
+  * ARPA-style (logprob, backoff) tables for O(1) scoring per n-gram.
+
+Counting is separated from estimation so the count step can run as a Ray
+grouped aggregation over a corpus Dataset (pipelines/lm_train.py — reference
+G1-G3 as groupbys) while estimation (tiny tables) runs driver-side.
+
+Log base 2 throughout (matching the reference's log2 scoring at
+``modified_kneser_ney.py:546-577``); perplexity = 2^(-avg log2 P).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+BOS = "<s>"
+EOS = "</s>"
+UNK = "<unk>"
+
+_RE_DROP = re.compile(r"[^\w\s.!?'\-]|\d", flags=re.U)
+_RE_ENDERS = re.compile(r"[.!?]+")
+_RE_WS = re.compile(r"\s+")
+
+
+def lm_sentences(text: str) -> List[List[str]]:
+    """Normalize text into token lists for LM counting/scoring.
+
+    Matches the intent of reference ``_get_padded_ngrams`` preprocessing
+    (``modified_kneser_ney.py:109-147``): drop digits and non-informative
+    punctuation, collapse sentence enders, lowercase, whitespace-tokenize.
+    (The reference additionally used the nltk punkt splitter — unavailable
+    here; '.'-collapse + split is the stand-in and is pinned by tests.)
+    """
+    text = _RE_DROP.sub(" ", text.lower())
+    out = []
+    for sent in _RE_ENDERS.split(text):
+        tokens = _RE_WS.sub(" ", sent).strip().split()
+        tokens = [t.strip("'-") for t in tokens]
+        tokens = [t for t in tokens if t]
+        if tokens:
+            out.append(tokens)
+    return out
+
+
+def count_ngrams(sentences: Iterable[Sequence[str]], order: int) -> Counter:
+    """Highest-order n-gram counts with BOS/EOS padding (one Counter).
+    Keys are tuples of tokens.  This is the per-batch 'partial' step of the
+    distributed count (G1)."""
+    counts: Counter = Counter()
+    pad = [BOS] * (order - 1)
+    for toks in sentences:
+        seq = pad + list(toks) + [EOS]
+        for i in range(len(seq) - order + 1):
+            counts[tuple(seq[i : i + order])] += 1
+        # also count the raw unigrams of BOS padding context? No: standard
+        # practice scores only real tokens + EOS; BOS appears in contexts only.
+    return counts
+
+
+class KNModel:
+    """(logprob, backoff) tables for orders 1..N, log base 2."""
+
+    def __init__(self, order: int, probs: Dict[tuple, float], backoffs: Dict[tuple, float], vocab_size: int):
+        self.order = order
+        self.probs = probs  # ngram tuple -> log2 P(w | ctx)
+        self.backoffs = backoffs  # context tuple -> log2 gamma(ctx)
+        self.vocab_size = max(vocab_size, 1)
+        self._log_unk = -math.log2(self.vocab_size * 100.0)
+
+    # -- scoring ---------------------------------------------------------
+    def logp(self, ngram: Tuple[str, ...]) -> float:
+        """log2 P(w | ctx) with backoff; accepts any length ≤ order."""
+        while len(ngram) > 1:
+            p = self.probs.get(ngram)
+            if p is not None:
+                return p
+            ctx = ngram[:-1]
+            bo = self.backoffs.get(ctx, 0.0)
+            ngram = ngram[1:]
+            if bo:
+                return bo + self.logp(ngram)
+        p = self.probs.get(ngram)
+        return p if p is not None else self._log_unk
+
+    def log_score_tokens(self, tokens: Sequence[str]) -> Tuple[float, int]:
+        """(total log2 prob, n scored) over one sentence incl. EOS —
+        the analogue of reference ``log_score_per_ngram``
+        (``modified_kneser_ney.py:546-577``)."""
+        seq = [BOS] * (self.order - 1) + list(tokens) + [EOS]
+        total = 0.0
+        n = 0
+        for i in range(self.order - 1, len(seq)):
+            lo = max(0, i - self.order + 1)
+            total += self.logp(tuple(seq[lo : i + 1]))
+            n += 1
+        return total, n
+
+    def perplexity(self, text: str) -> float:
+        """2^(-avg log2 P) over all sentences of a document; inf-safe."""
+        total, n = 0.0, 0
+        for toks in lm_sentences(text):
+            t, c = self.log_score_tokens(toks)
+            total += t
+            n += c
+        if n == 0:
+            return float("nan")
+        return 2.0 ** (-total / n)
+
+    # -- (de)serialization ----------------------------------------------
+    def to_flat(self) -> dict:
+        sep = "\x1f"
+        return {
+            "order": self.order,
+            "vocab_size": self.vocab_size,
+            "probs": {sep.join(k): v for k, v in self.probs.items()},
+            "backoffs": {sep.join(k): v for k, v in self.backoffs.items()},
+        }
+
+    @classmethod
+    def from_flat(cls, d: dict) -> "KNModel":
+        sep = "\x1f"
+        return cls(
+            int(d["order"]),
+            {tuple(k.split(sep)): float(v) for k, v in d["probs"].items()},
+            {tuple(k.split(sep)): float(v) for k, v in d["backoffs"].items()},
+            int(d["vocab_size"]),
+        )
+
+
+def _discounts(counts_of_counts: Counter) -> Tuple[float, float, float]:
+    """D1, D2, D3+ from n1..n4 (Chen & Goodman / Sundermeyer estimates,
+    the formulas the reference uses at ``modified_kneser_ney.py:203-272``).
+    Degenerate corpora fall back to the absolute-discount constant 0.75."""
+    n1, n2, n3, n4 = (counts_of_counts.get(i, 0) for i in (1, 2, 3, 4))
+    if n1 == 0 or (n1 + 2 * n2) == 0:
+        return 0.75, 0.75, 0.75
+    y = n1 / (n1 + 2 * n2)
+    d1 = 1 - 2 * y * (n2 / n1) if n1 else 0.75
+    d2 = 2 - 3 * y * (n3 / n2) if n2 else 1.0
+    d3 = 3 - 4 * y * (n4 / n3) if n3 else 1.5
+    clamp = lambda d, lo, hi: min(max(d, lo), hi)
+    return clamp(d1, 0.0, 1.0), clamp(d2, 0.0, 2.0), clamp(d3, 0.0, 3.0)
+
+
+def estimate(highest_counts: Dict[tuple, int], order: int) -> KNModel:
+    """Counts at the highest order → full interpolated modified-KN tables.
+
+    Lower-order counts are CONTINUATION counts (distinct left contexts), the
+    defining Kneser–Ney move; estimation is exact and deterministic.
+    """
+    # counts per order: order N = real counts; k<N = continuation counts
+    counts: List[Dict[tuple, int]] = [dict() for _ in range(order + 1)]  # index by k
+    counts[order] = dict(highest_counts)
+    for k in range(order - 1, 0, -1):
+        cont: Counter = Counter()
+        for g in counts[k + 1]:
+            suffix = g[1:]
+            cont[suffix] += 1
+        counts[k] = dict(cont)
+    # BOS-only contexts of order k never appear as suffixes; add from raw
+    # counts so P(w | <s>...) has a denominator
+    vocab = {g[-1] for g in counts[order]} | {g[-1] for g in counts[1]}
+    vocab.discard(BOS)
+
+    probs: Dict[tuple, float] = {}
+    backoffs: Dict[tuple, float] = {}
+
+    # unigram distribution (continuation-based) with +1 smoothing over vocab
+    uni_total = sum(counts[1].values())
+    v = len(vocab) + 1  # +1 for unk mass
+    for g, c in counts[1].items():
+        probs[g] = math.log2((c + 1) / (uni_total + v))
+    unk_mass = 1 / (uni_total + v)
+
+    # higher orders
+    for k in range(2, order + 1):
+        ck = counts[k]
+        coc = Counter()
+        for c in ck.values():
+            if c <= 4:
+                coc[c] += 1
+        d1, d2, d3 = _discounts(coc)
+        disc = lambda c: d1 if c == 1 else (d2 if c == 2 else d3)
+
+        ctx_total: Dict[tuple, int] = defaultdict(int)
+        ctx_nn: Dict[tuple, List[int]] = defaultdict(lambda: [0, 0, 0])  # N1, N2, N3+
+        for g, c in ck.items():
+            ctx = g[:-1]
+            ctx_total[ctx] += c
+            ctx_nn[ctx][min(c, 3) - 1] += 1
+
+        for ctx, tot in ctx_total.items():
+            n1c, n2c, n3c = ctx_nn[ctx]
+            gamma = (d1 * n1c + d2 * n2c + d3 * n3c) / tot
+            backoffs[ctx] = math.log2(gamma) if gamma > 0 else -60.0
+
+        for g, c in ck.items():
+            ctx = g[:-1]
+            base = max(c - disc(c), 0.0) / ctx_total[ctx]
+            gamma = 2.0 ** backoffs[ctx]
+            lower = probs.get(g[1:])
+            lower_p = 2.0 ** lower if lower is not None else unk_mass
+            probs[g] = math.log2(base + gamma * lower_p)
+
+    return KNModel(order, probs, backoffs, len(vocab))
+
+
+def train(texts: Iterable[str], order: int = 3) -> KNModel:
+    """Single-process convenience trainer (tests / small corpora)."""
+    counts: Counter = Counter()
+    for t in texts:
+        counts.update(count_ngrams(lm_sentences(t), order))
+    return estimate(counts, order)

@@ -39,6 +39,7 @@ OUTPUT_COLUMNS = [
     "url",
     "lang",
     "lang_conf",
+    "perplexity",
     "keep",
     "drop_reason",
     "scrubbed_text",
@@ -79,12 +80,11 @@ def build(
         concurrency=langid_concurrency,
         fn_constructor_kwargs={"language_codes": list(language_codes) if language_codes else None},
     )
-    ds = ds.map_batches(
-        QualityStats,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=langid_concurrency,
-    )
+    # QualityStats/Scrubber hold only cheap state (frozensets, compiled
+    # regexes) — passed as INSTANCES they run as stateless tasks and fuse
+    # with their neighbours instead of forcing extra actor-pool barriers.
+    # Only the model-holding stages (langid, perplexity LM) are actor pools.
+    ds = ds.map_batches(QualityStats(), batch_format="pyarrow", batch_size=batch_size)
     if with_perplexity:
         from language_identification_ray.stages.perplexity import PerplexityScorer
 
@@ -94,12 +94,7 @@ def build(
             batch_size=batch_size,
             concurrency=langid_concurrency,
         )
-    ds = ds.map_batches(
-        Scrubber,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=langid_concurrency,
-    )
+    ds = ds.map_batches(Scrubber(), batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(KeepDropRules(), batch_format="pyarrow")
     cols = [c for c in OUTPUT_COLUMNS if with_perplexity or c != "perplexity"]
     return ds.map_batches(lambda t: t.select([c for c in cols if c in t.schema.names]), batch_format="pyarrow")

@@ -1,0 +1,42 @@
+"""Perplexity-scoring actor stage (the engine's KenLM-style scorer).
+
+Holds a trained :class:`~language_identification_ray.functions.kneser_ney.KNModel`
+per actor (loaded once in ``__init__`` — the Ray analogue of the reference's
+module-global probability dict, ``modified_kneser_ney.py:521-577``) and adds
+a ``perplexity`` column per batch.
+
+Default model: the in-repo English asset trained deterministically from the
+seed corpus by ``scripts/train_lm.py``.  Deployments train their own with
+``pipelines.lm_train.train_kn`` and pass ``model_path``.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import Optional
+
+import pyarrow as pa
+
+from language_identification_ray.functions.kneser_ney import KNModel
+from language_identification_ray.stages.langid import set_or_append
+
+_DEFAULT_MODEL = Path(__file__).resolve().parents[1] / "state" / "assets" / "kn_en.json"
+
+
+class PerplexityScorer:
+    """``ds.map_batches(PerplexityScorer, batch_format="pyarrow", concurrency=N)``"""
+
+    def __init__(self, text_column: str = "text", model_path: Optional[str] = None, max_chars: int = 4000):
+        from language_identification_ray.pipelines.lm_train import load_model
+
+        self.model: KNModel = load_model(str(model_path or _DEFAULT_MODEL))
+        self.text_column = text_column
+        self.max_chars = max_chars
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch[self.text_column].to_pylist():
+            ppl = self.model.perplexity((t or "")[: self.max_chars])
+            out.append(float(ppl) if not math.isnan(ppl) else None)
+        return set_or_append(batch, "perplexity", pa.array(out, pa.float64()))

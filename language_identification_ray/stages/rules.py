@@ -40,6 +40,10 @@ DEFAULT_RULES: List[Rule] = [
     ("stopword", lambda b: (_col(b, "q_stopword_hits") < 1) & (_col(b, "q_n_words") >= 20)),
     ("low_lang_conf", lambda b: _col(b, "lang_conf") < 0.20),
     ("toxicity", lambda b: _col(b, "pii_slurs").astype(np.int64) >= 3),
+    # perplexity band (north_rule): wildly out-of-model text is dropped;
+    # NaN (unscoreable) compares False → kept.  Skipped when the pipeline
+    # variant runs without the LM stage (column absent).
+    ("perplexity", lambda b: _col(b, "perplexity") > 1.0e5),
 ]
 
 

@@ -1,0 +1,99 @@
+"""Kneser–Ney LM tests: estimation invariants, scoring, distributed training
+parity (reference modified_kneser_ney.py semantics; G1-G3 as Ray groupbys)."""
+
+import math
+
+import pytest
+
+from language_identification_ray.functions.kneser_ney import (
+    BOS,
+    EOS,
+    KNModel,
+    count_ngrams,
+    estimate,
+    lm_sentences,
+    train,
+)
+
+CORPUS = [
+    "the cat sat on the mat. the dog sat on the rug.",
+    "a cat and a dog met on the mat.",
+    "the quick brown fox jumps over the lazy dog.",
+]
+
+
+def test_lm_sentences_preprocessing():
+    # digits and decorative punctuation dropped, enders split, lowercased
+    assert lm_sentences("Hello, World 42! Next one.") == [["hello", "world"], ["next", "one"]]
+    assert lm_sentences("") == []
+    assert lm_sentences("one-two stays") == [["one-two", "stays"]]
+
+
+def test_count_ngrams_padding():
+    c = count_ngrams([["a", "b"]], 3)
+    assert c[(BOS, BOS, "a")] == 1
+    assert c[(BOS, "a", "b")] == 1
+    assert c[("a", "b", EOS)] == 1
+    assert sum(c.values()) == 3
+
+
+def test_probability_normalization():
+    m = train(CORPUS, order=3)
+    vocab = sorted({g[-1] for g in m.probs if len(g) == 1})
+    for ctx in [("the",), ("on", "the"), (BOS, BOS)]:
+        total = sum(2.0 ** m.logp(ctx + (w,)) for w in vocab)
+        # ≤1 with a small reserved unk mass
+        assert 0.9 < total <= 1.0 + 1e-9, (ctx, total)
+
+
+def test_seen_beats_unseen():
+    m = train(CORPUS, order=3)
+    assert m.logp(("on", "the", "mat")) > m.logp(("on", "the", "fox"))
+    assert m.logp(("the",)) > m.logp(("zzzz",))
+
+
+def test_perplexity_discriminates():
+    m = train(CORPUS, order=3)
+    good = m.perplexity("the cat sat on the mat")
+    gibberish = m.perplexity("zqx wvv kjh ppo qqa")
+    assert good < gibberish
+    assert math.isnan(m.perplexity(""))
+
+
+def test_roundtrip_serialization(tmp_path):
+    from language_identification_ray.pipelines.lm_train import load_model, save_model
+
+    m = train(CORPUS, order=3)
+    p = tmp_path / "m.json"
+    save_model(m, str(p))
+    m2 = load_model(str(p))
+    assert m2.logp(("on", "the", "mat")) == pytest.approx(m.logp(("on", "the", "mat")))
+    assert m2.perplexity(CORPUS[0]) == pytest.approx(m.perplexity(CORPUS[0]))
+
+
+def test_distributed_training_matches_local(ray_session):
+    """train_kn over a Dataset must produce the same model as the
+    single-process trainer (same counts → same estimation)."""
+    import ray.data as rd
+
+    from language_identification_ray.pipelines.lm_train import train_kn
+
+    ds = rd.from_items([{"text": t} for t in CORPUS])
+    dist = train_kn(ds, order=3)
+    local = train(CORPUS, order=3)
+    assert dist.vocab_size == local.vocab_size
+    assert set(dist.probs) == set(local.probs)
+    for g in list(local.probs)[:50]:
+        assert dist.probs[g] == pytest.approx(local.probs[g]), g
+
+
+def test_scorer_stage(ray_session):
+    import pyarrow as pa
+
+    from language_identification_ray.stages.perplexity import PerplexityScorer
+
+    s = PerplexityScorer()
+    out = s(pa.table({"text": ["the weather has been very cold", ""]}))
+    vals = out["perplexity"].to_pylist()
+    assert vals[0] is not None and vals[0] > 1.0
+    assert vals[1] is None
