@@ -48,6 +48,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(lambda t: t.select(["doc_id", "perplexity"]), batch_format="pyarrow")
         )
 
+    def jaccard_pairs_q(sf_dir: str):
+        import ray.data as rd
+        from language_identification_ray.stages.dedup import jaccard_pairs
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+        return jaccard_pairs(docs, threshold=0.95)
+
+    def embedding_dup_pairs_q(sf_dir: str):
+        import ray.data as rd
+        from language_identification_ray.stages.dedup import embedding_dup_pairs
+
+        emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return embedding_dup_pairs(emb, threshold=0.4)
+
+    def minhash_pairs_q(sf_dir: str):
+        import ray.data as rd
+        from language_identification_ray.stages.dedup import minhash_lsh_pairs
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return minhash_lsh_pairs(docs, threshold=0.7)
+
+    def simhash_pairs_q(sf_dir: str):
+        import ray.data as rd
+        from language_identification_ray.stages.dedup import simhash_pairs
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        return simhash_pairs(docs, max_hamming=3)
+
+    def knn_lsh_q(sf_dir: str):
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from language_identification_ray.stages.knn import lsh_topk
+
+        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ids = tbl["vec_id"].to_numpy()
+        q = np.array(tbl["embedding"].to_pylist()[int(np.argmin(ids))], dtype=np.float64)
+        return lsh_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=10)
+
     return {
         # --- SQL-checkable operators -------------------------------------
         "token_count": analysis.token_count,
@@ -60,10 +99,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": analysis.exact_dedup,
         "events_hourly": analysis.events_hourly,
         "knn_cosine_top10": analysis.knn_cosine_top10,
+        # --- dedup / similarity (SQL-checkable where exact) ---------------
+        "jaccard_pairs": jaccard_pairs_q,
+        "embedding_dup_pairs": embedding_dup_pairs_q,
         # --- non-SQL-expressible pipelines (rows-only checks) -------------
         "quality_filter_pages": quality_filter.run,
         "langid_documents": langid_documents,
         "perplexity_documents": perplexity_documents,
+        "minhash_lsh_pairs": minhash_pairs_q,
+        "simhash_pairs": simhash_pairs_q,
+        "knn_lsh_top10": knn_lsh_q,
     }
 
 
@@ -132,5 +177,21 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC
             LIMIT 10
+        """,
+        "jaccard_pairs": """
+            WITH w AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.ws, b.ws))::DOUBLE
+                     / len(list_distinct(list_concat(a.ws, b.ws))) AS jac
+            FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+                    / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.95
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   list_cosine_similarity(a.embedding, b.embedding) AS cos_sim
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         """,
     }

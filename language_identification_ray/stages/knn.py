@@ -1,0 +1,128 @@
+"""Similarity search over an embedding column (task-brief scale extension).
+
+* :func:`brute_force_topk` — exact cosine top-k for a (small) broadcast query
+  matrix: per-batch numpy matmul emits only per-batch candidates, the final
+  exact sort runs over ``n_batches × k`` rows.  The baseline.
+* :func:`lsh_topk` — random-hyperplane LSH (Charikar 2002): vectors are
+  bucketed map-side by sign signature; queries probe their own bucket plus
+  ``n_probe`` lowest-margin bit flips, and only probed buckets are scanned.
+  The scale path: the scan filter is a broadcast bucket-id set, so the
+  dataset is pruned before any dot product happens.
+
+Determinism: hyperplanes come from a fixed seed; ties broken by id.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _as_matrix(col) -> np.ndarray:
+    return np.array(col.to_pylist(), dtype=np.float64)
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def brute_force_topk(
+    ds: "rd.Dataset",
+    queries: np.ndarray,
+    k: int = 10,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+) -> "rd.Dataset":
+    """Exact top-k per query.  Output: (query_idx, vec_id, cos_sim) — k rows
+    per query, ranked.  ``queries``: [n_q, dim] (broadcast via closure; use
+    ``ray.put`` for very large query sets)."""
+    qn = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        mat = _normalize(_as_matrix(batch[vec_column]))
+        ids = batch[id_column].to_numpy()
+        sims = mat @ qn.T  # [n_rows, n_q]
+        out_q, out_id, out_s = [], [], []
+        top = min(k, sims.shape[0])
+        for qi in range(sims.shape[1]):
+            order = np.argsort(-sims[:, qi], kind="stable")[:top]
+            out_q.extend([qi] * len(order))
+            out_id.extend(ids[order])
+            out_s.extend(sims[order, qi])
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "cos_sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    import pandas as pd
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("query_idx")
+        .map_groups(final_topk, batch_format="pandas")
+    )
+
+
+class HyperplaneLsh:
+    """Sign-of-projection bucketing: signature = bits of (v @ planes > 0)."""
+
+    def __init__(self, dim: int, n_bits: int = 8, seed: int = 0xA11CE):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_bits))
+        self.n_bits = n_bits
+
+    def bucket(self, mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ self.planes) > 0
+        return (bits.astype(np.uint32) << np.arange(self.n_bits, dtype=np.uint32)).sum(axis=1)
+
+    def probe_buckets(self, q: np.ndarray, n_probe: int = 3) -> list:
+        """Own bucket + the n_probe lowest-|margin| single-bit flips."""
+        proj = q @ self.planes
+        base = int(((proj > 0).astype(np.uint32) << np.arange(self.n_bits, dtype=np.uint32)).sum())
+        order = np.argsort(np.abs(proj))[:n_probe]
+        return [base] + [base ^ (1 << int(b)) for b in order]
+
+
+def lsh_topk(
+    ds: "rd.Dataset",
+    query: np.ndarray,
+    k: int = 10,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    n_bits: int = 8,
+    n_probe: int = 3,
+    seed: int = 0xA11CE,
+) -> "rd.Dataset":
+    """Approximate top-k for one query via multi-probe hyperplane LSH."""
+    q = np.asarray(query, dtype=np.float64)
+    lsh = HyperplaneLsh(len(q), n_bits, seed)
+    probes = frozenset(lsh.probe_buckets(q, n_probe))
+    qn = q / (np.linalg.norm(q) or 1.0)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        mat = _as_matrix(batch[vec_column])
+        buckets = lsh.bucket(mat)
+        mask = np.isin(buckets, list(probes))
+        if not mask.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()), "cos_sim": pa.array([], pa.float64())})
+        sub = _normalize(mat[mask])
+        sims = sub @ qn
+        ids = batch[id_column].to_numpy()[mask]
+        top = np.argsort(-sims, kind="stable")[:k]
+        return pa.table({"vec_id": pa.array(ids[top], pa.int64()), "cos_sim": pa.array(sims[top], pa.float64())})
+
+    return ds.map_batches(scan, batch_format="pyarrow").sort(
+        ["cos_sim", "vec_id"], descending=[True, False]
+    ).limit(k)

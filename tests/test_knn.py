@@ -1,0 +1,68 @@
+"""Similarity-search tests: brute force exactness, LSH recall."""
+
+import numpy as np
+import pytest
+
+import ray.data as rd
+
+from language_identification_ray.stages.knn import HyperplaneLsh, brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((300, 32))
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(300)]
+    return rd.from_items(rows), vecs
+
+
+def _exact_topk(vecs, q, k):
+    qn = q / np.linalg.norm(q)
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = m @ qn
+    return [int(i) for i in np.argsort(-sims, kind="stable")[:k]]
+
+
+def test_brute_force_matches_numpy(emb_ds):
+    ds, vecs = emb_ds
+    q = vecs[7]
+    out = brute_force_topk(ds, q[None, :], k=5).to_pandas().sort_values("cos_sim", ascending=False)
+    assert list(out["vec_id"]) == _exact_topk(vecs, q, 5)
+    assert out["cos_sim"].iloc[0] == pytest.approx(1.0)
+
+
+def test_brute_force_multi_query(emb_ds):
+    ds, vecs = emb_ds
+    out = brute_force_topk(ds, vecs[[3, 9]], k=4).to_pandas()
+    assert set(out["query_idx"]) == {0, 1}
+    for qi, q in [(0, vecs[3]), (1, vecs[9])]:
+        got = out[out["query_idx"] == qi].sort_values("cos_sim", ascending=False)
+        assert list(got["vec_id"]) == _exact_topk(vecs, q, 4)
+
+
+def test_lsh_topk_recall(ray_session):
+    # clustered data — the regime LSH is for (random points have no structure
+    # to exploit and single-table recall is legitimately low there)
+    rng = np.random.default_rng(23)
+    centers = rng.standard_normal((20, 32)) * 3
+    vecs = np.vstack([c + rng.standard_normal((15, 32)) * 0.05 for c in centers])
+    ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(len(vecs))])
+    hits = 0
+    trials = 8
+    for qi in range(0, trials * 15, 15):
+        q = vecs[qi]
+        approx = set(lsh_topk(ds, q, k=5, n_bits=6, n_probe=3).to_pandas()["vec_id"])
+        exact = set(_exact_topk(vecs, q, 5))
+        # the query vector itself must always be found (it shares its bucket)
+        assert qi in approx
+        hits += len(approx & exact)
+    recall = hits / (trials * 5)
+    assert recall > 0.8, recall
+
+
+def test_lsh_bucketing_deterministic():
+    lsh = HyperplaneLsh(8, n_bits=6)
+    mat = np.arange(16, dtype=np.float64).reshape(2, 8)
+    assert (lsh.bucket(mat) == HyperplaneLsh(8, n_bits=6).bucket(mat)).all()
+    probes = lsh.probe_buckets(mat[0], n_probe=2)
+    assert len(probes) == 3 and len(set(probes)) == 3
