@@ -76,6 +76,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return simhash_pairs(docs, max_hamming=3)
 
+    def media_pipeline_q(sf_dir: str):
+        from language_identification_ray.stages.multimodal import media_pipeline
+
+        return media_pipeline(sf_dir)
+
     def knn_lsh_q(sf_dir: str):
         import numpy as np
         import pyarrow.parquet as pq
@@ -109,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": minhash_pairs_q,
         "simhash_pairs": simhash_pairs_q,
         "knn_lsh_top10": knn_lsh_q,
+        "media_pipeline": media_pipeline_q,
     }
 
 
