@@ -81,6 +81,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return media_pipeline(sf_dir)
 
+    def detector_agreement_q(sf_dir: str):
+        from language_identification_ray.pipelines.agreement import detector_agreement
+
+        return detector_agreement(sf_dir)
+
     def knn_lsh_q(sf_dir: str):
         import numpy as np
         import pyarrow.parquet as pq
@@ -101,8 +106,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": analysis.lang_stats,
         "source_stats": analysis.source_stats,
         "word_freq_top100": analysis.word_freq_top100,
+        "bigram_top50": analysis.bigram_top50,
+        "doc_frequency": analysis.doc_frequency,
+        "word_lang_incidence": analysis.word_lang_incidence,
         "exact_dedup": analysis.exact_dedup,
         "events_hourly": analysis.events_hourly,
+        "events_sessionize": analysis.events_sessionize,
         "knn_cosine_top10": analysis.knn_cosine_top10,
         # --- dedup / similarity (SQL-checkable where exact) ---------------
         "jaccard_pairs": jaccard_pairs_q,
@@ -115,6 +124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": simhash_pairs_q,
         "knn_lsh_top10": knn_lsh_q,
         "media_pipeline": media_pipeline_q,
+        "detector_agreement": detector_agreement_q,
     }
 
 
@@ -168,6 +178,51 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_dups
             FROM documents
             GROUP BY 1
+        """,
+        "bigram_top50": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS w,
+                       generate_subscripts(string_split(text, ' '), 1) AS i
+                FROM documents
+            )
+            SELECT a.w || ' ' || b.w AS bigram, count(*) AS cnt
+            FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+            GROUP BY 1
+            ORDER BY cnt DESC, bigram ASC
+            LIMIT 50
+        """,
+        "doc_frequency": """
+            SELECT word, count(*) AS df
+            FROM (SELECT DISTINCT doc_id, word
+                  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents))
+            GROUP BY word
+            HAVING count(*) >= 20
+        """,
+        "word_lang_incidence": """
+            SELECT word, count(DISTINCT lang) AS n_langs, min(lang) AS first_lang
+            FROM (SELECT DISTINCT lang, word
+                  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents))
+            GROUP BY word
+        """,
+        "events_sessionize": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM marked
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS t_start, max(ts) AS t_end
+            FROM sess GROUP BY 1, 2
         """,
         "events_hourly": """
             SELECT event_type,

@@ -146,6 +146,92 @@ def word_freq_top100(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def bigram_top50(sf_dir: str) -> "rd.Dataset":
+    """Word-bigram frequency top-50 (M12 word_n_grams → G1 count).  Same
+    partial-count shape as word_freq_top100."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch["text"].to_pylist():
+            ws = (t or "").split(" ")
+            c.update(zip(ws, ws[1:]))
+        if not c:
+            return pa.table({"bigram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        keys, cnts = zip(*((f"{a} {b}", n) for (a, b), n in c.items()))
+        return pa.table({"bigram": pa.array(keys, pa.string()), "cnt": pa.array(cnts, pa.int64())})
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "bigram"], descending=[True, False])
+        .limit(50)
+    )
+
+
+def doc_frequency(sf_dir: str, min_df: int = 20) -> "rd.Dataset":
+    """Document frequency per word with threshold (G4: the reference's
+    common_words.ipynb job — per-file word SETS → global count → cutoff).
+    Docs are unique per batch, so per-batch distinct-word partials sum to the
+    exact df."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch["text"].to_pylist():
+            c.update(set((t or "").split(" ")))
+        if not c:
+            return pa.table({"word": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+        words, dfs = zip(*c.items())
+        return pa.table({"word": pa.array(words, pa.string()), "df": pa.array(dfs, pa.int64())})
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["df"], min_df))
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("df", alias_name="df"))
+        .map_batches(threshold, batch_format="pyarrow")
+    )
+
+
+def word_lang_incidence(sf_dir: str, max_langs: int | None = None) -> "rd.Dataset":
+    """word → number of languages it appears in (G5: merge_wordlists.ipynb —
+    the word→lang incidence map; pass ``max_langs=1`` for the
+    unique-to-one-language filter).  Two grouped stages: distinct
+    (word, lang) pairs, then per-word language count.  Unfiltered by default
+    so the result keeps its schema on vocabulary-shared corpora (an empty
+    Ray Dataset drops column names, which breaks the driver compare)."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for t, lang in zip(batch["text"].to_pylist(), batch["lang"].to_pylist()):
+            for w in set((t or "").split(" ")):
+                seen.add((w, lang))
+        if not seen:
+            return pa.table({"word": pa.array([], pa.string()), "lang": pa.array([], pa.string())})
+        words, langs = zip(*sorted(seen))
+        return pa.table({"word": pa.array(words, pa.string()), "lang": pa.array(langs, pa.string())})
+
+    distinct_pairs = (
+        _docs(sf_dir, ["text", "lang"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["word", "lang"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    out = distinct_pairs.groupby("word").aggregate(
+        Count(alias_name="n_langs"), Min("lang", alias_name="first_lang")
+    )
+    if max_langs is not None:
+        out = out.map_batches(
+            lambda t: t.filter(pc.less_equal(t["n_langs"], max_langs)), batch_format="pyarrow"
+        )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # dedup (new scale operators per the task brief)
 
@@ -190,6 +276,31 @@ def events_hourly(sf_dir: str) -> "rd.Dataset":
         .map_batches(add_window, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+    )
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
+    """Session windows per user (30-min inactivity gap) — the streaming-shaped
+    operator Ray Data expresses as groupby(key) + per-group ordered pandas
+    (ray_guide 'Streaming-shaped workloads'; ordering assumption: events of
+    one user fit one group and are sorted by ts inside it)."""
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="stable")
+        new_s = g["ts"].diff().gt(gap) | g["ts"].diff().isna()
+        g = g.assign(session_id=new_s.cumsum().astype("int64"))
+        out = (
+            g.groupby("session_id", as_index=False)
+            .agg(n_events=("ts", "size"), t_start=("ts", "min"), t_end=("ts", "max"))
+        )
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
     )
 
 

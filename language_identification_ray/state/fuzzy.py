@@ -1,0 +1,123 @@
+"""Fuzzy word index — positional-n-gram lookup with EMD scoring.
+
+Re-expression of the reference's ApproxWordList3 contract
+(``dictionary_langid/datatypes.py:477-617``): words are indexed by their
+char n-grams (START/END sentinels for n>1) with *normalized positions*;
+a query scores candidates by how little its n-gram positions must move to
+match (1-D EMD), normalized per order, power-mean-averaged across orders;
+the ranked cut keeps scores ≥ 0.9×top plus an edit-distance-≤1 rescue.
+
+Used as actor state for spell-dedup / near-match auxiliary stages (built
+once per actor from a broadcast wordlist in ``__init__``).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, Iterable, List, Optional, Tuple, Union
+
+from language_identification_ray.functions.strings import (
+    damerau_levenshtein,
+    emd_1d,
+    levenshtein,
+)
+
+_STX = "\2"
+_ETX = "\3"
+
+
+def _positional_ngrams(word: str, n: int) -> Dict[str, Tuple[float, ...]]:
+    """n-gram → normalized positions (idx / (count-1)) with sentinels for n>1."""
+    if n > 1:
+        padded = f"{_STX}{word}{_ETX}"
+        grams = [padded[i : i + n] for i in range(len(padded) - n + 1)]
+    else:
+        grams = list(word)
+    locs: Dict[str, List[float]] = defaultdict(list)
+    if len(grams) > 1:
+        denom = len(grams) - 1
+        for i, g in enumerate(grams):
+            locs[g].append(i / denom)
+    elif grams:
+        locs[grams[0]].append(0.0)
+    return {g: tuple(v) for g, v in locs.items()}
+
+
+class FuzzyWordIndex:
+    def __init__(self, n: Union[int, Iterable[int]] = (2, 4), case_sensitive: bool = False):
+        self.n_list: Tuple[int, ...] = (n,) if isinstance(n, int) else tuple(n)
+        self.case_insensitive = not case_sensitive
+        self.vocabulary: List[str] = []
+        self._vocab_indices: Dict[str, int] = {}
+        # n_gram -> [(word_idx, positions)]
+        self._index: Dict[str, List[Tuple[int, Tuple[float, ...]]]] = defaultdict(list)
+
+    def __len__(self) -> int:
+        return len(self.vocabulary)
+
+    def add_word(self, word: str) -> "FuzzyWordIndex":
+        if not word:
+            raise ValueError("empty word")
+        if self.case_insensitive:
+            word = word.casefold()
+        if word in self._vocab_indices:
+            return self
+        idx = self._vocab_indices[word] = len(self.vocabulary)
+        self.vocabulary.append(word)
+        for n in set(self.n_list):
+            for gram, locs in _positional_ngrams(word, n).items():
+                self._index[gram].append((idx, locs))
+        return self
+
+    def add_words(self, words: Iterable[str]) -> "FuzzyWordIndex":
+        for w in words:
+            if w:
+                self.add_word(w)
+        return self
+
+    def _scores(self, word: str, dim: float = 1.0) -> Dict[int, float]:
+        matches: Dict[int, List[float]] = {}
+        for n_idx, n in enumerate(self.n_list):
+            query_grams = _positional_ngrams(word, n)
+            for gram, locs in query_grams.items():
+                for widx, wlocs in self._index.get(gram, ()):
+                    scores = matches.setdefault(widx, [0.0] * len(self.n_list))
+                    scores[n_idx] += max(len(locs), len(wlocs)) - emd_1d(locs, wlocs)
+        out: Dict[int, float] = {}
+        for widx, scores in matches.items():
+            norm = [
+                scores[n_idx] / (len(word) - n + 3) if n > 1 else scores[n_idx] / max(len(word), 1)
+                for n_idx, n in enumerate(self.n_list)
+            ]
+            out[widx] = (sum(s**dim for s in norm) / len(norm)) ** (1.0 / dim)
+        return out
+
+    def lookup(self, word: str, top_k: int = 10, dim: float = 1.0) -> List[Tuple[str, float, int, int]]:
+        """→ [(candidate, score, damerau_levenshtein, levenshtein)] ranked.
+
+        Keeps candidates scoring ≥ 0.9×top plus any within edit distance 1
+        (the reference's rescue rule, ``datatypes.py:602-617``)."""
+        if not word:
+            raise ValueError("empty word")
+        if self.case_insensitive:
+            word = word.casefold()
+        scores = self._scores(word, dim)
+        if not scores:
+            return []
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        top_score = ranked[0][1]
+        if top_k is None or top_k <= 0:
+            top_k = len(ranked)
+        out = []
+        for widx, score in ranked[: top_k * 2]:
+            cand = self.vocabulary[widx]
+            dl = damerau_levenshtein(word, cand)
+            if score >= top_score * 0.9 or dl <= 1:
+                out.append((cand, round(score, 3), dl, levenshtein(word, cand)))
+            if len(out) >= top_k:
+                break
+        return out
+
+    def best(self, word: str) -> Optional[str]:
+        hits = self.lookup(word, top_k=1)
+        return hits[0][0] if hits else None

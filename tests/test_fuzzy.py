@@ -1,0 +1,144 @@
+"""Fuzzy/dictionary/spell conformance tests — mirrors the reference's own
+hard cases (misspelling rescue, banana repetition, fast-vs-slow EMD
+differential, Norvig corrector asserts at pdfs/spellcheck/spell.py:67-93)."""
+
+import itertools
+import random
+
+import pytest
+
+from language_identification_ray.functions.spell import SpellCorrector
+from language_identification_ray.functions.strings import (
+    damerau_levenshtein,
+    emd_1d,
+    emd_1d_brute,
+    levenshtein,
+)
+from language_identification_ray.state.dictionary import (
+    BilingualDictionary,
+    DictionaryDetector,
+    MultiDictionary,
+)
+from language_identification_ray.state.fuzzy import FuzzyWordIndex
+
+
+def test_levenshtein():
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein("", "abc") == 3
+    assert levenshtein("abc", "abc") == 0
+
+
+def test_damerau():
+    # doctest values from the classic implementation
+    assert damerau_levenshtein("ba", "abc") == 2
+    assert damerau_levenshtein("fee", "deed") == 2
+    assert damerau_levenshtein("abcd", "bacde") == 2  # transposition + insert
+    assert damerau_levenshtein("ab", "ba") == 1
+
+
+def test_emd_equal_lengths():
+    assert emd_1d([0.0, 1.0], [0.0, 1.0]) == 0.0
+    assert emd_1d([0.0, 0.5], [0.5, 1.0]) == pytest.approx(1.0)
+    assert emd_1d([], []) == 0.0
+
+
+def test_emd_unequal_lengths():
+    # one unmatched point costs 1 plus best matching of the rest
+    assert emd_1d([0.0, 1.0], [0.0]) == pytest.approx(1.0)
+    assert emd_1d([0.0, 0.4, 1.0], [0.5]) == pytest.approx(2.1)
+
+
+def test_emd_differential_vs_bruteforce():
+    # the reference cross-checks fast vs slow on every call
+    # (dictionary_langid/datatypes.py:337-341); we pin it property-style
+    rng = random.Random(7)
+    for _ in range(200):
+        xs = sorted(round(rng.random(), 3) for _ in range(rng.randint(0, 5)))
+        ys = sorted(round(rng.random(), 3) for _ in range(rng.randint(0, 4)))
+        assert emd_1d(xs, ys) == pytest.approx(emd_1d_brute(xs, ys), abs=1e-9), (xs, ys)
+
+
+@pytest.fixture(scope="module")
+def index():
+    idx = FuzzyWordIndex(n=(2, 4))
+    idx.add_words(
+        ["schwarzenegger", "banana", "bandana", "cabana", "government", "grammar", "banana-rama"]
+    )
+    return idx
+
+
+@pytest.mark.parametrize(
+    "typo",
+    [
+        "schwarzenegger",
+        "schwarzeneger",
+        "schwarzenneger",
+        "shwarzenegger",
+        "schwartzenegger",
+        "scwarzenegger",
+        "schwarzenegar",
+    ],
+)
+def test_fuzzy_misspellings_rank_first(index, typo):
+    hits = index.lookup(typo, top_k=3)
+    assert hits and hits[0][0] == "schwarzenegger", (typo, hits)
+
+
+def test_fuzzy_banana_repetition(index):
+    # repetition cases: 'bananana' should still find banana
+    for q in ["banana", "bananna", "bananana", "banan"]:
+        hits = index.lookup(q, top_k=3)
+        assert hits and hits[0][0] == "banana", (q, hits)
+
+
+def test_fuzzy_edit_distance_rescue(index):
+    # a candidate at DL ≤ 1 survives the 0.9×top cutoff rule
+    hits = index.lookup("bandana", top_k=5)
+    names = [h[0] for h in hits]
+    assert names[0] == "bandana"
+
+
+def test_fuzzy_case_insensitive(index):
+    assert index.lookup("BANANA", top_k=1)[0][0] == "banana"
+
+
+def test_bilingual_dictionary():
+    d = BilingualDictionary("en", "ms")
+    d.add_entry("good morning", "selamat pagi").add_entry("good night", "selamat malam")
+    hits = d.lookup_terms("i said good morning today")
+    assert hits[0][0] == "good morning" and hits[0][2] == 2
+    back = d.lookup_definitions("selamat pagi semua")
+    assert back[0][1] == "selamat pagi"
+
+
+def test_multi_dictionary():
+    en_ms = BilingualDictionary("en", "ms").add_entry("cat", "kucing")
+    en_fr = BilingualDictionary("en", "fr").add_entry("cat", "chat")
+    md = MultiDictionary().add_dictionary(en_ms).add_dictionary(en_fr)
+    hits = md.lookup_terms("the cat sat")
+    assert {h[1] for h in hits} == {"kucing", "chat"}
+
+
+def test_dictionary_detector():
+    det = DictionaryDetector(
+        {"en": ["the", "cat", "sat", "mat"], "ms": ["kucing", "itu", "duduk"]}
+    )
+    out = det.predict_batch(["the cat sat on the mat", "kucing itu duduk"])
+    assert out[0][0][0] == "en"
+    assert out[1][0][0] == "ms"
+    assert det.predict_batch([""]) == [[]]
+
+
+def test_spell_corrector():
+    # the reference's own assert vectors (spell.py:67-93 uses a big corpus;
+    # ours seeds the needed words directly)
+    corpus = "spelling corrected bicycle inconvenient arranged poetry word " * 3
+    sc = SpellCorrector(corpus_text=corpus)
+    assert sc.correction("speling") == "spelling"
+    assert sc.correction("korrectud") == "corrected"
+    assert sc.correction("bycycle") == "bicycle"
+    assert sc.correction("inconvient") == "inconvenient"
+    assert sc.correction("arrainged") == "arranged"
+    assert sc.correction("peotry") == "poetry"
+    assert sc.correction("word") == "word"
+    assert sc.correction("quintessential") == "quintessential"  # unknown passes through
