@@ -1,0 +1,85 @@
+"""Resumable checkpointed run: group commit, lineage, skip-on-resume,
+crash redo (north_rule resume criterion)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def sharded_input(ray_session, sf_dir, tmp_path_factory):
+    """documents.parquet split into 4 fragment files (multi-file input)."""
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    d = tmp_path_factory.mktemp("shards")
+    n = len(src)
+    step = (n + 3) // 4
+    for i in range(4):
+        pq.write_table(src.slice(i * step, step), str(d / f"part-{i:03d}.parquet"))
+    return str(d), n
+
+
+def _synth_fn(files):
+    import ray.data as rd
+
+    from language_identification_ray.sources.pages import _synthesize_batch
+
+    return rd.read_parquet(files).map_batches(_synthesize_batch, batch_format="pyarrow")
+
+
+def test_run_resume_and_crash_redo(ray_session, sharded_input, tmp_path):
+    import ray.data as rd
+
+    from language_identification_ray.pipelines.checkpoint import (
+        LINEAGE_FILE,
+        completed_groups,
+        run_resumable,
+    )
+
+    input_dir, n_rows = sharded_input
+    out = str(tmp_path / "out")
+
+    # fresh run: 4 files / group_size 2 → 2 groups, all run
+    info = run_resumable(input_dir, out, group_size=2, pages_dataset_fn=_synth_fn)
+    assert info["groups_run"] == [0, 1]
+    assert info["groups_skipped"] == []
+    assert info["counters"]["rows"] == n_rows
+    assert info["counters"]["kept"] + info["counters"]["dropped"] == n_rows
+    assert any(k.startswith("drop_") for k in info["counters"])
+
+    lineage = completed_groups(out)
+    assert set(lineage) == {0, 1}
+    assert all(rec["counters"]["rows"] > 0 for rec in lineage.values())
+    assert all(len(rec["input_files"]) == 2 for rec in lineage.values())
+
+    full = rd.read_parquet(out).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(full) == n_rows
+
+    # resume with everything done: no work
+    info2 = run_resumable(input_dir, out, group_size=2, pages_dataset_fn=_synth_fn)
+    assert info2["groups_run"] == []
+    assert info2["groups_skipped"] == [0, 1]
+    assert info2["counters"]["rows"] == n_rows  # totals from lineage, not rerun
+
+    # simulate a crash mid-group-1: staging dir left behind, no lineage line
+    lineage_path = os.path.join(out, LINEAGE_FILE)
+    with open(lineage_path) as f:
+        recs = [json.loads(l) for l in f if l.strip()]
+    with open(lineage_path, "w") as f:
+        for r in recs:
+            if r["group"] != 1:
+                f.write(json.dumps(r) + "\n")
+    os.rename(os.path.join(out, "group=00001"), os.path.join(out, "group=00001._tmp"))
+
+    info3 = run_resumable(input_dir, out, group_size=2, pages_dataset_fn=_synth_fn)
+    assert info3["groups_run"] == [1]
+    assert info3["groups_skipped"] == [0]
+
+    redone = rd.read_parquet(out).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(redone) == n_rows
+    # byte-identical output after crash-redo (determinism + idempotence)
+    assert (redone["url"] == full["url"]).all()
+    assert (redone["scrubbed_text"] == full["scrubbed_text"]).all()
+    assert (redone["keep"] == full["keep"]).all()
