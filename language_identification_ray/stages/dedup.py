@@ -59,6 +59,117 @@ def jaccard(a: set, b: set) -> float:
 
 
 # ---------------------------------------------------------------------------
+# vectorized word/shingle hashing (the hot path at 10^12 docs)
+
+# IMPORTANT perf note: on this class of hardware 64-bit integer/float
+# MULTIPLY is emulated (~250x slower than 32-bit — measured: 4M u64 muls
+# 1.7s vs u32 0.007s).  Adds, shifts, xors and compares are fine at 64-bit.
+# All hot-path hashing below therefore runs in uint32 wraparound arithmetic
+# (multiply-mix by odd constants = bijections on Z/2^32, xxhash-style), and
+# 64-bit keys are assembled from two independent 32-bit mixes with shift|or.
+_MIX32 = np.array([0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F], dtype=np.uint32)
+
+
+def _hash_words32(flat_words: list) -> np.ndarray:
+    """Deterministic uint32 hash of a flat word list, C-speed (pandas
+    siphash with its fixed default key — stable across processes; folded
+    64→32 with xor-shift, no multiplies)."""
+    if not flat_words:
+        return np.empty(0, dtype=np.uint32)
+    h = pd.util.hash_array(np.asarray(flat_words, dtype=object))
+    return (h ^ (h >> np.uint64(32))).astype(np.uint32)
+
+
+def _doc_shingle_hashes(texts, k: int):
+    """Per doc: uint32 hashes of word k-shingles (window-mixed word hashes;
+    duplicates kept — min() is insensitive).  Returns (S, ptr) where
+    ``S[ptr[d]:ptr[d+1]]`` are doc d's shingle hashes; docs with no words
+    get zero shingles."""
+    import itertools
+
+    words_per_doc = [(t or "").lower().split() for t in texts]
+    counts = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64, count=len(texts))
+    W = _hash_words32(list(itertools.chain.from_iterable(words_per_doc)))
+    starts = np.concatenate([[0], np.cumsum(counts)])
+
+    chunks, ptr = [], [0]
+    total = 0
+    for d in range(len(texts)):
+        w = W[starts[d] : starts[d + 1]]
+        nw = len(w)
+        if nw == 0:
+            ptr.append(total)
+            continue
+        if nw < k:
+            h = np.uint32(0x811C9DC5)
+            with np.errstate(over="ignore"):  # wraparound is the point
+                for x in w:  # short doc: fold all words into one shingle
+                    h = h * _MIX32[0] + x
+            sh = np.array([h], dtype=np.uint32)
+        else:
+            sh = w[: nw - k + 1] * _MIX32[0]
+            for j in range(1, k):
+                sh = sh * _MIX32[1] + w[j : nw - k + 1 + j]
+        chunks.append(sh)
+        total += len(sh)
+        ptr.append(total)
+    S = np.concatenate(chunks) if chunks else np.empty(0, dtype=np.uint32)
+    return S, np.asarray(ptr, dtype=np.int64)
+
+
+_SIG_SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+def _signatures(texts, a32: np.ndarray, b32: np.ndarray, k: int) -> np.ndarray:
+    """uint32[n_docs, n_perm] MinHash signatures, one multiply-mix + one
+    reduceat per batch.  Docs with no shingles get the all-0xFFFFFFFF
+    sentinel signature (callers drop them)."""
+    n_perm = len(a32)
+    S, ptr = _doc_shingle_hashes(texts, k)
+    n = len(texts)
+    sig = np.full((n, n_perm), _SIG_SENTINEL, dtype=np.uint32)
+    if not len(S):
+        return sig
+    # multiply-shift universal-ish hashing, uint32 wraparound (fast mul)
+    prods = S[:, None] * a32[None, :] + b32[None, :]
+    prods ^= prods >> np.uint32(15)
+    lens = np.diff(ptr)
+    nonempty = np.flatnonzero(lens > 0)
+    red = np.minimum.reduceat(prods, ptr[nonempty], axis=0)
+    sig[nonempty] = red
+    return sig
+
+
+def _band_buckets(sig: np.ndarray, bands: int) -> np.ndarray:
+    """uint64[n_docs, bands] bucket keys: two independent uint32 mixes of
+    each band's values (band index folded in), assembled with shift|or —
+    64-bit key space without 64-bit multiplies."""
+    n, n_perm = sig.shape
+    rpb = n_perm // bands
+    bv = sig[:, : bands * rpb].reshape(n, bands, rpb)
+    band_ids = np.arange(bands, dtype=np.uint32)[None, :]
+    h1 = bv[:, :, 0] * _MIX32[0] + band_ids
+    h2 = bv[:, :, 0] * _MIX32[2] + band_ids
+    for j in range(1, rpb):
+        h1 = h1 * _MIX32[1] + bv[:, :, j]
+        h2 = h2 * _MIX32[3] + bv[:, :, j]
+    h1 ^= h1 >> np.uint32(16)
+    h2 ^= h2 >> np.uint32(16)
+    return (h1.astype(np.uint64) << np.uint64(32)) | h2.astype(np.uint64)
+
+
+def _runs(sorted_keys: np.ndarray):
+    """(start, end) slices of equal-key runs with length >= 2."""
+    if not len(sorted_keys):
+        return
+    change = np.flatnonzero(sorted_keys[1:] != sorted_keys[:-1]) + 1
+    bounds = np.concatenate([[0], change, [len(sorted_keys)]])
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s >= 2:
+            yield int(s), int(e)
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 
 
@@ -73,6 +184,10 @@ class MinHasher:
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.uint64)
         self.b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.uint64)
+        # uint32 params for the vectorized batch path (see _signatures —
+        # 64-bit multiplies are emulated/slow on the target hardware)
+        self.a32 = (rng.integers(0, 1 << 31, size=n_perm, dtype=np.uint32) << np.uint32(1)) | np.uint32(1)
+        self.b32 = rng.integers(0, 1 << 32, size=n_perm, dtype=np.uint32)
         self.n_perm = n_perm
 
     def signature(self, shingles: set) -> np.ndarray:
@@ -98,62 +213,87 @@ def minhash_lsh_pairs(
 ) -> "rd.Dataset":
     """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verification.
 
-    Stages:
-      1. map_batches: shingle → signature → (band_id, band_hash, id, sig) rows
-         (the shuffle payload is bands × (16B + sig); text never moves)
-      2. groupby(band_id, band_hash): emit candidate pairs from buckets >1
-      3. map_batches: estimate Jaccard from full signatures, keep ≥ threshold
-    Output: (id_a, id_b, est_jaccard) with id_a < id_b, deduped across bands.
+    Stages (shuffle moves keys + signatures, never text):
+      1. map_batches: vectorized signatures (one hash pass + one reduceat per
+         batch) → banded bucket keys → (shard, bucket, id, sig) rows; docs
+         with no shingles are dropped here (an all-max sentinel signature
+         would otherwise put every empty doc into one colossal bucket);
+      2. groupby(shard): the group count is FIXED at ``n_shards`` (not one
+         group per bucket — millions of tiny map_groups is per-group-overhead
+         bound); each shard hash-buckets locally and emits verified pairs;
+      3. groupby(id_a, id_b): dedup pairs that surfaced from several bands.
+    Output: (id_a, id_b, est_jaccard ≥ threshold) with id_a < id_b.
+
+    Scale: shard payload ≈ rows/n_shards × (8B key + sig) — raise
+    ``n_shards`` with the corpus so a shard fits a worker; bucket
+    verification is capped at ``max_bucket`` ids (larger buckets are
+    near-identical boilerplate floods — the cap is logged, not silent).
     """
-    rows_per_band = n_perm // bands
+    n_shards = 256
+    max_bucket = 4096
     hasher = MinHasher(n_perm)
 
     def sigs(batch: pa.Table) -> pa.Table:
-        ids_out, band_ids, band_hashes, sig_blobs = [], [], [], []
-        for i, t in zip(batch[id_column].to_pylist(), batch[text_column].to_pylist()):
-            sig = hasher.signature(word_shingles(t, shingle_k))
-            blob = sig.tobytes()
-            for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                band_ids.append(b)
-                band_hashes.append(hashlib.md5(chunk.tobytes()).hexdigest()[:16])
-                ids_out.append(i)
-                sig_blobs.append(blob)
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        texts = batch[text_column].to_pylist()
+        sig = _signatures(texts, hasher.a32, hasher.b32, shingle_k)
+        nonempty = np.flatnonzero(sig[:, 0] != _SIG_SENTINEL)
+        sig = sig[nonempty]
+        ids = ids[nonempty]
+        buckets = _band_buckets(sig, bands)  # (n, bands)
+        n = len(ids)
+        blobs = [s.tobytes() for s in sig]
         return pa.table(
             {
-                "band_id": pa.array(band_ids, pa.int32()),
-                "band_hash": pa.array(band_hashes, pa.string()),
-                "id": pa.array(ids_out, pa.int64()),
-                "sig": pa.array(sig_blobs, pa.binary()),
+                "shard": pa.array(
+                    (buckets & np.uint64(n_shards - 1)).astype(np.int32).ravel(), pa.int32()
+                ),
+                "bucket": pa.array(buckets.ravel(), pa.uint64()),
+                "id": pa.array(np.repeat(ids, bands), pa.int64()),
+                "sig": pa.array([blobs[i] for i in range(n) for _ in range(bands)], pa.binary()),
             }
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        recs = sorted(zip(group["id"], group["sig"]))
+    def shard_pairs(group: pa.Table) -> pa.Table:
+        buckets = group["bucket"].to_numpy(zero_copy_only=False)
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        blobs = group["sig"].to_pylist()
+        order = np.lexsort((ids, buckets))
         out_a, out_b, est = [], [], []
-        for x in range(len(recs)):
-            for y in range(x + 1, len(recs)):
-                ia, sa = recs[x]
-                ib, sb = recs[y]
-                if ia == ib:
-                    continue
-                e = float(
-                    np.mean(
-                        np.frombuffer(sa, dtype=np.uint64) == np.frombuffer(sb, dtype=np.uint64)
-                    )
+        for s, e in _runs(buckets[order]):
+            run = order[s:e]
+            if len(run) > max_bucket:
+                print(
+                    f"minhash_lsh_pairs: bucket of {len(run)} capped at {max_bucket}"
                 )
-                if e >= threshold:
-                    out_a.append(ia)
-                    out_b.append(ib)
-                    est.append(e)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": est})
+                run = run[:max_bucket]
+            m = len(run)
+            mat = np.frombuffer(b"".join(blobs[i] for i in run), dtype=np.uint32).reshape(m, -1)
+            sim = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
+            iu = np.triu_indices(m, k=1)
+            keep = sim[iu] >= threshold
+            ga, gb = ids[run[iu[0][keep]]], ids[run[iu[1][keep]]]
+            distinct = ga != gb
+            out_a.append(np.minimum(ga, gb)[distinct])
+            out_b.append(np.maximum(ga, gb)[distinct])
+            est.append(sim[iu][keep][distinct])
+        a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+        e_ = np.concatenate(est) if est else np.empty(0, dtype=np.float64)
+        return pa.table(
+            {
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+                "est_jaccard": pa.array(e_, pa.float64()),
+            }
+        )
 
+    # batch_size bounds the (shingles × n_perm) product matrix: 512 docs ×
+    # ~100 shingles × 64 perms × 8 B ≈ 26 MiB peak per task
     pairs = (
-        ds.map_batches(sigs, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        ds.map_batches(sigs, batch_format="pyarrow", batch_size=512)
+        .groupby("shard")
+        .map_groups(shard_pairs, batch_format="pyarrow")
     )
     # a pair can surface from several bands — dedup on (id_a, id_b)
     from ray.data.aggregate import Max
@@ -184,6 +324,48 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR; numpy>=2 has bitwise_count)."""
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x)
+    x = x.astype(np.uint64)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def _batch_simhash(texts) -> np.ndarray:
+    """uint64[n] SimHash per text, one hash pass + one reduceat per batch
+    (same scheme as :class:`SimHasher` but with the vectorized word hash)."""
+    import itertools
+
+    words_per_doc = [(t or "").lower().split() for t in texts]
+    counts = np.fromiter((len(w) for w in words_per_doc), dtype=np.int64, count=len(texts))
+    W32 = _hash_words32(list(itertools.chain.from_iterable(words_per_doc)))
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if not len(W32):
+        return out
+    # widen to 64 bits via two independent uint32 mixes (no 64-bit muls)
+    g1 = W32 * _MIX32[0]
+    g1 ^= g1 >> np.uint32(16)
+    g2 = W32 * _MIX32[2]
+    g2 ^= g2 >> np.uint32(16)
+    W = (g1.astype(np.uint64) << np.uint64(32)) | g2.astype(np.uint64)
+    bits = ((W[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
+    signed = 2 * bits - 1
+    starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    nonempty = np.flatnonzero(counts > 0)
+    v = np.add.reduceat(signed, starts[nonempty], axis=0)
+    # reduceat with duplicate offsets (consecutive empty docs) still yields
+    # one row per offset we passed — we passed only nonempty docs' starts,
+    # but consecutive nonempty docs sharing a start can't happen (counts>0)
+    out[nonempty] = ((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    return out
+
+
 def simhash_pairs(
     ds: "rd.Dataset",
     id_column: str = "doc_id",
@@ -193,49 +375,70 @@ def simhash_pairs(
     """Near-dup pairs with Hamming(simhash) ≤ k.
 
     Pigeonhole banding: split 64 bits into 4 16-bit chunks; any pair within
-    Hamming ≤ 3 collides on ≥1 chunk → bucket by (chunk_id, chunk_value),
-    verify popcount inside buckets.  Same shuffle shape as MinHash-LSH but
-    the summary is 8 bytes."""
-    hasher = SimHasher()
+    Hamming ≤ 3 collides on ≥1 chunk.  Bucket key = (chunk_id, chunk_value)
+    mixed into one uint64; groups are ``n_shards`` fixed shards (same
+    rationale as ``minhash_lsh_pairs``) with local bucketing + vectorized
+    popcount verification.  Shuffle payload is 24 B per (doc, chunk)."""
+    n_shards = 256
+    max_bucket = 4096
 
     def sigs(batch: pa.Table) -> pa.Table:
-        ids_out, chunk_ids, chunk_vals, hashes = [], [], [], []
-        for i, t in zip(batch[id_column].to_pylist(), batch[text_column].to_pylist()):
-            h = hasher.simhash(t)
-            for c in range(4):
-                chunk_ids.append(c)
-                chunk_vals.append((h >> (16 * c)) & 0xFFFF)
-                ids_out.append(i)
-                hashes.append(h)
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        texts = batch[text_column].to_pylist()
+        sims = _batch_simhash(texts)  # uint64[n]
+        chunk_ids = np.arange(4, dtype=np.uint64)
+        vals = (sims[:, None] >> (chunk_ids * np.uint64(16))[None, :]) & np.uint64(0xFFFF)
+        # (chunk_id, chunk_val) is already a unique 18-bit key — no hashing
+        bucket = (chunk_ids[None, :] << np.uint64(16)) | vals
         return pa.table(
             {
-                "chunk_id": pa.array(chunk_ids, pa.int32()),
-                "chunk_val": pa.array(chunk_vals, pa.int64()),
-                "id": pa.array(ids_out, pa.int64()),
-                "simhash": pa.array([int(x) for x in hashes], pa.uint64()),
+                "shard": pa.array(
+                    (bucket & np.uint64(n_shards - 1)).astype(np.int32).ravel(), pa.int32()
+                ),
+                "bucket": pa.array(bucket.ravel(), pa.uint64()),
+                "id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "simhash": pa.array(np.repeat(sims, 4), pa.uint64()),
             }
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        recs = sorted(set(zip(group["id"], group["simhash"])))
+    def shard_pairs(group: pa.Table) -> pa.Table:
+        buckets = group["bucket"].to_numpy(zero_copy_only=False)
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        sims = group["simhash"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, buckets))
         out_a, out_b, ham = [], [], []
-        for x in range(len(recs)):
-            for y in range(x + 1, len(recs)):
-                d = hamming64(int(recs[x][1]), int(recs[y][1]))
-                if d <= max_hamming and recs[x][0] != recs[y][0]:
-                    out_a.append(recs[x][0])
-                    out_b.append(recs[y][0])
-                    ham.append(d)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": ham})
+        for s, e in _runs(buckets[order]):
+            run = order[s:e]
+            if len(run) > max_bucket:
+                print(f"simhash_pairs: bucket of {len(run)} capped at {max_bucket}")
+                run = run[:max_bucket]
+            h = sims[run]
+            xor = h[:, None] ^ h[None, :]
+            d = _popcount64(xor)
+            iu = np.triu_indices(len(run), k=1)
+            keep = d[iu] <= max_hamming
+            ga, gb = ids[run[iu[0][keep]]], ids[run[iu[1][keep]]]
+            distinct = ga != gb
+            out_a.append(np.minimum(ga, gb)[distinct])
+            out_b.append(np.maximum(ga, gb)[distinct])
+            ham.append(d[iu][keep][distinct])
+        a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+        h_ = np.concatenate(ham) if ham else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+                "hamming": pa.array(h_.astype(np.int64), pa.int64()),
+            }
+        )
 
     from ray.data.aggregate import Min
 
     return (
         ds.map_batches(sigs, batch_format="pyarrow")
-        .groupby(["chunk_id", "chunk_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(shard_pairs, batch_format="pyarrow")
         .groupby(["id_a", "id_b"])
         .aggregate(Min("hamming", alias_name="hamming"))
     )
