@@ -60,6 +60,49 @@ OUTPUT_COLUMNS = [
 ]
 
 
+class QualityFilterStage:
+    """ONE actor-pool stage running the whole per-document hot path:
+    langid → quality stats → [perplexity] → scrub → keep/drop rules.
+
+    Why fused: an actor pool RESERVES its CPUs; splitting the hot path into
+    an actor stage + downstream task stages lets the pool starve the task
+    stages (measured on 32 CPUs: a 28-actor langid pool left the
+    quality/scrub task stage running at parallelism ≈ 1 and the pipeline
+    anti-scaled 8→32).  With a single pool the full cluster width works on
+    the one fused operator and stage boundaries cost nothing.  The modular
+    per-stage classes remain for à-la-carte pipelines.
+    """
+
+    def __init__(
+        self,
+        language_codes: Optional[Sequence[str]] = None,
+        with_perplexity: bool = False,
+    ):
+        from language_identification_ray.perf import tune_malloc
+
+        tune_malloc()  # once per worker: reuse heap pages (see perf.py)
+        self.langid = LangIdStage(language_codes=language_codes)
+        self.quality = QualityStats()
+        self.scrub = Scrubber()
+        self.rules = KeepDropRules()
+        self.ppl = None
+        if with_perplexity:
+            from language_identification_ray.stages.perplexity import PerplexityScorer
+
+            self.ppl = PerplexityScorer()
+        cols = [c for c in OUTPUT_COLUMNS if with_perplexity or c != "perplexity"]
+        self.cols = cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = self.langid(batch)
+        batch = self.quality(batch)
+        if self.ppl is not None:
+            batch = self.ppl(batch)
+        batch = self.scrub(batch)
+        batch = self.rules(batch)
+        return batch.select([c for c in self.cols if c in batch.schema.names])
+
+
 def build(
     pages: "rd.Dataset",
     language_codes: Optional[Sequence[str]] = None,
@@ -70,34 +113,21 @@ def build(
     """Compose the flagship pipeline over a pages Dataset (lazy).
 
     ``langid_concurrency`` is the (min, max) autoscaling actor-pool size for
-    the stateful stages; (1, 8) keeps small runs light while letting the pool
-    grow to the node. Size to cluster CPUs minus I/O headroom at scale."""
+    the fused hot-path stage; (1, 8) keeps small runs light while letting
+    the pool grow to the node.  Size to cluster CPUs minus I/O headroom at
+    scale — the pool is the only CPU-heavy operator, so it can take nearly
+    the whole node."""
     ds = pages.map_batches(decode_extract_batch, batch_format="pyarrow")
-    ds = ds.map_batches(
-        LangIdStage,
+    return ds.map_batches(
+        QualityFilterStage,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=langid_concurrency,
-        fn_constructor_kwargs={"language_codes": list(language_codes) if language_codes else None},
+        fn_constructor_kwargs={
+            "language_codes": list(language_codes) if language_codes else None,
+            "with_perplexity": with_perplexity,
+        },
     )
-    # QualityStats/Scrubber hold only cheap state (frozensets, compiled
-    # regexes) — passed as INSTANCES they run as stateless tasks and fuse
-    # with their neighbours instead of forcing extra actor-pool barriers.
-    # Only the model-holding stages (langid, perplexity LM) are actor pools.
-    ds = ds.map_batches(QualityStats(), batch_format="pyarrow", batch_size=batch_size)
-    if with_perplexity:
-        from language_identification_ray.stages.perplexity import PerplexityScorer
-
-        ds = ds.map_batches(
-            PerplexityScorer,
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=langid_concurrency,
-        )
-    ds = ds.map_batches(Scrubber(), batch_format="pyarrow", batch_size=batch_size)
-    ds = ds.map_batches(KeepDropRules(), batch_format="pyarrow")
-    cols = [c for c in OUTPUT_COLUMNS if with_perplexity or c != "perplexity"]
-    return ds.map_batches(lambda t: t.select([c for c in cols if c in t.schema.names]), batch_format="pyarrow")
 
 
 def run(sf_dir: str, **kwargs) -> "rd.Dataset":

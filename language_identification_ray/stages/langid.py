@@ -140,6 +140,22 @@ class NgramDetector:
     def predict_batch(self, texts: Sequence[str], language_codes: Optional[Iterable[str]] = None) -> List[Ranking]:
         return [self.rank(t, language_codes) for t in texts]
 
+    def loglik_batch(
+        self, texts: Sequence[str], rows: np.ndarray, max_chars: int = 400
+    ) -> np.ndarray:
+        """float64[n_docs, len(rows)] — per-doc mean log-likelihoods,
+        bit-identical to ``_score_doc`` per doc (same gather + same
+        float64 pairwise sum), stacked for vectorized softmax/argmax."""
+        out = np.zeros((len(texts), len(rows)), dtype=np.float64)
+        lower = self._lower
+        mt = self.matrix_t
+        for d, t in enumerate(texts):
+            cps = np.frombuffer((" " + t[:max_chars] + " ").encode("utf-32-le"), dtype=np.uint32)
+            hashes = ngram_hashes(lower[cps])
+            if len(hashes):
+                out[d] = (mt[hashes].sum(axis=0, dtype=np.float64) / len(hashes))[rows]
+        return out
+
 
 class ScriptDetector:
     """Script-fraction voting (vectorized per batch).
@@ -274,6 +290,83 @@ class EnsembleDetector:
         return out
 
 
+    def top1_batch(self, texts: Sequence[str]) -> tuple:
+        """(langs: List[str], confs: float64[n]) — the hot-path variant used
+        by :class:`LangIdStage` when no allowlist is set.  Same decision
+        rules and float math as ``predict_batch`` (kana/hangul/han special
+        cases, ambiguous scripts → NB restricted to the script's candidate
+        languages) but fully vectorized: no per-doc ranking lists, one
+        softmax/argmax per NB group."""
+        n = len(texts)
+        fracs = self.script.script_fractions(texts)
+        sid = self._sid
+        kana = fracs[:, sid["Hiragana"]] + fracs[:, sid["Katakana"]]
+        hangul = fracs[:, sid["HangulSyllables"]] + fracs[:, sid["HangulJamo"]]
+        han = fracs[:, sid["Han"]]
+        total = fracs.sum(axis=1)
+        dom = np.argmax(fracs, axis=1)
+        dom_frac = fracs[np.arange(n), dom]
+
+        langs: List[Optional[str]] = [None] * n
+        confs = np.zeros(n, dtype=np.float64)
+        undecided = []
+
+        is_empty = total == 0
+        is_ja = ~is_empty & (kana > 0.05)
+        is_ko = ~is_empty & ~is_ja & (hangul > 0.3)
+        rest = ~(is_empty | is_ja | is_ko)
+        for d in np.flatnonzero(is_empty):
+            langs[d] = "und"
+        for d in np.flatnonzero(is_ja):
+            langs[d] = "ja"
+            confs[d] = min(1.0, kana[d] + han[d] + 0.5)
+        for d in np.flatnonzero(is_ko):
+            langs[d] = "ko"
+            confs[d] = min(1.0, hangul[d] + 0.5)
+
+        nb_groups: dict = {}
+        script_names = SCRIPT_NAMES
+        for d in np.flatnonzero(rest):
+            dom_name = script_names[dom[d]]
+            if dom_name == "Han":
+                langs[d] = "zh"
+                confs[d] = min(1.0, han[d] + 0.3)
+                continue
+            cand = SCRIPT_LANGS.get(dom_name, [])
+            if dom_name in _AMBIGUOUS_SCRIPTS:
+                nb_langs = [l for l in cand if l in self.ngram.lang_index]
+                if nb_langs:
+                    nb_groups.setdefault(dom_name, []).append(d)
+                    continue
+            if cand:
+                # top-1 of the prior ranking is always cand[0] with
+                # p = 1 / sum(1/(1+i)) — the dom_frac factor cancels
+                langs[d] = cand[0]
+                confs[d] = 1.0 / sum(1.0 / (1 + i) for i in range(len(cand)))
+            else:
+                langs[d] = "und"
+
+        for dom_name, docs in nb_groups.items():
+            cand = SCRIPT_LANGS[dom_name]
+            nb_langs = [l for l in cand if l in self.ngram.lang_index]
+            rows = np.array([self.ngram.lang_index[l] for l in nb_langs], dtype=np.int64)
+            group_texts = [texts[d] for d in docs]
+            ll = self.ngram.loglik_batch(group_texts, rows)  # (m, L)
+            temp = np.fromiter(
+                (min(len(t[:400]), 64) for t in group_texts), dtype=np.float64, count=len(docs)
+            )
+            ll = ll * temp[:, None]
+            ll -= ll.max(axis=1, keepdims=True)
+            p = np.exp(ll)
+            p /= p.sum(axis=1, keepdims=True)
+            best = np.argmax(p, axis=1)
+            best_p = p[np.arange(len(docs)), best]
+            for i, d in enumerate(docs):
+                langs[d] = nb_langs[best[i]]
+                confs[d] = best_p[i] * dom_frac[d]
+        return [l if l is not None else "und" for l in langs], confs
+
+
 def _clip(ranking: Ranking, allowed: set) -> Ranking:
     if not allowed:
         return ranking
@@ -313,11 +406,16 @@ class LangIdStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_column].to_pylist()
         texts = [(t or "")[: self.max_chars] for t in texts]
-        rankings = self.detector.predict_batch(texts, self.language_codes)
-        langs = [r[0][0] if r else "und" for r in rankings]
-        confs = [float(r[0][1]) if r else 0.0 for r in rankings]
+        if self.language_codes is None and isinstance(self.detector, EnsembleDetector):
+            # hot path: top-1 only, vectorized (no per-doc ranking lists)
+            langs, conf_arr = self.detector.top1_batch(texts)
+            confs = pa.array(conf_arr, pa.float64())
+        else:
+            rankings = self.detector.predict_batch(texts, self.language_codes)
+            langs = [r[0][0] if r else "und" for r in rankings]
+            confs = pa.array([float(r[0][1]) if r else 0.0 for r in rankings], pa.float64())
         batch = set_or_append(batch, "lang", pa.array(langs, pa.string()))
-        return set_or_append(batch, "lang_conf", pa.array(confs, pa.float64()))
+        return set_or_append(batch, "lang_conf", confs)
 
 
 def set_or_append(batch: pa.Table, name: str, col: pa.Array) -> pa.Table:

@@ -35,8 +35,7 @@ class PerplexityScorer:
         self.max_chars = max_chars
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = []
-        for t in batch[self.text_column].to_pylist():
-            ppl = self.model.perplexity((t or "")[: self.max_chars])
-            out.append(float(ppl) if not math.isnan(ppl) else None)
+        texts = [(t or "")[: self.max_chars] for t in batch[self.text_column].to_pylist()]
+        ppls = self.model.perplexity_batch(texts)
+        out = [float(p) if not math.isnan(p) else None for p in ppls]
         return set_or_append(batch, "perplexity", pa.array(out, pa.float64()))

@@ -17,8 +17,9 @@ plumbing — counting + masking + the drop rule — is real and tested.
 from __future__ import annotations
 
 import re
-from typing import Optional, Sequence
+from typing import List, Optional, Sequence
 
+import numpy as np
 import pyarrow as pa
 
 from language_identification_ray.stages.langid import set_or_append
@@ -38,6 +39,55 @@ SSN_TOKEN = "<SSN>"
 SLUR_TOKEN = "<SLUR>"
 
 
+def _scrub_gates(texts: List[str]) -> tuple:
+    """Vectorized per-doc preconditions for the regex passes (one classify
+    pass over the joined batch — ~1 µs/doc vs 10-50 µs/doc per regex):
+
+      * ``has_at``     — doc contains '@' (necessary for RE_EMAIL)
+      * ``has_digits`` — doc contains ≥ 9 ASCII digits (RE_SSN needs 9,
+        RE_PHONE ≥ 10; both count only 0-9)
+      * ``has_repeat`` — doc has a position run where s[i] == s[i+k] for
+        ≥ 4k consecutive i, some k ≤ 4 (necessary for RE_REPEAT: p⁵ with
+        |p| = k implies exactly that run)
+
+    All three are *necessary* conditions — a gated-out doc can never match,
+    so the output is byte-identical to running every regex everywhere."""
+    n = len(texts)
+    if n == 0:
+        z = np.zeros(0, dtype=bool)
+        return z, z, z
+    joined = "\n".join(texts)
+    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    offsets = np.concatenate([[0], np.cumsum(lens + 1)])  # +1 separator
+    doc_of = np.searchsorted(offsets[1:], np.arange(len(cps)), side="right")
+
+    at_mask = cps == np.uint32(64)  # '@'
+    has_at = np.zeros(n, dtype=bool)
+    has_at[np.unique(doc_of[at_mask])] = True
+
+    digit_mask = (cps >= np.uint32(48)) & (cps <= np.uint32(57))
+    digit_counts = np.bincount(doc_of[digit_mask], minlength=n)
+    has_digits = digit_counts >= 9
+
+    has_repeat = np.zeros(n, dtype=bool)
+    for k in (1, 2, 3, 4):
+        if len(cps) <= k:
+            break
+        eq = cps[k:] == cps[:-k]
+        # run length ending at i: rl[i] = eq[i] ? rl[i-1]+1 : 0, vectorized
+        idx = np.arange(len(eq))
+        start = np.maximum.accumulate(np.where(~eq, idx, -1))
+        rl = np.where(eq, idx - start, 0)
+        hits = np.flatnonzero(rl >= 4 * k)
+        if len(hits):
+            # positions i..i+k span docs; separator '\n' never equals text
+            # chars of interest across docs? it can (newline==newline) —
+            # but texts are whitespace-collapsed upstream; map via doc_of
+            has_repeat[np.unique(doc_of[hits])] = True
+    return has_at, has_digits, has_repeat
+
+
 class Scrubber:
     """``ds.map_batches(Scrubber, batch_format="pyarrow", concurrency=N)``"""
 
@@ -50,7 +100,12 @@ class Scrubber:
             else None
         )
 
-    def scrub_one(self, text: str) -> tuple[str, int, int, int, int]:
+    def scrub_one(
+        self, text: str, try_email: bool = True, try_digits: bool = True, try_repeat: bool = True
+    ) -> tuple[str, int, int, int, int]:
+        """The ``try_*`` flags are gate hints (see ``_scrub_gates``) — a
+        False flag means the corresponding regex cannot match, so skipping
+        it leaves the output byte-identical."""
         emails = phones = ssns = slurs = 0
 
         def _email(m):
@@ -68,9 +123,11 @@ class Scrubber:
             phones += 1
             return PHONE_TOKEN
 
-        text = RE_EMAIL.sub(_email, text)
-        text = RE_SSN.sub(_ssn, text)  # SSN before phone: xxx-xx-xxxx ⊄ phone shapes
-        text = RE_PHONE.sub(_phone, text)
+        if try_email:
+            text = RE_EMAIL.sub(_email, text)
+        if try_digits:
+            text = RE_SSN.sub(_ssn, text)  # SSN before phone: xxx-xx-xxxx ⊄ phone shapes
+            text = RE_PHONE.sub(_phone, text)
         if self.re_slur is not None:
 
             def _slur(m):
@@ -79,14 +136,18 @@ class Scrubber:
                 return SLUR_TOKEN
 
             text = self.re_slur.sub(_slur, text)
-        text = RE_REPEAT.sub(lambda m: m.group(1) * 5, text)
+        if try_repeat:
+            text = RE_REPEAT.sub(lambda m: m.group(1) * 5, text)
         return text, emails, phones, ssns, slurs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = [t or "" for t in batch[self.text_column].to_pylist()]
+        has_at, has_digits, has_repeat = _scrub_gates(texts)
         scrubbed, emails, phones, ssns, slurs = [], [], [], [], []
-        for t in texts:
-            s, e, p, n, sl = self.scrub_one(t)
+        for d, t in enumerate(texts):
+            s, e, p, n, sl = self.scrub_one(
+                t, bool(has_at[d]), bool(has_digits[d]), bool(has_repeat[d])
+            )
             scrubbed.append(s)
             emails.append(e)
             phones.append(p)
