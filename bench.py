@@ -100,7 +100,7 @@ def run_headline() -> dict:
     out = build(
         pages,
         langid_concurrency=max(2, NUM_CPUS - 2),
-        batch_size=2048,
+        batch_size=4096,
         with_perplexity=True,
     )
     # consume with the production sink: distributed parquet write (workers
@@ -162,14 +162,14 @@ def run_headline() -> dict:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        # 4x the default corpus for the scaling pair: strong scaling needs
+        # 8x the default corpus for the scaling pair: strong scaling needs
         # enough work to amortize session/actor-pool startup (~5 s) at 32
         # CPUs; the materialized input is cached across both subruns.
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             BENCH_HEADLINE_ONLY="1",
-            PAGES_REPLICATION=str(PAGES_REPLICATION * 4),
+            PAGES_REPLICATION=str(PAGES_REPLICATION * 8),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

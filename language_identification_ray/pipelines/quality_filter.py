@@ -94,11 +94,15 @@ class QualityFilterStage:
         self.cols = cols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        batch = self.langid(batch)
-        batch = self.quality(batch)
+        # materialize the text column ONCE for the whole fused chain — each
+        # stage otherwise re-converts Arrow→Python strings (4× the memory
+        # traffic; memory bandwidth is the scaling limiter at pool width)
+        texts = [t or "" for t in batch["text"].to_pylist()]
+        batch = self.langid(batch, texts=texts)
+        batch = self.quality(batch, texts=texts)
         if self.ppl is not None:
-            batch = self.ppl(batch)
-        batch = self.scrub(batch)
+            batch = self.ppl(batch, texts=texts)
+        batch = self.scrub(batch, texts=texts)
         batch = self.rules(batch)
         return batch.select([c for c in self.cols if c in batch.schema.names])
 

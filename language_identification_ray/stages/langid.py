@@ -403,8 +403,9 @@ class LangIdStage:
         self.language_codes = list(language_codes) if language_codes else None
         self.max_chars = max_chars
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_column].to_pylist()
+    def __call__(self, batch: pa.Table, texts=None) -> pa.Table:
+        if texts is None:
+            texts = batch[self.text_column].to_pylist()
         texts = [(t or "")[: self.max_chars] for t in texts]
         if self.language_codes is None and isinstance(self.detector, EnsembleDetector):
             # hot path: top-1 only, vectorized (no per-doc ranking lists)

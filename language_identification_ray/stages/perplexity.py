@@ -34,8 +34,10 @@ class PerplexityScorer:
         self.text_column = text_column
         self.max_chars = max_chars
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = [(t or "")[: self.max_chars] for t in batch[self.text_column].to_pylist()]
+    def __call__(self, batch: pa.Table, texts=None) -> pa.Table:
+        if texts is None:
+            texts = batch[self.text_column].to_pylist()
+        texts = [(t or "")[: self.max_chars] for t in texts]
         ppls = self.model.perplexity_batch(texts)
         out = [float(p) if not math.isnan(p) else None for p in ppls]
         return set_or_append(batch, "perplexity", pa.array(out, pa.float64()))

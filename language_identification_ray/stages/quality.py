@@ -50,8 +50,9 @@ class QualityStats:
         # union set as the fallback when lang is unknown/unsupported
         self.stop_union = frozenset().union(*STOPWORDS.values())
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = [t or "" for t in batch[self.text_column].to_pylist()]
+    def __call__(self, batch: pa.Table, texts=None) -> pa.Table:
+        if texts is None:
+            texts = [t or "" for t in batch[self.text_column].to_pylist()]
         langs = (
             batch[self.lang_column].to_pylist()
             if self.lang_column in batch.schema.names

@@ -140,8 +140,9 @@ class Scrubber:
             text = RE_REPEAT.sub(lambda m: m.group(1) * 5, text)
         return text, emails, phones, ssns, slurs
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = [t or "" for t in batch[self.text_column].to_pylist()]
+    def __call__(self, batch: pa.Table, texts=None) -> pa.Table:
+        if texts is None:
+            texts = [t or "" for t in batch[self.text_column].to_pylist()]
         has_at, has_digits, has_repeat = _scrub_gates(texts)
         scrubbed, emails, phones, ssns, slurs = [], [], [], [], []
         for d, t in enumerate(texts):
