@@ -113,6 +113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": analysis.events_hourly,
         "events_sessionize": analysis.events_sessionize,
         "knn_cosine_top10": analysis.knn_cosine_top10,
+        "normalize_umlauts": analysis.normalize_umlauts,
+        "edit_distance_sample": analysis.edit_distance_sample,
         # --- dedup / similarity (SQL-checkable where exact) ---------------
         "jaccard_pairs": jaccard_pairs_q,
         "embedding_dup_pairs": embedding_dup_pairs_q,
@@ -171,6 +173,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY word
             ORDER BY cnt DESC, word ASC
             LIMIT 100
+        """,
+        "normalize_umlauts": """
+            SELECT doc_id,
+                   replace(replace(replace(replace(text, 'ä', 'ae'),
+                           'ö', 'oe'), 'ü', 'ue'), 'ß', 'ss') AS norm_text
+            FROM documents
+        """,
+        "edit_distance_sample": """
+            SELECT doc_id,
+                   string_split(text, ' ')[1] AS w1,
+                   string_split(text, ' ')[-1] AS w2,
+                   levenshtein(string_split(text, ' ')[1],
+                               string_split(text, ' ')[-1]) AS edit_dist
+            FROM documents
         """,
         "exact_dedup": """
             SELECT md5(substr(text, 1, 40)) AS k,

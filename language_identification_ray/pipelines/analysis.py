@@ -341,3 +341,52 @@ def knn_cosine_top10(sf_dir: str) -> "rd.Dataset":
         .limit(10)
         .map_batches(lambda t: t.select(["vec_id"]), batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# transliteration + scalar string functions as oracle-checkable queries
+
+
+def normalize_umlauts(sf_dir: str) -> "rd.Dataset":
+    """German-umlaut transliteration over the text column (SURVEY §2.2 M13
+    as a dataset op).  Map-only; ``str.translate`` is C-level per row.
+    Oracle: nested ``replace()`` — equivalent because no replacement string
+    contains a source character."""
+    from language_identification_ray.functions.translit import (
+        make_translit_table,
+        transliterate_batch,
+    )
+
+    table = make_translit_table({"ä": "ae", "ö": "oe", "ü": "ue", "ß": "ss"})
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = transliterate_batch(batch, table, out_column="norm_text")
+        return out.select(["doc_id", "norm_text"])
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def edit_distance_sample(sf_dir: str) -> "rd.Dataset":
+    """Levenshtein distance between each doc's first and last whitespace
+    token (SURVEY §2.8 scalar-function parity; DuckDB ``levenshtein`` is the
+    oracle).  Map-only."""
+    from language_identification_ray.functions.strings import levenshtein
+
+    def f(batch: pa.Table) -> pa.Table:
+        w1, w2, dist = [], [], []
+        for t in batch["text"].to_pylist():
+            words = (t or "").split(" ")
+            a, b = words[0], words[-1]
+            w1.append(a)
+            w2.append(b)
+            dist.append(levenshtein(a, b))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array(w2, pa.string()),
+                "edit_dist": pa.array(dist, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
