@@ -86,6 +86,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return detector_agreement(sf_dir)
 
+    def knn_ivf_q(sf_dir: str):
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from language_identification_ray.stages.knn import ivf_topk
+
+        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ids = tbl["vec_id"].to_numpy()
+        q = np.array(tbl["embedding"].to_pylist()[int(np.argmin(ids))], dtype=np.float64)
+        return ivf_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=10)
+
     def knn_lsh_q(sf_dir: str):
         import numpy as np
         import pyarrow.parquet as pq
@@ -125,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": minhash_pairs_q,
         "simhash_pairs": simhash_pairs_q,
         "knn_lsh_top10": knn_lsh_q,
+        "knn_ivf_top10": knn_ivf_q,
         "media_pipeline": media_pipeline_q,
         "detector_agreement": detector_agreement_q,
     }

@@ -126,3 +126,94 @@ def lsh_topk(
     return ds.map_batches(scan, batch_format="pyarrow").sort(
         ["cos_sim", "vec_id"], descending=[True, False]
     ).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+
+
+class IvfIndex:
+    """Deterministic spherical k-means coarse quantizer (numpy Lloyd
+    iterations, fixed seed — same centroids every run/process).
+
+    At 100 TB: train on a driver-side sample (centroids are tiny), broadcast
+    the centroid matrix via closure/``ray.put``, assign + scan inside
+    ``map_batches``.  Partition the stored table by ``assign()`` cell
+    (``write_parquet(partition_cols=['ivf_cell'])``) and a query only reads
+    its ``n_probe`` cells' files — the read-pruning ANN layout."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = _normalize(np.asarray(centroids, dtype=np.float64))
+
+    @classmethod
+    def train(
+        cls, sample: np.ndarray, n_centroids: int = 16, n_iter: int = 10, seed: int = 0xC3
+    ) -> "IvfIndex":
+        rng = np.random.default_rng(seed)
+        mat = _normalize(np.asarray(sample, dtype=np.float64))
+        n = len(mat)
+        cent = mat[rng.choice(n, size=min(n_centroids, n), replace=False)]
+        for _ in range(n_iter):
+            assign = np.argmax(mat @ cent.T, axis=1)
+            for c in range(len(cent)):
+                members = mat[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+            cent = _normalize(cent)
+        return cls(cent)
+
+    def assign(self, mat: np.ndarray) -> np.ndarray:
+        """Nearest-centroid (max cosine) cell id per row."""
+        return np.argmax(_normalize(mat) @ self.centroids.T, axis=1)
+
+    def probe_cells(self, q: np.ndarray, n_probe: int) -> np.ndarray:
+        sims = self.centroids @ (q / (np.linalg.norm(q) or 1.0))
+        return np.argsort(-sims, kind="stable")[:n_probe]
+
+
+def ivf_topk(
+    ds: "rd.Dataset",
+    query: np.ndarray,
+    k: int = 10,
+    id_column: str = "vec_id",
+    vec_column: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 4096,
+    seed: int = 0xC3,
+) -> "rd.Dataset":
+    """Approximate top-k for one query via IVF: train a coarse quantizer on
+    a bounded sample, scan only rows whose cell is among the query's
+    ``n_probe`` nearest cells.  Same output shape as ``lsh_topk``."""
+    sample_tbl = ds.limit(train_sample).to_pandas()
+    sample = np.stack([np.asarray(v, dtype=np.float64) for v in sample_tbl[vec_column]])
+    index = IvfIndex.train(sample, n_centroids=n_centroids, seed=seed)
+
+    q = np.asarray(query, dtype=np.float64)
+    probes = frozenset(int(c) for c in index.probe_cells(q, n_probe))
+    qn = q / (np.linalg.norm(q) or 1.0)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        mat = _as_matrix(batch[vec_column])
+        cells = index.assign(mat)
+        mask = np.isin(cells, list(probes))
+        if not mask.any():
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "cos_sim": pa.array([], pa.float64())}
+            )
+        sub = _normalize(mat[mask])
+        sims = sub @ qn
+        ids = batch[id_column].to_numpy()[mask]
+        top = np.argsort(-sims, kind="stable")[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[top], pa.int64()),
+                "cos_sim": pa.array(sims[top], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(scan, batch_format="pyarrow")
+        .sort(["cos_sim", "vec_id"], descending=[True, False])
+        .limit(k)
+    )

@@ -66,3 +66,28 @@ def test_lsh_bucketing_deterministic():
     assert (lsh.bucket(mat) == HyperplaneLsh(8, n_bits=6).bucket(mat)).all()
     probes = lsh.probe_buckets(mat[0], n_probe=2)
     assert len(probes) == 3 and len(set(probes)) == 3
+
+
+def test_ivf_topk_recall(ray_session, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from language_identification_ray.stages.knn import brute_force_topk, ivf_topk
+
+    path = f"{sf_dir}/embeddings.parquet"
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    q = np.asarray(tbl["embedding"].to_pylist()[0], dtype=np.float64)
+
+    exact = brute_force_topk(rd.read_parquet(path), q[None, :], k=10).to_pandas()
+    approx = ivf_topk(rd.read_parquet(path), q, k=10, n_centroids=8, n_probe=4).to_pandas()
+
+    assert len(approx) == 10
+    # probing half the cells must recover most of the true top-10
+    overlap = len(set(exact["vec_id"]) & set(approx["vec_id"]))
+    assert overlap >= 6, overlap
+    # results are ranked and deterministic
+    sims = approx["cos_sim"].to_numpy()
+    assert (np.diff(sims) <= 1e-12).all()
+    again = ivf_topk(rd.read_parquet(path), q, k=10, n_centroids=8, n_probe=4).to_pandas()
+    assert (again["vec_id"].to_numpy() == approx["vec_id"].to_numpy()).all()
