@@ -201,3 +201,35 @@ def completed_partitions(out_dir: str) -> set:
         return set()
     with open(path) as f:
         return set(json.load(f).get("partitions", []))
+
+
+# ---------------------------------------------------------------------------
+# BASELINE.md output-schema assembly (struct view over the flat columns)
+
+_QUALITY_FIELDS = [
+    "stopword_ratio", "symbol_word_ratio", "mean_word_len",
+    "max_line_frac", "dup_ngram_frac", "n_words", "n_sentences",
+]
+_PII_FIELDS = ["emails", "phones", "ssns", "slurs"]
+
+
+def _to_structs(batch: pa.Table) -> pa.Table:
+    quality = pa.StructArray.from_arrays(
+        [batch[f"q_{f}"].combine_chunks() for f in _QUALITY_FIELDS], names=_QUALITY_FIELDS
+    )
+    pii = pa.StructArray.from_arrays(
+        [batch[f"pii_{f}"].combine_chunks() for f in _PII_FIELDS], names=_PII_FIELDS
+    )
+    keep = [c for c in batch.schema.names if not (c.startswith("q_") or c.startswith("pii_"))]
+    out = batch.select(keep)
+    return out.append_column("quality", quality).append_column("pii_counts", pii)
+
+
+def to_baseline_schema(ds: "rd.Dataset") -> "rd.Dataset":
+    """Flat ``q_*``/``pii_*`` columns → the BASELINE.md nested schema
+    (``quality`` struct + ``pii_counts`` struct).
+
+    The pipeline emits FLAT columns by default (Parquet predicate pushdown
+    on e.g. ``q_dup_ngram_frac`` works on flat columns at 100 TB); this view
+    is for consumers that want the documented nested shape."""
+    return ds.map_batches(_to_structs, batch_format="pyarrow")

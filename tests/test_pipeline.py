@@ -80,3 +80,16 @@ def test_partitioned_write_and_resume(ray_session, sf_dir, tmp_path):
 
     back = rd.read_parquet(out)
     assert back.count() == 500
+
+
+def test_to_baseline_schema(ray_session, sf_dir):
+    from language_identification_ray.pipelines.quality_filter import run, to_baseline_schema
+
+    out = to_baseline_schema(run(sf_dir)).limit(5).to_pandas()
+    assert "quality" in out.columns and "pii_counts" in out.columns
+    q0 = out["quality"].iloc[0]
+    assert set(q0) == {"stopword_ratio", "symbol_word_ratio", "mean_word_len",
+                       "max_line_frac", "dup_ngram_frac", "n_words", "n_sentences"}
+    p0 = out["pii_counts"].iloc[0]
+    assert set(p0) == {"emails", "phones", "ssns", "slurs"}
+    assert not any(c.startswith("q_") for c in out.columns)
