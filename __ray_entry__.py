@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine_top10": analysis.knn_cosine_top10,
         "normalize_umlauts": analysis.normalize_umlauts,
         "edit_distance_sample": analysis.edit_distance_sample,
+        "sentence_stats": analysis.sentence_stats,
+        "char_bigram_top50": analysis.char_bigram_top50,
         # --- dedup / similarity (SQL-checkable where exact) ---------------
         "jaccard_pairs": jaccard_pairs_q,
         "embedding_dup_pairs": embedding_dup_pairs_q,
@@ -199,6 +201,26 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(string_split(text, ' ')[1],
                                string_split(text, ' ')[-1]) AS edit_dist
             FROM documents
+        """,
+        "sentence_stats": """
+            SELECT doc_id,
+                   greatest(
+                     length(text) - length(regexp_replace(text, '[.!?…。！？]', '', 'g')),
+                     CASE WHEN len(list_filter(string_split(text, ' '), w -> w <> '')) > 0
+                          THEN 1 ELSE 0 END
+                   ) AS n_sentences
+            FROM documents
+        """,
+        "char_bigram_top50": """
+            SELECT bg, count(*) AS cnt
+            FROM (
+                SELECT unnest(list_transform(range(1, length(text)),
+                              i -> substr(text, CAST(i AS INT), 2))) AS bg
+                FROM documents
+            )
+            GROUP BY bg
+            ORDER BY cnt DESC, bg ASC
+            LIMIT 50
         """,
         "exact_dedup": """
             SELECT md5(substr(text, 1, 40)) AS k,

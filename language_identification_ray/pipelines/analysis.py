@@ -390,3 +390,47 @@ def edit_distance_sample(sf_dir: str) -> "rd.Dataset":
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def sentence_stats(sf_dir: str) -> "rd.Dataset":
+    """Per-doc sentence-ender count (the ``n_sentences`` quality signal,
+    SURVEY §2.2 M10 as a dataset op).  Same semantics as
+    ``stages/quality.py``: max(count of ender chars, 1 if any words).
+    Map-only; oracle = regexp_replace length arithmetic."""
+    _ENDERS = (".", "!", "?", "…", "。", "！", "？")
+
+    def f(batch: pa.Table) -> pa.Table:
+        n_sent = []
+        for t in batch["text"].to_pylist():
+            t = t or ""
+            ends = sum(t.count(e) for e in _ENDERS)
+            has_words = any(w for w in t.split(" ") if w)
+            n_sent.append(max(ends, 1 if has_words else 0))
+        return pa.table({"doc_id": batch["doc_id"], "n_sentences": pa.array(n_sent, pa.int64())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def char_bigram_top50(sf_dir: str) -> "rd.Dataset":
+    """Global char-bigram frequency, top 50 (SURVEY §2.2 M11 at dataset
+    scale).  Pre-aggregated per batch (Counter → partial rows) exactly like
+    ``word_freq_top100`` — the shuffle moves one row per distinct bigram per
+    batch, never one per character."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch["text"].to_pylist():
+            t = t or ""
+            c.update(t[i : i + 2] for i in range(len(t) - 1))
+        if not c:
+            return pa.table({"bg": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        ks, vs = zip(*c.items())
+        return pa.table({"bg": pa.array(ks, pa.string()), "cnt": pa.array(vs, pa.int64())})
+
+    agg = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bg")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return agg.sort(["cnt", "bg"], descending=[True, False]).limit(50)
