@@ -40,6 +40,14 @@ class AgreementScorer:
             "script": ScriptDetector(),
             "dictionary": DictionaryDetector({l: list(ws) for l, ws in STOPWORDS.items()}),
         }
+        # widen the panel with any third-party wheels present on this
+        # machine (fastText/langid.py/langdetect/cld2 adapters, A2-A5) —
+        # none exist in this container, so this is a no-op here
+        from language_identification_ray.stages.external_detectors import (
+            available_external_detectors,
+        )
+
+        self.detectors.update(available_external_detectors())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = [clean_text(t or "") for t in batch[self.text_column].to_pylist()]

@@ -1,0 +1,140 @@
+"""Import-gated adapters for third-party language-ID libraries (A2-A5, A1).
+
+The reference wraps five external detectors behind one contract
+(``fasttext_wrapper.py``, ``langid_wrapper.py``, ``langdetect_wrapper.py``,
+``cld2_wrapper.py``, ``nltk_wrapper.py`` — each exposing
+``SUPPORTED_LANGUAGES`` + ``detect_language → [(lang, prob), ...]``).  None
+of those wheels are installable in this container, so each adapter here is
+gated behind an import-try: on a machine where the wheel exists the adapter
+is a drop-in detector for the agreement harness and the
+:class:`~language_identification_ray.stages.langid.LangIdStage` contract
+(``predict_batch``); here it raises a clear ImportError at construction.
+
+``available_external_detectors()`` reports what the current environment can
+actually load — the agreement harness uses it to widen its panel
+opportunistically without hard dependencies.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+Ranking = List[Tuple[str, float]]
+
+
+class _ExternalBase:
+    """Shared adapter shape: batch loop over a per-text ``_rank``."""
+
+    SUPPORTED_LANGUAGES: List[str] = []
+
+    def predict_batch(
+        self, texts: Sequence[str], language_codes: Optional[Iterable[str]] = None
+    ) -> List[Ranking]:
+        allowed = set(language_codes) if language_codes else None
+        out = []
+        for t in texts:
+            r = self._rank(t or "")
+            if allowed is not None:
+                r = [(l, p) for l, p in r if l in allowed]
+            out.append(r)
+        return out
+
+    def _rank(self, text: str) -> Ranking:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+class FastTextDetector(_ExternalBase):
+    """fastText lid.176 (reference ``fasttext_wrapper.py:25-45``): predict
+    all labels, strip ``__label__``, sort desc."""
+
+    def __init__(self, model_path: str):
+        try:
+            import fasttext  # type: ignore
+        except ImportError as e:
+            raise ImportError(
+                "fasttext is not installed in this environment; use "
+                "stages.langid.EnsembleDetector (the built-in stand-in)"
+            ) from e
+        self.model = fasttext.load_model(model_path)
+        self.SUPPORTED_LANGUAGES = sorted(
+            l.replace("__label__", "") for l in self.model.get_labels()
+        )
+
+    def _rank(self, text: str) -> Ranking:
+        labels, probs = self.model.predict(text.replace("\n", " "), k=len(self.SUPPORTED_LANGUAGES))
+        pairs = [(l.replace("__label__", ""), float(p)) for l, p in zip(labels, probs)]
+        return sorted(pairs, key=lambda x: -x[1])
+
+
+class LangidPyDetector(_ExternalBase):
+    """langid.py (reference ``langid_wrapper.py:21-27``): normalized-prob NB."""
+
+    def __init__(self):
+        try:
+            from langid.langid import LanguageIdentifier, model  # type: ignore
+        except ImportError as e:
+            raise ImportError("langid.py is not installed in this environment") from e
+        self.identifier = LanguageIdentifier.from_modelstring(model, norm_probs=True)
+        self.SUPPORTED_LANGUAGES = sorted(self.identifier.nb_classes)
+
+    def _rank(self, text: str) -> Ranking:
+        return [(l, float(p)) for l, p in self.identifier.rank(text)]
+
+
+class LangdetectDetector(_ExternalBase):
+    """langdetect (reference ``langdetect_wrapper.py:17-21``)."""
+
+    def __init__(self, seed: int = 0):
+        try:
+            from langdetect import DetectorFactory, detect_langs  # type: ignore
+        except ImportError as e:
+            raise ImportError("langdetect is not installed in this environment") from e
+        DetectorFactory.seed = seed  # langdetect is stochastic without this
+        self._detect_langs = detect_langs
+
+    def _rank(self, text: str) -> Ranking:
+        try:
+            return [(r.lang, float(r.prob)) for r in self._detect_langs(text)]
+        except Exception:
+            return []
+
+
+class Cld2Detector(_ExternalBase):
+    """pycld2 (reference ``cld2_wrapper.py:12-38``): bestEffort, score/1000,
+    keep entries with score >= 1 and percent >= 50."""
+
+    def __init__(self):
+        try:
+            import pycld2  # type: ignore
+        except ImportError as e:
+            raise ImportError("pycld2 is not installed in this environment") from e
+        self.cld2 = pycld2
+
+    def _rank(self, text: str) -> Ranking:
+        try:
+            _reliable, _bytes, details = self.cld2.detect(text, bestEffort=True)
+        except Exception:
+            return []
+        out = []
+        for _name, code, percent, score in details:
+            if score >= 1 and percent >= 50 and code != "un":
+                out.append((code, min(1.0, float(score) / 1000.0)))
+        return sorted(out, key=lambda x: -x[1])
+
+
+_REGISTRY = {
+    "langid_py": LangidPyDetector,
+    "langdetect": LangdetectDetector,
+    "cld2": Cld2Detector,
+}
+
+
+def available_external_detectors() -> dict:
+    """name → constructed detector, for every adapter whose wheel imports."""
+    out = {}
+    for name, cls in _REGISTRY.items():
+        try:
+            out[name] = cls()
+        except ImportError:
+            continue
+    return out

@@ -103,3 +103,24 @@ def test_batch_equals_single(ensemble):
     batch = ensemble.predict_batch(texts)
     for t, r in zip(texts, batch):
         assert ensemble.predict_batch([t])[0] == r
+
+
+def test_external_detectors_gated():
+    """A2-A5 adapters raise clear ImportErrors here and report availability
+    honestly (no third-party langid wheels in this container)."""
+    import pytest as _pytest
+
+    from language_identification_ray.stages.external_detectors import (
+        Cld2Detector,
+        FastTextDetector,
+        LangdetectDetector,
+        LangidPyDetector,
+        available_external_detectors,
+    )
+
+    assert available_external_detectors() == {}
+    for cls in (LangidPyDetector, LangdetectDetector, Cld2Detector):
+        with _pytest.raises(ImportError):
+            cls()
+    with _pytest.raises(ImportError):
+        FastTextDetector("/nonexistent/lid.176.ftz")

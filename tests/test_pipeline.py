@@ -93,3 +93,24 @@ def test_to_baseline_schema(ray_session, sf_dir):
     p0 = out["pii_counts"].iloc[0]
     assert set(p0) == {"emails", "phones", "ssns", "slurs"}
     assert not any(c.startswith("q_") for c in out.columns)
+
+
+def test_salted_partitions_balance_head_language(ray_session, sf_dir, tmp_path):
+    """The (lang, salt) write must spread the dominant language over salt
+    buckets (north_rule skew handling)."""
+    import os
+
+    from language_identification_ray.pipelines.quality_filter import run, write_partitioned
+
+    out = str(tmp_path / "salted")
+    info = write_partitioned(run(sf_dir), out)
+    en_parts = [p for p in info["partitions"] if p.startswith("lang=en/")]
+    assert len(en_parts) >= 4, en_parts  # head language split across salts
+    # sub-partition sizes within 10x of each other (no single hot file)
+    import pyarrow.parquet as pq
+
+    sizes = []
+    for p in en_parts:
+        files = [os.path.join(out, p, f) for f in os.listdir(os.path.join(out, p))]
+        sizes.append(sum(pq.read_metadata(f).num_rows for f in files if f.endswith(".parquet")))
+    assert max(sizes) <= 10 * max(1, min(sizes)), sizes
