@@ -167,15 +167,43 @@ def hash_url(url: str) -> int:
     return zlib.crc32(url.encode("utf-8"))
 
 
-def write_partitioned(ds: "rd.Dataset", out_dir: str, manifest: bool = True) -> dict:
+def write_partitioned(
+    ds: "rd.Dataset", out_dir: str, manifest: bool = True, resume: bool = False
+) -> dict:
     """Write keyed by (lang, part_salt) with a resume manifest.
 
     Layout: ``{out_dir}/lang=<l>/part_salt=<s>/*.parquet`` + ``_MANIFEST.json``
-    recording completed partitions and row counts.  A re-run calls
-    ``completed_partitions(out_dir)`` and can prune finished (lang, salt)
-    pairs before writing — idempotent resume per north_rule.
+    recording completed partitions.  With ``resume=True`` a re-run:
+
+      1. deletes any partition directory NOT in the manifest (a partial
+         write from a crashed run — its rows will be regenerated);
+      2. filters out rows whose (lang, salt) partition IS in the manifest
+         (sound because the url → (lang, salt) mapping is deterministic);
+      3. writes only the remaining partitions and refreshes the manifest.
+
+    Net effect: idempotent, duplicate-free resume per north_rule.
     """
+    import shutil
+
+    done = completed_partitions(out_dir) if resume else set()
+    if resume:
+        for part in set(_list_partitions(out_dir)) - done:
+            shutil.rmtree(os.path.join(out_dir, part), ignore_errors=True)
+
     ds = ds.map_batches(_add_partition_key, batch_format="pyarrow")
+    if done:
+        done_keys = {tuple(p.split("/")) for p in done}
+
+        def prune(batch: pa.Table) -> pa.Table:
+            langs = batch["lang"].to_pylist()
+            salts = batch["part_salt"].to_pylist()
+            mask = [
+                (f"lang={l}", f"part_salt={s}") not in done_keys
+                for l, s in zip(langs, salts)
+            ]
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+        ds = ds.map_batches(prune, batch_format="pyarrow")
     ds.write_parquet(out_dir, partition_cols=["lang", "part_salt"])
     info = {"partitions": _list_partitions(out_dir)}
     if manifest:

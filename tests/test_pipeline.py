@@ -114,3 +114,35 @@ def test_salted_partitions_balance_head_language(ray_session, sf_dir, tmp_path):
         files = [os.path.join(out, p, f) for f in os.listdir(os.path.join(out, p))]
         sizes.append(sum(pq.read_metadata(f).num_rows for f in files if f.endswith(".parquet")))
     assert max(sizes) <= 10 * max(1, min(sizes)), sizes
+
+
+def test_partitioned_resume_prunes_and_redoes(ray_session, sf_dir, tmp_path):
+    """resume=True: completed partitions are skipped (no duplicate rows);
+    partitions missing from the manifest (crashed mid-write) are redone."""
+    import json
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from language_identification_ray.pipelines.quality_filter import run, write_partitioned
+
+    out = str(tmp_path / "resumable")
+    info = write_partitioned(run(sf_dir), out)
+    total = rd.read_parquet(out).count()
+    parts = info["partitions"]
+    assert len(parts) >= 3
+
+    # simulate a crash: one partition half-written (dir exists, not in
+    # manifest), one partition lost entirely (no dir, not in manifest)
+    lost, partial = parts[0], parts[1]
+    manifest_path = os.path.join(out, "_MANIFEST.json")
+    keep = [p for p in parts if p not in (lost, partial)]
+    with open(manifest_path, "w") as f:
+        json.dump({"partitions": keep}, f)
+    shutil.rmtree(os.path.join(out, lost))
+    # partial: leave its files in place — resume must clear + rewrite them
+
+    info2 = write_partitioned(run(sf_dir), out, resume=True)
+    assert set(info2["partitions"]) == set(parts)
+    assert rd.read_parquet(out).count() == total  # no dups, nothing missing
