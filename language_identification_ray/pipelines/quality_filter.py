@@ -77,6 +77,7 @@ class QualityFilterStage:
         self,
         language_codes: Optional[Sequence[str]] = None,
         with_perplexity: bool = False,
+        perplexity_per_language: bool = False,
     ):
         from language_identification_ray.perf import tune_malloc
 
@@ -89,7 +90,7 @@ class QualityFilterStage:
         if with_perplexity:
             from language_identification_ray.stages.perplexity import PerplexityScorer
 
-            self.ppl = PerplexityScorer()
+            self.ppl = PerplexityScorer(per_language=perplexity_per_language)
         cols = [c for c in OUTPUT_COLUMNS if with_perplexity or c != "perplexity"]
         self.cols = cols
 
@@ -113,6 +114,7 @@ def build(
     langid_concurrency=(1, 8),
     batch_size: int = 1024,
     with_perplexity: bool = False,
+    perplexity_per_language: bool = False,
 ) -> "rd.Dataset":
     """Compose the flagship pipeline over a pages Dataset (lazy).
 
@@ -130,6 +132,7 @@ def build(
         fn_constructor_kwargs={
             "language_codes": list(language_codes) if language_codes else None,
             "with_perplexity": with_perplexity,
+            "perplexity_per_language": perplexity_per_language,
         },
     )
 

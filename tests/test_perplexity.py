@@ -97,3 +97,39 @@ def test_scorer_stage(ray_session):
     vals = out["perplexity"].to_pylist()
     assert vals[0] is not None and vals[0] > 1.0
     assert vals[1] is None
+
+
+def test_per_language_models_discriminate():
+    """Each seed language's model scores its own language lower than the
+    English model does (the per-lang KenLM layout)."""
+    from language_identification_ray.pipelines.lm_train import load_model
+    from pathlib import Path
+
+    assets = Path("language_identification_ray/state/assets")
+    en = load_model(str(assets / "kn_en.json"))
+    de = load_model(str(assets / "kn_de.json"))
+    text = "der schnelle braune fuchs springt über den faulen hund"
+    assert de.perplexity(text) < en.perplexity(text)
+    assert en.perplexity("the quick brown fox jumps") < de.perplexity("the quick brown fox jumps")
+
+
+def test_perplexity_scorer_per_language(ray_session):
+    import pyarrow as pa
+
+    from language_identification_ray.stages.perplexity import PerplexityScorer
+
+    batch = pa.table(
+        {
+            "text": [
+                "der schnelle braune fuchs springt über den faulen hund und läuft weg",
+                "the quick brown fox jumps over the lazy dog and runs away",
+            ],
+            "lang": ["de", "en"],
+        }
+    )
+    per = PerplexityScorer(per_language=True)(batch)["perplexity"].to_pylist()
+    en_only = PerplexityScorer(per_language=False)(batch)["perplexity"].to_pylist()
+    # German doc scored under the de model improves vs the en-only default
+    assert per[0] < en_only[0]
+    # English doc unchanged (en model either way)
+    assert abs(per[1] - en_only[1]) < 1e-9
