@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_sample": analysis.edit_distance_sample,
         "sentence_stats": analysis.sentence_stats,
         "char_bigram_top50": analysis.char_bigram_top50,
+        "top_docs_per_lang": analysis.top_docs_per_lang,
         # --- dedup / similarity (SQL-checkable where exact) ---------------
         "jaccard_pairs": jaccard_pairs_q,
         "embedding_dup_pairs": embedding_dup_pairs_q,
@@ -221,6 +222,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY bg
             ORDER BY cnt DESC, bg ASC
             LIMIT 50
+        """,
+        "top_docs_per_lang": """
+            SELECT lang, doc_id, n_chars
+            FROM (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents
+            )
+            WHERE rn <= 3
         """,
         "exact_dedup": """
             SELECT md5(substr(text, 1, 40)) AS k,

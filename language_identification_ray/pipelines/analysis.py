@@ -434,3 +434,20 @@ def char_bigram_top50(sf_dir: str) -> "rd.Dataset":
         .aggregate(Sum("cnt", alias_name="cnt"))
     )
     return agg.sort(["cnt", "bg"], descending=[True, False]).limit(50)
+
+
+def top_docs_per_lang(sf_dir: str, k: int = 3) -> "rd.Dataset":
+    """Grouped top-k (SURVEY §2.6 at dataset scale): the ``k`` longest docs
+    per language, deterministic tie-break (n_chars desc, doc_id asc).
+    One small shuffle over 5 language groups; oracle = window row_number."""
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).head(k)[["lang", "doc_id", "n_chars"]]
+
+    return (
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+        .groupby("lang")
+        .map_groups(topk, batch_format="pandas")
+    )
