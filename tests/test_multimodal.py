@@ -56,3 +56,39 @@ def test_media_pipeline_e2e(ray_session, sf_dir):
     assert df["decode_ok"].all()
     assert (df["width"] >= 64).all()
     assert df["features"].map(len).eq(32).all()
+
+
+def test_media_resize(ray_session, sf_dir):
+    import ray.data as rd
+
+    from language_identification_ray.stages.multimodal import (
+        MediaDecoder,
+        MediaResize,
+        synthesize_media,
+    )
+
+    ds = synthesize_media(sf_dir)
+    ds = ds.map_batches(MediaResize, batch_format="pyarrow", batch_size=64,
+                        concurrency=2, fn_constructor_kwargs={"max_side": 32})
+    out = ds.map_batches(MediaDecoder, batch_format="pyarrow", batch_size=64,
+                         concurrency=2).to_pandas()
+    assert (out["width"] <= 32).all() and (out["height"] <= 32).all()
+    assert out["decode_ok"].all()
+
+
+def test_media_resize_noop_below_cap():
+    from language_identification_ray.stages.multimodal import MediaResize, encode_fake_image
+
+    small = encode_fake_image(16, 16, 1)
+    r = MediaResize(max_side=64)
+    assert r.resize_one(small) == small
+    assert r.resize_one(None) is None
+
+
+def test_media_resize_pillow_gated():
+    import pytest as _pytest
+
+    from language_identification_ray.stages.multimodal import MediaResize
+
+    with _pytest.raises(NotImplementedError):
+        MediaResize(decoder="pillow")
