@@ -124,3 +124,29 @@ def test_external_detectors_gated():
             cls()
     with _pytest.raises(ImportError):
         FastTextDetector("/nonexistent/lid.176.ftz")
+
+
+HELD_OUT = [
+    ("en", "the quick brown fox jumps over the lazy dog and runs away"),
+    ("de", "der schnelle braune Fuchs springt über den faulen Hund und läuft weg"),
+    ("fr", "le renard brun rapide saute par-dessus le chien paresseux et s'enfuit"),
+    ("es", "el rápido zorro marrón salta sobre el perro perezoso y huye corriendo"),
+    ("ru", "быстрая коричневая лиса перепрыгивает через ленивую собаку и убегает"),
+    ("zh", "敏捷的棕色狐狸跳过懒狗然后跑走了"),
+    ("ja", "素早い茶色の狐はのろまな犬を飛び越えて逃げました"),
+    ("ko", "빠른 갈색 여우가 게으른 개를 뛰어넘어 도망갔다"),
+    ("th", "สุนัขจิ้งจอกสีน้ำตาลกระโดดข้ามสุนัขขี้เกียจ"),
+    ("ar", "الثعلب البني السريع يقفز فوق الكلب الكسول ويهرب"),
+    ("hi", "तेज़ भूरी लोमड़ी आलसी कुत्ते के ऊपर कूद जाती है"),
+    ("id", "rubah coklat cepat melompati anjing malas dan lari"),
+]
+
+
+def test_held_out_accuracy(ensemble):
+    """Held-out sentences (not in the NB training corpus): the fast
+    ``top1_batch`` path must get >= 10 of 12 languages right (id/ms is the
+    one forgivable confusion — near-identical languages)."""
+    langs, confs = ensemble.top1_batch([t for _, t in HELD_OUT])
+    hits = sum(1 for (want, _), got in zip(HELD_OUT, langs) if got == want)
+    assert hits >= 10, list(zip([w for w, _ in HELD_OUT], langs))
+    assert all(c > 0 for c in confs)
