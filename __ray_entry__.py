@@ -26,7 +26,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from language_identification_ray.pipelines import analysis, quality_filter
+    from language_identification_ray.pipelines import analysis, quality_filter, relational
 
     def langid_documents(sf_dir: str):
         import ray.data as rd
@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_stats": analysis.sentence_stats,
         "char_bigram_top50": analysis.char_bigram_top50,
         "top_docs_per_lang": analysis.top_docs_per_lang,
+        "customers_per_region": relational.customers_per_region,
+        "orders_by_mktsegment": relational.orders_by_mktsegment,
+        "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         # --- dedup / similarity (SQL-checkable where exact) ---------------
         "jaccard_pairs": jaccard_pairs_q,
         "embedding_dup_pairs": embedding_dup_pairs_q,
@@ -232,6 +235,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE rn <= 3
+        """,
+        "customers_per_region": """
+            SELECT r.r_name AS region,
+                   count(*) AS n_customers,
+                   sum(CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT))/100.0 AS total_acctbal,
+                   (sum(CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT))/100.0)/count(*) AS avg_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1
+        """,
+        "orders_by_mktsegment": """
+            SELECT c.c_mktsegment AS mktsegment,
+                   count(*) AS n_orders,
+                   sum(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT))/100.0 AS total_price,
+                   (sum(CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT))/100.0)/count(*) AS avg_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1
+        """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sum_qty,
+                   sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0 AS sum_base_price,
+                   sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))/100.0 AS sum_disc_price,
+                   sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::DOUBLE / count(*) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-06-30'
+            GROUP BY 1, 2
         """,
         "exact_dedup": """
             SELECT md5(substr(text, 1, 40)) AS k,

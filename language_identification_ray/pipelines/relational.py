@@ -1,0 +1,266 @@
+"""Relational join + aggregation operators over the TPC-H-ish driver tables.
+
+The reference engine's joins are all in-UDF lookups against broadcast
+dictionaries (SURVEY §2.4 — e.g. ``dictionary_langid/datatypes.py`` word→lang
+maps).  This module supplies the *distributed* join patterns a 100 TB
+training-data pipeline also needs, each oracle-checkable against DuckDB:
+
+- ``customers_per_region`` — **broadcast join**: the small side (nation ⋈
+  region, ≤ a few hundred rows at any scale) is ``ray.put`` once and read
+  inside every ``map_batches`` task; the big side never shuffles.
+- ``orders_by_mktsegment`` — **hash join** via ``Dataset.join`` after a
+  shuffle-*reducing* pre-aggregation: orders are first combined per custkey
+  (map-side partials → one groupby), so the join moves one row per customer,
+  not one per order.
+- ``lineitem_pricing_summary`` — TPC-H-Q1-style grouped aggregate:
+  vectorized per-batch partials over ~4 group keys, then a tiny groupby.
+
+Money sums use integer cents computed as ``floor(x*100 + 0.5)`` (round half
+up) on BOTH the Ray and SQL sides: int64 sums are exact and order-independent,
+so the driver's value hash cannot be tripped by float summation order.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Exact integer cents, round-half-up — matches SQL floor(x*100+0.5)."""
+    v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+    return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+
+def customers_per_region(sf_dir: str) -> "rd.Dataset":
+    """Customer count / balance totals per region (broadcast join).
+
+    nation (25 rows) ⋈ region (5 rows) is composed driver-side into one
+    nationkey→region-name array and broadcast with ``ray.put``; each batch
+    resolves regions with a vectorized ``np.take``.  The only shuffle is the
+    final groupby over ≤5 keys of per-batch partials."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rnames = dict(
+        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
+    )
+    nkeys = nation["n_nationkey"].to_numpy()
+    lut = np.empty(int(nkeys.max()) + 1, dtype=object)
+    for nk, rk in zip(nkeys, nation["n_regionkey"].to_numpy()):
+        lut[int(nk)] = rnames[int(rk)]
+    lut_ref = ray.put(lut)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        table = ray.get(lut_ref)  # local-cache hit after first batch
+        regions = np.take(table, batch["c_nationkey"].to_numpy(zero_copy_only=False))
+        cents = _cents(batch["c_acctbal"])
+        out: dict[str, list] = {"region": [], "n_customers": [], "acctbal_cents": []}
+        for r in np.unique(regions.astype(str)):
+            m = regions == r
+            out["region"].append(str(r))
+            out["n_customers"].append(int(m.sum()))
+            out["acctbal_cents"].append(int(cents[m].sum()))
+        return pa.table(
+            {
+                "region": pa.array(out["region"], pa.string()),
+                "n_customers": pa.array(out["n_customers"], pa.int64()),
+                "acctbal_cents": pa.array(out["acctbal_cents"], pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["n_customers"].to_numpy()
+        total = batch["acctbal_cents"].to_numpy() / 100.0
+        return pa.table(
+            {
+                "region": batch["region"],
+                "n_customers": batch["n_customers"],
+                "total_acctbal": pa.array(total, pa.float64()),
+                "avg_acctbal": pa.array(total / n, pa.float64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("region")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("acctbal_cents", alias_name="acctbal_cents"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def orders_by_mktsegment(sf_dir: str) -> "rd.Dataset":
+    """Order count / revenue per market segment (hash join, shuffle-reduced).
+
+    Orders are pre-aggregated per ``o_custkey`` (map-side partials → one
+    groupby), THEN hash-joined to the customer projection with
+    ``Dataset.join`` — so the exchange moves one row per customer rather
+    than one per order (10:1 at TPC-H ratios; far better on skewed web
+    data).  Final groupby is over 5 segment keys."""
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = _cents(batch["o_totalprice"])
+        uk, inv = np.unique(keys, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        tot = np.bincount(inv, weights=cents, minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": pa.array(uk, pa.int64()),
+                "n_orders": pa.array(n, pa.int64()),
+                "price_cents": pa.array(tot, pa.int64()),
+            }
+        )
+
+    per_cust = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+        .map_batches(order_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("price_cents", alias_name="price_cents"),
+        )
+    )
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    joined = per_cust.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def seg_partial(batch: pa.Table) -> pa.Table:
+        segs = np.asarray(batch["c_mktsegment"].to_pylist(), dtype=object)
+        n = batch["n_orders"].to_numpy(zero_copy_only=False)
+        cents = batch["price_cents"].to_numpy(zero_copy_only=False)
+        out = {"mktsegment": [], "n_orders": [], "price_cents": []}
+        for s in sorted(set(segs.tolist())):
+            m = segs == s
+            out["mktsegment"].append(s)
+            out["n_orders"].append(int(n[m].sum()))
+            out["price_cents"].append(int(cents[m].sum()))
+        return pa.table(
+            {
+                "mktsegment": pa.array(out["mktsegment"], pa.string()),
+                "n_orders": pa.array(out["n_orders"], pa.int64()),
+                "price_cents": pa.array(out["price_cents"], pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        total = batch["price_cents"].to_numpy() / 100.0
+        n = batch["n_orders"].to_numpy()
+        return pa.table(
+            {
+                "mktsegment": batch["mktsegment"],
+                "n_orders": batch["n_orders"],
+                "total_price": pa.array(total, pa.float64()),
+                "avg_price": pa.array(total / n, pa.float64()),
+            }
+        )
+
+    return (
+        joined.map_batches(seg_partial, batch_format="pyarrow")
+        .groupby("mktsegment")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"),
+            Sum("price_cents", alias_name="price_cents"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def lineitem_pricing_summary(sf_dir: str) -> "rd.Dataset":
+    """TPC-H-Q1-style pricing summary: filter on shipdate, group by
+    (returnflag, linestatus).  Fully vectorized per-batch partials (Arrow →
+    numpy, no Python row loop); the shuffle moves ≤ a handful of partial
+    rows per batch.  Filter + column prune happen at the read."""
+    cutoff = np.datetime64("2000-06-30T00:00:00")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        m = ship <= cutoff
+        if not m.any():
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "l_linestatus": pa.array([], pa.string()),
+                    "sum_qty": pa.array([], pa.int64()),
+                    "sum_base_price_cents": pa.array([], pa.int64()),
+                    "sum_disc_price_cents": pa.array([], pa.int64()),
+                    "count_order": pa.array([], pa.int64()),
+                }
+            )
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)[m]
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[m]
+        rf = np.asarray(batch["l_returnflag"].to_pylist(), dtype=object)[m]
+        ls = np.asarray(batch["l_linestatus"].to_pylist(), dtype=object)[m]
+        base_cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        disc_cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        qty_i = np.floor(qty + 0.5).astype(np.int64)
+        keys = np.char.add(np.char.add(rf.astype(str), "|"), ls.astype(str))
+        uk, inv = np.unique(keys, return_inverse=True)
+        rows = {
+            "l_returnflag": [k.split("|")[0] for k in uk],
+            "l_linestatus": [k.split("|")[1] for k in uk],
+            "sum_qty": np.bincount(inv, weights=qty_i, minlength=len(uk)).astype(np.int64),
+            "sum_base_price_cents": np.bincount(inv, weights=base_cents, minlength=len(uk)).astype(np.int64),
+            "sum_disc_price_cents": np.bincount(inv, weights=disc_cents, minlength=len(uk)).astype(np.int64),
+            "count_order": np.bincount(inv, minlength=len(uk)).astype(np.int64),
+        }
+        return pa.table(
+            {
+                "l_returnflag": pa.array(rows["l_returnflag"], pa.string()),
+                "l_linestatus": pa.array(rows["l_linestatus"], pa.string()),
+                "sum_qty": pa.array(rows["sum_qty"]),
+                "sum_base_price_cents": pa.array(rows["sum_base_price_cents"]),
+                "sum_disc_price_cents": pa.array(rows["sum_disc_price_cents"]),
+                "count_order": pa.array(rows["count_order"]),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        sum_qty = batch["sum_qty"].to_numpy()
+        cnt = batch["count_order"].to_numpy()
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "sum_qty": batch["sum_qty"],
+                "sum_base_price": pa.array(batch["sum_base_price_cents"].to_numpy() / 100.0),
+                "sum_disc_price": pa.array(batch["sum_disc_price_cents"].to_numpy() / 100.0),
+                "avg_qty": pa.array(sum_qty / cnt, pa.float64()),
+                "count_order": batch["count_order"],
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+            filter=(pads.field("l_shipdate") <= datetime.datetime(2000, 6, 30)),
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
+            Sum("sum_disc_price_cents", alias_name="sum_disc_price_cents"),
+            Sum("count_order", alias_name="count_order"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )
