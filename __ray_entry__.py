@@ -129,6 +129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_stats": analysis.sentence_stats,
         "char_bigram_top50": analysis.char_bigram_top50,
         "top_docs_per_lang": analysis.top_docs_per_lang,
+        "lang_percentiles": analysis.lang_percentiles,
+        "sample_docs_hash": analysis.sample_docs_hash,
+        "events_asof_purchase": relational.events_asof_purchase,
         "customers_per_region": relational.customers_per_region,
         "orders_by_mktsegment": relational.orders_by_mktsegment,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
@@ -235,6 +238,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             WHERE rn <= 3
+        """,
+        "lang_percentiles": """
+            SELECT lang,
+                   quantile_cont(n_chars, 0.5) AS p50_chars,
+                   quantile_cont(n_chars, 0.9) AS p90_chars
+            FROM documents
+            GROUP BY lang
+        """,
+        "sample_docs_hash": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        """,
+        "events_asof_purchase": """
+            WITH p AS (
+                SELECT user_id, ts, max(value) AS value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts
+            ),
+            c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+            SELECT c.event_id, c.user_id, c.ts, p.value AS last_purchase_value
+            FROM c ASOF LEFT JOIN p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
         """,
         "customers_per_region": """
             SELECT r.r_name AS region,

@@ -451,3 +451,49 @@ def top_docs_per_lang(sf_dir: str, k: int = 3) -> "rd.Dataset":
         .groupby("lang")
         .map_groups(topk, batch_format="pandas")
     )
+
+
+def lang_percentiles(sf_dir: str) -> "rd.Dataset":
+    """Per-language length percentiles (p50/p90, linear interpolation —
+    identical definition to DuckDB ``quantile_cont``).  Grouped exact
+    quantile: one shuffle over 5 language keys, vectorized ``np.percentile``
+    per group.  At 100 TB swap for a t-digest combine inside map_batches;
+    exact is fine while each group's values fit one block."""
+
+    def pcts(group: pd.DataFrame) -> pd.DataFrame:
+        v = group["n_chars"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "lang": [group["lang"].iloc[0]],
+                "p50_chars": [float(np.percentile(v, 50))],
+                "p90_chars": [float(np.percentile(v, 90))],
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .groupby("lang")
+        .map_groups(pcts, batch_format="pandas")
+    )
+
+
+def sample_docs_hash(sf_dir: str) -> "rd.Dataset":
+    """Deterministic content-addressed sampling (SURVEY §2.6 sampling row):
+    keep docs whose md5(doc_id) starts with hex '0' (a ~1/16 sample).
+    Hash-based → reproducible across engines and runs, no RNG state to
+    coordinate across workers; map-only, no shuffle."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        keep = [
+            i
+            for i, d in enumerate(ids)
+            if hashlib.md5(str(d).encode()).hexdigest()[0] == "0"
+        ]
+        return batch.take(pa.array(keep, pa.int64())).select(
+            ["doc_id", "lang", "n_chars"]
+        )
+
+    return _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        f, batch_format="pyarrow"
+    )

@@ -183,6 +183,61 @@ def orders_by_mktsegment(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def events_asof_purchase(sf_dir: str) -> "rd.Dataset":
+    """As-of join (custom operator — Ray Data has no native one): each
+    ``click`` event is joined to the most recent ``purchase`` (ts <= click
+    ts) by the same user.
+
+    Composition: one hash shuffle on ``user_id`` (``groupby.map_groups``),
+    then a per-group sort + vectorized ``np.searchsorted`` — the canonical
+    sort-within-partition as-of pattern.  Partitioning assumption: one
+    user's history fits in one group (true for web-session data; salt the
+    key by time-range if a single user exceeds block size).  Purchases are
+    first deduped to one row per (user, ts) with max(value) so tie
+    semantics are deterministic on both sides."""
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        etype = np.asarray(group["event_type"].to_pylist(), dtype=object)[order]
+        value = group["value"].to_numpy(zero_copy_only=False)[order]
+        eid = group["event_id"].to_numpy(zero_copy_only=False)[order]
+        uid = group["user_id"].to_numpy(zero_copy_only=False)[order]
+
+        pm = etype == "purchase"
+        pts, pval = ts[pm], value[pm]
+        if pts.size:
+            # dedupe to one purchase per ts: max(value) wins (deterministic)
+            uts, inv = np.unique(pts, return_inverse=True)
+            vmax = np.full(len(uts), -np.inf)
+            np.maximum.at(vmax, inv, pval)
+            pts, pval = uts, vmax
+
+        cm = etype == "click"
+        cts = ts[cm]
+        idx = np.searchsorted(pts, cts, side="right") - 1
+        last_val = np.where(idx >= 0, pval[np.clip(idx, 0, None)], np.nan)
+        return pa.table(
+            {
+                "event_id": pa.array(eid[cm], pa.int64()),
+                "user_id": pa.array(uid[cm], pa.int64()),
+                "ts": pa.array(cts),
+                "last_purchase_value": pa.array(last_val, pa.float64(), from_pandas=True),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type", "value"],
+            filter=pads.field("event_type").isin(["click", "purchase"]),
+        )
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+
+
 def lineitem_pricing_summary(sf_dir: str) -> "rd.Dataset":
     """TPC-H-Q1-style pricing summary: filter on shipdate, group by
     (returnflag, linestatus).  Fully vectorized per-batch partials (Arrow →
