@@ -135,6 +135,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_per_region": relational.customers_per_region,
         "orders_by_mktsegment": relational.orders_by_mktsegment,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
+        "revenue_by_supplier_nation": relational.revenue_by_supplier_nation,
+        "inactive_customers": relational.inactive_customers,
+        "distinct_words_per_lang": analysis.distinct_words_per_lang,
+        "user_rolling_avg": analysis.user_rolling_avg,
         # --- dedup / similarity (SQL-checkable where exact) ---------------
         "jaccard_pairs": jaccard_pairs_q,
         "embedding_dup_pairs": embedding_dup_pairs_q,
@@ -290,6 +294,38 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-06-30'
             GROUP BY 1, 2
+        """,
+        "revenue_by_supplier_nation": """
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   sum(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT))/100.0 AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        """,
+        "inactive_customers": """
+            SELECT c_custkey, c_name
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+            )
+        """,
+        "distinct_words_per_lang": """
+            SELECT lang, count(DISTINCT word) AS n_words
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+            GROUP BY lang
+        """,
+        "user_rolling_avg": """
+            SELECT event_id, user_id, ts,
+                   (sum(CAST(floor(value*100 + 0.5) AS BIGINT)) OVER w / 100.0)
+                     / count(*) OVER w AS rolling_avg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
         "exact_dedup": """
             SELECT md5(substr(text, 1, 40)) AS k,

@@ -497,3 +497,78 @@ def sample_docs_hash(sf_dir: str) -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
         f, batch_format="pyarrow"
     )
+
+
+def distinct_words_per_lang(sf_dir: str) -> "rd.Dataset":
+    """Vocabulary size per language — grouped DISTINCT count (G5 family,
+    ``merge_wordlists.ipynb``; the per-language vocabulary measure).
+
+    Two grouped stages, both shuffle-*reduced*: batches emit per-batch
+    unique (lang, word) pairs (map-side dedup), the first groupby dedups
+    globally, then per-batch partial counts feed a tiny per-lang sum.  The
+    shuffle therefore moves |vocab| rows, never |tokens|."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for t, lang in zip(batch["text"].to_pylist(), batch["lang"].to_pylist()):
+            for w in set((t or "").split(" ")):
+                seen.add((lang, w))
+        if not seen:
+            return pa.table({"lang": pa.array([], pa.string()), "word": pa.array([], pa.string())})
+        langs, words = zip(*sorted(seen))
+        return pa.table({"lang": pa.array(langs, pa.string()), "word": pa.array(words, pa.string())})
+
+    distinct_pairs = (
+        _docs(sf_dir, ["text", "lang"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["lang", "word"])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def lang_partial(batch: pa.Table) -> pa.Table:
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        uk, counts = np.unique(langs, return_counts=True)
+        return pa.table(
+            {"lang": pa.array(uk, pa.string()), "n_words": pa.array(counts.astype(np.int64), pa.int64())}
+        )
+
+    return (
+        distinct_pairs.map_batches(lang_partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_words", alias_name="n_words"))
+    )
+
+
+def user_rolling_avg(sf_dir: str, window: int = 3) -> "rd.Dataset":
+    """Per-user rolling mean of event value over the trailing ``window`` rows
+    (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — the bounded-window ordered
+    aggregate (SURVEY §2.9: streaming-shaped, expressed as groupby(key) +
+    per-group ordered compute; ordering key (ts, event_id) is total).
+
+    Exactness: values become integer cents BEFORE the window sum, so the
+    rolling sum is order-independent int math and the final divide is one
+    float op — identical to the SQL oracle, no float-accumulation drift.
+    Scale: one shuffle on user_id; each group is one user's events."""
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable").reset_index(drop=True)
+        cents = np.floor(g["value"].to_numpy(dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        n = len(cents)
+        lo = np.maximum(np.arange(n) - (window - 1), 0)
+        wsum = csum[np.arange(n) + 1] - csum[lo]
+        wcnt = np.arange(n) + 1 - lo
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "ts": g["ts"],
+                "rolling_avg": (wsum / 100.0) / wcnt,
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(roll, batch_format="pandas")
+    )

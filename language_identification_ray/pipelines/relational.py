@@ -319,3 +319,123 @@ def lineitem_pricing_summary(sf_dir: str) -> "rd.Dataset":
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def revenue_by_supplier_nation(sf_dir: str) -> "rd.Dataset":
+    """TPC-H-Q5-shaped revenue rollup: lineitem ⋈ supplier ⋈ nation ⋈ region,
+    grouped by (region, nation) — implemented as a **broadcast star join**.
+
+    Scale path: the three dimension tables are tiny at ANY scale factor
+    (supplier is the largest at ~10k rows/TB; nation/region are fixed 25/5),
+    so they are composed driver-side into ONE suppkey → (region, nation)
+    array pair and ``ray.put`` once; every lineitem batch does two numpy
+    gathers — the 100 TB fact table never shuffles.  Per-batch partials
+    reduce each block to ≤ |nation| rows before the final tiny groupby.
+    Reference analogue: the in-UDF broadcast-lookup join family (SURVEY
+    §2.4, ``dictionary_langid/datatypes.py:86-113``) applied relationally.
+    """
+    import pyarrow.parquet as pq
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet")
+    reg = pq.read_table(f"{sf_dir}/region.parquet")
+    n_key = nat["n_nationkey"].to_numpy()
+    n_name = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    n_region = nat["n_regionkey"].to_numpy()
+    r_name_by_key = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
+    # dense nationkey → (nation, region) tables
+    max_n = int(n_key.max()) + 1
+    nation_name = np.empty(max_n, dtype=object)
+    region_name = np.empty(max_n, dtype=object)
+    nation_name[n_key] = n_name
+    region_name[n_key] = [r_name_by_key[int(r)] for r in n_region]
+    # dense suppkey → nationkey
+    s_key = sup["s_suppkey"].to_numpy()
+    s_nat = sup["s_nationkey"].to_numpy()
+    supp_nation = np.full(int(s_key.max()) + 1, -1, dtype=np.int64)
+    supp_nation[s_key] = s_nat
+    lookup_ref = ray.put((supp_nation, nation_name, region_name))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        supp_nation, nation_name, region_name = ray.get(lookup_ref)
+        nk = supp_nation[batch["l_suppkey"].to_numpy(zero_copy_only=False)]
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # exact cents of extendedprice*(1-discount), round-half-up (Q1 convention)
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        uk, inv = np.unique(nk, return_inverse=True)
+        tot = np.bincount(inv, weights=rev, minlength=len(uk)).astype(np.int64)
+        cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {
+                "region": pa.array(region_name[uk], pa.string()),
+                "nation": pa.array(nation_name[uk], pa.string()),
+                "revenue_cents": pa.array(tot, pa.int64()),
+                "n_items": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "region": batch["region"],
+                "nation": batch["nation"],
+                "revenue": pa.array(batch["revenue_cents"].to_numpy() / 100.0, pa.float64()),
+                "n_items": batch["n_items"],
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["region", "nation"])
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_items", alias_name="n_items"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def inactive_customers(sf_dir: str, cutoff: str = "2001-01-01") -> "rd.Dataset":
+    """Anti-join: customers with NO order on/after ``cutoff``.
+
+    Distributed anti-join shape (NOT EXISTS): the order side is first
+    reduced to distinct active custkeys by a groupby (shuffle moves one row
+    per active customer, not one per order), then ``Dataset.join`` left-outer
+    against customer and a null-probe filter keeps the non-matching rows.
+    At 100 TB both sides stay distributed — no driver-side key set.  The
+    reference's analogous op is the cardinality anti-join in
+    ``merge_wordlists.ipynb`` cells 3-4 (SURVEY §2.7 D3).
+    """
+    from ray.data.aggregate import Count
+
+    cut = datetime.datetime.fromisoformat(cutoff)
+    active = (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate"],
+            filter=(pads.field("o_orderdate") >= cut),
+        )
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_recent"))
+    )
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    joined = cust.join(
+        active,
+        join_type="left_outer",
+        num_partitions=8,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+
+    import pyarrow.compute as pc
+
+    def keep_unmatched(batch: pa.Table) -> pa.Table:
+        m = pc.is_null(batch["n_recent"])
+        return batch.filter(m).select(["c_custkey", "c_name"])
+
+    return joined.map_batches(keep_unmatched, batch_format="pyarrow")
