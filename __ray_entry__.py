@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_pages": quality_filter.run,
         "langid_documents": langid_documents,
         "perplexity_documents": perplexity_documents,
+        "distinct_words_per_lang_hll": analysis.distinct_words_per_lang_hll,
+        "lang_percentiles_sketch": analysis.lang_percentiles_sketch,
         "minhash_lsh_pairs": minhash_pairs_q,
         "simhash_pairs": simhash_pairs_q,
         "knn_lsh_top10": knn_lsh_q,

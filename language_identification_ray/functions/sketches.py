@@ -1,0 +1,128 @@
+"""Mergeable sketches — the 100 TB path for distinct counts and percentiles.
+
+The exact grouped operators (`analysis.distinct_words_per_lang`,
+`analysis.lang_percentiles`) shuffle one row per distinct key / hold a whole
+group in one block.  At 10^12 documents both break: the vocabulary no longer
+fits a shuffle and a head language's lengths no longer fit a block.  These
+sketches keep the shuffle O(groups × sketch-bytes) instead:
+
+* **HyperLogLog** (Flajolet et al. 2007): per-batch fixed 2^p-byte register
+  arrays, merged with elementwise max — associative, commutative, idempotent,
+  so Ray can combine them in any order.  Registers are fed from the same
+  stable uint32 word hashes as the dedup suite (`stages/dedup._hash_words32`
+  — pandas siphash folded to 32 bits; this sandbox emulates 64-bit multiplies
+  ~250× slower, and at 32 bits the estimator is good to ~10^8-10^9 distincts;
+  switch the fold to 64-bit murmur on real hardware for larger vocabularies).
+
+* **Mergeable quantile summary**: a uniform-weight centroid digest (t-digest
+  with uniform bucket sizes).  Each partial is ≤ k (value, weight) centroids;
+  merge = weighted sort-merge + recompress to k.  Error is O(1/k) in rank;
+  k=256 gives ≲0.4% rank error — plenty for p50/p90 quality cut-offs.
+
+Reference analogue: the reference has NO approximate aggregates (its README
+cites Good–Turing papers only as PDFs, SURVEY §2.5) — these are the scale
+extensions the north_star's 10^12-doc run needs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (registers as a numpy uint8 array)
+
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hll_alpha(m: int) -> float:
+    return _HLL_ALPHA.get(m, 0.7213 / (1.0 + 1.079 / m))
+
+
+def hll_empty(p: int = 12) -> np.ndarray:
+    return np.zeros(1 << p, dtype=np.uint8)
+
+
+def hll_add_hashes(regs: np.ndarray, h32: np.ndarray, p: int = 12) -> None:
+    """Fold a uint32 hash array into the registers, in place. Vectorized;
+    no 64-bit arithmetic (sandbox-fast)."""
+    if len(h32) == 0:
+        return
+    h32 = h32.astype(np.uint32, copy=False)
+    idx = (h32 >> np.uint32(32 - p)).astype(np.int64)
+    w = (h32 << np.uint32(p)).astype(np.uint32)  # top 32-p bits of interest
+    # rank = leading zeros of w (within 32 bits) + 1, capped at 32-p+1
+    rank = np.full(len(w), 32 - p + 1, dtype=np.uint8)
+    nz = w != 0
+    if nz.any():
+        # floor(log2(w)) exactly via frexp on float64 (uint32 fits exactly)
+        _, e = np.frexp(w[nz].astype(np.float64))
+        clz = (32 - e).astype(np.uint8)  # e = floor(log2(w)) + 1
+        rank[nz] = np.minimum(clz + 1, 32 - p + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    est = hll_alpha(m) * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            est = m * np.log(m / zeros)  # linear counting, small range
+    return float(est)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile summary (uniform centroid digest)
+
+
+def _compress(v: np.ndarray, w: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Recompress sorted (centroid, weight) pairs to ≤ k using the t-digest
+    arcsine scale function (Dunning & Ertl 2019): buckets shrink toward the
+    tails, so extreme quantiles (p99) stay sharp while the middle stays
+    O(1/k)-accurate."""
+    if len(v) <= k:
+        return v, w
+    cum = np.cumsum(w)
+    total = cum[-1]
+    q = (cum - w / 2.0) / total  # mid-rank quantile of each centroid
+    scale = np.arcsin(2.0 * q - 1.0) / np.pi + 0.5  # k1 scale, in [0, 1]
+    bucket = np.minimum(scale * k, k - 1e-9).astype(np.int64)
+    wsum = np.bincount(bucket, weights=w, minlength=k)
+    vsum = np.bincount(bucket, weights=v * w, minlength=k)
+    nz = wsum > 0
+    return vsum[nz] / wsum[nz], wsum[nz]
+
+
+def qsketch_from_values(values: np.ndarray, k: int = 256) -> tuple[np.ndarray, np.ndarray]:
+    """Compress raw values to ≤ k (centroid, weight) pairs."""
+    v = np.sort(np.asarray(values, dtype=np.float64))
+    return _compress(v, np.ones(len(v), dtype=np.float64), k)
+
+
+def qsketch_merge(
+    vals_a: np.ndarray, wts_a: np.ndarray, vals_b: np.ndarray, wts_b: np.ndarray, k: int = 256
+) -> tuple[np.ndarray, np.ndarray]:
+    """Weighted merge of two digests, recompressed to ≤ k centroids."""
+    v = np.concatenate([vals_a, vals_b])
+    w = np.concatenate([wts_a, wts_b])
+    order = np.argsort(v, kind="stable")
+    return _compress(v[order], w[order], k)
+
+
+def qsketch_quantile(vals: np.ndarray, wts: np.ndarray, q: float) -> float:
+    """Weighted-centroid quantile with linear interpolation between
+    centroids (matches np.percentile/quantile_cont semantics as k → n)."""
+    if len(vals) == 0:
+        return float("nan")
+    if len(vals) == 1:
+        return float(vals[0])
+    cum = np.cumsum(wts)
+    total = cum[-1]
+    # centroid i sits at rank (cum[i] - wts[i]/2); target rank = q*(total-1)+0.5
+    ranks = cum - wts / 2.0
+    target = q * (total - 1.0) + 0.5
+    return float(np.interp(target, ranks, vals))

@@ -572,3 +572,90 @@ def user_rolling_avg(sf_dir: str, window: int = 3) -> "rd.Dataset":
         .groupby("user_id")
         .map_groups(roll, batch_format="pandas")
     )
+
+
+def distinct_words_per_lang_hll(sf_dir: str, p: int = 12) -> "rd.Dataset":
+    """Approximate per-language vocabulary via HyperLogLog — the 100 TB
+    variant of ``distinct_words_per_lang``.  Per-batch partials are fixed
+    2^p-byte register arrays (one per language seen in the batch); the
+    shuffle moves O(langs × 4 KiB) regardless of corpus size, and the merge
+    (elementwise max) is order-independent.  ~1.04/sqrt(2^p) ≈ 1.6% rel
+    error at p=12.  See ``functions/sketches.py``."""
+    from language_identification_ray.functions import sketches as sk
+    from language_identification_ray.stages.dedup import _hash_words32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        by_lang: dict = {}
+        for t, lang in zip(batch["text"].to_pylist(), batch["lang"].to_pylist()):
+            words = list(set((t or "").split(" ")))
+            regs = by_lang.get(lang)
+            if regs is None:
+                regs = by_lang[lang] = sk.hll_empty(p)
+            sk.hll_add_hashes(regs, _hash_words32(words), p)
+        langs = sorted(by_lang)
+        return pa.table(
+            {
+                "lang": pa.array(langs, pa.string()),
+                "regs": pa.array([by_lang[l].tobytes() for l in langs], pa.binary()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = sk.hll_empty(p)
+        for b in g["regs"]:
+            regs = sk.hll_merge(regs, np.frombuffer(b, dtype=np.uint8))
+        return pd.DataFrame(
+            {"lang": [g["lang"].iloc[0]], "n_words_approx": [sk.hll_estimate(regs)]}
+        )
+
+    return (
+        _docs(sf_dir, ["text", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def lang_percentiles_sketch(sf_dir: str, k: int = 256) -> "rd.Dataset":
+    """Per-language p50/p90 via a mergeable quantile digest — the 100 TB
+    variant of ``lang_percentiles`` (which holds each group's raw values in
+    one block).  Partials are ≤ k centroids per language per batch; the
+    shuffle moves O(langs × k) floats.  See ``functions/sketches.py``."""
+    from language_identification_ray.functions import sketches as sk
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs_np = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        vals_np = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        out_lang, out_vals, out_wts = [], [], []
+        for lang in sorted(set(langs_np.tolist())):
+            v, w = sk.qsketch_from_values(vals_np[langs_np == lang], k)
+            out_lang.append(lang)
+            out_vals.append(v.tolist())
+            out_wts.append(w.tolist())
+        return pa.table(
+            {
+                "lang": pa.array(out_lang, pa.string()),
+                "qs_vals": pa.array(out_vals, pa.list_(pa.float64())),
+                "qs_wts": pa.array(out_wts, pa.list_(pa.float64())),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        vals = np.empty(0, dtype=np.float64)
+        wts = np.empty(0, dtype=np.float64)
+        for v, w in zip(g["qs_vals"], g["qs_wts"]):
+            vals, wts = sk.qsketch_merge(vals, wts, np.asarray(v), np.asarray(w), k)
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "p50_chars": [sk.qsketch_quantile(vals, wts, 0.5)],
+                "p90_chars": [sk.qsketch_quantile(vals, wts, 0.9)],
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pandas")
+    )

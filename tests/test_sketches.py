@@ -1,0 +1,102 @@
+"""Sketch accuracy: HLL distinct count and mergeable quantile digest must
+track their exact counterparts within published error bounds."""
+
+import numpy as np
+import pytest
+
+from language_identification_ray.functions import sketches as sk
+
+
+def test_hll_accuracy_pure():
+    rng = np.random.default_rng(7)
+    for n in [100, 5_000, 200_000]:
+        h = rng.integers(0, 2**32, size=n, dtype=np.uint64).astype(np.uint32)
+        h = np.unique(h)
+        regs = sk.hll_empty(12)
+        # feed in chunks and in shuffled order — merge must not care
+        parts = np.array_split(rng.permutation(h), 7)
+        merged = sk.hll_empty(12)
+        for part in parts:
+            r = sk.hll_empty(12)
+            sk.hll_add_hashes(r, part, 12)
+            merged = sk.hll_merge(merged, r)
+        sk.hll_add_hashes(regs, h, 12)
+        assert np.array_equal(regs, merged)  # merge == bulk
+        est = sk.hll_estimate(regs)
+        assert abs(est - len(h)) / len(h) < 0.05, (n, est)
+
+
+def test_hll_idempotent_and_empty():
+    regs = sk.hll_empty(12)
+    assert sk.hll_estimate(regs) == 0.0
+    h = np.array([123456789, 42], dtype=np.uint32)
+    a = sk.hll_empty(12)
+    sk.hll_add_hashes(a, h, 12)
+    b = a.copy()
+    sk.hll_add_hashes(b, h, 12)  # re-adding changes nothing
+    assert np.array_equal(a, b)
+
+
+@pytest.mark.parametrize("dist", ["uniform", "lognormal", "bimodal"])
+def test_qsketch_accuracy_pure(dist):
+    rng = np.random.default_rng(11)
+    n = 100_000
+    if dist == "uniform":
+        v = rng.uniform(0, 1000, n)
+    elif dist == "lognormal":
+        v = rng.lognormal(3, 1.5, n)
+    else:
+        v = np.concatenate([rng.normal(10, 1, n // 2), rng.normal(1000, 50, n // 2)])
+    # build from shuffled chunks, merge pairwise
+    vals = np.empty(0)
+    wts = np.empty(0)
+    for chunk in np.array_split(rng.permutation(v), 23):
+        cv, cw = sk.qsketch_from_values(chunk, 256)
+        vals, wts = sk.qsketch_merge(vals, wts, cv, cw, 256)
+    assert len(vals) <= 256
+    assert float(np.sum(wts)) == pytest.approx(n)
+    for q in [0.1, 0.5, 0.9, 0.99]:
+        approx = sk.qsketch_quantile(vals, wts, q)
+        # the digest guarantee is on RANK error (value error is unbounded in
+        # density gaps, e.g. the bimodal median): F(approx) must be within
+        # 1% of q.
+        rank = float(np.mean(v < approx) + 0.5 * np.mean(v == approx))
+        assert abs(rank - q) < 0.01, (q, rank, approx)
+
+
+def test_qsketch_small_exact():
+    v = np.array([3.0, 1.0, 2.0])
+    vals, wts = sk.qsketch_from_values(v, 256)
+    assert sk.qsketch_quantile(vals, wts, 0.5) == 2.0
+    assert sk.qsketch_quantile(vals, wts, 0.0) == 1.0
+    assert sk.qsketch_quantile(vals, wts, 1.0) == 3.0
+
+
+def test_sketch_pipelines_match_exact(ray_session, sf_dir):
+    """The Ray sketch pipelines must track the exact grouped operators."""
+    from language_identification_ray.pipelines import analysis
+
+    exact_v = {
+        r["lang"]: r["n_words"]
+        for r in analysis.distinct_words_per_lang(sf_dir).take_all()
+    }
+    approx_v = {
+        r["lang"]: r["n_words_approx"]
+        for r in analysis.distinct_words_per_lang_hll(sf_dir).take_all()
+    }
+    assert set(exact_v) == set(approx_v)
+    for lang, n in exact_v.items():
+        assert abs(approx_v[lang] - n) / n < 0.05, (lang, n, approx_v[lang])
+
+    exact_q = {
+        r["lang"]: (r["p50_chars"], r["p90_chars"])
+        for r in analysis.lang_percentiles(sf_dir).take_all()
+    }
+    approx_q = {
+        r["lang"]: (r["p50_chars"], r["p90_chars"])
+        for r in analysis.lang_percentiles_sketch(sf_dir).take_all()
+    }
+    assert set(exact_q) == set(approx_q)
+    for lang in exact_q:
+        for e, a in zip(exact_q[lang], approx_q[lang]):
+            assert abs(a - e) / max(e, 1.0) < 0.02, (lang, e, a)
