@@ -136,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_mktsegment": relational.orders_by_mktsegment,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "revenue_by_supplier_nation": relational.revenue_by_supplier_nation,
+        "events_purchases_within_hour": relational.events_purchases_within_hour,
         "inactive_customers": relational.inactive_customers,
         "distinct_words_per_lang": analysis.distinct_words_per_lang,
         "user_rolling_avg": analysis.user_rolling_avg,
@@ -306,6 +307,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey
             GROUP BY 1, 2
+        """,
+        "events_purchases_within_hour": """
+            SELECT c.event_id, c.user_id, c.ts,
+                   count(p.ts) AS n_purchases_1h
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+            LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.ts BETWEEN c.ts - INTERVAL 1 HOUR AND c.ts
+            GROUP BY 1, 2, 3
         """,
         "inactive_customers": """
             SELECT c_custkey, c_name

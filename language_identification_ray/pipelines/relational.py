@@ -439,3 +439,51 @@ def inactive_customers(sf_dir: str, cutoff: str = "2001-01-01") -> "rd.Dataset":
         return batch.filter(m).select(["c_custkey", "c_name"])
 
     return joined.map_batches(keep_unmatched, batch_format="pyarrow")
+
+
+def events_purchases_within_hour(sf_dir: str) -> "rd.Dataset":
+    """Range join: for every click, count same-user purchases in the
+    trailing 1-hour interval ``[click.ts - 1h, click.ts]`` (inclusive).
+
+    Distributed range-join shape: one shuffle on the equi-key (user_id),
+    then per-group ordered interval probes — purchases sorted once per
+    group, every click answered with two binary searches
+    (``np.searchsorted``), never a per-pair nested loop.  This is the same
+    partitioning contract as the as-of join (``events_asof_purchase``):
+    one user's events co-located and ordered within the group.  At 10^12
+    rows hot users are the skew risk — salt the key and merge per-salt
+    counts (counts are additive over disjoint purchase partitions).
+    """
+
+    def per_user(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy(zero_copy_only=False).astype("datetime64[ns]").astype(np.int64)
+        etype = np.asarray(group["event_type"].to_pylist(), dtype=object)
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        etype = etype[order]
+        eid = group["event_id"].to_numpy(zero_copy_only=False)[order]
+        clicks = etype == "click"
+        p_ts = ts[etype == "purchase"]
+        c_ts = ts[clicks]
+        hour = np.int64(3_600_000_000_000)
+        lo = np.searchsorted(p_ts, c_ts - hour, side="left")
+        hi = np.searchsorted(p_ts, c_ts, side="right")
+        n = (hi - lo).astype(np.int64)
+        uid = group["user_id"].to_numpy(zero_copy_only=False)[0]
+        return pa.table(
+            {
+                "event_id": pa.array(eid[clicks]),
+                "user_id": pa.array(np.full(int(clicks.sum()), uid)),
+                "ts": pa.array(c_ts.astype("datetime64[ns]")),
+                "n_purchases_1h": pa.array(n, pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type"],
+        )
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
