@@ -68,10 +68,12 @@ def test_media_resize(ray_session, sf_dir):
     )
 
     ds = synthesize_media(sf_dir)
+    # autoscaling (1,2) pools: two FIXED 2-actor pools would pin all 4 CPUs
+    # of the test session and starve the read tasks (observed deadlock)
     ds = ds.map_batches(MediaResize, batch_format="pyarrow", batch_size=64,
-                        concurrency=2, fn_constructor_kwargs={"max_side": 32})
+                        concurrency=(1, 2), fn_constructor_kwargs={"max_side": 32})
     out = ds.map_batches(MediaDecoder, batch_format="pyarrow", batch_size=64,
-                         concurrency=2).to_pandas()
+                         concurrency=(1, 2)).to_pandas()
     assert (out["width"] <= 32).all() and (out["height"] <= 32).all()
     assert out["decode_ok"].all()
 
