@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": analysis.lang_stats,
         "source_stats": analysis.source_stats,
         "word_freq_top100": analysis.word_freq_top100,
+        "word_freq_top100_mg": analysis.word_freq_top100_mg,
         "bigram_top50": analysis.bigram_top50,
         "doc_frequency": analysis.doc_frequency,
         "word_lang_incidence": analysis.word_lang_incidence,
@@ -196,6 +197,13 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY source
         """,
         "word_freq_top100": """
+            SELECT word, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            GROUP BY word
+            ORDER BY cnt DESC, word ASC
+            LIMIT 100
+        """,
+        "word_freq_top100_mg": """
             SELECT word, count(*) AS cnt
             FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
             GROUP BY word

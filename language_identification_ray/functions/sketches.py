@@ -126,3 +126,35 @@ def qsketch_quantile(vals: np.ndarray, wts: np.ndarray, q: float) -> float:
     ranks = cum - wts / 2.0
     target = q * (total - 1.0) + 0.5
     return float(np.interp(target, ranks, vals))
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters (mergeable summaries, Agarwal et al. 2012)
+
+
+def mg_compress(words: np.ndarray, counts: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Compress a (word, count) summary to ≤ k entries, Misra–Gries style:
+    subtract the (k+1)-th largest count from everything and drop ≤ 0.
+    Counts become LOWER bounds with error ≤ n/(k+1) of the summarized
+    weight; frequencies above that error can never be evicted."""
+    if len(words) <= k:
+        return words, counts
+    kth = np.partition(counts, len(counts) - (k + 1))[len(counts) - (k + 1)]
+    keep = counts > kth
+    return words[keep], counts[keep] - kth
+
+
+def mg_merge(
+    words_a: np.ndarray,
+    counts_a: np.ndarray,
+    words_b: np.ndarray,
+    counts_b: np.ndarray,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Merge two MG summaries: sum counts by word, recompress.  Errors add,
+    staying ≤ total_weight/(k+1) — the mergeable-summaries guarantee."""
+    w = np.concatenate([words_a, words_b])
+    c = np.concatenate([counts_a, counts_b])
+    uw, inv = np.unique(w, return_inverse=True)
+    uc = np.bincount(inv, weights=c, minlength=len(uw)).astype(np.int64)
+    return mg_compress(uw, uc, k)

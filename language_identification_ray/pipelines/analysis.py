@@ -659,3 +659,38 @@ def lang_percentiles_sketch(sf_dir: str, k: int = 256) -> "rd.Dataset":
         .groupby("lang")
         .map_groups(merge, batch_format="pandas")
     )
+
+
+def word_freq_top100_mg(sf_dir: str, k: int = 65536) -> "rd.Dataset":
+    """Heavy hitters via Misra–Gries mergeable summaries — the 100 TB
+    variant of ``word_freq_top100``.  Each batch partial is MG-compressed
+    to ≤ k (word, cnt) entries BEFORE the shuffle, so the exchange is
+    bounded by k per batch no matter how large the vocabulary grows; the
+    final groupby + top-100 runs over summaries, not the raw vocabulary.
+
+    Counts are exact while each partial holds ≤ k distinct words (true at
+    every test scale factor — hence the shared SQL oracle) and become
+    lower bounds with error ≤ total_tokens/(k+1) beyond that, which still
+    identifies every word with frequency above that bound (the MG
+    guarantee).  See ``functions/sketches.py``."""
+    from language_identification_ray.functions import sketches as sk
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch["text"].to_pylist():
+            c.update((t or "").split(" "))
+        if not c:
+            return pa.table({"word": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        words = np.asarray(list(c.keys()), dtype=object)
+        cnts = np.asarray(list(c.values()), dtype=np.int64)
+        words, cnts = sk.mg_compress(words, cnts, k)
+        return pa.table({"word": pa.array(words, pa.string()), "cnt": pa.array(cnts, pa.int64())})
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "word"], descending=[True, False])
+        .limit(100)
+    )

@@ -100,3 +100,40 @@ def test_sketch_pipelines_match_exact(ray_session, sf_dir):
     for lang in exact_q:
         for e, a in zip(exact_q[lang], approx_q[lang]):
             assert abs(a - e) / max(e, 1.0) < 0.02, (lang, e, a)
+
+
+def test_mg_heavy_hitters_pure():
+    """MG with compression engaged: top heavy hitters survive with bounded
+    count error (≤ total/(k+1) per the mergeable-summaries guarantee)."""
+    rng = np.random.default_rng(3)
+    n, vocab, k = 200_000, 20_000, 512
+    words = rng.zipf(1.3, n) % vocab  # skewed
+    uw, uc = np.unique(words, return_counts=True)
+    order = np.argsort(uc)[::-1]
+    true_top = uw[order[:20]]
+    true_counts = dict(zip(uw.tolist(), uc.tolist()))
+
+    merged_w = np.empty(0, dtype=np.int64)
+    merged_c = np.empty(0, dtype=np.int64)
+    n_compressed = 0
+    for chunk in np.array_split(words, 37):
+        cw, cc = np.unique(chunk, return_counts=True)
+        cw2, cc2 = sk.mg_compress(cw, cc.astype(np.int64), k)
+        n_compressed += int(len(cw2) < len(cw))
+        merged_w, merged_c = sk.mg_merge(merged_w, merged_c, cw2, cc2, k)
+    assert n_compressed > 0, "test must exercise compression"
+    assert len(merged_w) <= k
+    summary = dict(zip(merged_w.tolist(), merged_c.tolist()))
+    err_bound = n / (k + 1)
+    for w in true_top:
+        tc = true_counts[int(w)]
+        assert int(w) in summary, (w, tc)
+        lo = summary[int(w)]
+        assert lo <= tc and tc - lo <= err_bound * 2, (w, tc, lo)
+
+
+def test_mg_exact_below_k():
+    w = np.asarray(["a", "b", "c"], dtype=object)
+    c = np.asarray([5, 3, 1], dtype=np.int64)
+    w2, c2 = sk.mg_compress(w, c, 10)
+    assert list(w2) == ["a", "b", "c"] and list(c2) == [5, 3, 1]
