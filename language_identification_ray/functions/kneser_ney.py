@@ -109,6 +109,46 @@ class KNModel:
             n += 1
         return total, n
 
+    def generate_sentence(self, min_length: int = 4, seed: int = 0, max_words: int = 200) -> str:
+        """Random sentence from the highest-order table — reference
+        ``modified_kneser_ney.py:760-805`` semantics (sample the next word
+        from the renormalized highest-order conditional given the current
+        context; retry whole sentences until ``min_length``).  Deterministic
+        via an explicit ``seed`` instead of the reference's global
+        ``random`` (workers must not share mutable RNG state)."""
+        import random as _random
+
+        rng = _random.Random(seed)
+        if not hasattr(self, "_gen_index"):
+            idx: Dict[tuple, list] = {}
+            for ng, lp in self.probs.items():
+                if len(ng) == self.order:
+                    idx.setdefault(ng[:-1], []).append((ng[-1], lp))
+            self._gen_index = idx
+        body: list = []
+        for _ in range(1000):
+            sent = [BOS] * (self.order - 1)
+            while (not sent or sent[-1] != EOS) and len(sent) < max_words:
+                ctx = tuple(sent[len(sent) - self.order + 1 :])
+                cands = self._gen_index.get(ctx)
+                if not cands:
+                    sent.append(EOS)
+                    break
+                mx = max(lp for _, lp in cands)
+                weights = [2.0 ** (lp - mx) for _, lp in cands]
+                r = rng.random() * sum(weights)
+                word = cands[-1][0]
+                for (w, _), p in zip(cands, weights):
+                    r -= p
+                    if r < 0:
+                        word = w
+                        break
+                sent.append(word)
+            body = [w for w in sent[self.order - 1 :] if w != EOS]
+            if len(body) >= min_length:
+                return " ".join(body)
+        return " ".join(body)
+
     def perplexity(self, text: str) -> float:
         """2^(-avg log2 P) over all sentences of a document; inf-safe."""
         total, n = 0.0, 0
