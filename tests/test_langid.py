@@ -150,3 +150,28 @@ def test_held_out_accuracy(ensemble):
     hits = sum(1 for (want, _), got in zip(HELD_OUT, langs) if got == want)
     assert hits >= 10, list(zip([w for w, _ in HELD_OUT], langs))
     assert all(c > 0 for c in confs)
+
+
+def test_set_or_append_overwrites_existing():
+    """Input tables carry an upstream `lang` hint column — stages must
+    REPLACE it, never append a duplicate name (breaks downstream concat)."""
+    import pyarrow as pa
+
+    from language_identification_ray.stages.langid import set_or_append
+
+    t = pa.table({"doc_id": [1, 2], "lang": ["xx", "yy"]})
+    out = set_or_append(t, "lang", pa.array(["en", "de"]))
+    assert out.schema.names == ["doc_id", "lang"]
+    assert out["lang"].to_pylist() == ["en", "de"]
+    out2 = set_or_append(t, "lang_conf", pa.array([0.5, 0.7]))
+    assert out2.schema.names == ["doc_id", "lang", "lang_conf"]
+
+
+def test_to_iso639_1_remap():
+    from language_identification_ray.functions.langcodes import to_iso639_1
+
+    assert to_iso639_1("eng") == "en"
+    assert to_iso639_1("deu") == "de"
+    assert to_iso639_1("en") == "en"     # already short: pass through
+    assert to_iso639_1("zzz") == "zzz"   # unknown: pass through
+    assert to_iso639_1("") == ""

@@ -53,3 +53,69 @@ def test_batch_call():
     assert out["scrubbed_text"].to_pylist() == ["<EMAIL>", "clean"]
     assert out["pii_emails"].to_pylist() == [1, 0]
     assert out["pii_phones"].type == pa.int32()
+
+
+def test_scrub_gates_are_sound():
+    """Property: the vectorized gates are NECESSARY conditions — any doc a
+    PII/repeat regex would modify must be gated in (a gated-out doc is
+    guaranteed byte-identical under the full regex pass)."""
+    import numpy as np
+
+    from language_identification_ray.stages.scrub import (
+        RE_EMAIL,
+        RE_PHONE,
+        RE_REPEAT,
+        RE_SSN,
+        _scrub_gates,
+    )
+
+    texts = [
+        "plain text no pii",
+        "mail me at a.b+c@example.co.uk today",
+        "ssn 123-45-6789 hidden",
+        "call (415) 555-0199 now",
+        "hahahahahahaha so funny",
+        "abababababab pattern",
+        "numbers 12345678 only eight",
+        "",
+        "at sign @ alone",
+        "x" * 30,
+        "12 34 56 78 90 spread digits",
+    ]
+    has_at, has_digits, has_repeat = _scrub_gates(texts)
+    for i, t in enumerate(texts):
+        if RE_EMAIL.search(t):
+            assert has_at[i], t
+        if RE_SSN.search(t) or RE_PHONE.search(t):
+            assert has_digits[i], t
+        if RE_REPEAT.search(t):
+            assert has_repeat[i], t
+
+
+def test_scrub_gates_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from language_identification_ray.stages.scrub import (
+        RE_EMAIL,
+        RE_PHONE,
+        RE_REPEAT,
+        RE_SSN,
+        _scrub_gates,
+    )
+
+    alphabet = st.sampled_from(list("ab1@.-() hahaha123456789\né中"))
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.text(alphabet, max_size=40), max_size=6))
+    def check(texts):
+        has_at, has_digits, has_repeat = _scrub_gates(texts)
+        for i, t in enumerate(texts):
+            if RE_EMAIL.search(t):
+                assert has_at[i]
+            if RE_SSN.search(t) or RE_PHONE.search(t):
+                assert has_digits[i]
+            if RE_REPEAT.search(t):
+                assert has_repeat[i]
+
+    check()
