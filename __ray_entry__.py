@@ -97,6 +97,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = np.array(tbl["embedding"].to_pylist()[int(np.argmin(ids))], dtype=np.float64)
         return ivf_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=10)
 
+    def knn_batch_q(sf_dir: str):
+        """Batched ANN: exact cosine top-5 for a broadcast 8-query matrix —
+        the realistic batch shape (one matmul per block serves every query)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from language_identification_ray.stages.knn import brute_force_topk
+
+        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        order = np.argsort(tbl["vec_id"].to_numpy())[:8]
+        qmat = np.array([tbl["embedding"].to_pylist()[i] for i in order], dtype=np.float64)
+        out = brute_force_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), qmat, k=5)
+        return out.map_batches(lambda t: t.select(["query_idx", "vec_id"]), batch_format="pyarrow")
+
     def knn_lsh_q(sf_dir: str):
         import numpy as np
         import pyarrow.parquet as pq
@@ -125,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": analysis.events_hourly,
         "events_sessionize": analysis.events_sessionize,
         "knn_cosine_top10": analysis.knn_cosine_top10,
+        "knn_batch_top5": knn_batch_q,
         "normalize_umlauts": analysis.normalize_umlauts,
         "edit_distance_sample": analysis.edit_distance_sample,
         "sentence_stats": analysis.sentence_stats,
@@ -413,6 +428,22 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings e, q
             ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC
             LIMIT 10
+        """,
+        "knn_batch_top5": """
+            WITH q AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_idx,
+                       embedding AS qe
+                FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            scored AS (
+                SELECT q.query_idx, e.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_idx
+                           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC,
+                                    e.vec_id ASC) AS rn
+                FROM embeddings e CROSS JOIN q
+            )
+            SELECT query_idx, vec_id FROM scored WHERE rn <= 5
         """,
         "jaccard_pairs": """
             WITH w AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws FROM documents)
