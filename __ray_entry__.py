@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": analysis.doc_fingerprint,
         "stopword_stats": analysis.stopword_stats,
         "lang_stats": analysis.lang_stats,
+        "lang_stats_salted": analysis.lang_stats_salted,
         "source_stats": analysis.source_stats,
         "word_freq_top100": analysis.word_freq_top100,
         "word_freq_top100_mg": analysis.word_freq_top100_mg,
@@ -196,6 +197,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "lang_stats": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   sum(n_chars) AS total_chars,
+                   avg(n_chars) AS avg_chars
+            FROM documents
+            GROUP BY lang
+        """,
+        "lang_stats_salted": """
             SELECT lang,
                    count(*) AS n_docs,
                    sum(n_chars) AS total_chars,

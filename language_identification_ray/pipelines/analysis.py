@@ -694,3 +694,57 @@ def word_freq_top100_mg(sf_dir: str, k: int = 65536) -> "rd.Dataset":
         .sort(["cnt", "word"], descending=[True, False])
         .limit(100)
     )
+
+
+def lang_stats_salted(sf_dir: str, n_salts: int = 8) -> "rd.Dataset":
+    """``lang_stats`` computed through an explicit SALTED two-stage groupby —
+    the skew-rebalance pattern the north_rule requires for power-law
+    language keys (eng dominates web text; SURVEY §4.1 'skew' row).
+
+    Stage 1 groups by (lang, salt) where salt = md5(doc_id) % n_salts, so a
+    hot language's rows spread over n_salts reducers instead of one; stage 2
+    combines the ≤ langs × n_salts partials (sums/counts are additive, the
+    mean is recovered from them).  Result is IDENTICAL to the unsalted
+    groupby — proven by sharing ``lang_stats``'s SQL oracle."""
+
+    def salt(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        s = [int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % n_salts for d in ids]
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "salt": pa.array(s, pa.int32()),
+                "n_chars": batch["n_chars"],
+            }
+        )
+
+    partials = (
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+        .map_batches(salt, batch_format="pyarrow")
+        .groupby(["lang", "salt"])
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["n_docs"].to_numpy()
+        tot = batch["total_chars"].to_numpy()
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "n_docs": batch["n_docs"],
+                "total_chars": batch["total_chars"],
+                "avg_chars": pa.array(tot / n, pa.float64()),
+            }
+        )
+
+    return (
+        partials.groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("total_chars", alias_name="total_chars"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )
