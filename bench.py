@@ -57,6 +57,13 @@ def _pages_parquet(sf_dir: str, replication: int) -> tuple:
             pq.write_table(pages, os.path.join(cache, f"part-{r:04d}.parquet"))
         with open(done, "w") as f:
             f.write("ok")
+    # warm the page cache: a cold first read of the just-materialized (or
+    # session-old) parts costs 2-5x in the timed section on this host
+    for name in os.listdir(cache):
+        if name.endswith(".parquet"):
+            with open(os.path.join(cache, name), "rb") as f:
+                while f.read(1 << 22):
+                    pass
     return cache, n_docs * replication
 
 
