@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": simhash_pairs_q,
         "knn_lsh_top10": knn_lsh_q,
         "knn_ivf_top10": knn_ivf_q,
+        "fuzzy_correct_sample": analysis.fuzzy_correct_sample,
         "media_pipeline": media_pipeline_q,
         "detector_agreement": detector_agreement_q,
     }

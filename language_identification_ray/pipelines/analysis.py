@@ -748,3 +748,45 @@ def lang_stats_salted(sf_dir: str, n_salts: int = 8) -> "rd.Dataset":
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+class FuzzySpellStage:
+    """Actor-pool stage exposing A8 (fuzzy word index, ``state/fuzzy.py``)
+    and A10 (Norvig spell corrector, ``functions/spell.py``) as a driver
+    query: per document, fuzzy-nearest and edit-distance correction of its
+    first word against a broadcast English seed vocabulary.  Index + corrector
+    built ONCE per actor in ``__init__`` (reference: module-global indexes,
+    ``dictionary_langid/datatypes.py:477-617``, ``pdfs/spellcheck/spell.py``)."""
+
+    def __init__(self):
+        from language_identification_ray.functions.spell import SpellCorrector
+        from language_identification_ray.state.fuzzy import FuzzyWordIndex
+        from language_identification_ray.state.seed_corpus import SEED_SENTENCES
+
+        text = " ".join(SEED_SENTENCES.get("en", []))
+        self.idx = FuzzyWordIndex().add_words(sorted(set(text.lower().split())))
+        self.spell = SpellCorrector(corpus_text=text)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        firsts, fuzzy, corrected = [], [], []
+        for t in batch["text"].to_pylist():
+            parts = (t or "").split(" ")
+            w = parts[0].lower() if parts and parts[0] else ""
+            firsts.append(w)
+            fuzzy.append((self.idx.best(w) or "") if w else "")
+            corrected.append(self.spell.correction(w) if w else "")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "first_word": pa.array(firsts, pa.string()),
+                "fuzzy_match": pa.array(fuzzy, pa.string()),
+                "spell_correction": pa.array(corrected, pa.string()),
+            }
+        )
+
+
+def fuzzy_correct_sample(sf_dir: str) -> "rd.Dataset":
+    """A8/A10 through the Dataset API (rows-only; not SQL-expressible)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        FuzzySpellStage, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
+    )

@@ -85,8 +85,11 @@ class FuzzyWordIndex:
                     scores[n_idx] += max(len(locs), len(wlocs)) - emd_1d(locs, wlocs)
         out: Dict[int, float] = {}
         for widx, scores in matches.items():
+            # max(..., 1): a query shorter than n-3 chars (e.g. 'a' against
+            # the 4-gram index) otherwise divides by zero — the padded-gram
+            # count floor is 1
             norm = [
-                scores[n_idx] / (len(word) - n + 3) if n > 1 else scores[n_idx] / max(len(word), 1)
+                scores[n_idx] / max(len(word) - n + 3, 1) if n > 1 else scores[n_idx] / max(len(word), 1)
                 for n_idx, n in enumerate(self.n_list)
             ]
             out[widx] = (sum(s**dim for s in norm) / len(norm)) ** (1.0 / dim)

@@ -142,3 +142,13 @@ def test_spell_corrector():
     assert sc.correction("peotry") == "poetry"
     assert sc.correction("word") == "word"
     assert sc.correction("quintessential") == "quintessential"  # unknown passes through
+
+
+def test_lookup_short_word_no_crash():
+    """Queries shorter than n-3 for the largest n-gram order must not divide
+    by zero (found via the fuzzy_correct_sample driver query: word 'a')."""
+    from language_identification_ray.state.fuzzy import FuzzyWordIndex
+
+    idx = FuzzyWordIndex().add_words(["a", "at", "cat", "the"])
+    assert idx.best("a") is not None
+    assert idx.lookup("ab", top_k=3) != []
