@@ -766,6 +766,16 @@ class FuzzySpellStage:
         text = " ".join(SEED_SENTENCES.get("en", []))
         self.idx = FuzzyWordIndex().add_words(sorted(set(text.lower().split())))
         self.spell = SpellCorrector(corpus_text=text)
+        # edits2 candidate generation is ~0.1 s per unknown word; web text
+        # repeats first words heavily, so memoize per actor
+        self._memo: dict = {}
+
+    def _lookup(self, w: str) -> tuple:
+        hit = self._memo.get(w)
+        if hit is None:
+            hit = (self.idx.best(w) or "", self.spell.correction(w))
+            self._memo[w] = hit
+        return hit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         firsts, fuzzy, corrected = [], [], []
@@ -773,8 +783,9 @@ class FuzzySpellStage:
             parts = (t or "").split(" ")
             w = parts[0].lower() if parts and parts[0] else ""
             firsts.append(w)
-            fuzzy.append((self.idx.best(w) or "") if w else "")
-            corrected.append(self.spell.correction(w) if w else "")
+            f, c = self._lookup(w) if w else ("", "")
+            fuzzy.append(f)
+            corrected.append(c)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
