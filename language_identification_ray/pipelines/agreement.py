@@ -81,7 +81,9 @@ def detector_agreement(sf_dir: str) -> "rd.Dataset":
     """Agreement harness over the documents table (rows-only check)."""
     return (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(AgreementScorer, batch_format="pyarrow", batch_size=512, concurrency=(1, 4))
+        # min-2 pool: detector init is ~2.6 s/actor, so eager-starting two
+        # actors halves wall time on small inputs vs autoscale-from-1
+        .map_batches(AgreementScorer, batch_format="pyarrow", batch_size=256, concurrency=(2, 4))
         .map_batches(
             lambda t: t.select(
                 [
