@@ -200,7 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_stats": """
             SELECT lang,
                    count(*) AS n_docs,
-                   sum(n_chars) AS total_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    avg(n_chars) AS avg_chars
             FROM documents
             GROUP BY lang
@@ -208,7 +208,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_stats_salted": """
             SELECT lang,
                    count(*) AS n_docs,
-                   sum(n_chars) AS total_chars,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    avg(n_chars) AS avg_chars
             FROM documents
             GROUP BY lang
@@ -322,7 +322,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sum_qty,
+                   CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty,
                    sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))/100.0 AS sum_base_price,
                    sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT))/100.0 AS sum_disc_price,
                    sum(CAST(floor(l_quantity + 0.5) AS BIGINT))::DOUBLE / count(*) AS avg_qty,
@@ -420,7 +420,8 @@ def oracle_sql() -> dict[str, str]:
                                         ROWS UNBOUNDED PRECEDING) AS session_id
                 FROM marked
             )
-            SELECT user_id, session_id, count(*) AS n_events,
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
                    min(ts) AS t_start, max(ts) AS t_end
             FROM sess GROUP BY 1, 2
         """,
@@ -428,7 +429,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    date_trunc('hour', ts) AS window_start,
                    count(*) AS n_events,
-                   sum(value) AS total_value
+                   sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS total_value
             FROM events
             GROUP BY 1, 2
         """,
@@ -466,9 +467,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   list_cosine_similarity(a.embedding, b.embedding) AS cos_sim
+                   round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 5) AS cos_sim
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 5) >= 0.4
         """,
     }

@@ -261,21 +261,57 @@ def exact_dedup(sf_dir: str, prefix: int = 40) -> "rd.Dataset":
 def events_hourly(sf_dir: str) -> "rd.Dataset":
     """Tumbling 1-hour window per event_type: count + sum(value).
 
-    The window key is computed map-side (vectorized timestamp floor), so the
-    shuffle is a plain grouped aggregate over (type, window) — the Ray Data
-    expression of a tumbling window."""
+    The window key is computed map-side (vectorized timestamp floor) and each
+    batch is PRE-AGGREGATED to one row per (type, window) before the shuffle —
+    the Ray Data expression of a tumbling window, with the exchange bounded by
+    distinct windows per batch rather than raw events.  Values are summed as
+    integer cents (round-half-up) so the total is exact and order-independent
+    on both the Ray and SQL sides."""
 
-    def add_window(batch: pa.Table) -> pa.Table:
-        w = pc.floor_temporal(batch["ts"], unit="hour")
+    def partial(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch["ts"], unit="hour").cast(pa.timestamp("us"))
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "window_start": w.to_pandas(),
+                "value_cents": np.floor(
+                    batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby(["event_type", "window_start"], as_index=False, sort=False).agg(
+            n_events=("value_cents", "size"), value_cents=("value_cents", "sum")
+        )
         return pa.table(
-            {"event_type": batch["event_type"], "window_start": w, "value": batch["value"]}
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "window_start": pa.array(g["window_start"], pa.timestamp("us")),
+                "n_events": pa.array(g["n_events"], pa.int64()),
+                "value_cents": pa.array(g["value_cents"], pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                # the aggregate narrows the key to timestamp[s]; emit the
+                # oracle's date_trunc dtype (microseconds)
+                "window_start": batch["window_start"].cast(pa.timestamp("us")),
+                "n_events": batch["n_events"],
+                "total_value": pa.array(batch["value_cents"].to_numpy() / 100.0, pa.float64()),
+            }
         )
 
     return (
         rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
-        .map_batches(add_window, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="total_value"))
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
     )
 
 
@@ -460,13 +496,24 @@ def lang_percentiles(sf_dir: str) -> "rd.Dataset":
     per group.  At 100 TB swap for a t-digest combine inside map_batches;
     exact is fine while each group's values fit one block."""
 
+    def quantile_cont(v: np.ndarray, q: float) -> float:
+        # DuckDB's interpolation expression: lo*(1-frac) + hi*frac — written
+        # out literally so the float arithmetic matches the oracle bit-for-bit
+        # (np.percentile uses the algebraically equal lo + (hi-lo)*frac,
+        # which differs in the last ULP)
+        x = (len(v) - 1) * q
+        lo = int(np.floor(x))
+        hi = min(lo + 1, len(v) - 1)
+        frac = x - lo
+        return float(v[lo] * (1.0 - frac) + v[hi] * frac)
+
     def pcts(group: pd.DataFrame) -> pd.DataFrame:
-        v = group["n_chars"].to_numpy(dtype=np.float64)
+        v = np.sort(group["n_chars"].to_numpy(dtype=np.float64))
         return pd.DataFrame(
             {
                 "lang": [group["lang"].iloc[0]],
-                "p50_chars": [float(np.percentile(v, 50))],
-                "p90_chars": [float(np.percentile(v, 90))],
+                "p50_chars": [quantile_cont(v, 0.5)],
+                "p90_chars": [quantile_cont(v, 0.9)],
             }
         )
 

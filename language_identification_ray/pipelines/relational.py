@@ -216,8 +216,14 @@ def events_asof_purchase(sf_dir: str) -> "rd.Dataset":
 
         cm = etype == "click"
         cts = ts[cm]
-        idx = np.searchsorted(pts, cts, side="right") - 1
-        last_val = np.where(idx >= 0, pval[np.clip(idx, 0, None)], np.nan)
+        if pts.size:
+            idx = np.searchsorted(pts, cts, side="right") - 1
+            last_val = np.where(idx >= 0, pval[np.clip(idx, 0, None)], np.nan)
+        else:
+            # ASOF LEFT JOIN semantics: no purchases → NULL for every click
+            # (np.where evaluates both branches eagerly; indexing an empty
+            # pval with clipped zeros would raise IndexError)
+            last_val = np.full(len(cts), np.nan)
         return pa.table(
             {
                 "event_id": pa.array(eid[cm], pa.int64()),
@@ -474,7 +480,9 @@ def events_purchases_within_hour(sf_dir: str) -> "rd.Dataset":
             {
                 "event_id": pa.array(eid[clicks]),
                 "user_id": pa.array(np.full(int(clicks.sum()), uid)),
-                "ts": pa.array(c_ts.astype("datetime64[ns]")),
+                # source column is timestamp[us]; emit the same unit (ns→us is
+                # exact here — values originated at microsecond resolution)
+                "ts": pa.array(c_ts.astype("datetime64[ns]")).cast(pa.timestamp("us")),
                 "n_purchases_1h": pa.array(n, pa.int64()),
             }
         )

@@ -501,18 +501,78 @@ def embedding_dup_pairs(
     block_column: str = "label",
     threshold: float = 0.4,
 ) -> "rd.Dataset":
-    """Pairs with cosine ≥ t inside each blocking group (numpy matmul)."""
+    """Pairs with cosine ≥ t inside each blocking group.
+
+    Similarities are rounded to 5 decimals BEFORE the threshold so the result
+    is engine-independent (DuckDB computes ``list_cosine_similarity`` in
+    float32; float64-vs-float32 drift is ~1e-7 ≪ the 1e-5 rounding grid).
+
+    Scale shape: the quadratic all-pairs work inside a blocking group is
+    **triangle-sharded** — each group's rows are hashed into ``n_tiles``
+    tiles and every unordered tile pair becomes its own reducer group, so a
+    hot blocking key spreads over n_tiles*(n_tiles+1)/2 reducers instead of
+    serializing on one, and per-reducer memory is bounded by 2·|group|/n_tiles
+    rows.  Each vector pair lands in exactly one tile-pair group → no dedup
+    pass needed.  Raise ``n_tiles`` with group size (duplication factor is
+    n_tiles per row)."""
+    n_tiles = 4
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        # stable per-id tile: low bits of the pandas siphash (engine-stable)
+        tiles = (pd.util.hash_array(ids.astype(np.int64)) % n_tiles).astype(np.int64)
+        n = len(ids)
+        t_rep = np.repeat(tiles, n_tiles)
+        u = np.tile(np.arange(n_tiles, dtype=np.int64), n)
+        lo, hi = np.minimum(t_rep, u), np.maximum(t_rep, u)
+        keys = lo * n_tiles + hi
+        sides = (t_rep == lo).astype(np.int8)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_tiles))
+        sub = batch.select([id_column, vec_column, block_column]).take(idx)
+        import pyarrow.compute as pc
+
+        tile_key = pc.binary_join_element_wise(
+            sub[block_column].cast(pa.string()),
+            pa.array(keys.astype(str), pa.string()),
+            "|",
+        )
+        return sub.append_column("tile_key", tile_key).append_column(
+            "is_lo", pa.array(sides, pa.int8())
+        )
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        key = group["tile_key"].iloc[0]
+        tk = int(key.rsplit("|", 1)[1])
+        t_lo, t_hi = tk // n_tiles, tk % n_tiles
         ids = group[id_column].to_numpy()
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in group[vec_column]])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
-        sims = (mat @ mat.T) / np.outer(norms, norms)
-        iu = np.triu_indices(len(ids), k=1)
-        mask = sims[iu] >= threshold
-        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+        mat = mat / norms[:, None]
+        is_lo = group["is_lo"].to_numpy().astype(bool)
+        if t_lo == t_hi:
+            # self tile: rows appear once (is_lo always true); triangular pairs
+            sims = np.round(mat @ mat.T, 5)
+            iu = np.triu_indices(len(ids), k=1)
+            mask = sims[iu] >= threshold
+            a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+            s = sims[iu][mask]
+        else:
+            la, lb = np.flatnonzero(is_lo), np.flatnonzero(~is_lo)
+            sims = np.round(mat[la] @ mat[lb].T, 5)
+            ii, jj = np.nonzero(sims >= threshold)
+            a, b, s = ids[la[ii]], ids[lb[jj]], sims[ii, jj]
+        if len(a) == 0:
+            return pd.DataFrame(
+                {"vec_a": pd.Series([], dtype=np.int64),
+                 "vec_b": pd.Series([], dtype=np.int64),
+                 "cos_sim": pd.Series([], dtype=np.float64)}
+            )
         lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos_sim": sims[iu][mask]})
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos_sim": s})
 
-    return ds.groupby(block_column).map_groups(pairs, batch_format="pandas")
+    return (
+        ds.map_batches(fan_out, batch_format="pyarrow")
+        .groupby("tile_key")
+        .map_groups(pairs, batch_format="pandas")
+    )

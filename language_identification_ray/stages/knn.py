@@ -57,7 +57,7 @@ def brute_force_topk(
             out_s.extend(sims[order, qi])
         return pa.table(
             {
-                "query_idx": pa.array(out_q, pa.int32()),
+                "query_idx": pa.array(out_q, pa.int64()),
                 "vec_id": pa.array(out_id, pa.int64()),
                 "cos_sim": pa.array(out_s, pa.float64()),
             }

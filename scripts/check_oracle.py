@@ -1,0 +1,97 @@
+"""Strict driver-style oracle check: row count, schema, and a value hash over
+column-name-sorted, row-sorted values — dtype-sensitive, unlike the lenient
+in-repo pytest.  Usage:
+
+    python scripts/check_oracle.py [query ...]          # default sf0.001
+    GRAFT_SF_DIR=/root/testdata/sf0.01 python scripts/check_oracle.py
+
+Prints per-query PASS/FAIL lines plus dtype diffs on mismatch.
+"""
+
+import hashlib
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _to_pandas(result):
+    import pyarrow as pa
+    import ray.data as rd
+
+    if isinstance(result, rd.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    h = hashlib.md5()
+    for c in df.columns:
+        col = df[c]
+        h.update(c.encode())
+        h.update(str(col.dtype).encode())
+        for v in col:
+            h.update(repr(v).encode())
+    return h.hexdigest()
+
+
+def main():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+    import __ray_entry__ as entrymod
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = sys.argv[1:] or sorted(set(qs) & set(oracles))
+    n_fail = 0
+    for name in names:
+        ray_df = _to_pandas(qs[name](sf_dir))
+        sql_df = con.sql(oracles[name]).df()
+        rows_ok = len(ray_df) == len(sql_df)
+        schema_ok = sorted(ray_df.columns) == sorted(sql_df.columns)
+        hash_ok = rows_ok and schema_ok and value_hash(ray_df) == value_hash(sql_df)
+        status = "PASS" if (rows_ok and schema_ok and hash_ok) else "FAIL"
+        if status == "FAIL":
+            n_fail += 1
+        print(f"{status} {name}: rows={rows_ok}({len(ray_df)}/{len(sql_df)}) schema={schema_ok} hash={hash_ok}")
+        if not hash_ok and rows_ok and schema_ok:
+            for c in sorted(ray_df.columns):
+                rd_, sq_ = ray_df[c], sql_df[c]
+                if str(rd_.dtype) != str(sq_.dtype):
+                    print(f"    dtype {c}: ray={rd_.dtype} oracle={sq_.dtype}")
+            rr = ray_df.reindex(sorted(ray_df.columns), axis=1).sort_values(sorted(ray_df.columns)).reset_index(drop=True)
+            ss = sql_df.reindex(sorted(sql_df.columns), axis=1).sort_values(sorted(sql_df.columns)).reset_index(drop=True)
+            for c in rr.columns:
+                if rr[c].dtype.kind in "fiu" and ss[c].dtype.kind in "fiu":
+                    d = np.abs(rr[c].to_numpy(dtype=np.float64) - ss[c].to_numpy(dtype=np.float64))
+                    if np.nanmax(d) > 0:
+                        print(f"    maxdiff {c}: {np.nanmax(d):.3e}")
+                elif not rr[c].equals(ss[c]):
+                    print(f"    values differ in {c}")
+    print(f"{len(names) - n_fail}/{len(names)} pass")
+    ray.shutdown()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
