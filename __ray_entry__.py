@@ -63,11 +63,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return embedding_dup_pairs(emb, threshold=0.4)
 
     def minhash_pairs_q(sf_dir: str):
+        """MinHash-LSH candidates verified with EXACT Jaccard at a banding
+        (r=2, b=32) whose miss probability at t=0.9 is ~6e-24 — so the result
+        equals the all-pairs SQL oracle."""
         import ray.data as rd
-        from language_identification_ray.stages.dedup import minhash_lsh_pairs
+        from language_identification_ray.stages.dedup import lsh_exact_jaccard_pairs
 
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        return minhash_lsh_pairs(docs, threshold=0.7)
+        return lsh_exact_jaccard_pairs(docs, threshold=0.9, n_perm=64, bands=32)
 
     def simhash_pairs_q(sf_dir: str):
         import ray.data as rd
@@ -122,6 +125,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = np.array(tbl["embedding"].to_pylist()[int(np.argmin(ids))], dtype=np.float64)
         return lsh_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=10)
 
+    def knn_label_q(sf_dir: str):
+        """Metadata-filtered exact ANN: predicate pushed into the parquet
+        read, exact cosine on the pruned partition — SQL-checkable."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        from language_identification_ray.stages.knn import label_filtered_topk
+
+        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+        i = int(np.argmin(tbl["vec_id"].to_numpy()))
+        q = np.array(tbl["embedding"].to_pylist()[i], dtype=np.float64)
+        label = tbl["label"][i].as_py()
+        return label_filtered_topk(f"{sf_dir}/embeddings.parquet", q, label, k=5)
+
+    def knn_ivf_pruned_q(sf_dir: str):
+        """IVF layout materialized as hive-partitioned parquet (one dir per
+        cell); the query reads ONLY its probed cells' files — read-level
+        pruning proven by input-file count (tests/test_knn.py)."""
+        import tempfile
+
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from language_identification_ray.stages.knn import build_ivf_layout, ivf_pruned_topk
+
+        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ids = tbl["vec_id"].to_numpy()
+        q = np.array(tbl["embedding"].to_pylist()[int(np.argmin(ids))], dtype=np.float64)
+        layout = tempfile.mkdtemp(prefix="ivf_layout_")
+        index = build_ivf_layout(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), layout)
+        return ivf_pruned_topk(layout, index, q, k=10, n_probe=4)
+
     return {
         # --- SQL-checkable operators -------------------------------------
         "token_count": analysis.token_count,
@@ -170,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": simhash_pairs_q,
         "knn_lsh_top10": knn_lsh_q,
         "knn_ivf_top10": knn_ivf_q,
+        "knn_ivf_pruned": knn_ivf_pruned_q,
+        "knn_label_filtered": knn_label_q,
         "fuzzy_correct_sample": analysis.fuzzy_correct_sample,
         "media_pipeline": media_pipeline_q,
         "detector_agreement": detector_agreement_q,
@@ -440,6 +476,18 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC
             LIMIT 10
         """,
+        "knn_label_filtered": """
+            WITH q AS (
+                SELECT embedding AS qe, label AS ql
+                FROM embeddings
+                WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+            )
+            SELECT e.vec_id
+            FROM embeddings e, q
+            WHERE e.label = q.ql
+            ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC
+            LIMIT 5
+        """,
         "knn_batch_top5": """
             WITH q AS (
                 SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_idx,
@@ -464,6 +512,15 @@ def oracle_sql() -> dict[str, str]:
             FROM w a JOIN w b ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
                     / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.95
+        """,
+        "minhash_lsh_pairs": """
+            WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.ws, b.ws))::DOUBLE
+                     / len(list_distinct(list_concat(a.ws, b.ws))) AS jac
+            FROM w a JOIN w b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
+                    / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
         """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

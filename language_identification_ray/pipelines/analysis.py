@@ -359,7 +359,9 @@ def knn_cosine_top10(sf_dir: str) -> "rd.Dataset":
     qn = q / np.linalg.norm(q)
 
     def score(batch: pa.Table) -> pa.Table:
-        mat = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        from language_identification_ray.stages.knn import _as_matrix
+
+        mat = _as_matrix(batch["embedding"])
         norms = np.linalg.norm(mat, axis=1)
         cos = (mat @ qn) / np.where(norms == 0, 1.0, norms)
         order = np.argsort(-cos, kind="stable")[:10]  # per-batch top-k candidates

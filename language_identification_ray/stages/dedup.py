@@ -445,7 +445,157 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
-# exact word-set Jaccard within a blocking key (oracle-checkable)
+# exact word-set Jaccard via LSH prefilter (oracle-checkable)
+
+
+def _word_set_hashes(texts) -> tuple:
+    """uint64 hash per element of each text's exact word SET, split on a
+    single space with no lowering — the SQL oracle's
+    ``list_distinct(string_split(text, ' '))`` semantics.  Returns (H, ptr)
+    with H sorted within each doc slice ``H[ptr[d]:ptr[d+1]]``.  64-bit
+    hashes keep set-collision odds negligible (vocab² / 2^65), so Jaccard
+    over hash sets equals Jaccard over word sets."""
+    import itertools
+
+    sets_per_doc = [set((t or "").split(" ")) for t in texts]
+    counts = np.fromiter((len(s) for s in sets_per_doc), dtype=np.int64, count=len(texts))
+    flat = list(itertools.chain.from_iterable(sets_per_doc))
+    H = pd.util.hash_array(np.asarray(flat, dtype=object)) if flat else np.empty(0, np.uint64)
+    ptr = np.concatenate([[0], np.cumsum(counts)])
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    order = np.lexsort((H, doc_of))
+    return H[order], ptr
+
+
+def _sig_from_hashes(H: np.ndarray, ptr: np.ndarray, a32: np.ndarray, b32: np.ndarray) -> np.ndarray:
+    """MinHash signatures (uint32[n_docs, n_perm]) from per-doc uint64 hash
+    slices — same uint32 multiply-mix + reduceat scheme as ``_signatures``."""
+    n = len(ptr) - 1
+    sig = np.full((n, len(a32)), _SIG_SENTINEL, dtype=np.uint32)
+    if not len(H):
+        return sig
+    h32 = (H ^ (H >> np.uint64(32))).astype(np.uint32)
+    prods = h32[:, None] * a32[None, :] + b32[None, :]
+    prods ^= prods >> np.uint32(15)
+    lens = np.diff(ptr)
+    nonempty = np.flatnonzero(lens > 0)
+    sig[nonempty] = np.minimum.reduceat(prods, ptr[:-1][nonempty], axis=0)
+    return sig
+
+
+def lsh_exact_jaccard_pairs(
+    ds: "rd.Dataset",
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    block_column: Optional[str] = None,
+    threshold: float = 0.9,
+    n_perm: int = 64,
+    bands: int = 32,
+    n_shards: int = 256,
+    max_bucket: int = 4096,
+) -> "rd.Dataset":
+    """Exact word-set Jaccard ≥ t pairs, with MinHash-LSH candidate
+    generation instead of an all-pairs scan.
+
+    Output: (doc_a, doc_b, jac) with doc_a < doc_b and jac the EXACT
+    |A∩B|/|A∪B| over word sets — the same value the SQL oracle computes.
+    With ``block_column`` set, only same-block pairs are emitted (the
+    blocked-dedup shape; the block check happens at verify time so the
+    bucket layout stays uniform).
+
+    Recall: a qualifying pair is missed only if it collides in NO band;
+    with rows-per-band r = n_perm/bands the miss probability is
+    (1 - t^r)^bands — 2e-12 for (t=0.95, r=4, b=16), 6e-24 for
+    (t=0.9, r=2, b=32).  Defaults favor exactness at moderate thresholds;
+    production near-dup at 10^12 docs uses higher r (fewer, tighter
+    candidates) and the estimate-only ``minhash_lsh_pairs``.
+
+    Scale shape: the shuffle carries per-(doc, band) rows of (8 B bucket
+    key + the doc's uint64 word-hash set) — hashes, never text; reducer
+    groups are ``n_shards`` fixed shards; within a bucket run the exact
+    intersection counts come from ONE 0/1-incidence matmul (float32 —
+    counts < 2^24 stay exact), not a per-pair Python loop."""
+    hasher = MinHasher(n_perm)
+    rpb = n_perm // bands
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        texts = batch[text_column].to_pylist()
+        H, ptr = _word_set_hashes(texts)
+        sig = _sig_from_hashes(H, ptr, hasher.a32, hasher.b32)
+        buckets = _band_buckets(sig, bands)  # (n, bands)
+        n = len(ids)
+        wh = pa.ListArray.from_arrays(pa.array(ptr, pa.int32()), pa.array(H, pa.uint64()))
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+        cols = {
+            "shard": pa.array((buckets & np.uint64(n_shards - 1)).astype(np.int32).ravel(), pa.int32()),
+            "bucket": pa.array(buckets.ravel(), pa.uint64()),
+            "id": pa.array(np.repeat(ids, bands), pa.int64()),
+            "wh": wh.take(idx),
+        }
+        if block_column is not None:
+            cols["block"] = batch[block_column].take(idx).cast(pa.string())
+        return pa.table(cols)
+
+    def shard_pairs(group: pa.Table) -> pa.Table:
+        buckets = group["bucket"].to_numpy(zero_copy_only=False)
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        wh = group["wh"].combine_chunks()
+        # pair .values with .offsets (offsets index the raw child array;
+        # flatten() would re-base values and misalign on sliced arrays)
+        flat = wh.values.to_numpy(zero_copy_only=False)
+        offs = wh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        blocks = (
+            np.asarray(group["block"].to_pylist(), dtype=object)
+            if block_column is not None
+            else None
+        )
+        order = np.lexsort((ids, buckets))
+        out_a, out_b, out_j = [], [], []
+        for s, e in _runs(buckets[order]):
+            run = order[s:e]
+            if len(run) > max_bucket:
+                print(f"lsh_exact_jaccard_pairs: bucket of {len(run)} capped at {max_bucket}")
+                run = run[:max_bucket]
+            m = len(run)
+            lens = (offs[run + 1] - offs[run]).astype(np.int64)
+            seg = np.concatenate([flat[offs[i] : offs[i + 1]] for i in run])
+            _, inv = np.unique(seg, return_inverse=True)
+            M = np.zeros((m, int(inv.max()) + 1 if len(inv) else 1), dtype=np.float32)
+            M[np.repeat(np.arange(m), lens), inv] = 1.0
+            inter = (M @ M.T).astype(np.int64)
+            union = lens[:, None] + lens[None, :] - inter
+            jac = inter.astype(np.float64) / np.maximum(union, 1).astype(np.float64)
+            iu = np.triu_indices(m, k=1)
+            keep = jac[iu] >= threshold
+            if blocks is not None:
+                rb = blocks[run]
+                keep &= rb[iu[0]] == rb[iu[1]]
+            ga, gb = ids[run[iu[0][keep]]], ids[run[iu[1][keep]]]
+            distinct = ga != gb
+            out_a.append(np.minimum(ga, gb)[distinct])
+            out_b.append(np.maximum(ga, gb)[distinct])
+            out_j.append(jac[iu][keep][distinct])
+        a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
+        j = np.concatenate(out_j) if out_j else np.empty(0, dtype=np.float64)
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "jac": pa.array(j, pa.float64()),
+            }
+        )
+
+    from ray.data.aggregate import Max
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=512)
+        .groupby("shard")
+        .map_groups(shard_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Max("jac", alias_name="jac"))
+    )
 
 
 def jaccard_pairs(
@@ -455,38 +605,19 @@ def jaccard_pairs(
     block_column: str = "lang",
     threshold: float = 0.95,
 ) -> "rd.Dataset":
-    """All-pairs word-set Jaccard ≥ t inside each blocking group.
-
-    The blocking key bounds the quadratic cost (standard practice: near-dups
-    across languages are not meaningful).  Group payload is (id, word-set);
-    at scale use minhash_lsh_pairs as the prefilter instead."""
-
-    def prep(batch: pa.Table) -> pa.Table:
-        sets = [sorted(set((t or "").split(" "))) for t in batch[text_column].to_pylist()]
-        return pa.table(
-            {
-                "id": batch[id_column],
-                "block": batch[block_column],
-                "ws": pa.array(sets, pa.list_(pa.string())),
-            }
-        )
-
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        recs = sorted(zip(group["id"], [set(w) for w in group["ws"]]))
-        out_a, out_b, jac = [], [], []
-        for x in range(len(recs)):
-            for y in range(x + 1, len(recs)):
-                j = jaccard(recs[x][1], recs[y][1])
-                if j >= threshold:
-                    out_a.append(recs[x][0])
-                    out_b.append(recs[y][0])
-                    jac.append(j)
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b, "jac": jac})
-
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("block")
-        .map_groups(pairs, batch_format="pandas")
+    """Word-set Jaccard ≥ t pairs inside each blocking group — LSH-prefiltered
+    exact verification (see :func:`lsh_exact_jaccard_pairs`), NOT an all-pairs
+    scan: at web scale 'en' is one block ≈ 60% of the corpus, so per-block
+    O(n²) would put ~10^11 docs on one reducer.  (r=4, bands=16) misses a
+    j ≥ 0.95 pair with probability (1 - 0.95⁴)^16 ≈ 2e-12."""
+    return lsh_exact_jaccard_pairs(
+        ds,
+        id_column=id_column,
+        text_column=text_column,
+        block_column=block_column,
+        threshold=threshold,
+        n_perm=64,
+        bands=16,
     )
 
 
@@ -540,16 +671,18 @@ def embedding_dup_pairs(
             "is_lo", pa.array(sides, pa.int8())
         )
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        key = group["tile_key"].iloc[0]
+    def pairs(group: pa.Table) -> pa.Table:
+        from language_identification_ray.stages.knn import _as_matrix
+
+        key = group["tile_key"][0].as_py()
         tk = int(key.rsplit("|", 1)[1])
         t_lo, t_hi = tk // n_tiles, tk % n_tiles
-        ids = group[id_column].to_numpy()
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in group[vec_column]])
+        ids = group[id_column].to_numpy(zero_copy_only=False)
+        mat = _as_matrix(group[vec_column])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         mat = mat / norms[:, None]
-        is_lo = group["is_lo"].to_numpy().astype(bool)
+        is_lo = group["is_lo"].to_numpy(zero_copy_only=False).astype(bool)
         if t_lo == t_hi:
             # self tile: rows appear once (is_lo always true); triangular pairs
             sims = np.round(mat @ mat.T, 5)
@@ -562,17 +695,17 @@ def embedding_dup_pairs(
             sims = np.round(mat[la] @ mat[lb].T, 5)
             ii, jj = np.nonzero(sims >= threshold)
             a, b, s = ids[la[ii]], ids[lb[jj]], sims[ii, jj]
-        if len(a) == 0:
-            return pd.DataFrame(
-                {"vec_a": pd.Series([], dtype=np.int64),
-                 "vec_b": pd.Series([], dtype=np.int64),
-                 "cos_sim": pd.Series([], dtype=np.float64)}
-            )
         lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos_sim": s})
+        return pa.table(
+            {
+                "vec_a": pa.array(lo.astype(np.int64), pa.int64()),
+                "vec_b": pa.array(hi.astype(np.int64), pa.int64()),
+                "cos_sim": pa.array(s, pa.float64()),
+            }
+        )
 
     return (
         ds.map_batches(fan_out, batch_format="pyarrow")
         .groupby("tile_key")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(pairs, batch_format="pyarrow")
     )

@@ -91,3 +91,62 @@ def test_ivf_topk_recall(ray_session, sf_dir):
     assert (np.diff(sims) <= 1e-12).all()
     again = ivf_topk(rd.read_parquet(path), q, k=10, n_centroids=8, n_probe=4).to_pandas()
     assert (again["vec_id"].to_numpy() == approx["vec_id"].to_numpy()).all()
+
+
+def test_ivf_pruned_layout_skips_files(ray_session, sf_dir, tmp_path):
+    """The partitioned layout must (a) return the same rows as the scan-time
+    ivf_topk with identical index params, (b) provably read fewer files than
+    the layout contains."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from language_identification_ray.stages.knn import (
+        build_ivf_layout,
+        ivf_pruned_topk,
+        ivf_topk,
+    )
+
+    path = f"{sf_dir}/embeddings.parquet"
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    q = np.asarray(tbl["embedding"].to_pylist()[0], dtype=np.float64)
+
+    layout = str(tmp_path / "ivf")
+    index = build_ivf_layout(rd.read_parquet(path), layout)
+    pruned = ivf_pruned_topk(layout, index, q, k=10, n_probe=4).to_pandas()
+    scan = ivf_topk(rd.read_parquet(path), q, k=10, n_probe=4).to_pandas()
+    assert list(pruned["vec_id"]) == list(scan["vec_id"])
+
+    # read-plan proof: the filtered read touches only the probed cells' files
+    from ray.data.datasource import PathPartitionFilter
+
+    probes = [int(c) for c in index.probe_cells(q, 4)]
+    keep = PathPartitionFilter.of(lambda kv: int(kv["ivf_cell"]) in probes, style="hive")
+    all_files = rd.read_parquet(layout).input_files()
+    probed_files = rd.read_parquet(layout, partition_filter=keep).input_files()
+    assert len(probed_files) < len(all_files), (len(probed_files), len(all_files))
+    assert all(any(f"ivf_cell={c}/" in f for c in probes) for f in probed_files)
+
+
+def test_label_filtered_topk_exact_within_partition(ray_session, sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from language_identification_ray.stages.knn import label_filtered_topk
+
+    path = f"{sf_dir}/embeddings.parquet"
+    tbl = pq.read_table(path)
+    ids = tbl["vec_id"].to_numpy()
+    i = int(np.argmin(ids))
+    q = np.asarray(tbl["embedding"].to_pylist()[i], dtype=np.float64)
+    label = tbl["label"][i].as_py()
+
+    got = label_filtered_topk(path, q, label, k=5).to_pandas()
+
+    mat = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ (q / np.linalg.norm(q))
+    mask = tbl["label"].to_numpy() == label
+    order = sorted(zip(-sims[mask], ids[mask]))[:5]
+    assert list(got["vec_id"]) == [int(v) for _, v in order]
