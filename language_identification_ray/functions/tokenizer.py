@@ -123,23 +123,90 @@ class BatchTokens:
         return [self.joined[self.word_starts[i] : self.word_ends[i]] for i in sel]
 
 
-def tokenize(text: str, words_only: bool = True) -> List[str]:
+# the three apostrophe forms the reference merges (ref ``tokenizer.py:141-145``):
+# ASCII, right curly quote, full-width
+APOSTROPHES = frozenset({"'", "’", "＇"})
+
+
+def merge_apostrophe_words(tokens: Iterator[Tuple[str, bool]]) -> Iterator[Tuple[str, bool]]:
+    """Re-join WORD apostrophe WORD into one word token (max one apostrophe),
+    reference ``unicode_tokenize(merge_apostrophe_word=True)`` semantics
+    (``tokenizer.py:181-251``): the merge happens only when the trailing word
+    is followed by a NON-apostrophe token (or end of stream); a second
+    apostrophe cancels the merge and suppresses merging until the
+    word/apostrophe run ends.  Input/output: (text, is_word) pairs.
+
+    Examples (ref docstring, ``tokenizer.py:358-365``): ``O'reilly`` and
+    ``wasn’t`` merge; ``wasn‘t`` does not (left quote); ``a'b'c`` stays
+    split; ``test’oops`` merges even across an opening-quote context (the
+    reference documents that case as undesirable but defined)."""
+    w1 = apos = w2 = None
+    wait = False
+    for text, is_word in tokens:
+        if wait:
+            wait = is_word or text in APOSTROPHES
+            yield text, is_word
+        elif w1 is None:
+            if is_word:
+                w1 = text
+            else:
+                wait = text in APOSTROPHES
+                yield text, is_word
+        elif apos is None:
+            # runs alternate, so this token is non-word
+            if text in APOSTROPHES:
+                apos = text
+            else:
+                yield w1, True
+                w1 = None
+                yield text, is_word
+        elif w2 is None:
+            if is_word:
+                w2 = text
+            else:
+                wait = text in APOSTROPHES
+                yield w1, True
+                yield apos, False
+                w1 = apos = None
+                yield text, is_word
+        else:
+            if text not in APOSTROPHES:
+                yield w1 + apos + w2, True
+            else:
+                wait = True
+                yield w1, True
+                yield apos, False
+                yield w2, True
+            w1 = apos = w2 = None
+            yield text, is_word
+    if w2 is not None:
+        yield w1 + apos + w2, True
+    elif apos is not None:
+        yield w1, True
+        yield apos, False
+    elif w1 is not None:
+        yield w1, True
+
+
+def tokenize(text: str, words_only: bool = True, merge_apostrophes: bool = False) -> List[str]:
     """Single-document tokenize, matching reference ``unicode_tokenize``
     (``tokenizer.py:350-395``) for the words_only path: maximal runs of
     word chars.  With words_only=False also returns the runs of every other
-    class (spaces are runs; each punct/digit char is part of its run)."""
+    class (spaces are runs; each punct/digit char is part of its run).
+    ``merge_apostrophes=True`` applies the reference's apostrophe-merge
+    post-pass (``don't`` → one token) — see :func:`merge_apostrophe_words`."""
     cls = classify(text)
     if not len(cls):
         return []
     change = np.flatnonzero(np.concatenate([[True], cls[1:] != cls[:-1]]))
     bounds = np.concatenate([change, [len(cls)]])
-    out = []
-    for i in range(len(change)):
-        s, e = bounds[i], bounds[i + 1]
-        if words_only and cls[s] != CLS_WORD:
-            continue
-        out.append(text[s:e])
-    return out
+    runs = [
+        (text[bounds[i] : bounds[i + 1]], cls[bounds[i]] == CLS_WORD)
+        for i in range(len(change))
+    ]
+    if merge_apostrophes:
+        runs = list(merge_apostrophe_words(iter(runs)))
+    return [t for t, is_word in runs if is_word or not words_only]
 
 
 def sentence_split(text: str) -> List[str]:

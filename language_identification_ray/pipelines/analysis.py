@@ -38,12 +38,12 @@ def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
 
 def token_count(sf_dir: str) -> "rd.Dataset":
     """Per-doc whitespace token count.  Map-only — no shuffle; column-pruned
-    read.  (Tokenization M9 reduced to the SQL-parity split.)"""
+    read; pure-Arrow kernels (split + list length), no Python per row.
+    (Tokenization M9 reduced to the SQL-parity split.)"""
 
     def f(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        n = [len((t or "").split(" ")) for t in texts]
-        return pa.table({"doc_id": batch["doc_id"], "n_tokens": pa.array(n, pa.int64())})
+        n = pc.list_value_length(pc.split_pattern(batch["text"], " ")).cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
@@ -70,20 +70,24 @@ def doc_fingerprint(sf_dir: str) -> "rd.Dataset":
 
 
 def stopword_stats(sf_dir: str) -> "rd.Dataset":
-    """SQL-parity stopword counting (J6): fixed broadcast list, map-only."""
-    stop = frozenset(SQL_STOPWORDS)
+    """SQL-parity stopword counting (J6): fixed broadcast list, map-only.
+    Pure-Arrow split + is_in membership; per-doc hit totals via one
+    bincount over the flattened word stream — no Python per row."""
+    stop_arr = pa.array(SQL_STOPWORDS, pa.string())
 
     def f(batch: pa.Table) -> pa.Table:
-        hits, n_words = [], []
-        for t in batch["text"].to_pylist():
-            words = (t or "").split(" ")
-            n_words.append(len(words))
-            hits.append(sum(1 for w in words if w in stop))
+        words = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        n_words = pc.list_value_length(words).cast(pa.int64())
+        hits_mask = pc.is_in(pc.list_flatten(words), value_set=stop_arr)
+        doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), n_words.to_numpy())
+        hits = np.bincount(
+            doc_of, weights=hits_mask.to_numpy(zero_copy_only=False), minlength=len(batch)
+        ).astype(np.int64)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "stop_hits": pa.array(hits, pa.int64()),
-                "n_words": pa.array(n_words, pa.int64()),
+                "n_words": n_words,
             }
         )
 

@@ -39,6 +39,17 @@ def _cents(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return np.floor(v * 100.0 + 0.5).astype(np.int64)
 
 
+def _join_partitions(*datasets: "rd.Dataset", target_bytes: int = 64 << 20) -> int:
+    """Shuffle-partition count for ``Dataset.join``, derived from the larger
+    side's size so reducer parallelism grows with the data instead of being
+    pinned (a fixed count caps a 100 TB join at that many reducers).  Uses
+    parquet metadata via ``size_bytes()`` — no execution is triggered for
+    fresh reads.  Floor of 8 keeps tiny test inputs spread over the local
+    pool; cap 4096 bounds tiny-partition overhead."""
+    biggest = max(ds.size_bytes() or 0 for ds in datasets)
+    return int(min(4096, max(8, biggest // target_bytes)))
+
+
 def customers_per_region(sf_dir: str) -> "rd.Dataset":
     """Customer count / balance totals per region (broadcast join).
 
@@ -124,20 +135,22 @@ def orders_by_mktsegment(sf_dir: str) -> "rd.Dataset":
             }
         )
 
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     per_cust = (
-        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-        .map_batches(order_partial, batch_format="pyarrow")
+        orders.map_batches(order_partial, batch_format="pyarrow")
         .groupby("o_custkey")
         .aggregate(
             Sum("n_orders", alias_name="n_orders"),
             Sum("price_cents", alias_name="price_cents"),
         )
     )
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     joined = per_cust.join(
         cust,
         join_type="inner",
-        num_partitions=8,
+        # sized from the pre-aggregation INPUT (an upper bound on the
+        # joined exchange) so reducer count scales with the data
+        num_partitions=_join_partitions(orders, cust),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -420,20 +433,17 @@ def inactive_customers(sf_dir: str, cutoff: str = "2001-01-01") -> "rd.Dataset":
     from ray.data.aggregate import Count
 
     cut = datetime.datetime.fromisoformat(cutoff)
-    active = (
-        rd.read_parquet(
-            f"{sf_dir}/orders.parquet",
-            columns=["o_custkey", "o_orderdate"],
-            filter=(pads.field("o_orderdate") >= cut),
-        )
-        .groupby("o_custkey")
-        .aggregate(Count(alias_name="n_recent"))
+    recent_orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= cut),
     )
+    active = recent_orders.groupby("o_custkey").aggregate(Count(alias_name="n_recent"))
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
     joined = cust.join(
         active,
         join_type="left_outer",
-        num_partitions=8,
+        num_partitions=_join_partitions(recent_orders, cust),
         on=("c_custkey",),
         right_on=("o_custkey",),
     )

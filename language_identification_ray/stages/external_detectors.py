@@ -122,10 +122,47 @@ class Cld2Detector(_ExternalBase):
         return sorted(out, key=lambda x: -x[1])
 
 
+class NltkTextCatDetector(_ExternalBase):
+    """nltk TextCat (reference ``nltk_wrapper.py:58-66``): char-3-gram
+    out-of-place distances over the Crúbadán profiles; rank = 1/distance
+    remapped 639-2 → 639-1 and normalized to a probability simplex."""
+
+    def __init__(self):
+        try:
+            from nltk.classify import textcat  # type: ignore
+        except ImportError as e:
+            raise ImportError("nltk is not installed in this environment") from e
+        try:
+            self.model = textcat.TextCat()  # needs the crubadan+punkt corpora
+        except LookupError as e:  # nltk installed but corpora not downloaded
+            raise ImportError("nltk crubadan corpus is not available") from e
+        from language_identification_ray.functions.langcodes import ISO639_2_TO_1
+
+        self._remap = ISO639_2_TO_1
+        self.SUPPORTED_LANGUAGES = sorted(set(self._remap.values()))
+
+    def _rank(self, text: str) -> Ranking:
+        try:
+            dists = self.model.lang_dists(text)
+        except Exception:
+            return []
+        # 1/dist → prob, keep remappable langs, normalize (ref lines 61-65)
+        results = [
+            (self._remap[lang], 1.0 / dist)
+            for lang, dist in dists.items()
+            if lang in self._remap and dist > 0
+        ]
+        total = sum(p for _, p in results)
+        if not total:
+            return []
+        return sorted(((l, p / total) for l, p in results), key=lambda x: -x[1])
+
+
 _REGISTRY = {
     "langid_py": LangidPyDetector,
     "langdetect": LangdetectDetector,
     "cld2": Cld2Detector,
+    "nltk_textcat": NltkTextCatDetector,
 }
 
 

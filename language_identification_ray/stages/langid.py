@@ -138,7 +138,24 @@ class NgramDetector:
         return [(allowed[i], float(p[i])) for i in order]
 
     def predict_batch(self, texts: Sequence[str], language_codes: Optional[Iterable[str]] = None) -> List[Ranking]:
-        return [self.rank(t, language_codes) for t in texts]
+        """Batch ranking — one vectorized ``loglik_batch`` + softmax for the
+        whole batch (identical float math to per-doc ``rank``; only the
+        ranking-list assembly is per doc)."""
+        allowed, rows = self._rows_for(tuple(language_codes) if language_codes else ())
+        if len(rows) == 0:
+            return [[] for _ in texts]
+        ll = self.loglik_batch(texts, rows)
+        temp = np.fromiter(
+            (min(len(t[:400]), 64) for t in texts), dtype=np.float64, count=len(texts)
+        )
+        ll = ll * temp[:, None]
+        ll -= ll.max(axis=1, keepdims=True)
+        p = np.exp(ll)
+        p /= p.sum(axis=1, keepdims=True)
+        orders = np.argsort(-p, axis=1, kind="stable")
+        return [
+            [(allowed[i], float(p[d, i])) for i in orders[d]] for d in range(len(texts))
+        ]
 
     def loglik_batch(
         self, texts: Sequence[str], rows: np.ndarray, max_chars: int = 400

@@ -92,3 +92,46 @@ def test_large_batch_consistency():
     n = bt.words_per_doc()
     for d in range(0, 200, 37):
         assert n[d] == len(tokenize(texts[d]))
+
+
+class TestApostropheMerge:
+    """Pinned on the reference's own docstring examples
+    (ref tokenizer.py:358-365) and its state-machine edge cases."""
+
+    def test_reference_docstring_examples(self):
+        from language_identification_ray.functions.tokenizer import tokenize
+
+        assert tokenize("O'reilly", merge_apostrophes=True) == ["O'reilly"]
+        assert tokenize("O’reilly", merge_apostrophes=True) == ["O’reilly"]
+        assert tokenize("wasn’t", merge_apostrophes=True) == ["wasn’t"]
+        # left single quote is NOT an apostrophe (example 4)
+        assert tokenize("wasn‘t", merge_apostrophes=True) == ["wasn", "t"]
+        # merged even when arguably undesirable (examples 5, 6)
+        assert tokenize("l'ensemble", merge_apostrophes=True) == ["l'ensemble"]
+        assert tokenize("‘test test’oops", merge_apostrophes=True) == ["test", "test’oops"]
+
+    def test_double_apostrophe_cancels_merge(self):
+        from language_identification_ray.functions.tokenizer import tokenize
+
+        assert tokenize("a'b'c", merge_apostrophes=True) == ["a", "b", "c"]
+        assert tokenize("won''t", merge_apostrophes=True) == ["won", "t"]
+
+    def test_sentence_context(self):
+        from language_identification_ray.functions.tokenizer import tokenize
+
+        assert tokenize("don't stop, won't quit", merge_apostrophes=True) == [
+            "don't", "stop", "won't", "quit",
+        ]
+        # trailing apostrophe (possessive plural) is not merged into the word
+        assert tokenize("the dogs' bones", merge_apostrophes=True) == ["the", "dogs", "bones"]
+
+    def test_off_by_default_matches_plain_tokenize(self):
+        from language_identification_ray.functions.tokenizer import tokenize
+
+        assert tokenize("don't") == ["don", "t"]
+        assert tokenize("don't", merge_apostrophes=False) == ["don", "t"]
+
+    def test_non_words_preserved_when_not_words_only(self):
+        from language_identification_ray.functions.tokenizer import tokenize
+
+        assert tokenize("don't!", words_only=False, merge_apostrophes=True) == ["don't", "!"]
