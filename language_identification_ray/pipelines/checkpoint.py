@@ -67,23 +67,52 @@ class RunCounters:
         return out
 
 
-class _CountingSink:
-    """Final map_batches stage: updates the counters actor per batch and
-    passes the batch through unchanged (zero-copy)."""
+class CounterPool:
+    """``n_shards`` RunCounters actors behind one snapshot/reset surface.
 
-    def __init__(self, counters: "ray.actor.ActorHandle"):
-        self.counters = counters
+    Sinks update their shard SYNCHRONOUSLY (the landed-before-task-completes
+    guarantee that makes reset() race-free after ``write_parquet`` returns),
+    but each worker talks to its own shard, so the per-batch round-trip
+    scales with the shard count instead of serializing the whole final stage
+    through one actor's mailbox.  Size ``n_shards`` ~ cluster width / 32."""
+
+    def __init__(self, n_shards: int = 8):
+        self.shards = [RunCounters.remote() for _ in range(n_shards)]
+
+    def snapshot(self) -> dict:
+        totals: Counter = Counter()
+        for s in ray.get([sh.snapshot.remote() for sh in self.shards]):
+            totals.update(s)
+        return dict(totals)
+
+    def reset(self) -> dict:
+        totals: Counter = Counter()
+        for s in ray.get([sh.reset.remote() for sh in self.shards]):
+            totals.update(s)
+        return dict(totals)
+
+
+class _CountingSink:
+    """Final map_batches stage: updates a counter shard per batch and passes
+    the batch through unchanged (zero-copy).  Shard choice is per worker
+    process, so concurrent sink tasks spread over the pool."""
+
+    def __init__(self, shards: List["ray.actor.ActorHandle"]):
+        self.shards = shards
+        self._shard = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._shard is None:
+            self._shard = self.shards[os.getpid() % len(self.shards)]
         kept = int(pc.sum(batch["keep"]).as_py() or 0)
         reasons = Counter(
             r for r in batch["drop_reason"].to_pylist() if r
         )
-        # synchronous: guarantees the update has LANDED at the actor before
+        # synchronous: guarantees the update has LANDED at the shard before
         # this map task completes — so when write_parquet returns, the group's
         # counters are complete and reset() cannot race a late add()
         ray.get(
-            self.counters.add.remote(
+            self._shard.add.remote(
                 rows=len(batch),
                 kept=kept,
                 dropped=len(batch) - kept,
@@ -139,7 +168,7 @@ def run_resumable(
     os.makedirs(out_dir, exist_ok=True)
     done = completed_groups(out_dir)
 
-    counters = RunCounters.remote()
+    counters = CounterPool()
     ran, skipped = [], []
     lineage_path = os.path.join(out_dir, LINEAGE_FILE)
 
@@ -147,6 +176,21 @@ def run_resumable(
         gname = f"group={gid:05d}"
         gdir = os.path.join(out_dir, gname)
         if gid in done:
+            # a group id is positional; if the input file set or group_size
+            # changed since the committed run, gid would map to DIFFERENT
+            # files — skipping then silently drops fragments.  Resume is
+            # only valid when the lineage record's file list matches.
+            rec_files = done[gid].get("input_files")
+            if rec_files != gfiles:
+                raise RuntimeError(
+                    f"lineage mismatch for {gname}: committed run processed "
+                    f"{len(rec_files or [])} file(s) starting with "
+                    f"{(rec_files or ['<none>'])[0]!r}, but this run's group "
+                    f"maps to {len(gfiles)} file(s) starting with "
+                    f"{gfiles[0]!r}. The input file set or group_size "
+                    "changed — use a fresh out_dir (or delete "
+                    f"{LINEAGE_FILE} and all group dirs) instead of resuming."
+                )
             skipped.append(gid)
             continue
         staging = gdir + "._tmp"
@@ -158,10 +202,10 @@ def run_resumable(
         pages = pages_dataset_fn(gfiles) if pages_dataset_fn else read_pages(gfiles)
         out = build(pages, **pipeline_kwargs)
         out = out.map_batches(
-            _CountingSink(counters), batch_format="pyarrow", batch_size=4096
+            _CountingSink(counters.shards), batch_format="pyarrow", batch_size=4096
         )
         out.write_parquet(staging)
-        group_counts = ray.get(counters.reset.remote())
+        group_counts = counters.reset()
         os.rename(staging, gdir)  # commit point 1: output visible
         rec = {
             "group": gid,

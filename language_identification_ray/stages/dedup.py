@@ -169,6 +169,28 @@ def _runs(sorted_keys: np.ndarray):
             yield int(s), int(e)
 
 
+def _report_cap(counters, op: str, run_len: int, max_bucket: int) -> None:
+    """Surface a truncated verification bucket as DATA, not just worker
+    stdout: with a ``RunCounters`` handle the cap lands in cluster-visible
+    counters (``<op>_capped_buckets`` / ``<op>_capped_rows`` — the dropped
+    candidate ids), so recall loss is observable by the caller.  Caps are
+    the exceptional path, so the synchronous actor round-trip costs nothing
+    in the common case and makes the count complete by the time the caller
+    reads it after consuming the dataset."""
+    if counters is not None:
+        import ray
+
+        ray.get(
+            counters.add.remote(
+                **{
+                    f"{op}_capped_buckets": 1,
+                    f"{op}_capped_rows": run_len - max_bucket,
+                }
+            )
+        )
+    print(f"{op}: bucket of {run_len} capped at {max_bucket}")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 
@@ -210,6 +232,9 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.8,
     shingle_k: int = 3,
+    n_shards: int = 256,
+    max_bucket: int = 4096,
+    counters=None,
 ) -> "rd.Dataset":
     """Near-duplicate pairs via MinHash-LSH with exact-Jaccard verification.
 
@@ -227,10 +252,9 @@ def minhash_lsh_pairs(
     Scale: shard payload ≈ rows/n_shards × (8B key + sig) — raise
     ``n_shards`` with the corpus so a shard fits a worker; bucket
     verification is capped at ``max_bucket`` ids (larger buckets are
-    near-identical boilerplate floods — the cap is logged, not silent).
+    near-identical boilerplate floods); pass a ``RunCounters`` handle as
+    ``counters`` to surface every cap as data (see ``_report_cap``).
     """
-    n_shards = 256
-    max_bucket = 4096
     hasher = MinHasher(n_perm)
 
     def sigs(batch: pa.Table) -> pa.Table:
@@ -263,9 +287,7 @@ def minhash_lsh_pairs(
         for s, e in _runs(buckets[order]):
             run = order[s:e]
             if len(run) > max_bucket:
-                print(
-                    f"minhash_lsh_pairs: bucket of {len(run)} capped at {max_bucket}"
-                )
+                _report_cap(counters, "minhash_lsh_pairs", len(run), max_bucket)
                 run = run[:max_bucket]
             m = len(run)
             mat = np.frombuffer(b"".join(blobs[i] for i in run), dtype=np.uint32).reshape(m, -1)
@@ -371,6 +393,9 @@ def simhash_pairs(
     id_column: str = "doc_id",
     text_column: str = "text",
     max_hamming: int = 3,
+    n_shards: int = 256,
+    max_bucket: int = 4096,
+    counters=None,
 ) -> "rd.Dataset":
     """Near-dup pairs with Hamming(simhash) ≤ k.
 
@@ -378,9 +403,8 @@ def simhash_pairs(
     Hamming ≤ 3 collides on ≥1 chunk.  Bucket key = (chunk_id, chunk_value)
     mixed into one uint64; groups are ``n_shards`` fixed shards (same
     rationale as ``minhash_lsh_pairs``) with local bucketing + vectorized
-    popcount verification.  Shuffle payload is 24 B per (doc, chunk)."""
-    n_shards = 256
-    max_bucket = 4096
+    popcount verification.  Shuffle payload is 24 B per (doc, chunk);
+    capped buckets are surfaced via ``counters`` (see ``_report_cap``)."""
 
     def sigs(batch: pa.Table) -> pa.Table:
         ids = batch[id_column].to_numpy(zero_copy_only=False)
@@ -410,7 +434,7 @@ def simhash_pairs(
         for s, e in _runs(buckets[order]):
             run = order[s:e]
             if len(run) > max_bucket:
-                print(f"simhash_pairs: bucket of {len(run)} capped at {max_bucket}")
+                _report_cap(counters, "simhash_pairs", len(run), max_bucket)
                 run = run[:max_bucket]
             h = sims[run]
             xor = h[:, None] ^ h[None, :]
@@ -493,6 +517,7 @@ def lsh_exact_jaccard_pairs(
     bands: int = 32,
     n_shards: int = 256,
     max_bucket: int = 4096,
+    counters=None,
 ) -> "rd.Dataset":
     """Exact word-set Jaccard ≥ t pairs, with MinHash-LSH candidate
     generation instead of an all-pairs scan.
@@ -555,7 +580,7 @@ def lsh_exact_jaccard_pairs(
         for s, e in _runs(buckets[order]):
             run = order[s:e]
             if len(run) > max_bucket:
-                print(f"lsh_exact_jaccard_pairs: bucket of {len(run)} capped at {max_bucket}")
+                _report_cap(counters, "lsh_exact_jaccard_pairs", len(run), max_bucket)
                 run = run[:max_bucket]
             m = len(run)
             lens = (offs[run + 1] - offs[run]).astype(np.int64)

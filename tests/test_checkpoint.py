@@ -83,3 +83,62 @@ def test_run_resume_and_crash_redo(ray_session, sharded_input, tmp_path):
     assert (redone["url"] == full["url"]).all()
     assert (redone["scrubbed_text"] == full["scrubbed_text"]).all()
     assert (redone["keep"] == full["keep"]).all()
+
+
+def test_resume_rejects_changed_input_set(ray_session, sharded_input, tmp_path):
+    """A lineage group id is positional: resuming against a different file
+    set or group_size must fail loudly, never silently skip wrong inputs."""
+    from language_identification_ray.pipelines.checkpoint import run_resumable
+
+    input_dir, _ = sharded_input
+    out = str(tmp_path / "out")
+    run_resumable(input_dir, out, group_size=2, pages_dataset_fn=_synth_fn)
+
+    # same lineage, different group_size → group 0 maps to different files
+    with pytest.raises(RuntimeError, match="lineage mismatch"):
+        run_resumable(input_dir, out, group_size=1, pages_dataset_fn=_synth_fn)
+
+    # same group_size, shrunk file set → also a mismatch
+    import shutil
+
+    subset = tmp_path / "subset"
+    subset.mkdir()
+    names = sorted(os.listdir(input_dir))
+    for f in names[:2] + names[3:]:  # drop one middle fragment
+        shutil.copy(os.path.join(input_dir, f), subset / f)
+    with pytest.raises(RuntimeError, match="lineage mismatch"):
+        run_resumable(str(subset), out, group_size=2, pages_dataset_fn=_synth_fn)
+
+
+def test_counter_pool_aggregates_across_shards(ray_session):
+    import ray
+
+    from language_identification_ray.pipelines.checkpoint import CounterPool
+
+    pool = CounterPool(n_shards=3)
+    ray.get([sh.add.remote(rows=10, kept=7) for sh in pool.shards])
+    snap = pool.snapshot()
+    assert snap == {"rows": 30, "kept": 21}
+    assert pool.reset() == {"rows": 30, "kept": 21}
+    assert pool.snapshot() == {}
+
+
+def test_dedup_cap_surfaces_in_counters(ray_session):
+    """Truncated verification buckets must be observable as counter data."""
+    import ray
+    import ray.data as rd
+
+    from language_identification_ray.pipelines.checkpoint import RunCounters
+    from language_identification_ray.stages.dedup import minhash_lsh_pairs
+
+    # 12 identical docs land in one bucket; max_bucket=8 forces a cap
+    rows = [{"doc_id": i, "text": "alpha beta gamma delta epsilon zeta"} for i in range(12)]
+    counters = RunCounters.remote()
+    out = minhash_lsh_pairs(
+        rd.from_items(rows), threshold=0.5, max_bucket=8, counters=counters
+    ).to_pandas()
+    snap = ray.get(counters.snapshot.remote())
+    assert snap.get("minhash_lsh_pairs_capped_buckets", 0) >= 1
+    assert snap.get("minhash_lsh_pairs_capped_rows", 0) >= 4
+    # pairs among the first max_bucket ids still emitted
+    assert len(out) > 0
