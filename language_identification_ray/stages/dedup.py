@@ -507,6 +507,81 @@ def _sig_from_hashes(H: np.ndarray, ptr: np.ndarray, a32: np.ndarray, b32: np.nd
     return sig
 
 
+_HOT_WORD_COUNT = 256  # postings threshold: words above this go to the bitmask path
+_MAX_HOT_WORDS = 64  # one uint64 bitmask lane per row
+
+
+def _exact_inter_counts(
+    inv: np.ndarray,
+    rows: np.ndarray,
+    nsub: int,
+    qi: np.ndarray,
+    qj: np.ndarray,
+) -> np.ndarray:
+    """Exact |A∩B| for the requested row pairs (qi < qj, sub-local ids) from
+    word postings — cost scales with Σ c_w² over words, NOT with rows×vocab
+    (the dense incidence matmul paid rows²×vocab: measured 106 s on one
+    sf0.1 shard where sets average 23 words but run vocab is ~15k).
+
+    Two exact paths per word, split by document frequency inside the run:
+      * rare (count ≤ 256): segmented pair generation — every co-occurrence
+        of a word in two rows emits one (row_a, row_b) increment; counts
+        come from one sort + unique.
+      * hot (top ≤64 words above the threshold, the boilerplate/template
+        vocabulary): one uint64 bitmask lane per row, pair intersection via
+        vectorized popcount of ``bits[qi] & bits[qj]`` — O(pairs), immune
+        to the c_w² blowup a corpus-wide stopword would cause.
+    Hot words beyond the 64 lanes fall back to the rare path (correct,
+    slower — realistically absent: >64 words each in >256 of one bucket's
+    rows means the bucket itself is a flood the cap already bounds)."""
+    order = np.lexsort((rows, inv))
+    w_sorted = inv[order].astype(np.int64)
+    r_sorted = rows[order].astype(np.int32)
+    counts = np.bincount(w_sorted)
+    hot_ids = np.flatnonzero(counts > _HOT_WORD_COUNT)
+    if len(hot_ids) > _MAX_HOT_WORDS:
+        hot_ids = hot_ids[np.argsort(-counts[hot_ids], kind="stable")[:_MAX_HOT_WORDS]]
+    inter = np.zeros(len(qi), dtype=np.int64)
+
+    # hot path: one bit lane per hot word
+    if len(hot_ids):
+        starts = np.concatenate([[0], np.cumsum(counts)])
+        bits = np.zeros(nsub, dtype=np.uint64)
+        for lane, w in enumerate(hot_ids):
+            bits[r_sorted[starts[w] : starts[w + 1]]] |= np.uint64(1 << int(lane))
+        inter += _popcount64(bits[qi] & bits[qj])
+
+    # rare path: segmented (i<j) pair generation within each word's postings
+    hot_mask = np.zeros(len(counts), dtype=bool)
+    hot_mask[hot_ids] = True
+    keep = ~hot_mask[w_sorted] & (counts[w_sorted] >= 2)
+    rw, rr = w_sorted[keep], r_sorted[keep]
+    if len(rw):
+        # per posting: how many later postings of the same word pair with it
+        seg_change = np.concatenate([[True], rw[1:] != rw[:-1]])
+        seg_id = np.cumsum(seg_change) - 1
+        seg_sizes = np.bincount(seg_id)
+        pos_in_seg = np.arange(len(rw)) - np.repeat(
+            np.concatenate([[0], np.cumsum(seg_sizes)])[:-1], seg_sizes
+        )
+        block = (seg_sizes[seg_id] - 1 - pos_in_seg).astype(np.int64)
+        total = int(block.sum())
+        if total:
+            a = np.repeat(np.arange(len(rw)), block)
+            start = np.cumsum(block) - block
+            local = np.arange(total) - np.repeat(start, block)
+            b = a + 1 + local
+            # postings are row-sorted within a word segment → r[a] < r[b]
+            keys = rr[a].astype(np.int32) * np.int32(nsub) + rr[b].astype(np.int32)
+            uk, uc = np.unique(keys, return_counts=True)
+            qkeys = qi.astype(np.int32) * np.int32(nsub) + qj.astype(np.int32)
+            pos = np.searchsorted(uk, qkeys)
+            pos_c = np.clip(pos, 0, len(uk) - 1)
+            hit = uk[pos_c] == qkeys
+            inter += np.where(hit, uc[pos_c], 0)
+    return inter
+
+
 def lsh_exact_jaccard_pairs(
     ds: "rd.Dataset",
     id_column: str = "doc_id",
@@ -552,10 +627,15 @@ def lsh_exact_jaccard_pairs(
         n = len(ids)
         wh = pa.ListArray.from_arrays(pa.array(ptr, pa.int32()), pa.array(H, pa.uint64()))
         idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+        # every row also carries the doc's FULL bucket vector so a later
+        # band can tell a pair is already owned by an earlier band
+        blobs = pa.array([buckets[i].tobytes() for i in range(n)], pa.binary())
         cols = {
             "shard": pa.array((buckets & np.uint64(n_shards - 1)).astype(np.int32).ravel(), pa.int32()),
             "bucket": pa.array(buckets.ravel(), pa.uint64()),
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n), pa.int32()),
             "id": pa.array(np.repeat(ids, bands), pa.int64()),
+            "allb": blobs.take(idx),
             "wh": wh.take(idx),
         }
         if block_column is not None:
@@ -564,7 +644,11 @@ def lsh_exact_jaccard_pairs(
 
     def shard_pairs(group: pa.Table) -> pa.Table:
         buckets = group["bucket"].to_numpy(zero_copy_only=False)
+        band_of = group["band"].to_numpy(zero_copy_only=False)
         ids = group["id"].to_numpy(zero_copy_only=False)
+        allb = np.frombuffer(
+            b"".join(group["allb"].to_pylist()), dtype=np.uint64
+        ).reshape(len(ids), bands)
         wh = group["wh"].combine_chunks()
         # pair .values with .offsets (offsets index the raw child array;
         # flatten() would re-base values and misalign on sliced arrays)
@@ -583,24 +667,50 @@ def lsh_exact_jaccard_pairs(
                 _report_cap(counters, "lsh_exact_jaccard_pairs", len(run), max_bucket)
                 run = run[:max_bucket]
             m = len(run)
-            lens = (offs[run + 1] - offs[run]).astype(np.int64)
-            seg = np.concatenate([flat[offs[i] : offs[i + 1]] for i in run])
-            _, inv = np.unique(seg, return_inverse=True)
-            M = np.zeros((m, int(inv.max()) + 1 if len(inv) else 1), dtype=np.float32)
-            M[np.repeat(np.arange(m), lens), inv] = 1.0
-            inter = (M @ M.T).astype(np.int64)
-            union = lens[:, None] + lens[None, :] - inter
-            jac = inter.astype(np.float64) / np.maximum(union, 1).astype(np.float64)
-            iu = np.triu_indices(m, k=1)
-            keep = jac[iu] >= threshold
-            if blocks is not None:
+            # FIRST-BAND OWNERSHIP: this run's band verifies a pair only if
+            # no earlier band already bucketed it together — otherwise a
+            # near-dup cluster of size c would be re-verified in every one
+            # of its ~`bands` colliding buckets (measured 6-30x waste on
+            # flood-heavy corpora).  Earlier-band collision is an exact
+            # bucket-vector comparison, far cheaper than the set matmul.
+            b_run = int(band_of[run[0]])
+            prior = allb[run, :b_run] if b_run > 0 else None
+            # flood fast path: if EVERY row shares one earlier-band bucket,
+            # every pair is owned earlier — O(m·b), skips the O(m²) pair
+            # mask AND the triu allocation for fully-owned runs
+            if prior is not None and (prior == prior[0]).all(axis=0).any():
+                continue
+            pi, pj = np.triu_indices(m, k=1)
+            if prior is not None:
+                owned = np.ones(len(pi), dtype=bool)
+                for k in range(b_run):
+                    owned &= prior[pi, k] != prior[pj, k]
+                pi, pj = pi[owned], pj[owned]
+            if blocks is not None and len(pi):
                 rb = blocks[run]
-                keep &= rb[iu[0]] == rb[iu[1]]
-            ga, gb = ids[run[iu[0][keep]]], ids[run[iu[1][keep]]]
+                same = rb[pi] == rb[pj]
+                pi, pj = pi[same], pj[same]
+            if not len(pi):
+                continue
+            # exact verification restricted to rows that still have pairs
+            sub = np.unique(np.concatenate([pi, pj]))
+            remap = np.empty(m, dtype=np.int64)
+            remap[sub] = np.arange(len(sub))
+            rsub = run[sub]
+            lens = (offs[rsub + 1] - offs[rsub]).astype(np.int64)
+            seg = np.concatenate([flat[offs[i] : offs[i + 1]] for i in rsub])
+            _, inv = np.unique(seg, return_inverse=True)
+            rows = np.repeat(np.arange(len(sub), dtype=np.int32), lens)
+            qi, qj = remap[pi], remap[pj]
+            inter = _exact_inter_counts(inv, rows, len(sub), qi, qj)
+            union = lens[qi] + lens[qj] - inter
+            vals = inter.astype(np.float64) / np.maximum(union, 1).astype(np.float64)
+            keep = vals >= threshold
+            ga, gb = ids[run[pi[keep]]], ids[run[pj[keep]]]
             distinct = ga != gb
             out_a.append(np.minimum(ga, gb)[distinct])
             out_b.append(np.maximum(ga, gb)[distinct])
-            out_j.append(jac[iu][keep][distinct])
+            out_j.append(vals[keep][distinct])
         a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
         b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
         j = np.concatenate(out_j) if out_j else np.empty(0, dtype=np.float64)
@@ -612,14 +722,16 @@ def lsh_exact_jaccard_pairs(
             }
         )
 
-    from ray.data.aggregate import Max
-
+    # No pair-dedup pass needed: first-band ownership emits every pair in
+    # AT MOST one run — a later band always skips a pair whose rows share an
+    # earlier band bucket, whether or not that earlier run was cap-truncated
+    # (truncation loses pairs, it never duplicates them; losses are counted
+    # via ``counters``).  Dropping the two-key groupby here removed a 190 s
+    # aggregate on the sf0.1 bench (965k pairs).
     return (
         ds.map_batches(prep, batch_format="pyarrow", batch_size=512)
         .groupby("shard")
         .map_groups(shard_pairs, batch_format="pyarrow")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Max("jac", alias_name="jac"))
     )
 
 
