@@ -43,6 +43,83 @@ def _positional_ngrams(word: str, n: int) -> Dict[str, Tuple[float, ...]]:
     return {g: tuple(v) for g, v in locs.items()}
 
 
+class ApproxWordList2:
+    """The reference's intermediate positional-list variant
+    (``dictionary_langid/datatypes.py:390-458``), kept for parity alongside
+    the v3-style :class:`FuzzyWordIndex`:
+
+    * grams come from the literally ``^``/``$``-padded word for EVERY order
+      (v3 uses STX/ETX sentinels and only for n>1);
+    * per-order scores stay RAW sums (v3 normalizes by gram count), so v2
+      favors longer overlaps outright;
+    * lookup is a plain top-k by power-mean score with the
+      Damerau-Levenshtein distance attached — no 0.9×top cut-off or
+      edit-distance rescue rule.
+    """
+
+    def __init__(self, n: Union[int, Iterable[int]] = (2, 4)):
+        self.n_list: Tuple[int, ...] = (n,) if isinstance(n, int) else tuple(n)
+        self.vocabulary: List[str] = []
+        self._vocab_indices: Dict[str, int] = {}
+        # per order: n_gram -> [(word_idx, positions)]
+        self._indices: Dict[int, Dict[str, List[Tuple[int, Tuple[float, ...]]]]] = {}
+
+    @staticmethod
+    def _grams(word: str, n: int) -> Dict[str, Tuple[float, ...]]:
+        padded = f"^{word}$"
+        grams = [padded[i : i + n] for i in range(len(padded) - n + 1)]
+        locs: Dict[str, List[float]] = defaultdict(list)
+        if len(grams) > 1:
+            denom = len(grams) - 1
+            for i, g in enumerate(grams):
+                locs[g].append(i / denom)
+        elif grams:
+            locs[grams[0]].append(0.0)
+        return {g: tuple(v) for g, v in locs.items()}
+
+    def add_word(self, word: str) -> "ApproxWordList2":
+        if word in self._vocab_indices:
+            return self
+        idx = self._vocab_indices[word] = len(self.vocabulary)
+        self.vocabulary.append(word)
+        for n in set(self.n_list):
+            index = self._indices.setdefault(n, {})
+            for gram, locs in self._grams(word, n).items():
+                index.setdefault(gram, []).append((idx, locs))
+        return self
+
+    def add_words(self, words: Iterable[str]) -> "ApproxWordList2":
+        for w in words:
+            if w:
+                self.add_word(w)
+        return self
+
+    def lookup(self, word: str, top_k: Optional[int] = None, dim: float = 1.0) -> List[Tuple[str, float, int]]:
+        """→ [(candidate, round(power_mean_score, 3), damerau_levenshtein)]
+        ranked by score desc (deterministic tie-break: insertion order,
+        matching the reference's Counter.most_common)."""
+        matches: Dict[int, List[float]] = {}
+        for n_idx, n in enumerate(self.n_list):
+            index = self._indices.get(n, {})
+            for gram, locs in self._grams(word, n).items():
+                for widx, wlocs in index.get(gram, ()):
+                    scores = matches.setdefault(widx, [0.0] * len(self.n_list))
+                    scores[n_idx] += max(len(locs), len(wlocs)) - emd_1d(locs, wlocs)
+        ranked = sorted(
+            (
+                (widx, (sum(s**dim for s in scores) / len(scores)) ** (1.0 / dim))
+                for widx, scores in matches.items()
+            ),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        if top_k is None:
+            top_k = len(ranked)
+        return [
+            (self.vocabulary[widx], round(score, 3), damerau_levenshtein(word, self.vocabulary[widx]))
+            for widx, score in ranked[:top_k]
+        ]
+
+
 class FuzzyWordIndex:
     def __init__(self, n: Union[int, Iterable[int]] = (2, 4), case_sensitive: bool = False):
         self.n_list: Tuple[int, ...] = (n,) if isinstance(n, int) else tuple(n)

@@ -152,3 +152,45 @@ def test_lookup_short_word_no_crash():
     idx = FuzzyWordIndex().add_words(["a", "at", "cat", "the"])
     assert idx.best("a") is not None
     assert idx.lookup("ab", top_k=3) != []
+
+
+class TestApproxWordList2:
+    """v2 intermediate variant (ref datatypes.py:390-458): ^/$ padding on
+    every order, raw per-order sums, plain top-k (no rescue rule)."""
+
+    def _index(self):
+        from language_identification_ray.state.fuzzy import ApproxWordList2
+
+        return ApproxWordList2((2, 4)).add_words(
+            ["schwarzenegger", "schwarz", "negotiate", "governor", "governed"]
+        )
+
+    def test_exact_word_ranks_first_with_top_score(self):
+        idx = self._index()
+        hits = idx.lookup("schwarzenegger", top_k=3)
+        assert hits[0][0] == "schwarzenegger"
+        assert hits[0][2] == 0  # DL distance attached
+        assert hits[0][1] > hits[1][1]
+
+    def test_misspelling_finds_target(self):
+        idx = self._index()
+        hits = idx.lookup("schwarzeneger", top_k=2)  # dropped one 'g'
+        assert hits[0][0] == "schwarzenegger"
+        assert hits[0][2] == 1
+
+    def test_raw_sums_favor_long_overlap(self):
+        # v2 keeps raw per-order sums: the long word scores ABOVE its prefix
+        idx = self._index()
+        hits = {w: s for w, s, _ in idx.lookup("schwarzenegger")}
+        assert hits["schwarzenegger"] > hits["schwarz"]
+
+    def test_no_rescue_rule_plain_topk(self):
+        idx = self._index()
+        hits = idx.lookup("govermor", top_k=2)
+        assert [h[0] for h in hits] == ["governor", "governed"]
+
+    def test_dedup_add(self):
+        from language_identification_ray.state.fuzzy import ApproxWordList2
+
+        idx = ApproxWordList2(2).add_words(["abc", "abc"])
+        assert len(idx.vocabulary) == 1
