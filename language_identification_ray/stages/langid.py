@@ -89,11 +89,21 @@ class NgramDetector:
     """Hashed char-trigram multinomial NB. Weights trained offline."""
 
     def __init__(self, model_path: Optional[Path] = None):
-        with np.load(model_path or _MODEL_ASSET, allow_pickle=False) as z:
+        from language_identification_ray.state.asset_cache import mmap_derived
+
+        path = Path(model_path or _MODEL_ASSET)
+        with np.load(path, allow_pickle=False) as z:
             self.langs: List[str] = [str(x) for x in z["langs"]]
-            # stored [L, HASH_BUCKETS]; kept transposed + C-contiguous so a
-            # per-doc bucket gather reads contiguous L-float rows (cache-friendly)
-            self.matrix_t: np.ndarray = np.ascontiguousarray(z["matrix"].astype(np.float32).T)
+
+        # stored [L, HASH_BUCKETS]; kept transposed + C-contiguous so a
+        # per-doc bucket gather reads contiguous L-float rows (cache-friendly).
+        # mmap'd from the node-local cache: one shared page-cache copy per
+        # host instead of a ~7 MB anonymous allocation per actor.
+        def build():
+            with np.load(path, allow_pickle=False) as z:
+                return z["matrix"].astype(np.float32).T
+
+        self.matrix_t: np.ndarray = mmap_derived(f"langid-mt-{path.stem}", path, build)
         self.lang_index = {l: i for i, l in enumerate(self.langs)}
         self.SUPPORTED_LANGUAGES = sorted(self.langs)
         self._lower = load_lower_table()

@@ -1,0 +1,55 @@
+"""Node-local mmap cache for dense model assets.
+
+Why: every actor-pool worker loads the langid NB matrix (6.8 MB) and the
+dense Unicode chartables (6.7 MB) in ``__init__``.  Decompressing the npz
+into fresh anonymous memory pays the first-touch page-fault cost PER ACTOR
+(~0.15-0.2 s/MB on this host — ~3 s of the ~3.6 s actor cold-start).  A
+file-backed ``np.load(..., mmap_mode="r")`` instead shares one copy of the
+pages across every worker on the node via the OS page cache: the first
+reader faults them in once, the other N-1 actors get minor faults (~0).
+
+This is the same pattern a multi-node deployment wants: derive the
+read-optimized layout once per node into a local cache directory and mmap
+it, instead of shipping + deserializing the model into every worker heap.
+
+Cache entries are keyed by (name, source mtime_ns) so a retrained asset
+invalidates automatically; writes go through a temp file + ``os.replace``
+so concurrent actors racing on a cold cache are safe (last writer wins,
+readers only ever see complete files).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from pathlib import Path
+from typing import Callable
+
+import numpy as np
+
+_CACHE_DIR = os.environ.get("LI_RAY_ASSET_CACHE", "/tmp/li_ray_asset_cache")
+
+
+def mmap_derived(name: str, src_path: Path, build: Callable[[], np.ndarray]) -> np.ndarray:
+    """Read-only mmap of a derived array, built (once per node) on miss.
+
+    ``build()`` produces the array in its final layout (dtype, transpose,
+    contiguity); it runs only when no cache file matches the source mtime.
+    """
+    mtime = os.stat(src_path).st_mtime_ns
+    path = os.path.join(_CACHE_DIR, f"{name}-{mtime}.npy")
+    if not os.path.exists(path):
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        arr = np.ascontiguousarray(build())
+        fd, tmp = tempfile.mkstemp(dir=_CACHE_DIR, suffix=".npy.tmp")
+        try:
+            with os.fdopen(fd, "wb") as f:
+                np.save(f, arr)
+            os.replace(tmp, path)  # atomic: racing actors never see partial files
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+    return np.load(path, mmap_mode="r")

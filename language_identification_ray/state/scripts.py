@@ -122,14 +122,31 @@ def load_chartables() -> tuple[np.ndarray, np.ndarray]:
     """(charclass, script) dense uint8 arrays over all codepoints.
 
     charclass: 0=punct/symbol 1=word 2=space 3=digit 4=unprintable.
-    Loaded once per process (~2 MiB resident).
+    Node-local mmap (see ``state/asset_cache.py``): the pages are shared by
+    every actor on the host instead of re-faulted per worker.
     """
-    with np.load(_ASSET) as z:
-        return z["charclass"].copy(), z["script"].copy()
+    from language_identification_ray.state.asset_cache import mmap_derived
+
+    def _member(key):
+        def build():
+            with np.load(_ASSET) as z:
+                return z[key]
+
+        return build
+
+    return (
+        mmap_derived("chartables-charclass", _ASSET, _member("charclass")),
+        mmap_derived("chartables-script", _ASSET, _member("script")),
+    )
 
 
 @lru_cache(maxsize=1)
 def load_lower_table() -> np.ndarray:
-    """codepoint → lowercase codepoint (uint32 gather table)."""
-    with np.load(_ASSET) as z:
-        return z["lower"].copy()
+    """codepoint → lowercase codepoint (uint32 gather table), node-local mmap."""
+    from language_identification_ray.state.asset_cache import mmap_derived
+
+    def build():
+        with np.load(_ASSET) as z:
+            return z["lower"]
+
+    return mmap_derived("chartables-lower", _ASSET, build)
