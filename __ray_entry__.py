@@ -73,6 +73,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         return lsh_exact_jaccard_pairs(docs, threshold=0.9, n_perm=60, bands=20)
 
+    def ngram_jaccard_pairs_q(sf_dir: str):
+        """Char-3-gram-set Jaccard near-dup pairs within a language block —
+        the n-gram flavor of the LSH-prefiltered exact verify (miss prob at
+        t=0.9 with r=3,b=20 is ~5e-12, so the all-pairs SQL oracle matches)."""
+        import ray.data as rd
+        from language_identification_ray.stages.dedup import lsh_exact_jaccard_pairs
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+        return lsh_exact_jaccard_pairs(
+            docs, block_column="lang", threshold=0.9, n_perm=60, bands=20, shingles="char3"
+        )
+
     def simhash_pairs_q(sf_dir: str):
         import ray.data as rd
         from language_identification_ray.stages.dedup import simhash_pairs
@@ -192,6 +204,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inactive_customers": relational.inactive_customers,
         "distinct_words_per_lang": analysis.distinct_words_per_lang,
         "user_rolling_avg": analysis.user_rolling_avg,
+        "token_count_bpe": analysis.token_count_bpe,
+        "winnow_fingerprints": analysis.winnow_fingerprints,
+        "label_centroids": analysis.label_centroids,
+        "embedding_quantize": analysis.embedding_quantize,
+        "revenue_filter": relational.revenue_filter,
+        "late_shipment_priority": relational.late_shipment_priority,
+        "top_revenue_orders": relational.top_revenue_orders,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs_q,
         # --- dedup / similarity (SQL-checkable where exact) ---------------
         "jaccard_pairs": jaccard_pairs_q,
         "embedding_dup_pairs": embedding_dup_pairs_q,
@@ -522,6 +542,108 @@ def oracle_sql() -> dict[str, str]:
             FROM w a JOIN w b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
                     / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
+        """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|ll|ve|re|d|m)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                     AS bpe_tokens
+            FROM documents
+        """,
+        "winnow_fingerprints": """
+            WITH cps AS (
+                SELECT doc_id,
+                       [unicode(substr(text, CAST(i AS INT), 1)) for i in range(1, len(text)+1)] AS c
+                FROM documents WHERE len(text) > 0
+            ),
+            kh AS (
+                SELECT doc_id,
+                       [list_reduce(list_slice(c, CAST(i AS INT), CAST(i+4 AS INT)),
+                                    (a, b) -> (a*31 + b) % 4294967296)
+                        for i in range(1, greatest(len(c)-4, 1)+1)] AS hs
+                FROM cps
+            ),
+            wm AS (
+                SELECT doc_id,
+                       list_distinct([list_min(list_slice(hs, CAST(i AS INT), CAST(i+3 AS INT)))
+                                      for i in range(1, greatest(len(hs)-3, 1)+1)]) AS fps
+                FROM kh
+            )
+            SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM wm
+        """,
+        "label_centroids": """
+            SELECT label, dim, round(avg(CAST(v AS DOUBLE)), 5) AS centroid
+            FROM (SELECT label,
+                         unnest(embedding) AS v,
+                         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim
+                  FROM embeddings)
+            GROUP BY label, dim
+        """,
+        "embedding_quantize": """
+            WITH s AS (
+                SELECT vec_id, embedding,
+                       CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127.0 AS scale
+                FROM embeddings
+            ),
+            q AS (
+                SELECT vec_id, scale,
+                       list_transform(embedding,
+                           x -> CAST(CASE WHEN scale = 0 THEN 0
+                                          ELSE floor(CAST(x AS DOUBLE) / scale + 0.5) END AS BIGINT)) AS qv
+                FROM s
+            )
+            SELECT vec_id, round(scale, 6) AS scale,
+                   CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+                   CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
+                   CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max
+            FROM q
+        """,
+        "revenue_filter": """
+            SELECT sum(CAST(floor(l_extendedprice*l_discount*100 + 0.5) AS BIGINT))/100.0 AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2001-01-01'
+              AND l_discount BETWEEN 0.04 AND 0.06
+              AND l_quantity < 24
+        """,
+        "late_shipment_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate >= o.o_orderdate + INTERVAL 30 DAY
+            )
+            GROUP BY o_orderpriority
+        """,
+        "top_revenue_orders": """
+            SELECT l.l_orderkey AS orderkey,
+                   sum(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT))/100.0 AS revenue,
+                   min(o.o_orderdate) AS orderdate,
+                   min(o.o_orderpriority) AS orderpriority
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-07-01'
+              AND l.l_shipdate > TIMESTAMP '1998-07-01'
+            GROUP BY l.l_orderkey
+            ORDER BY revenue DESC, orderkey ASC
+            LIMIT 10
+        """,
+        "ngram_jaccard_pairs": """
+            WITH sh AS (
+                SELECT doc_id, lang,
+                       list_distinct([substr(text, CAST(i AS INT), 3)
+                                      for i in range(1, greatest(len(text)-2, 1)+1)]) AS g
+                FROM documents WHERE len(text) > 0
+            )
+            SELECT doc_a, doc_b, jac FROM (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       len(list_intersect(a.g, b.g))::DOUBLE
+                         / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jac
+                FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            ) WHERE jac >= 0.9
         """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

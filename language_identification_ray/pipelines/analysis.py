@@ -854,3 +854,234 @@ def fuzzy_correct_sample(sf_dir: str) -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         FuzzySpellStage, batch_format="pyarrow", batch_size=256, concurrency=(1, 4)
     )
+
+
+# ---------------------------------------------------------------------------
+# LLM-training-data text ops: BPE-ish token counting + winnowing fingerprints
+# (task-brief §"Text analysis"; both map-only, shuffle-free, oracle-backed)
+
+# GPT-2-style pre-tokenizer regex, simplified to the RE2 subset (no lookahead)
+# so pyarrow (RE2) and the DuckDB oracle (also RE2) match byte-for-byte.
+BPE_PRETOKEN_RE = r"'(?:s|t|ll|ve|re|d|m)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_count_bpe(sf_dir: str) -> "rd.Dataset":
+    """Per-doc BPE-ish pre-token count (contractions, letter runs, digit
+    runs, punctuation runs, whitespace runs).  One vectorized RE2 scan per
+    batch (``pc.count_substring_regex``) — no Python per row, no shuffle;
+    the realistic "how many tokens will the tokenizer see" estimator for
+    corpus budgeting at 100 TB."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], BPE_PRETOKEN_RE).cast(pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "bpe_tokens": n})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+_WINNOW_B = np.uint32(31)
+
+
+def _segment_aranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """concat([arange(s, s+c) for s, c in zip(starts, counts)]) without the
+    Python loop: repeat each segment start, add a per-segment 0..c-1 ramp."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    base = np.repeat(starts.astype(np.int64), counts)
+    seg_first = np.repeat(np.cumsum(counts) - counts, counts)
+    return base + (np.arange(total, dtype=np.int64) - seg_first)
+
+
+def _winnow_batch(texts, ids: np.ndarray, k: int, w: int):
+    """Vectorized winnowing (Schleimer, Wilkerson & Aiken, SIGMOD 2003):
+    rolling base-31 mod-2^32 Horner hash over codepoints → k-gram hashes →
+    min of each w-window → per-doc distinct minima.
+
+    All docs in the batch are processed on ONE flattened codepoint array
+    (uint32 — this host emulates 64-bit multiplies ~250× slower); windows
+    that would cross a doc boundary are masked out by pointer arithmetic.
+    Docs shorter than ``k`` chars hash their whole text (the SQL oracle's
+    clipped ``list_slice`` does the same).  Returns (doc_ids, fps) exploded.
+    """
+    cps_list = [
+        np.frombuffer((t or "").encode("utf-32-le"), dtype=np.uint32) for t in texts
+    ]
+    lens = np.fromiter((len(c) for c in cps_list), dtype=np.int64, count=len(cps_list))
+    keep = lens > 0
+    if not keep.any():
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    cps_list = [c for c, m in zip(cps_list, keep) if m]
+    ids = ids[keep]
+    lens = lens[keep]
+    flat = np.concatenate(cps_list)
+    ptr = np.concatenate([[0], np.cumsum(lens)])
+
+    # k-gram Horner hashes over the flat array (windows crossing doc
+    # boundaries are computed then discarded — branch-free)
+    n = len(flat)
+    m = n - k + 1
+    gh_parts, gdoc_parts = [], []
+    if m > 0:
+        h = np.zeros(m, dtype=np.uint32)
+        for t in range(k):
+            h = h * _WINNOW_B + flat[t : m + t]
+        g_counts = np.maximum(lens - k + 1, 0)
+        doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), g_counts)
+        valid_starts = _segment_aranges(ptr[:-1], g_counts)
+        gh_parts.append(h[valid_starts])
+        gdoc_parts.append(doc_of)
+    # short docs (0 < len < k): Horner over the whole text
+    short = np.flatnonzero(lens < k)
+    for d in short:
+        c = flat[ptr[d] : ptr[d + 1]]
+        hv = np.uint32(0)
+        for x in c:
+            hv = hv * _WINNOW_B + x
+        gh_parts.append(np.array([hv], dtype=np.uint32))
+        gdoc_parts.append(np.array([d], dtype=np.int64))
+    gh = np.concatenate(gh_parts)
+    gdoc = np.concatenate(gdoc_parts)
+    # regroup contiguously by doc (short docs were appended out of order)
+    order = np.argsort(gdoc, kind="stable")
+    gh, gdoc = gh[order], gdoc[order]
+    g_counts_all = np.bincount(gdoc, minlength=len(lens)).astype(np.int64)
+    gptr = np.concatenate([[0], np.cumsum(g_counts_all)])
+
+    # sliding w-window minima over the flat hash array, doc-masked
+    G = len(gh)
+    wm = G - w + 1
+    mins_parts, mdoc_parts = [], []
+    if wm > 0:
+        mn = gh[:wm].copy()
+        for t in range(1, w):
+            np.minimum(mn, gh[t : wm + t], out=mn)
+        w_counts = np.maximum(g_counts_all - w + 1, 0)
+        mdoc = np.repeat(np.arange(len(lens), dtype=np.int64), w_counts)
+        vstarts = _segment_aranges(gptr[:-1], w_counts)
+        mins_parts.append(mn[vstarts])
+        mdoc_parts.append(mdoc)
+    short_g = np.flatnonzero((g_counts_all > 0) & (g_counts_all < w))
+    if len(short_g):
+        # per-segment min via ≤ w-2 shifted gathers (reduceat is unusable
+        # here: its final segment silently extends to the end of the array)
+        starts_s = gptr[:-1][short_g]
+        cnts = g_counts_all[short_g]
+        segmin = gh[starts_s]
+        for t in range(1, int(cnts.max())):
+            sel = np.flatnonzero(cnts > t)
+            segmin[sel] = np.minimum(segmin[sel], gh[starts_s[sel] + t])
+        mins_parts.append(segmin)
+        mdoc_parts.append(short_g.astype(np.int64))
+    mins = np.concatenate(mins_parts).astype(np.int64)
+    mdoc = np.concatenate(mdoc_parts)
+
+    # distinct (doc, fp): lexsort + consecutive-dedup (no 64-bit key mults)
+    order = np.lexsort((mins, mdoc))
+    mins, mdoc = mins[order], mdoc[order]
+    first = np.concatenate(
+        [[True], (mins[1:] != mins[:-1]) | (mdoc[1:] != mdoc[:-1])]
+    )
+    return ids[mdoc[first]], mins[first]
+
+
+def winnow_fingerprints(sf_dir: str, k: int = 5, w: int = 4) -> "rd.Dataset":
+    """Rolling-hash document fingerprints (winnowing): per doc, the distinct
+    minima of each ``w``-window of char ``k``-gram hashes — the classic
+    near-dup / plagiarism sketch whose size adapts to document length.
+    Map-only and shuffle-free; output exploded as (doc_id, fp) so downstream
+    fingerprint-equality joins are plain hash shuffles on an int64 key."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        out_ids, fps = _winnow_batch(
+            batch["text"].to_pylist(), batch["doc_id"].to_numpy(), k, w
+        )
+        return pa.table(
+            {"doc_id": pa.array(out_ids, pa.int64()), "fp": pa.array(fps, pa.int64())}
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding-table ops: per-label centroids + int8 quantization
+# (task-brief §"Similarity search" adjuncts; both pre-aggregated/map-only)
+
+
+def label_centroids(sf_dir: str) -> "rd.Dataset":
+    """Per-label mean embedding, exploded to (label, dim, centroid) rows.
+
+    Scale shape: each batch emits ONE partial (sum, count) row per
+    (label, dim) — a few hundred rows — so the groupby shuffles partials,
+    never vectors.  The classic centroid step of distributed k-means /
+    near-dup clustering.  Values rounded to 5 decimals so float summation
+    order is engine-independent."""
+    from language_identification_ray.stages.knn import _as_matrix
+
+    def partials(batch: pa.Table) -> pa.Table:
+        mat = _as_matrix(batch["embedding"])
+        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, inv = np.unique(labels, return_inverse=True)
+        dim = mat.shape[1]
+        sums = np.zeros((len(uk), dim), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        counts = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uk, dim), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), len(uk)), pa.int64()),
+                "psum": pa.array(sums.ravel(), pa.float64()),
+                "pcount": pa.array(np.repeat(counts, dim), pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        c = batch["sum(psum)"].to_numpy(zero_copy_only=False)
+        n = batch["sum(pcount)"].to_numpy(zero_copy_only=False)
+        cent = np.round(c / n, 5)
+        return pa.table(
+            {
+                "label": batch["label"].cast(pa.int32()),
+                "dim": batch["dim"],
+                "centroid": pa.array(cent, pa.float64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("psum"), Sum("pcount"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def embedding_quantize(sf_dir: str) -> "rd.Dataset":
+    """Symmetric int8 quantization per vector: scale = max|x| / 127,
+    q_i = floor(x_i/scale + 0.5).  Emits per-vector summary columns
+    (scale, q_sum, q_min, q_max) — scalar outputs keep the oracle compare
+    dtype-exact while the full int8 payload shape is exercised in tests.
+    Map-only, one vectorized pass; the standard embedding-compression step
+    before an ANN index build at 100 TB."""
+    from language_identification_ray.stages.knn import _as_matrix
+
+    def f(batch: pa.Table) -> pa.Table:
+        mat = _as_matrix(batch["embedding"])  # float64 view of float32 values
+        scale = np.abs(mat).max(axis=1) / 127.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        q = np.floor(mat / safe[:, None] + 0.5)
+        q[scale == 0.0] = 0.0
+        q = q.astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "scale": pa.array(np.round(scale, 6), pa.float64()),
+                "q_sum": pa.array(q.sum(axis=1), pa.int64()),
+                "q_min": pa.array(q.min(axis=1), pa.int64()),
+                "q_max": pa.array(q.max(axis=1), pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(f, batch_format="pyarrow")

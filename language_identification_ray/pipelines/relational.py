@@ -505,3 +505,205 @@ def events_purchases_within_hour(sf_dir: str) -> "rd.Dataset":
         .groupby("user_id")
         .map_groups(per_user, batch_format="pyarrow")
     )
+
+
+def revenue_filter(sf_dir: str):
+    """TPC-H-Q6-style selective scan: shipdate-range + discount-band +
+    quantity filters, then one global (revenue, count) total.
+
+    Scale shape: the date range is pushed into the parquet read (row-group
+    pruning skips whole files at 100 TB), only 4 columns leave storage, each
+    batch reduces to ONE partial row, and the driver sums a handful of
+    int64 partials — no shuffle at all.  Returns a 1-row pandas DataFrame
+    (the aggregate is a scalar; materializing it is the correct driver-side
+    step)."""
+    import datetime as _dt
+
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    lo = _dt.datetime(2000, 1, 1)
+    hi = _dt.datetime(2001, 1, 1)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        filter=((pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi)),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc = batch["l_discount"]
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(disc, 0.04), pc.less_equal(disc, 0.06)),
+            pc.less(batch["l_quantity"], 24.0),
+        )
+        sub = batch.filter(mask)
+        price = sub["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = sub["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        rev = np.floor(price * d * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "revenue_cents": pa.array([int(rev.sum())], pa.int64()),
+                "n_items": pa.array([len(sub)], pa.int64()),
+            }
+        )
+
+    parts = li.map_batches(partial, batch_format="pyarrow")
+    totals = parts.sum(["revenue_cents", "n_items"])
+    return pd.DataFrame(
+        {
+            "revenue": [totals["sum(revenue_cents)"] / 100.0],
+            "n_items": [int(totals["sum(n_items)"])],
+        }
+    )
+
+
+def late_shipment_priority(sf_dir: str, grace_days: int = 30) -> "rd.Dataset":
+    """TPC-H-Q4-style EXISTS semi-join: orders per priority having at least
+    one lineitem shipped ≥ ``grace_days`` after the order date.
+
+    Distributed semi-join shape: the EXISTS predicate only needs
+    ``max(l_shipdate)`` per order, so lineitem is reduced map-side to one
+    (orderkey, max_ship) partial per batch, combined by one groupby, and
+    joined to orders on the orderkey — the shuffle moves one row per order,
+    never one per lineitem.  The final groupby is over 5 priority keys."""
+    from ray.data.aggregate import Count, Max
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+
+    def ship_partial(batch: pa.Table) -> pa.Table:
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ts = batch["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[ns]").astype(np.int64)
+        uk, inv = np.unique(keys, return_inverse=True)
+        mx = np.full(len(uk), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(mx, inv, ts)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uk, pa.int64()),
+                "max_ship_ns": pa.array(mx, pa.int64()),
+            }
+        )
+
+    maxship = (
+        li.map_batches(ship_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Max("max_ship_ns", alias_name="max_ship_ns"))
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    joined = orders.join(
+        maxship,
+        join_type="inner",
+        num_partitions=_join_partitions(li, orders),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+    grace_ns = np.int64(grace_days) * np.int64(86_400_000_000_000)
+
+    def late_filter(batch: pa.Table) -> pa.Table:
+        od = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[ns]").astype(np.int64)
+        late = batch["max_ship_ns"].to_numpy(zero_copy_only=False) >= od + grace_ns
+        return batch.filter(pa.array(late)).select(["o_orderpriority"])
+
+    return (
+        joined.map_batches(late_filter, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_orders"))
+    )
+
+
+def top_revenue_orders(
+    sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-07-01", k: int = 10
+) -> "rd.Dataset":
+    """TPC-H-Q3-style top-k: the ``k`` highest-revenue orders from one
+    market segment, ordered before ``cutoff``, for lineitems shipped after
+    it.
+
+    Scale shape: both joins are ``Dataset.join`` hash joins with
+    size-derived partition counts; lineitem is pre-aggregated to one
+    revenue-cents row per orderkey BEFORE its join (the shuffle carries
+    order-level rows); the top-k is a per-batch partial top-k (each batch
+    emits ≤ k rows) followed by a sort over ≤ k × n_batches survivors —
+    never a full sort of the joined table.  Ties broken by orderkey so the
+    cut is deterministic on both engines."""
+    cut = datetime.datetime.fromisoformat(cutoff)
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+        filter=(pads.field("c_mktsegment") == segment),
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=(pads.field("o_orderdate") < cut),
+    )
+    co = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=_join_partitions(orders, cust),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") > cut),
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        uk, inv = np.unique(keys, return_inverse=True)
+        tot = np.bincount(inv, weights=rev, minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": pa.array(uk, pa.int64()),
+                "revenue_cents": pa.array(tot, pa.int64()),
+            }
+        )
+
+    li_rev = (
+        li.map_batches(rev_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    joined = li_rev.join(
+        co,
+        join_type="inner",
+        num_partitions=_join_partitions(li, orders),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        rev = batch["revenue_cents"].to_numpy(zero_copy_only=False)
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((keys, -rev))[:k]
+        return batch.take(pa.array(order))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orderkey": batch["l_orderkey"],
+                "revenue": pa.array(
+                    batch["revenue_cents"].to_numpy(zero_copy_only=False) / 100.0,
+                    pa.float64(),
+                ),
+                "orderdate": batch["o_orderdate"],
+                "orderpriority": batch["o_orderpriority"],
+            }
+        )
+
+    return (
+        joined.map_batches(topk_partial, batch_format="pyarrow")
+        .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
+        .limit(k)
+        .map_batches(finalize, batch_format="pyarrow")
+    )

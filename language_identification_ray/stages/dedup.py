@@ -491,6 +491,31 @@ def _word_set_hashes(texts) -> tuple:
     return H[order], ptr
 
 
+def _char_shingle_hashes(texts, k: int = 3) -> tuple:
+    """uint64 hash per element of each text's distinct char ``k``-gram set —
+    the SQL oracle's ``list_distinct([substr(text, i, k) for i in
+    1..max(len-k+1, 1)])`` semantics (a doc of ≤ k chars contributes its
+    whole text as the single shingle; empty docs contribute nothing, so
+    their pairs can never reach a positive threshold).  Same (H, ptr)
+    contract as :func:`_word_set_hashes`."""
+    import itertools
+
+    sets_per_doc = []
+    for t in texts:
+        t = t or ""
+        if len(t) <= k:
+            sets_per_doc.append({t} if t else set())
+        else:
+            sets_per_doc.append({t[i : i + k] for i in range(len(t) - k + 1)})
+    counts = np.fromiter((len(s) for s in sets_per_doc), dtype=np.int64, count=len(texts))
+    flat = list(itertools.chain.from_iterable(sets_per_doc))
+    H = pd.util.hash_array(np.asarray(flat, dtype=object)) if flat else np.empty(0, np.uint64)
+    ptr = np.concatenate([[0], np.cumsum(counts)])
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    order = np.lexsort((H, doc_of))
+    return H[order], ptr
+
+
 def _sig_from_hashes(H: np.ndarray, ptr: np.ndarray, a32: np.ndarray, b32: np.ndarray) -> np.ndarray:
     """MinHash signatures (uint32[n_docs, n_perm]) from per-doc uint64 hash
     slices — same uint32 multiply-mix + reduceat scheme as ``_signatures``."""
@@ -593,9 +618,13 @@ def lsh_exact_jaccard_pairs(
     n_shards: int = 256,
     max_bucket: int = 4096,
     counters=None,
+    shingles: str = "word",
 ) -> "rd.Dataset":
-    """Exact word-set Jaccard ≥ t pairs, with MinHash-LSH candidate
-    generation instead of an all-pairs scan.
+    """Exact set-Jaccard ≥ t pairs, with MinHash-LSH candidate generation
+    instead of an all-pairs scan.  ``shingles`` picks the set definition:
+    ``"word"`` (exact word sets, the default) or ``"char3"`` (distinct char
+    3-grams — the n-gram Jaccard flavor; identical bucketing/verify path,
+    only the set hasher differs).
 
     Output: (doc_a, doc_b, jac) with doc_a < doc_b and jac the EXACT
     |A∩B|/|A∪B| over word sets — the same value the SQL oracle computes.
@@ -617,11 +646,12 @@ def lsh_exact_jaccard_pairs(
     counts < 2^24 stay exact), not a per-pair Python loop."""
     hasher = MinHasher(n_perm)
     rpb = n_perm // bands
+    set_hashes = {"word": _word_set_hashes, "char3": _char_shingle_hashes}[shingles]
 
     def prep(batch: pa.Table) -> pa.Table:
         ids = batch[id_column].to_numpy(zero_copy_only=False)
         texts = batch[text_column].to_pylist()
-        H, ptr = _word_set_hashes(texts)
+        H, ptr = set_hashes(texts)
         sig = _sig_from_hashes(H, ptr, hasher.a32, hasher.b32)
         buckets = _band_buckets(sig, bands)  # (n, bands)
         n = len(ids)
