@@ -74,15 +74,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return lsh_exact_jaccard_pairs(docs, threshold=0.9, n_perm=60, bands=20)
 
     def ngram_jaccard_pairs_q(sf_dir: str):
-        """Char-3-gram-set Jaccard near-dup pairs within a language block —
+        """Char-8-gram-set Jaccard near-dup pairs within a language block —
         the n-gram flavor of the LSH-prefiltered exact verify (miss prob at
-        t=0.9 with r=3,b=20 is ~5e-12, so the all-pairs SQL oracle matches)."""
+        t=0.9 with r=3,b=20 is ~5e-12, so the all-pairs SQL oracle matches).
+        8-gram shingles, not 3-gram: trigram background similarity between
+        same-language docs is ~0.5, which floods every LSH bucket; 8-grams
+        only collide for true near-dups (see ``lsh_exact_jaccard_pairs``)."""
         import ray.data as rd
         from language_identification_ray.stages.dedup import lsh_exact_jaccard_pairs
 
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
         return lsh_exact_jaccard_pairs(
-            docs, block_column="lang", threshold=0.9, n_perm=60, bands=20, shingles="char3"
+            docs, block_column="lang", threshold=0.9, n_perm=60, bands=20, shingles="char8"
         )
 
     def simhash_pairs_q(sf_dir: str):
@@ -634,8 +637,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": """
             WITH sh AS (
                 SELECT doc_id, lang,
-                       list_distinct([substr(text, CAST(i AS INT), 3)
-                                      for i in range(1, greatest(len(text)-2, 1)+1)]) AS g
+                       list_distinct([substr(text, CAST(i AS INT), 8)
+                                      for i in range(1, greatest(len(text)-7, 1)+1)]) AS g
                 FROM documents WHERE len(text) > 0
             )
             SELECT doc_a, doc_b, jac FROM (

@@ -622,9 +622,13 @@ def lsh_exact_jaccard_pairs(
 ) -> "rd.Dataset":
     """Exact set-Jaccard ≥ t pairs, with MinHash-LSH candidate generation
     instead of an all-pairs scan.  ``shingles`` picks the set definition:
-    ``"word"`` (exact word sets, the default) or ``"char3"`` (distinct char
-    3-grams — the n-gram Jaccard flavor; identical bucketing/verify path,
-    only the set hasher differs).
+    ``"word"`` (exact word sets, the default) or ``"char8"``/``"char3"``
+    (distinct char k-grams — the n-gram Jaccard flavor; identical
+    bucketing/verify path, only the set hasher differs).  Prefer ``char8``
+    for near-dup work: 3-grams are so common that same-language documents
+    sit at Jaccard ~0.5 background similarity, which floods LSH buckets
+    with candidates (measured: the sf0.1 run went quadratic); 8-gram
+    background similarity is ≤ ~0.15, so only true near-dups collide.
 
     Output: (doc_a, doc_b, jac) with doc_a < doc_b and jac the EXACT
     |A∩B|/|A∪B| over word sets — the same value the SQL oracle computes.
@@ -646,7 +650,11 @@ def lsh_exact_jaccard_pairs(
     counts < 2^24 stay exact), not a per-pair Python loop."""
     hasher = MinHasher(n_perm)
     rpb = n_perm // bands
-    set_hashes = {"word": _word_set_hashes, "char3": _char_shingle_hashes}[shingles]
+    set_hashes = {
+        "word": _word_set_hashes,
+        "char3": lambda texts: _char_shingle_hashes(texts, 3),
+        "char8": lambda texts: _char_shingle_hashes(texts, 8),
+    }[shingles]
 
     def prep(batch: pa.Table) -> pa.Table:
         ids = batch[id_column].to_numpy(zero_copy_only=False)
