@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_shipment_priority": relational.late_shipment_priority,
         "top_revenue_orders": relational.top_revenue_orders,
         "ngram_jaccard_pairs": ngram_jaccard_pairs_q,
+        "tfidf_top5_per_lang": analysis.tfidf_top5_per_lang,
         # --- dedup / similarity (SQL-checkable where exact) ---------------
         "jaccard_pairs": jaccard_pairs_q,
         "embedding_dup_pairs": embedding_dup_pairs_q,
@@ -545,6 +546,25 @@ def oracle_sql() -> dict[str, str]:
             FROM w a JOIN w b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.ws, b.ws))::DOUBLE
                     / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.9
+        """,
+        "tfidf_top5_per_lang": """
+            WITH tf AS (
+                SELECT lang, word, count(*) AS tf
+                FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+                GROUP BY lang, word
+            ),
+            df AS (SELECT word, count(*) AS n_langs_with FROM tf GROUP BY word),
+            nl AS (SELECT count(DISTINCT lang) AS n FROM documents),
+            scored AS (
+                SELECT tf.lang, tf.word,
+                       round(tf.tf * ln(CAST(nl.n AS DOUBLE) / df.n_langs_with), 5) AS tfidf
+                FROM tf JOIN df USING (word) CROSS JOIN nl
+            )
+            SELECT lang, word, tfidf FROM (
+                SELECT *, row_number() OVER (PARTITION BY lang
+                                             ORDER BY tfidf DESC, word ASC) AS rn
+                FROM scored
+            ) WHERE rn <= 5
         """,
         "token_count_bpe": r"""
             SELECT doc_id,

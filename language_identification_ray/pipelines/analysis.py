@@ -1085,3 +1085,77 @@ def embedding_quantize(sf_dir: str) -> "rd.Dataset":
     return rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(f, batch_format="pyarrow")
+
+
+def tfidf_top5_per_lang(sf_dir: str, k: int = 5) -> "rd.Dataset":
+    """Most-distinctive terms per language by tf-idf over languages:
+    score(lang, word) = tf(lang, word) × ln(n_langs / n_langs_with_word).
+
+    Scale shape: term frequencies are pre-counted per batch (one Counter
+    row per distinct (lang, word) in the batch) so the groupby shuffles
+    vocabulary-sized partials, never the token stream; language document
+    frequency is a second vocabulary-keyed groupby; the two meet in a
+    ``Dataset.join`` on the word (size-derived partitions).  n_langs is a
+    bounded driver-side aggregate (≤ a few hundred languages at any scale).
+    The per-lang top-k sorts rounded scores with a word tie-break so the
+    cut is engine-deterministic."""
+    from collections import Counter as _Counter
+
+    from language_identification_ray.pipelines.relational import _join_partitions
+
+    docs = _docs(sf_dir, ["lang", "text"])
+
+    def tf_partial(batch: pa.Table) -> pa.Table:
+        c: _Counter = _Counter()
+        langs = batch["lang"].to_pylist()
+        for lang, words in zip(langs, pc.split_pattern(batch["text"], " ").to_pylist()):
+            for w in words:
+                c[(lang, w)] += 1
+        ks = list(c.keys())
+        return pa.table(
+            {
+                "lang": pa.array([x[0] for x in ks], pa.string()),
+                "word": pa.array([x[1] for x in ks], pa.string()),
+                "tf_part": pa.array([c[x] for x in ks], pa.int64()),
+            }
+        )
+
+    tf = (
+        docs.map_batches(tf_partial, batch_format="pyarrow")
+        .groupby(["lang", "word"])
+        .aggregate(Sum("tf_part", alias_name="tf"))
+    )
+    # language-df per word: one row per (lang, word) exists in tf already
+    df = tf.groupby("word").aggregate(Count(alias_name="n_langs_with"))
+    n_langs = len(tf.groupby("lang").aggregate(Count()).take_all())
+
+    joined = tf.join(
+        df,
+        join_type="inner",
+        num_partitions=_join_partitions(docs),
+        on=("word",),
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfv = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = batch["n_langs_with"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.round(tfv * np.log(float(n_langs) / dfv), 5)
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "word": batch["word"],
+                "tfidf": pa.array(s, pa.float64()),
+            }
+        )
+
+    def topk(group: pa.Table) -> pa.Table:
+        s = group["tfidf"].to_numpy(zero_copy_only=False)
+        words = np.asarray(group["word"].to_pylist(), dtype=object)
+        order = np.lexsort((words, -s))[:k]
+        return group.take(pa.array(order))
+
+    return (
+        joined.map_batches(score, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(topk, batch_format="pyarrow")
+    )
