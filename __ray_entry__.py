@@ -157,19 +157,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def knn_ivf_pruned_q(sf_dir: str):
         """IVF layout materialized as hive-partitioned parquet (one dir per
         cell); the query reads ONLY its probed cells' files — read-level
-        pruning proven by input-file count (tests/test_knn.py)."""
-        import tempfile
+        pruning proven by input-file count (tests/test_knn.py).  The layout
+        is an index build: cached per input table (deterministic centroids →
+        identical layout every run) so repeated sweeps/bench iterations
+        reuse it instead of leaking a fresh copy of the embeddings table."""
+        import hashlib
+        import os
 
         import numpy as np
         import pyarrow.parquet as pq
         import ray.data as rd
-        from language_identification_ray.stages.knn import build_ivf_layout, ivf_pruned_topk
+        from language_identification_ray.stages.knn import (
+            IvfIndex,
+            build_ivf_layout,
+            ivf_pruned_topk,
+        )
 
-        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        src = f"{sf_dir}/embeddings.parquet"
+        tbl = pq.read_table(src, columns=["vec_id", "embedding"])
         ids = tbl["vec_id"].to_numpy()
         q = np.array(tbl["embedding"].to_pylist()[int(np.argmin(ids))], dtype=np.float64)
-        layout = tempfile.mkdtemp(prefix="ivf_layout_")
-        index = build_ivf_layout(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), layout)
+        key = hashlib.md5(
+            f"{os.path.realpath(src)}|{os.path.getmtime(src)}|{os.path.getsize(src)}".encode()
+        ).hexdigest()[:12]
+        layout = f"/tmp/ivf_layout_{key}"
+        # sibling path: a stray non-parquet file inside the layout would trip
+        # the hive partition filter; written last, it doubles as the
+        # build-complete marker
+        cent_path = f"{layout}_centroids.npy"
+        if os.path.exists(cent_path):
+            index = IvfIndex(np.load(cent_path))
+        else:
+            index = build_ivf_layout(rd.read_parquet(src), layout)
+            np.save(cent_path, index.centroids)
         return ivf_pruned_topk(layout, index, q, k=10, n_probe=4)
 
     return {

@@ -1124,6 +1124,10 @@ def tfidf_top5_per_lang(sf_dir: str, k: int = 5) -> "rd.Dataset":
         docs.map_batches(tf_partial, batch_format="pyarrow")
         .groupby(["lang", "word"])
         .aggregate(Sum("tf_part", alias_name="tf"))
+        # tf feeds three consumers (df aggregate, n_langs count, the join);
+        # without materializing, each re-runs the corpus-wide tokenize +
+        # (lang, word) shuffle — two redundant full scans
+        .materialize()
     )
     # language-df per word: one row per (lang, word) exists in tf already
     df = tf.groupby("word").aggregate(Count(alias_name="n_langs_with"))

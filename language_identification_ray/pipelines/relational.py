@@ -549,6 +549,19 @@ def revenue_filter(sf_dir: str):
 
     parts = li.map_batches(partial, batch_format="pyarrow")
     totals = parts.sum(["revenue_cents", "n_items"])
+    if totals is None or totals.get("sum(n_items)") is None:
+        # no lineitem in the shipdate window at all (Ray returns None or a
+        # dict of Nones depending on version): SQL sum() over zero rows is
+        # NULL (count is 0)
+        return pd.DataFrame({"revenue": [None], "n_items": [0]}).astype(
+            {"revenue": "float64", "n_items": "int64"}
+        )
+    if int(totals["sum(n_items)"]) == 0:
+        # window rows exist but none pass the discount/quantity predicate:
+        # same NULL-sum semantics as the empty window
+        return pd.DataFrame({"revenue": [None], "n_items": [0]}).astype(
+            {"revenue": "float64", "n_items": "int64"}
+        )
     return pd.DataFrame(
         {
             "revenue": [totals["sum(revenue_cents)"] / 100.0],

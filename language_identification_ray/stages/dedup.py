@@ -596,10 +596,14 @@ def _exact_inter_counts(
             start = np.cumsum(block) - block
             local = np.arange(total) - np.repeat(start, block)
             b = a + 1 + local
-            # postings are row-sorted within a word segment → r[a] < r[b]
-            keys = rr[a].astype(np.int32) * np.int32(nsub) + rr[b].astype(np.int32)
+            # postings are row-sorted within a word segment → r[a] < r[b].
+            # Pair keys pack as row_a*nsub+row_b: int32 (fast multiplies on
+            # this host) while it can't wrap, int64 once nsub²≥2³¹ — a
+            # raised max_bucket must not silently alias distinct pairs.
+            kdt = np.int32 if nsub < 46341 else np.int64
+            keys = rr[a].astype(kdt) * kdt(nsub) + rr[b].astype(kdt)
             uk, uc = np.unique(keys, return_counts=True)
-            qkeys = qi.astype(np.int32) * np.int32(nsub) + qj.astype(np.int32)
+            qkeys = qi.astype(kdt) * kdt(nsub) + qj.astype(kdt)
             pos = np.searchsorted(uk, qkeys)
             pos_c = np.clip(pos, 0, len(uk) - 1)
             hit = uk[pos_c] == qkeys
@@ -660,6 +664,18 @@ def lsh_exact_jaccard_pairs(
         ids = batch[id_column].to_numpy(zero_copy_only=False)
         texts = batch[text_column].to_pylist()
         H, ptr = set_hashes(texts)
+        # drop no-shingle docs (empty/too-short text): they can't reach any
+        # positive Jaccard threshold, and their identical all-sentinel
+        # signatures would otherwise pile into one flood bucket per band,
+        # firing the cap counters with pure noise (same hazard the sentinel
+        # filter in minhash_lsh_pairs guards against)
+        lens0 = np.diff(ptr)
+        if (lens0 == 0).any():
+            keep_docs = lens0 > 0
+            ids = ids[keep_docs]
+            ptr = np.concatenate([[0], np.cumsum(lens0[keep_docs])]).astype(ptr.dtype)
+            keep_idx = np.flatnonzero(keep_docs)
+            batch = batch.take(pa.array(keep_idx))
         sig = _sig_from_hashes(H, ptr, hasher.a32, hasher.b32)
         buckets = _band_buckets(sig, bands)  # (n, bands)
         n = len(ids)

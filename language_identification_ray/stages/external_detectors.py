@@ -146,16 +146,21 @@ class NltkTextCatDetector(_ExternalBase):
             dists = self.model.lang_dists(text)
         except Exception:
             return []
-        # 1/dist → prob, keep remappable langs, normalize (ref lines 61-65)
-        results = [
-            (self._remap[lang], 1.0 / dist)
-            for lang, dist in dists.items()
-            if lang in self._remap and dist > 0
-        ]
-        total = sum(p for _, p in results)
+        # 1/dist → prob, keep remappable langs, normalize (ref lines 61-65).
+        # dist == 0 (exact profile match) must rank FIRST, not be dropped —
+        # weight it as if one trigram were out of place.  B/T 639-2 variants
+        # remapping to the same 639-1 code are merged (summed weight) so the
+        # ranking never repeats a code.
+        merged: dict = {}
+        for lang, dist in dists.items():
+            if lang not in self._remap:
+                continue
+            code = self._remap[lang]
+            merged[code] = merged.get(code, 0.0) + (1.0 / dist if dist > 0 else 1.0)
+        total = sum(merged.values())
         if not total:
             return []
-        return sorted(((l, p / total) for l, p in results), key=lambda x: -x[1])
+        return sorted(((l, p / total) for l, p in merged.items()), key=lambda x: -x[1])
 
 
 _REGISTRY = {

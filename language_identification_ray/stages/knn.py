@@ -66,6 +66,15 @@ def brute_force_topk(
     qn = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
 
     def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # see the empty-fragment note in the other score fns
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
         mat = _normalize(_as_matrix(batch[vec_column]))
         ids = batch[id_column].to_numpy()
         sims = mat @ qn.T  # [n_rows, n_q]
@@ -141,6 +150,11 @@ def lsh_topk(
     qn = q / (np.linalg.norm(q) or 1.0)
 
     def scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # empty fragment (e.g. a row group fully pruned by the pushed-down
+            # filter): _as_matrix would yield a (0, 0) matrix and crash the
+            # matmul — return the empty result shape instead
+            return pa.table({"vec_id": pa.array([], pa.int64()), "cos_sim": pa.array([], pa.float64())})
         mat = _as_matrix(batch[vec_column])
         buckets = lsh.bucket(mat)
         mask = np.isin(buckets, list(probes))
@@ -222,6 +236,11 @@ def label_filtered_topk(
     qn = q / (np.linalg.norm(q) or 1.0)
 
     def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # empty fragment (e.g. a row group fully pruned by the pushed-down
+            # filter): _as_matrix would yield a (0, 0) matrix and crash the
+            # matmul — return the empty result shape instead
+            return pa.table({"vec_id": pa.array([], pa.int64()), "cos_sim": pa.array([], pa.float64())})
         mat = _normalize(_as_matrix(batch[vec_column]))
         sims = mat @ qn
         ids = batch[id_column].to_numpy()
@@ -264,6 +283,8 @@ def build_ivf_layout(
     index = IvfIndex.train(sample, n_centroids=n_centroids, seed=seed)
 
     def assign_cell(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("ivf_cell", pa.array([], pa.int64()))
         cells = index.assign(_as_matrix(batch[vec_column]))
         return batch.append_column("ivf_cell", pa.array(cells.astype(np.int64), pa.int64()))
 
@@ -299,6 +320,11 @@ def ivf_pruned_topk(
     )
 
     def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # empty fragment (e.g. a row group fully pruned by the pushed-down
+            # filter): _as_matrix would yield a (0, 0) matrix and crash the
+            # matmul — return the empty result shape instead
+            return pa.table({"vec_id": pa.array([], pa.int64()), "cos_sim": pa.array([], pa.float64())})
         mat = _normalize(_as_matrix(batch[vec_column]))
         sims = mat @ qn
         ids = batch[id_column].to_numpy()
@@ -343,6 +369,11 @@ def ivf_topk(
     qn = q / (np.linalg.norm(q) or 1.0)
 
     def scan(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # empty fragment (e.g. a row group fully pruned by the pushed-down
+            # filter): _as_matrix would yield a (0, 0) matrix and crash the
+            # matmul — return the empty result shape instead
+            return pa.table({"vec_id": pa.array([], pa.int64()), "cos_sim": pa.array([], pa.float64())})
         mat = _as_matrix(batch[vec_column])
         cells = index.assign(mat)
         mask = np.isin(cells, list(probes))
