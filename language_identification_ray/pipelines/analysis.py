@@ -1091,63 +1091,72 @@ def tfidf_top5_per_lang(sf_dir: str, k: int = 5) -> "rd.Dataset":
     """Most-distinctive terms per language by tf-idf over languages:
     score(lang, word) = tf(lang, word) × ln(n_langs / n_langs_with_word).
 
-    Scale shape: term frequencies are pre-counted per batch (one Counter
-    row per distinct (lang, word) in the batch) so the groupby shuffles
-    vocabulary-sized partials, never the token stream; language document
-    frequency is a second vocabulary-keyed groupby; the two meet in a
-    ``Dataset.join`` on the word (size-derived partitions).  n_langs is a
-    bounded driver-side aggregate (≤ a few hundred languages at any scale).
-    The per-lang top-k sorts rounded scores with a word tie-break so the
-    cut is engine-deterministic."""
-    from collections import Counter as _Counter
-
-    from language_identification_ray.pipelines.relational import _join_partitions
-
+    Scale shape: term frequencies are pre-counted per batch (one row per
+    distinct (lang, word) in the batch, all-Arrow/numpy) so the shuffle
+    carries vocabulary-sized partials, never the token stream.  ONE
+    word-keyed groupby then computes, inside each word group, both the
+    per-lang tf sums and the word's language-df — folding what would be a
+    second aggregate plus a join into the same exchange (at 100 TB that
+    join is a full re-shuffle of the vocabulary; here it never exists).
+    n_langs comes from a lang-keyed count of the same partials — output
+    bounded by the number of languages.  The per-lang top-k sorts rounded
+    scores with a word tie-break so the cut is engine-deterministic."""
     docs = _docs(sf_dir, ["lang", "text"])
 
     def tf_partial(batch: pa.Table) -> pa.Table:
-        c: _Counter = _Counter()
-        langs = batch["lang"].to_pylist()
-        for lang, words in zip(langs, pc.split_pattern(batch["text"], " ").to_pylist()):
-            for w in words:
-                c[(lang, w)] += 1
-        ks = list(c.keys())
+        """Per-batch (lang, word) counts, all-Arrow/numpy: split → flatten
+        with lang repeated per token → dictionary-encode both columns →
+        bincount the packed code pairs.  No per-row Python."""
+        words = pc.split_pattern(batch["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        n_tok = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        lang_codes = batch["lang"].combine_chunks().dictionary_encode()
+        lang_ids = np.repeat(
+            lang_codes.indices.to_numpy(zero_copy_only=False).astype(np.int64), n_tok
+        )
+        flat = words.flatten().dictionary_encode()
+        word_ids = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_words = len(flat.dictionary)
+        if n_words == 0:
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "word": pa.array([], pa.string()),
+                    "tf_part": pa.array([], pa.int64()),
+                }
+            )
+        # int32 packing while it can't wrap (64-bit multiplies are emulated
+        # ~250x slower on this host)
+        kdt = np.int32 if len(lang_codes.dictionary) * n_words < 2**31 else np.int64
+        packed = lang_ids.astype(kdt) * kdt(n_words) + word_ids.astype(kdt)
+        uniq, counts = np.unique(packed, return_counts=True)
         return pa.table(
             {
-                "lang": pa.array([x[0] for x in ks], pa.string()),
-                "word": pa.array([x[1] for x in ks], pa.string()),
-                "tf_part": pa.array([c[x] for x in ks], pa.int64()),
+                "lang": lang_codes.dictionary.take(pa.array(uniq // n_words)),
+                "word": flat.dictionary.take(pa.array(uniq % n_words)),
+                "tf_part": pa.array(counts.astype(np.int64), pa.int64()),
             }
         )
 
-    tf = (
-        docs.map_batches(tf_partial, batch_format="pyarrow")
-        .groupby(["lang", "word"])
-        .aggregate(Sum("tf_part", alias_name="tf"))
-        # tf feeds three consumers (df aggregate, n_langs count, the join);
-        # without materializing, each re-runs the corpus-wide tokenize +
-        # (lang, word) shuffle — two redundant full scans
-        .materialize()
-    )
-    # language-df per word: one row per (lang, word) exists in tf already
-    df = tf.groupby("word").aggregate(Count(alias_name="n_langs_with"))
-    n_langs = len(tf.groupby("lang").aggregate(Count()).take_all())
+    partials = docs.map_batches(tf_partial, batch_format="pyarrow").materialize()
+    # total distinct languages: lang-keyed count of the partials — one tiny
+    # shuffle whose output is bounded by the language count at any scale
+    n_langs = len(partials.groupby("lang").aggregate(Count()).take_all())
 
-    joined = tf.join(
-        df,
-        join_type="inner",
-        num_partitions=_join_partitions(docs),
-        on=("word",),
-    )
-
-    def score(batch: pa.Table) -> pa.Table:
-        tfv = batch["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
-        dfv = batch["n_langs_with"].to_numpy(zero_copy_only=False).astype(np.float64)
-        s = np.round(tfv * np.log(float(n_langs) / dfv), 5)
+    def word_group(group: pa.Table) -> pa.Table:
+        """All partials for one word: per-lang tf sums (segmented bincount)
+        AND the word's language-df in a single pass — no join needed."""
+        langs = group["lang"].combine_chunks().dictionary_encode()
+        lidx = langs.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tf_p = group["tf_part"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sums = np.bincount(lidx, weights=tf_p, minlength=len(langs.dictionary))
+        n_with = len(langs.dictionary)
+        s = np.round(sums * np.log(float(n_langs) / float(n_with)), 5)
         return pa.table(
             {
-                "lang": batch["lang"],
-                "word": batch["word"],
+                "lang": langs.dictionary,
+                "word": pa.array([group["word"][0].as_py()] * n_with, pa.string()),
                 "tfidf": pa.array(s, pa.float64()),
             }
         )
@@ -1159,7 +1168,8 @@ def tfidf_top5_per_lang(sf_dir: str, k: int = 5) -> "rd.Dataset":
         return group.take(pa.array(order))
 
     return (
-        joined.map_batches(score, batch_format="pyarrow")
+        partials.groupby("word")
+        .map_groups(word_group, batch_format="pyarrow")
         .groupby("lang")
         .map_groups(topk, batch_format="pyarrow")
     )
