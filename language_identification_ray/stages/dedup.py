@@ -191,6 +191,83 @@ def _report_cap(counters, op: str, run_len: int, max_bucket: int) -> None:
     print(f"{op}: bucket of {run_len} capped at {max_bucket}")
 
 
+def _triu32(n: int):
+    """All (i, j) with i < j as int32 arrays.  ``np.triu_indices`` builds
+    int64 index arrays through a boolean-mask path that is pathologically
+    slow on hosts where 64-bit vector ops are emulated; this repeat/cumsum
+    construction stays int32 end to end (n ≤ max_bucket ≤ 4096 always)."""
+    if n < 2:
+        z = np.empty(0, np.int32)
+        return z, z
+    cnt = np.arange(n - 1, -1, -1, dtype=np.int32)
+    pi = np.repeat(np.arange(n, dtype=np.int32), cnt)
+    offs = np.zeros(n, np.int32)
+    np.cumsum(cnt[:-1], out=offs[1:])
+    pj = np.arange(len(pi), dtype=np.int32) - np.repeat(offs, cnt) + pi + 1
+    return pi, pj
+
+
+def _unowned_pairs(prior: "np.ndarray | None", m: int, b_run: int):
+    """Pairs (i, j), i < j, of run rows NOT already bucketed together by an
+    earlier band — i.e. the pairs THIS band owns under first-band ownership.
+
+    Rows with identical earlier-band bucket vectors are interchangeable, so
+    ownership is decided on equivalence CLASSES: unique prior rows (C of
+    them) instead of the m run rows.  The class-pair check costs O(C²·b)
+    instead of O(m²·b), and C ≪ m exactly in the expensive case — flood
+    buckets are near-dup clusters whose members share all bucket vectors.
+    Surviving class pairs expand to row pairs with vectorized int32
+    arithmetic; same-class pairs never expand (full prior equality implies
+    band-0 co-bucketing, hence earlier ownership).  Worst case C = m
+    degrades to the plain pair check plus one unique(axis=0) sort.
+    Measured on 4096-row runs, 16 earlier bands: flood (C=8) 66 s → 0.35 s,
+    mid (C=256) 8.7 s → 0.4 s, all-distinct parity.
+
+    uint64 bucket values are first dense-coded per column to int32 (equality
+    is preserved); all comparisons and index math then avoid emulated 64-bit
+    vector ops (same host constraint as ``_triu32``)."""
+    if b_run == 0 or prior is None:
+        return _triu32(m)
+    codes = np.empty((m, b_run), np.int32)
+    for k in range(b_run):
+        _, inv = np.unique(prior[:, k], return_inverse=True)
+        codes[:, k] = inv.astype(np.int32)
+    uniq, class_of = np.unique(codes, axis=0, return_inverse=True)
+    class_of = class_of.astype(np.int32)
+    n_cls = len(uniq)
+    if n_cls == 1:
+        z = np.empty(0, np.int32)
+        return z, z
+    cu, cv = _triu32(n_cls)
+    owned = np.zeros(len(cu), bool)
+    for k in range(b_run):
+        col = uniq[:, k]
+        owned |= col[cu] == col[cv]
+    keep = ~owned
+    cu, cv = cu[keep], cv[keep]
+    if not len(cu):
+        z = np.empty(0, np.int32)
+        return z, z
+    cnt = np.bincount(class_of, minlength=n_cls).astype(np.int32)
+    order = np.argsort(class_of, kind="stable").astype(np.int32)
+    starts = np.zeros(n_cls + 1, np.int32)
+    np.cumsum(cnt, out=starts[1:])
+    nu, nv = cnt[cu], cnt[cv]
+    tot = nu * nv  # ≤ max_bucket² < 2^24 per pair; int32 safe
+    off = np.zeros(len(tot) + 1, np.int64)
+    np.cumsum(tot, out=off[1:])
+    psel = np.repeat(np.arange(len(cu), dtype=np.int32), tot)
+    r = (np.arange(int(off[-1]), dtype=np.int64) - np.repeat(off[:-1], tot)).astype(np.int32)
+    nvp = nv[psel]
+    iu = r // nvp
+    iv = r - iu * nvp
+    pi = order[starts[cu[psel]] + iu]
+    pj = order[starts[cv[psel]] + iv]
+    # class membership does not follow row order — restore i < j (downstream
+    # pair-key packing in _exact_inter_counts assumes it)
+    return np.minimum(pi, pj), np.maximum(pi, pj)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 
@@ -730,16 +807,13 @@ def lsh_exact_jaccard_pairs(
             b_run = int(band_of[run[0]])
             prior = allb[run, :b_run] if b_run > 0 else None
             # flood fast path: if EVERY row shares one earlier-band bucket,
-            # every pair is owned earlier — O(m·b), skips the O(m²) pair
-            # mask AND the triu allocation for fully-owned runs
+            # every pair is owned earlier — O(m·b), skips even the class
+            # decomposition for fully-owned runs
             if prior is not None and (prior == prior[0]).all(axis=0).any():
                 continue
-            pi, pj = np.triu_indices(m, k=1)
-            if prior is not None:
-                owned = np.ones(len(pi), dtype=bool)
-                for k in range(b_run):
-                    owned &= prior[pi, k] != prior[pj, k]
-                pi, pj = pi[owned], pj[owned]
+            # class-collapsed ownership: O(C²) on unique prior vectors
+            # instead of O(m²) on rows (see _unowned_pairs)
+            pi, pj = _unowned_pairs(prior, m, b_run)
             if blocks is not None and len(pi):
                 rb = blocks[run]
                 same = rb[pi] == rb[pj]
