@@ -236,6 +236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_revenue_orders": relational.top_revenue_orders,
         "ngram_jaccard_pairs": ngram_jaccard_pairs_q,
         "tfidf_top5_per_lang": analysis.tfidf_top5_per_lang,
+        "decontaminate_docs": analysis.decontaminate_docs,
+        "train_val_test_split": analysis.train_val_test_split,
+        "semantic_dedup_docs": analysis.semantic_dedup_docs,
         # --- dedup / similarity (SQL-checkable where exact) ---------------
         "jaccard_pairs": jaccard_pairs_q,
         "embedding_dup_pairs": embedding_dup_pairs_q,
@@ -585,6 +588,42 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY tfidf DESC, word ASC) AS rn
                 FROM scored
             ) WHERE rn <= 5
+        """,
+        "decontaminate_docs": """
+            WITH g AS (
+                SELECT doc_id, array_to_string(ws[i:i+3], ' ') AS gram
+                FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 3)) AS i
+                      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+            ),
+            ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 13 = 0),
+            hits AS (
+                SELECT doc_id, count(DISTINCT gram) AS n_hits
+                FROM g WHERE doc_id % 13 <> 0 AND gram IN (SELECT gram FROM ev)
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % 13 <> 0
+        """,
+        "train_val_test_split": """
+            SELECT doc_id, lang,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'd' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "semantic_dedup_docs": """
+            WITH pairs AS (
+                SELECT a.vec_id AS i, b.vec_id AS j
+                FROM embeddings a JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 5) >= 0.4
+            ),
+            drops AS (SELECT DISTINCT j FROM pairs)
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d LEFT JOIN drops ON d.doc_id = drops.j
+            WHERE drops.j IS NULL
         """,
         "token_count_bpe": r"""
             SELECT doc_id,

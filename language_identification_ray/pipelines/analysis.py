@@ -1173,3 +1173,178 @@ def tfidf_top5_per_lang(sf_dir: str, k: int = 5) -> "rd.Dataset":
         .groupby("lang")
         .map_groups(topk, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# training-data curation operators (scale extensions per the task brief)
+
+
+class _ContaminationFlag:
+    """Actor-pool flag stage: materializes the broadcast eval n-gram set
+    once per actor in ``__init__`` (never per batch), then counts per-doc
+    distinct hits against it."""
+
+    def __init__(self, grams_ref, n: int, eval_mod: int):
+        import ray
+
+        self.grams = ray.get(grams_ref)
+        self.n = n
+        self.eval_mod = eval_mod
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n, grams = self.n, self.grams
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids % self.eval_mod != 0
+        sub_ids = ids[keep]
+        texts = np.asarray(batch["text"].to_pylist(), dtype=object)[keep]
+        hits = np.zeros(len(sub_ids), np.int64)
+        for i, t in enumerate(texts):
+            ws = (t or "").split(" ")
+            doc_grams = {" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1)}
+            hits[i] = len(doc_grams & grams)
+        return pa.table(
+            {
+                "doc_id": pa.array(sub_ids, pa.int64()),
+                "n_hits": pa.array(hits, pa.int64()),
+                "contaminated": pa.array(hits > 0),
+            }
+        )
+
+
+def decontaminate_docs(sf_dir: str, n: int = 4, eval_mod: int = 13) -> "rd.Dataset":
+    """Benchmark decontamination (the GPT-3 appendix-C / Dolma shape): flag
+    every training document that shares any word n-gram with the eval set.
+
+    The eval set is the deterministic slice ``doc_id % eval_mod == 0`` — a
+    stand-in for a held-out benchmark suite.  Scale shape: the eval n-gram
+    set is BROADCAST, never shuffled.  It is built by one column-pruned scan
+    whose per-batch partials are already distinct sets, unioned driver-side
+    (benchmark suites are MBs by construction, independent of corpus size),
+    shipped once via ``ray.put`` and materialized once per actor — so the
+    100 TB training side sees a pure map-only pass with zero shuffle.
+    Real pipelines use n = 8-13 (GPT-3 used 13); this fixture's low word
+    entropy makes n = 4 the equivalent exercise of the same machinery.
+    Output: (doc_id, n_hits = distinct contaminated n-grams, contaminated)."""
+    import ray
+
+    def eval_grams(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out: set = set()
+        for t in np.asarray(batch["text"].to_pylist(), dtype=object)[ids % eval_mod == 0]:
+            ws = (t or "").split(" ")
+            out.update(" ".join(ws[j : j + n]) for j in range(len(ws) - n + 1))
+        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+
+    gram_set: set = set()
+    gram_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(eval_grams, batch_format="pyarrow")
+    for b in gram_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        gram_set.update(b["gram"].to_pylist())
+    grams_ref = ray.put(frozenset(gram_set))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _ContaminationFlag,
+        fn_constructor_args=(grams_ref, n, eval_mod),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(2, 8),
+    )
+
+
+def train_val_test_split(sf_dir: str) -> "rd.Dataset":
+    """Deterministic content-addressed 3-way split (81.25 / 6.25 / 12.5 %).
+
+    The first hex char of md5(doc_id) decides the split: < 'd' → train,
+    'd' → val, else test (hex chars compare lexicographically, so < 'd' ⇔
+    value < 13 — the same trick lets the SQL oracle reproduce it exactly).
+    No RNG state, no coordination, no shuffle: any worker computes the same
+    assignment, so the split is resume-safe and identical across cluster
+    sizes.  The production form feeds ``write_parquet(partition_cols=
+    ['split'])``; the query returns the per-doc assignment."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        cs = [hashlib.md5(str(i).encode()).hexdigest()[0] for i in batch["doc_id"].to_pylist()]
+        split = ["train" if c < "d" else ("val" if c == "d" else "test") for c in cs]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "lang"]).map_batches(f, batch_format="pyarrow")
+
+
+def semantic_dedup_docs(sf_dir: str, threshold: float = 0.4) -> "rd.Dataset":
+    """SemDeDup-shaped cross-table dedup: embedding near-dup pairs (cosine
+    ≥ t within a label block) vote out the HIGHER vec_id of each pair; the
+    surviving documents are selected by doc_id ↔ vec_id.
+
+    Scale shape: pairs come from the triangle-sharded
+    :func:`~language_identification_ray.stages.dedup.embedding_dup_pairs`
+    (quadratic work spread over tile-pair reducers), and the corpus is
+    filtered with a DISTRIBUTED anti-join in union-tag form: drop votes are
+    unioned with the document rows under a shared schema and ONE
+    doc_id-keyed groupby keeps groups with zero votes — never a driver-side
+    drop set, because at 100 TB the dropped fraction is a meaningful share
+    of the corpus.  (``Dataset.join`` is avoided deliberately: its hash
+    shuffle builds schema-less empty tables for reducer partitions that
+    receive no right-side rows, which pyarrow's join rejects — a sparse
+    drop side, the NORMAL case for dedup, crashes it.  The union-tag
+    groupby has no such failure mode and costs the same single shuffle.)"""
+    from language_identification_ray.stages.dedup import embedding_dup_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_dup_pairs(emb, threshold=threshold)
+
+    def drop_rows(batch: pa.Table) -> pa.Table:
+        ids = (
+            batch["vec_b"].cast(pa.int64())
+            if batch.num_rows and "vec_b" in batch.schema.names
+            else pa.array([], pa.int64())
+        )
+        n = len(ids)
+        return pa.table(
+            {
+                "doc_id": ids,
+                "lang": pa.nulls(n, pa.string()),
+                "n_chars": pa.nulls(n, pa.int64()),
+                "is_drop": pa.array(np.ones(n, np.int64), pa.int64()),
+            }
+        )
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "lang": batch["lang"],
+                "n_chars": batch["n_chars"].cast(pa.int64()),
+                "is_drop": pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    doc_side = _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        doc_rows, batch_format="pyarrow"
+    )
+    drop_side = pairs.map_batches(drop_rows, batch_format="pyarrow")
+    agg = (
+        doc_side.union(drop_side)
+        .groupby("doc_id")
+        .aggregate(
+            Sum("is_drop", alias_name="drop_votes"),
+            Max("lang", alias_name="lang"),
+            Max("n_chars", alias_name="n_chars"),
+        )
+    )
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.equal(batch["drop_votes"], 0))
+        return pa.table(
+            {
+                "doc_id": keep["doc_id"],
+                "lang": keep["lang"],
+                "n_chars": keep["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(survivors, batch_format="pyarrow")

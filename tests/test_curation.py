@@ -1,0 +1,90 @@
+"""Semantics tests for the training-data curation operators
+(decontaminate_docs, train_val_test_split, semantic_dedup_docs) beyond the
+oracle parity already covered by test_queries_oracle."""
+
+import hashlib
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from language_identification_ray.pipelines import analysis
+
+
+@pytest.fixture(scope="module")
+def tiny_sf(tmp_path_factory):
+    """A miniature documents+embeddings pair with a known contamination and a
+    known embedding dup, so expectations are checkable by hand."""
+    d = tmp_path_factory.mktemp("tiny_sf")
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta",      # eval doc (0 % 13 == 0)
+        1: "alpha beta gamma delta other words here",  # shares 4-gram with doc 0
+        2: "totally different content in this doc",    # clean
+        13: "unrelated eval doc text goes here now",   # eval doc
+        14: "more clean text with no overlap at all",  # clean
+    }
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids], pa.string()),
+                "lang": pa.array(["en"] * len(ids), pa.string()),
+                "source": pa.array(["s"] * len(ids), pa.string()),
+                "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    # vec 1 duplicates vec 0 (same label) -> higher id 1 is dropped
+    embs = {0: [1.0, 0.0, 0.0], 1: [1.0, 1e-4, 0.0], 2: [0.0, 1.0, 0.0],
+            13: [0.0, 0.0, 1.0], 14: [0.0, -1.0, 0.0]}
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array([embs[i] for i in ids], pa.list_(pa.float32())),
+                "label": pa.array([0] * len(ids), pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    return str(d)
+
+
+def test_decontaminate_flags_overlap(ray_session, tiny_sf):
+    df = analysis.decontaminate_docs(tiny_sf, n=4).to_pandas().set_index("doc_id")
+    # eval docs (0, 13) are excluded from the output
+    assert set(df.index) == {1, 2, 14}
+    assert bool(df.loc[1, "contaminated"]) and df.loc[1, "n_hits"] >= 1
+    assert not df.loc[2, "contaminated"] and df.loc[2, "n_hits"] == 0
+    assert not df.loc[14, "contaminated"]
+
+
+def test_split_is_deterministic_md5(ray_session, tiny_sf):
+    df = analysis.train_val_test_split(tiny_sf).to_pandas().set_index("doc_id")
+    for doc_id, row in df.iterrows():
+        c = hashlib.md5(str(doc_id).encode()).hexdigest()[0]
+        expect = "train" if c < "d" else ("val" if c == "d" else "test")
+        assert row["split"] == expect
+    # a second run yields the identical assignment (no RNG state anywhere)
+    df2 = analysis.train_val_test_split(tiny_sf).to_pandas().set_index("doc_id")
+    assert df["split"].to_dict() == df2["split"].to_dict()
+
+
+def test_semantic_dedup_drops_higher_id_of_pair(ray_session, tiny_sf):
+    out = analysis.semantic_dedup_docs(tiny_sf, threshold=0.99).to_pandas()
+    # vec 1 ~ vec 0 (cos ~ 1.0) -> doc 1 dropped, everything else kept
+    assert set(out["doc_id"]) == {0, 2, 13, 14}
+    assert list(out.columns) == ["doc_id", "lang", "n_chars"]
+
+
+def test_semantic_dedup_no_pairs_keeps_all(ray_session, tiny_sf):
+    # threshold above any similarity: drop side is EMPTY — the regression
+    # mode that crashes Dataset.join (schema-less empty shuffle partitions)
+    out = analysis.semantic_dedup_docs(tiny_sf, threshold=1.1).to_pandas()
+    assert len(out) == 5
