@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": ngram_jaccard_pairs_q,
         "tfidf_top5_per_lang": analysis.tfidf_top5_per_lang,
         "decontaminate_docs": analysis.decontaminate_docs,
+        "longest_docs_top100": analysis.longest_docs_top100,
         "train_val_test_split": analysis.train_val_test_split,
         "semantic_dedup_docs": analysis.semantic_dedup_docs,
         # --- dedup / similarity (SQL-checkable where exact) ---------------
@@ -588,6 +589,12 @@ def oracle_sql() -> dict[str, str]:
                                              ORDER BY tfidf DESC, word ASC) AS rn
                 FROM scored
             ) WHERE rn <= 5
+        """,
+        "longest_docs_top100": """
+            SELECT doc_id, lang, n_chars
+            FROM documents
+            ORDER BY n_chars DESC, doc_id ASC
+            LIMIT 100
         """,
         "decontaminate_docs": """
             WITH g AS (

@@ -495,6 +495,27 @@ def top_docs_per_lang(sf_dir: str, k: int = 3) -> "rd.Dataset":
     )
 
 
+def longest_docs_top100(sf_dir: str, k: int = 100) -> "rd.Dataset":
+    """Global top-k by length (distributed sort + limit, SURVEY §2.6 T1-T3
+    at corpus scale).  Each batch is first reduced to its own top-k
+    (vectorized argpartition-style cut), so the global sort's input is
+    bounded by k × n_batches rows — the corpus itself is never shuffled.
+    Deterministic tie-break (n_chars desc, doc_id asc) matches the oracle."""
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        n = batch["n_chars"].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -n))[:k]
+        return batch.take(pa.array(order))
+
+    return (
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
 def lang_percentiles(sf_dir: str) -> "rd.Dataset":
     """Per-language length percentiles (p50/p90, linear interpolation —
     identical definition to DuckDB ``quantile_cont``).  Grouped exact
