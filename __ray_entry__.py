@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top5_per_lang": analysis.tfidf_top5_per_lang,
         "decontaminate_docs": analysis.decontaminate_docs,
         "longest_docs_top100": analysis.longest_docs_top100,
+        "incremental_dedup_bloom": analysis.incremental_dedup_bloom,
         "train_val_test_split": analysis.train_val_test_split,
         "semantic_dedup_docs": analysis.semantic_dedup_docs,
         # --- dedup / similarity (SQL-checkable where exact) ---------------

@@ -158,3 +158,62 @@ def mg_merge(
     uw, inv = np.unique(w, return_inverse=True)
     uc = np.bincount(inv, weights=c, minlength=len(uw)).astype(np.int64)
     return mg_compress(uw, uc, k)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970; Kirsch & Mitzenmacher 2006 double hashing)
+
+
+def bloom_empty(m_bits: int = 1 << 17) -> np.ndarray:
+    """Empty filter: a uint8 bit array of m_bits (power of two) bits.
+    Mergeable by bitwise OR — associative/commutative/idempotent, the same
+    any-order combine contract as the HLL registers above."""
+    assert m_bits & (m_bits - 1) == 0, "m_bits must be a power of two"
+    return np.zeros(m_bits >> 3, np.uint8)
+
+
+def _avalanche32(x: np.ndarray, c1: int, c2: int) -> np.ndarray:
+    """Murmur3-style 32-bit finalizer: every output bit depends on every
+    input bit.  Without it, the power-of-two mask below would read ONLY the
+    low log2(m) bits of the key — keys sharing those bits would collide on
+    their ENTIRE index set (measured: 7.7% FP where the analysis says 0.2%)."""
+    x = x.astype(np.uint32)
+    x ^= x >> np.uint32(16)
+    x *= np.uint32(c1)
+    x ^= x >> np.uint32(15)
+    x *= np.uint32(c2)
+    x ^= x >> np.uint32(16)
+    return x
+
+
+def _bloom_indices(h32: np.ndarray, k: int, m_bits: int) -> np.ndarray:
+    """(len(h32), k) bit indices via double hashing: idx_i = h1 + i*h2 mod m.
+    All uint32 arithmetic (64-bit multiplies are emulated ~250× slower in
+    this sandbox); the power-of-two m turns mod into a mask."""
+    h1 = _avalanche32(h32, 0x7FEB352D, 0x846CA68B)
+    h2 = _avalanche32(h32 ^ np.uint32(0x9E3779B1), 0x85EBCA6B, 0xC2B2AE35) | np.uint32(1)
+    i = np.arange(k, dtype=np.uint32)
+    return (h1[:, None] + i[None, :] * h2[:, None]) & np.uint32(m_bits - 1)
+
+
+def bloom_add_hashes(bits: np.ndarray, h32: np.ndarray, k: int = 7) -> None:
+    """Set the k bits of every hash, in place (vectorized scatter)."""
+    if not len(h32):
+        return
+    idx = _bloom_indices(h32, k, len(bits) << 3).ravel()
+    np.bitwise_or.at(bits, idx >> 3, np.uint8(1) << (idx & 7).astype(np.uint8))
+
+
+def bloom_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.bitwise_or(a, b)
+
+
+def bloom_contains_hashes(bits: np.ndarray, h32: np.ndarray, k: int = 7) -> np.ndarray:
+    """Membership mask: True where ALL k bits are set.  False positives at
+    rate ≈ (1 - e^(-kn/m))^k — size m so n/m ≲ 1/10 bits per key at k=7;
+    never false negatives."""
+    if not len(h32):
+        return np.zeros(0, bool)
+    idx = _bloom_indices(h32, k, len(bits) << 3)
+    got = (bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & np.uint8(1)
+    return got.all(axis=1)

@@ -1369,3 +1369,89 @@ def semantic_dedup_docs(sf_dir: str, threshold: float = 0.4) -> "rd.Dataset":
         )
 
     return agg.map_batches(survivors, batch_format="pyarrow")
+
+
+class _BloomScan:
+    """Actor-pool scan stage: materializes the broadcast Bloom filter once
+    per actor, then counts per-language new-vs-seen docs per batch."""
+
+    def __init__(self, bloom_ref, k: int):
+        import ray
+
+        self.bits = np.frombuffer(ray.get(bloom_ref), dtype=np.uint8)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from language_identification_ray.functions import sketches as sk
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        new = ids % 2 == 1
+        texts = np.asarray(batch["text"].to_pylist(), dtype=object)[new]
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)[new]
+        h = np.array(
+            [int(hashlib.md5((t or "").encode("utf-8")).hexdigest()[:8], 16) for t in texts],
+            np.uint32,
+        )
+        seen = sk.bloom_contains_hashes(self.bits, h, self.k)
+        ul, inv = np.unique(langs, return_inverse=True)
+        n_seen = np.bincount(inv, weights=seen, minlength=len(ul)).astype(np.int64)
+        n_new = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        return pa.table(
+            {
+                "lang": pa.array(list(ul), pa.string()),
+                "n_new_docs": pa.array(n_new, pa.int64()),
+                "n_seen_docs": pa.array(n_seen, pa.int64()),
+            }
+        )
+
+
+def incremental_dedup_bloom(sf_dir: str, m_bits: int = 1 << 17, k: int = 7) -> "rd.Dataset":
+    """Incremental crawl dedup via a mergeable Bloom filter: the 'prior
+    crawl' (even doc_ids) is summarized into one fixed m_bits-bit filter;
+    the 'new crawl' (odd doc_ids) is scanned against the broadcast filter
+    and per-language (n_new_docs, n_seen_docs) counts come back.
+
+    Scale shape: every batch contributes ONE m/8-byte OR-mergeable partial,
+    so the reduction moves O(n_batches × 16 KiB) — the membership set itself
+    (billions of fingerprints at 100 TB) never shuffles and never leaves
+    sketch space; the merged filter broadcasts once via ``ray.put``.  FP
+    rate ≈ (1 − e^(−kn/m))^k, sized at ~10 bits per key; false positives
+    over-count 'seen' (conservative for dedup), false negatives are
+    impossible.  Fingerprints are md5-derived uint32s (engine-stable).
+    Approximate by design → rows-only driver check; accuracy is pytest-gated
+    against the exact set intersection (like the HLL / q-digest queries)."""
+    import ray
+
+    from language_identification_ray.functions import sketches as sk
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        prior = ids % 2 == 0
+        texts = np.asarray(batch["text"].to_pylist(), dtype=object)[prior]
+        bits = sk.bloom_empty(m_bits)
+        h = np.array(
+            [int(hashlib.md5((t or "").encode("utf-8")).hexdigest()[:8], 16) for t in texts],
+            np.uint32,
+        )
+        sk.bloom_add_hashes(bits, h, k)
+        return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
+
+    merged = sk.bloom_empty(m_bits)
+    parts = _docs(sf_dir, ["doc_id", "text"]).map_batches(partial, batch_format="pyarrow")
+    for b in parts.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for blob in b["bloom"]:
+            merged = sk.bloom_merge(merged, np.frombuffer(blob.as_py(), dtype=np.uint8))
+    bloom_ref = ray.put(merged.tobytes())
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(
+            _BloomScan,
+            fn_constructor_args=(bloom_ref, k),
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=(2, 8),
+        )
+        .groupby("lang")
+        .aggregate(Sum("n_new_docs", alias_name="n_new_docs"), Sum("n_seen_docs", alias_name="n_seen_docs"))
+    )

@@ -137,3 +137,56 @@ def test_mg_exact_below_k():
     c = np.asarray([5, 3, 1], dtype=np.int64)
     w2, c2 = sk.mg_compress(w, c, 10)
     assert list(w2) == ["a", "b", "c"] and list(c2) == [5, 3, 1]
+
+
+def test_bloom_no_false_negatives_and_fp_bounded():
+    rng = np.random.default_rng(11)
+    members = np.unique(rng.integers(0, 2**32, size=10_000, dtype=np.uint64).astype(np.uint32))
+    bits = sk.bloom_empty(1 << 17)  # ~13 bits/key at n=10k
+    # chunked, shuffled adds OR-merged must equal one bulk add
+    merged = sk.bloom_empty(1 << 17)
+    for part in np.array_split(rng.permutation(members), 5):
+        b = sk.bloom_empty(1 << 17)
+        sk.bloom_add_hashes(b, part)
+        merged = sk.bloom_merge(merged, b)
+    sk.bloom_add_hashes(bits, members)
+    assert np.array_equal(bits, merged)
+    # no false negatives, ever
+    assert sk.bloom_contains_hashes(bits, members).all()
+    # false-positive rate near the analytic (1 - e^{-kn/m})^k ~ 0.2% here
+    probes = np.setdiff1d(
+        rng.integers(0, 2**32, size=50_000, dtype=np.uint64).astype(np.uint32), members
+    )
+    fp = sk.bloom_contains_hashes(bits, probes).mean()
+    assert fp < 0.01, fp
+
+
+def test_bloom_empty_probe():
+    bits = sk.bloom_empty(1 << 10)
+    assert sk.bloom_contains_hashes(bits, np.array([], np.uint32)).shape == (0,)
+    assert not sk.bloom_contains_hashes(bits, np.array([7, 9], np.uint32)).any()
+
+
+def test_bloom_incremental_dedup_matches_exact(ray_session, sf_dir):
+    import duckdb
+
+    from language_identification_ray.pipelines.analysis import incremental_dedup_bloom
+
+    got = (
+        incremental_dedup_bloom(sf_dir).to_pandas().set_index("lang").sort_index()
+    )
+    exact = duckdb.sql(
+        f"""
+        SELECT n.lang, count(*) AS n_new,
+               count(*) FILTER (n.text IN (SELECT text FROM '{sf_dir}/documents.parquet'
+                                           WHERE doc_id % 2 = 0)) AS n_seen
+        FROM (SELECT * FROM '{sf_dir}/documents.parquet' WHERE doc_id % 2 = 1) n
+        GROUP BY n.lang
+        """
+    ).df().set_index("lang").sort_index()
+    assert (got["n_new_docs"] == exact["n_new"]).all()
+    # Bloom can only over-count 'seen' (false positives), never under
+    assert (got["n_seen_docs"] >= exact["n_seen"]).all()
+    assert int(got["n_seen_docs"].sum()) <= int(exact["n_seen"].sum()) + max(
+        1, int(0.01 * got["n_new_docs"].sum())
+    )
