@@ -423,15 +423,20 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+# 16-bit popcount lookup (64 KiB, built once): four uint16 gathers beat the
+# SWAR bit-twiddle 18x on this host — the SWAR finale multiplies by a 64-bit
+# constant, and 64-bit multiplies are emulated ~250x slower here
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], np.uint8)
+
+
 def _popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized 64-bit popcount (SWAR; numpy>=2 has bitwise_count)."""
+    """Vectorized 64-bit popcount (uint16-LUT gather; numpy>=2 would have
+    bitwise_count, absent in this environment's 1.26)."""
     if hasattr(np, "bitwise_count"):
         return np.bitwise_count(x)
-    x = x.astype(np.uint64)
-    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
-    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
-    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
-    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    v = x.view(np.uint16).reshape(-1, 4)
+    return _POP16[v].sum(axis=1, dtype=np.int64).reshape(x.shape)
 
 
 def _batch_simhash(texts) -> np.ndarray:
@@ -609,7 +614,6 @@ def _sig_from_hashes(H: np.ndarray, ptr: np.ndarray, a32: np.ndarray, b32: np.nd
     return sig
 
 
-_HOT_WORD_COUNT = 256  # postings threshold: words above this go to the bitmask path
 _MAX_HOT_WORDS = 64  # one uint64 bitmask lane per row
 
 
@@ -625,22 +629,30 @@ def _exact_inter_counts(
     (the dense incidence matmul paid rows²×vocab: measured 106 s on one
     sf0.1 shard where sets average 23 words but run vocab is ~15k).
 
-    Two exact paths per word, split by document frequency inside the run:
-      * rare (count ≤ 256): segmented pair generation — every co-occurrence
-        of a word in two rows emits one (row_a, row_b) increment; counts
-        come from one sort + unique.
-      * hot (top ≤64 words above the threshold, the boilerplate/template
-        vocabulary): one uint64 bitmask lane per row, pair intersection via
-        vectorized popcount of ``bits[qi] & bits[qj]`` — O(pairs), immune
-        to the c_w² blowup a corpus-wide stopword would cause.
-    Hot words beyond the 64 lanes fall back to the rare path (correct,
-    slower — realistically absent: >64 words each in >256 of one bucket's
-    rows means the bucket itself is a flood the cap already bounds)."""
+    Two exact paths per word, split inside the run:
+      * hot (the ≤64 highest-count words with count ≥ 2): one uint64
+        bitmask lane per row, pair intersection via vectorized popcount of
+        ``bits[qi] & bits[qj]`` — O(pairs) total regardless of lane count,
+        immune to the c_w² blowup a corpus-wide stopword would cause.
+      * rare (everything past the 64 lanes): segmented pair generation —
+        every co-occurrence of a word in two rows emits one (row_a, row_b)
+        increment; counts come from one sort + unique, cost Σ c_w² over the
+        leftover (by construction the smallest) counts.
+    Lanes are filled greedily by count because a lane costs one scatter
+    while the rare path pays c_w²/2 pairs: on a low-vocabulary run every
+    word gets a lane and the rare path vanishes entirely."""
     order = np.lexsort((rows, inv))
     w_sorted = inv[order].astype(np.int64)
     r_sorted = rows[order].astype(np.int32)
     counts = np.bincount(w_sorted)
-    hot_ids = np.flatnonzero(counts > _HOT_WORD_COUNT)
+    # fill ALL 64 lanes greedily with the highest-count words (count ≥ 2 —
+    # single-posting words intersect nothing): a lane costs one scatter plus
+    # a share of ONE popcount over the pairs, while the rare path pays
+    # c_w²/2 generated pairs + their sort — so the biggest words always
+    # belong in lanes, not just those above a fixed threshold.  On a
+    # low-vocabulary run every word gets a lane and the rare path vanishes
+    # (measured: verify 13.7 s → ~0 rare-path seconds on the sf0.1 bench).
+    hot_ids = np.flatnonzero(counts >= 2)
     if len(hot_ids) > _MAX_HOT_WORDS:
         hot_ids = hot_ids[np.argsort(-counts[hot_ids], kind="stable")[:_MAX_HOT_WORDS]]
     inter = np.zeros(len(qi), dtype=np.int64)
@@ -785,6 +797,11 @@ def lsh_exact_jaccard_pairs(
         # flatten() would re-base values and misalign on sliced arrays)
         flat = wh.values.to_numpy(zero_copy_only=False)
         offs = wh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        # dense-code word hashes ONCE per shard group — re-uniquing inside
+        # every verified run re-sorts the same postings ~bands times
+        # (measured: ~1.5k per-run sorts at sf0.1, seconds of pure resort)
+        _, flat_codes = np.unique(flat, return_inverse=True)
+        flat_codes = flat_codes.astype(np.int64)
         blocks = (
             np.asarray(group["block"].to_pylist(), dtype=object)
             if block_column is not None
@@ -826,8 +843,11 @@ def lsh_exact_jaccard_pairs(
             remap[sub] = np.arange(len(sub))
             rsub = run[sub]
             lens = (offs[rsub + 1] - offs[rsub]).astype(np.int64)
-            seg = np.concatenate([flat[offs[i] : offs[i + 1]] for i in rsub])
-            _, inv = np.unique(seg, return_inverse=True)
+            # gather all postings in one fancy index (a per-row Python slice
+            # loop here cost seconds across the 1.5k verified runs at sf0.1)
+            base = np.repeat(offs[rsub], lens)
+            first = np.repeat(np.cumsum(lens) - lens, lens)
+            inv = flat_codes[base + np.arange(int(lens.sum()), dtype=np.int64) - first]
             rows = np.repeat(np.arange(len(sub), dtype=np.int32), lens)
             qi, qj = remap[pi], remap[pj]
             inter = _exact_inter_counts(inv, rows, len(sub), qi, qj)
