@@ -876,8 +876,22 @@ def lsh_exact_jaccard_pairs(
     # (truncation loses pairs, it never duplicates them; losses are counted
     # via ``counters``).  Dropping the two-key groupby here removed a 190 s
     # aggregate on the sf0.1 bench (965k pairs).
+    #
+    # The groupby's sort inherits the upstream BLOCK count, and prep's
+    # batch_size bundles small inputs into ~10 blocks — which squeezed the
+    # verify (56 s of CPU at sf0.1) through 10 map_groups tasks, one 20 s
+    # straggler holding the wall.  Repartition to ~2 tasks per CPU (capped
+    # by the shard count — more than one block per shard buys nothing) so
+    # the 256 shard groups actually spread over the cluster: 33 s → 14-18 s
+    # wall at 32 CPUs.  256 output blocks measured WORSE (36 s: per-task
+    # fixed costs dominate tiny blocks) — parallelism ≈ 2×CPUs is the knee.
+    import ray as _ray
+
+    cpus = int(_ray.cluster_resources().get("CPU", 32)) if _ray.is_initialized() else 32
+    n_blocks = min(n_shards, max(16, 2 * cpus))
     return (
         ds.map_batches(prep, batch_format="pyarrow", batch_size=512)
+        .repartition(n_blocks)
         .groupby("shard")
         .map_groups(shard_pairs, batch_format="pyarrow")
     )
