@@ -130,13 +130,21 @@ def _signatures(texts, a32: np.ndarray, b32: np.ndarray, k: int) -> np.ndarray:
     sig = np.full((n, n_perm), _SIG_SENTINEL, dtype=np.uint32)
     if not len(S):
         return sig
-    # multiply-shift universal-ish hashing, uint32 wraparound (fast mul)
-    prods = S[:, None] * a32[None, :] + b32[None, :]
-    prods ^= prods >> np.uint32(15)
+    # multiply-shift universal-ish hashing, uint32 wraparound (fast mul);
+    # one permutation at a time into two reused 1-D buffers — the full
+    # (n_shingles × n_perm) matrix pays ~0.2 s/MB first-touch faults on
+    # this host for every fresh temporary (see _sig_from_hashes)
     lens = np.diff(ptr)
     nonempty = np.flatnonzero(lens > 0)
-    red = np.minimum.reduceat(prods, ptr[nonempty], axis=0)
-    sig[nonempty] = red
+    starts = ptr[nonempty]
+    v = np.empty(len(S), np.uint32)
+    t = np.empty(len(S), np.uint32)
+    for j in range(n_perm):
+        np.multiply(S, a32[j], out=v)
+        v += b32[j]
+        np.right_shift(v, np.uint32(15), out=t)
+        v ^= t
+        sig[nonempty, j] = np.minimum.reduceat(v, starts)
     return sig
 
 
@@ -600,17 +608,31 @@ def _char_shingle_hashes(texts, k: int = 3) -> tuple:
 
 def _sig_from_hashes(H: np.ndarray, ptr: np.ndarray, a32: np.ndarray, b32: np.ndarray) -> np.ndarray:
     """MinHash signatures (uint32[n_docs, n_perm]) from per-doc uint64 hash
-    slices — same uint32 multiply-mix + reduceat scheme as ``_signatures``."""
+    slices — same uint32 multiply-mix + reduceat math as ``_signatures``,
+    but computed one permutation at a time into TWO reused 1-D buffers.
+
+    The obvious (n_shingles × n_perm) product matrix allocates ~3 fresh
+    arrays of n×n_perm×4 B per batch; this host charges ~0.2 s/MB of
+    first-touch page faults on fresh allocations, which made char-8-gram
+    prep 213 s of CPU at sf0.1 (240 MB of temporaries per task).  The
+    per-perm loop touches the same two n×4 B buffers 60 times: identical
+    signatures, allocation cost paid once."""
     n = len(ptr) - 1
     sig = np.full((n, len(a32)), _SIG_SENTINEL, dtype=np.uint32)
     if not len(H):
         return sig
     h32 = (H ^ (H >> np.uint64(32))).astype(np.uint32)
-    prods = h32[:, None] * a32[None, :] + b32[None, :]
-    prods ^= prods >> np.uint32(15)
     lens = np.diff(ptr)
     nonempty = np.flatnonzero(lens > 0)
-    sig[nonempty] = np.minimum.reduceat(prods, ptr[:-1][nonempty], axis=0)
+    starts = ptr[:-1][nonempty]
+    v = np.empty(len(h32), np.uint32)
+    t = np.empty(len(h32), np.uint32)
+    for j in range(len(a32)):
+        np.multiply(h32, a32[j], out=v)
+        v += b32[j]
+        np.right_shift(v, np.uint32(15), out=t)
+        v ^= t
+        sig[nonempty, j] = np.minimum.reduceat(v, starts)
     return sig
 
 
