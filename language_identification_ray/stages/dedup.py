@@ -464,17 +464,25 @@ def _batch_simhash(texts) -> np.ndarray:
     g2 = W32 * _MIX32[2]
     g2 ^= g2 >> np.uint32(16)
     W = (g1.astype(np.uint64) << np.uint64(32)) | g2.astype(np.uint64)
-    bits = ((W[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
-    signed = 2 * bits - 1
     starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
     nonempty = np.flatnonzero(counts > 0)
-    v = np.add.reduceat(signed, starts[nonempty], axis=0)
-    # reduceat with duplicate offsets (consecutive empty docs) still yields
-    # one row per offset we passed — we passed only nonempty docs' starts,
-    # but consecutive nonempty docs sharing a start can't happen (counts>0)
-    out[nonempty] = ((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
-        axis=1, dtype=np.uint64
-    )
+    # one bit lane at a time through two reused 1-D buffers — the
+    # (n_words × 64) bit/sign matrices were fresh multi-MB temporaries per
+    # batch, and this host charges ~0.2 s/MB first-touch faults on fresh
+    # allocations (see _sig_from_hashes).  reduceat with only nonempty
+    # docs' starts cannot see duplicate offsets (counts > 0 there).
+    b = np.empty(len(W), np.int32)
+    t = np.empty(len(W), np.uint64)
+    acc = np.zeros(len(nonempty), dtype=np.uint64)
+    for j in range(64):
+        np.right_shift(W, np.uint64(j), out=t)
+        np.bitwise_and(t, np.uint64(1), out=t)
+        np.copyto(b, t, casting="unsafe")
+        b *= 2
+        b -= 1
+        vj = np.add.reduceat(b, starts[nonempty])
+        acc |= (vj > 0).astype(np.uint64) << np.uint64(j)
+    out[nonempty] = acc
     return out
 
 
