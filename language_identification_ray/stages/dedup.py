@@ -769,8 +769,17 @@ def lsh_exact_jaccard_pairs(
     Scale shape: the shuffle carries per-(doc, band) rows of (8 B bucket
     key + the doc's uint64 word-hash set) — hashes, never text; reducer
     groups are ``n_shards`` fixed shards; within a bucket run the exact
-    intersection counts come from ONE 0/1-incidence matmul (float32 —
-    counts < 2^24 stay exact), not a per-pair Python loop."""
+    intersection counts come from posting-list pair generation + bitmask
+    popcount (see ``_exact_inter_counts``), not a per-pair Python loop.
+
+    Deliberate tradeoff: each doc's hash set ships once PER BAND (``bands``×
+    amplification of the set payload through the shuffle).  The alternative
+    — emit candidate id-pairs first, then re-fetch sets with a join keyed on
+    the pair — ships each set once per CANDIDATE PARTNER instead, and on
+    near-dup flood clusters (the case dedup exists for) pair degree ≈
+    cluster size ≫ bands, so the one-pass layout is the cheaper one exactly
+    when it matters.  Tune ``bands`` down (higher r) to shrink the factor
+    when the threshold allows."""
     hasher = MinHasher(n_perm)
     rpb = n_perm // bands
     set_hashes = {
