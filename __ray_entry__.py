@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from language_identification_ray.pipelines import analysis, quality_filter, relational
 
     def langid_documents(sf_dir: str):
+        """Per-doc language ID + confidence from the ensemble detector actor pool (script evidence + hashed-n-gram NB; accuracy gated in pytest)."""
         import ray.data as rd
         from language_identification_ray.stages.langid import LangIdStage
 
@@ -39,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def perplexity_documents(sf_dir: str):
+        """Per-doc Kneser-Ney LM perplexity from the per-language model actor pool (26 in-repo trained assets; scorer parity gated in pytest)."""
         import ray.data as rd
         from language_identification_ray.stages.perplexity import PerplexityScorer
 
@@ -49,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def jaccard_pairs_q(sf_dir: str):
+        """Word-set Jaccard >= 0.95 near-dup pairs inside each language block (LSH-prefiltered exact verify; matches the all-pairs SQL oracle)."""
         import ray.data as rd
         from language_identification_ray.stages.dedup import jaccard_pairs
 
@@ -56,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return jaccard_pairs(docs, threshold=0.95)
 
     def embedding_dup_pairs_q(sf_dir: str):
+        """Embedding cosine >= 0.4 near-dup pairs within a label block, triangle-sharded; similarities rounded to 5 decimals to match DuckDB float32."""
         import ray.data as rd
         from language_identification_ray.stages.dedup import embedding_dup_pairs
 
@@ -89,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def simhash_pairs_q(sf_dir: str):
+        """64-bit SimHash near-dup pairs at Hamming <= 3 via pigeonhole 16-bit chunk buckets (deterministic bit math, pinned by pytest)."""
         import ray.data as rd
         from language_identification_ray.stages.dedup import simhash_pairs
 
@@ -96,16 +101,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return simhash_pairs(docs, max_hamming=3)
 
     def media_pipeline_q(sf_dir: str):
+        """Multimodal plumbing: binary payload decode -> feature-extract -> resize as actor-pool stages (codecs stubbed deterministically; shape/schema real)."""
         from language_identification_ray.stages.multimodal import media_pipeline
 
         return media_pipeline(sf_dir)
 
     def detector_agreement_q(sf_dir: str):
+        """Six-detector language-ID agreement panel (ensemble/ngram/script/dictionary + import-gated wheels): per-doc votes and agreement fraction."""
         from language_identification_ray.pipelines.agreement import detector_agreement
 
         return detector_agreement(sf_dir)
 
     def knn_ivf_q(sf_dir: str):
+        """Approximate top-10 cosine ANN through an IVF coarse quantizer (n_probe cells scanned); recall gated in pytest, no SQL oracle by design."""
         import numpy as np
         import pyarrow.parquet as pq
         import ray.data as rd
@@ -131,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(lambda t: t.select(["query_idx", "vec_id"]), batch_format="pyarrow")
 
     def knn_lsh_q(sf_dir: str):
+        """Approximate top-10 cosine ANN via multi-probe hyperplane LSH bucket pruning; recall gated in pytest, no SQL oracle by design."""
         import numpy as np
         import pyarrow.parquet as pq
         import ray.data as rd

@@ -112,6 +112,8 @@ def lang_stats(sf_dir: str) -> "rd.Dataset":
 
 
 def source_stats(sf_dir: str) -> "rd.Dataset":
+    """Doc count + min/max length per source (grouped aggregate over ~20
+    keys; column-pruned read, one small shuffle)."""
     return (
         _docs(sf_dir, ["source", "n_chars"])
         .groupby("source")
