@@ -59,7 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return jaccard_pairs(docs, threshold=0.95)
 
     def embedding_dup_pairs_q(sf_dir: str):
-        """Embedding cosine >= 0.4 near-dup pairs within a label block, triangle-sharded; similarities rounded to 5 decimals to match DuckDB float32."""
+        """Embedding cosine >= 0.4 near-dup pairs within a label block, triangle-sharded; both engines compute in float64 (oracle casts lists to DOUBLE[]) and round to 5 decimals."""
         import ray.data as rd
         from language_identification_ray.stages.dedup import embedding_dup_pairs
 
@@ -532,7 +532,7 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
             SELECT e.vec_id
             FROM embeddings e, q
-            ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, e.vec_id ASC
             LIMIT 10
         """,
         "knn_label_filtered": """
@@ -544,7 +544,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.vec_id
             FROM embeddings e, q
             WHERE e.label = q.ql
-            ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC, e.vec_id ASC
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, e.vec_id ASC
             LIMIT 5
         """,
         "knn_batch_top5": """
@@ -557,7 +557,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT q.query_idx, e.vec_id,
                        row_number() OVER (
                            PARTITION BY q.query_idx
-                           ORDER BY list_cosine_similarity(e.embedding, q.qe) DESC,
+                           ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC,
                                     e.vec_id ASC) AS rn
                 FROM embeddings e CROSS JOIN q
             )
@@ -635,7 +635,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a.vec_id AS i, b.vec_id AS j
                 FROM embeddings a JOIN embeddings b
                   ON a.label = b.label AND a.vec_id < b.vec_id
-                WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 5) >= 0.4
+                WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) >= 0.4
             ),
             drops AS (SELECT DISTINCT j FROM pairs)
             SELECT d.doc_id, d.lang, d.n_chars
@@ -746,9 +746,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 5) AS cos_sim
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) AS cos_sim
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 5) >= 0.4
+            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) >= 0.4
         """,
     }

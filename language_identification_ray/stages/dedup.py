@@ -973,8 +973,11 @@ def embedding_dup_pairs(
     """Pairs with cosine ≥ t inside each blocking group.
 
     Similarities are rounded to 5 decimals BEFORE the threshold so the result
-    is engine-independent (DuckDB computes ``list_cosine_similarity`` in
-    float32; float64-vs-float32 drift is ~1e-7 ≪ the 1e-5 rounding grid).
+    is engine-independent.  The SQL oracle must cast the float32 lists to
+    DOUBLE[] so BOTH engines do float64 math: float32-vs-float64 drift
+    (~1e-7) does land on the 5e-6 rounding boundary in practice — at sf0.1
+    two of 86 pairs rounded differently until the oracle was cast (float64
+    accumulation-order differences are ~1e-16, which cannot).
 
     Scale shape: the quadratic all-pairs work inside a blocking group is
     **triangle-sharded** — each group's rows are hashed into ``n_tiles``
