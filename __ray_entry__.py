@@ -106,6 +106,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return media_pipeline(sf_dir)
 
+    def video_frames_q(sf_dir: str):
+        """Video frame sampling: flat_map fan-out of every-10th frame as a standalone image payload, then the SAME decode/feature actor stages as stills (fake codec; counts pinned in pytest)."""
+        from language_identification_ray.stages.multimodal import video_frame_pipeline
+
+        return video_frame_pipeline(sf_dir)
+
     def detector_agreement_q(sf_dir: str):
         """Six-detector language-ID agreement panel (ensemble/ngram/script/dictionary + import-gated wheels): per-doc votes and agreement fraction."""
         from language_identification_ray.pipelines.agreement import detector_agreement
@@ -267,6 +273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_filtered": knn_label_q,
         "fuzzy_correct_sample": analysis.fuzzy_correct_sample,
         "media_pipeline": media_pipeline_q,
+        "video_frame_features": video_frames_q,
         "detector_agreement": detector_agreement_q,
     }
 

@@ -145,14 +145,75 @@ class MediaResize:
         return set_or_append(batch, self.payload_column, pa.array(out, pa.binary()))
 
 
-def frame_sample(batch: pa.Table, every_n: int = 10) -> pa.Table:
-    """Video frame-sampling STUB: the container has no video codec.  The
-    production shape is an actor-pool flat_map payload → frame rows; raising
-    keeps the contract explicit rather than silently wrong."""
-    raise NotImplementedError(
-        "video frame sampling requires a codec not present in this environment; "
-        "implement decode→frames in MediaDecoder.decode_one and flat_map frames"
-    )
+VIDEO_MAGIC = b"FAKEVID1"
+FRAME_BYTES = 256
+
+
+def encode_fake_video(n_frames: int, width: int, height: int, seed: int) -> bytes:
+    """Deterministic synthetic 'video': header + n_frames fixed-size frame
+    records (seeded bytes).  Fixed-size records make frame extraction pure
+    offset math — the stand-in for a real container/codec."""
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=n_frames * FRAME_BYTES, dtype=np.uint8).tobytes()
+    return VIDEO_MAGIC + struct.pack("<III", n_frames, width, height) + frames
+
+
+class FrameSampler:
+    """Video payload → sampled frame rows (the flat_map actor-pool stage).
+
+    Every ``every_n``-th frame is re-encoded as a standalone FAKEIMG1 image
+    payload, so downstream :class:`MediaDecoder` / :class:`MediaFeatures`
+    consume sampled frames exactly as they consume still images — the same
+    composition a real pipeline gets from ffmpeg-frame → JPEG bytes.  Rows
+    fan OUT (one input row → ceil(n_frames/every_n) output rows), so batch
+    sizes stay small and the payload column is replaced, never duplicated.
+    A real codec (ffmpeg/PyAV) would slot into ``_frames_of`` behind the
+    same import-try gate as the Pillow decoder; the fake codec keeps every
+    other part of the stage — schema, fan-out, actor signature — real."""
+
+    def __init__(self, every_n: int = 10, payload_column: str = "payload", decoder: str = "fake"):
+        if decoder == "ffmpeg":
+            try:
+                import av  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "no video codec in this environment; use decoder='fake'"
+                ) from e
+        elif decoder != "fake":
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.every_n = every_n
+        self.payload_column = payload_column
+
+    def _frames_of(self, payload: Optional[bytes]) -> list:
+        """[(frame_idx, image_payload)] for the sampled frames."""
+        if not payload or not payload.startswith(VIDEO_MAGIC):
+            return []
+        hdr = len(VIDEO_MAGIC)
+        n, w, h = struct.unpack("<III", payload[hdr : hdr + 12])
+        body = payload[hdr + 12 :]
+        out = []
+        for i in range(0, n, self.every_n):
+            px = body[i * FRAME_BYTES : (i + 1) * FRAME_BYTES]
+            out.append((i, MAGIC + struct.pack("<II", w, h) + px))
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds, idxs, payloads = [], [], [], []
+        mid = batch["media_id"].to_pylist()
+        for row, p in enumerate(batch[self.payload_column].to_pylist()):
+            for fi, fp in self._frames_of(p):
+                ids.append(mid[row])
+                kinds.append("frame")
+                idxs.append(fi)
+                payloads.append(fp)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
 
 
 def synthesize_media(sf_dir: str) -> "rd.Dataset":
@@ -185,5 +246,47 @@ def media_pipeline(sf_dir: str) -> "rd.Dataset":
     ds = ds.map_batches(MediaFeatures, batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
     return ds.map_batches(
         lambda t: t.select(["media_id", "width", "height", "decode_ok", "features"]),
+        batch_format="pyarrow",
+    )
+
+
+def synthesize_videos(sf_dir: str) -> "rd.Dataset":
+    """Deterministic video table derived from documents.parquet: one fake
+    video per 5th doc, 8-31 frames each."""
+
+    def make(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        ids = ids[ids % 5 == 0]
+        payloads = [
+            encode_fake_video(8 + int(d) % 24, 32 + int(d) % 64, 32 + (int(d) * 3) % 64, int(d))
+            for d in ids
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(["video"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).map_batches(
+        make, batch_format="pyarrow"
+    )
+
+
+def video_frame_pipeline(sf_dir: str, every_n: int = 10) -> "rd.Dataset":
+    """Video → frame-sample (flat_map fan-out) → decode → features.
+
+    The full multimodal composition: sampled frames are standalone image
+    payloads, so the SAME decode/feature actor stages that serve stills
+    serve frames — at 100 TB this is the shape that keeps one encoder pool
+    serving every modality.  Rows-only driver check (fake codec); frame
+    counts and determinism are pinned in tests/test_multimodal.py."""
+    ds = synthesize_videos(sf_dir)
+    ds = ds.map_batches(FrameSampler(every_n=every_n), batch_format="pyarrow", batch_size=32)
+    ds = ds.map_batches(MediaDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+    ds = ds.map_batches(MediaFeatures, batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+    return ds.map_batches(
+        lambda t: t.select(["media_id", "frame_idx", "width", "height", "decode_ok", "features"]),
         batch_format="pyarrow",
     )

@@ -9,7 +9,6 @@ from language_identification_ray.stages.multimodal import (
     MediaDecoder,
     MediaFeatures,
     encode_fake_image,
-    frame_sample,
     media_pipeline,
 )
 
@@ -45,9 +44,12 @@ def test_pillow_decoder_gated():
         MediaDecoder(decoder="pillow")
 
 
-def test_frame_sample_stub():
-    with pytest.raises(NotImplementedError):
-        frame_sample(pa.table({"payload": [b""]}))
+def test_frame_sample_replaced_by_sampler():
+    # the old frame_sample stub is gone; FrameSampler is the real stage
+    from language_identification_ray.stages import multimodal
+
+    assert not hasattr(multimodal, "frame_sample")
+    assert hasattr(multimodal, "FrameSampler")
 
 
 def test_media_pipeline_e2e(ray_session, sf_dir):
@@ -94,3 +96,70 @@ def test_media_resize_pillow_gated():
 
     with _pytest.raises(NotImplementedError):
         MediaResize(decoder="pillow")
+
+
+def test_frame_sampler_counts_and_determinism():
+    import math
+
+    import pyarrow as pa
+
+    from language_identification_ray.stages.multimodal import (
+        FRAME_BYTES,
+        FrameSampler,
+        MediaDecoder,
+        encode_fake_video,
+    )
+
+    n_frames, w, h = 23, 48, 36
+    vid = encode_fake_video(n_frames, w, h, seed=7)
+    batch = pa.table(
+        {
+            "media_id": pa.array([1], pa.int64()),
+            "payload": pa.array([vid], pa.binary()),
+        }
+    )
+    fs = FrameSampler(every_n=10)
+    out = fs(batch)
+    assert out.num_rows == math.ceil(n_frames / 10)
+    assert out["frame_idx"].to_pylist() == [0, 10, 20]
+    # sampled frames are standalone decodable images with the video's dims
+    dec = MediaDecoder()
+    for p in out["payload"].to_pylist():
+        assert dec.decode_one(p) == (w, h, True)
+        assert len(p) == 8 + 8 + FRAME_BYTES
+    # determinism: same video -> byte-identical frames
+    assert fs(batch)["payload"].to_pylist() == out["payload"].to_pylist()
+    # non-video payloads contribute zero rows, never crash
+    junk = pa.table(
+        {
+            "media_id": pa.array([2, 3], pa.int64()),
+            "payload": pa.array([b"not a video", None], pa.binary()),
+        }
+    )
+    assert fs(junk).num_rows == 0
+
+
+def test_video_frame_pipeline(ray_session, sf_dir):
+    import math
+
+    from language_identification_ray.stages.multimodal import video_frame_pipeline
+
+    df = video_frame_pipeline(sf_dir).to_pandas()
+    assert len(df) > 0
+    assert df["decode_ok"].all()
+    assert set(df.columns) == {"media_id", "frame_idx", "width", "height", "decode_ok", "features"}
+    # every 5th doc has a video of 8 + id % 24 frames, sampled every 10th
+    expect = sum(
+        math.ceil((8 + d % 24) / 10) for d in df["media_id"].unique()
+    )
+    assert len(df) == expect
+    assert all(len(f) == 32 for f in df["features"])
+
+
+def test_frame_sampler_ffmpeg_gated():
+    import pytest as _pytest
+
+    from language_identification_ray.stages.multimodal import FrameSampler
+
+    with _pytest.raises(NotImplementedError):
+        FrameSampler(decoder="ffmpeg")
