@@ -106,6 +106,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return media_pipeline(sf_dir)
 
+    def audio_features_q(sf_dir: str):
+        """Audio feature extraction (duration/rms/zero-crossing-rate/peak) over raw int16 PCM payloads — real vectorized DSP, analytically pinned in pytest (sine rms = A/sqrt(2))."""
+        from language_identification_ray.stages.multimodal import audio_pipeline
+
+        return audio_pipeline(sf_dir)
+
     def video_frames_q(sf_dir: str):
         """Video frame sampling: flat_map fan-out of every-10th frame as a standalone image payload, then the SAME decode/feature actor stages as stills (fake codec; counts pinned in pytest)."""
         from language_identification_ray.stages.multimodal import video_frame_pipeline
@@ -274,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_correct_sample": analysis.fuzzy_correct_sample,
         "media_pipeline": media_pipeline_q,
         "video_frame_features": video_frames_q,
+        "audio_features": audio_features_q,
         "detector_agreement": detector_agreement_q,
     }
 

@@ -163,3 +163,40 @@ def test_frame_sampler_ffmpeg_gated():
 
     with _pytest.raises(NotImplementedError):
         FrameSampler(decoder="ffmpeg")
+
+
+def test_audio_features_sine_analytic():
+    import numpy as np
+
+    from language_identification_ray.stages.multimodal import AudioFeatures, encode_pcm
+
+    sr, f, amp_frac, dur = 16000, 440.0, 0.5, 2.0
+    t = np.arange(int(sr * dur)) / sr
+    samples = (np.sin(2 * np.pi * f * t) * amp_frac * 32767).astype("<i2")
+    payload = encode_pcm(sr, samples)
+    d, rms, zcr, peak, ok = AudioFeatures().features_one(payload)
+    assert ok and abs(d - dur) < 1e-9
+    # pure sine: rms = A/sqrt(2); zero crossings = 2f per second
+    assert abs(rms - amp_frac / np.sqrt(2)) < 0.01
+    assert abs(zcr - f) / f < 0.01  # zcr_hz = crossings * sr / 2 / n = f for a sine
+    assert 0.49 * 32767 < peak <= int(amp_frac * 32767) + 1
+
+
+def test_audio_features_junk_and_empty():
+    from language_identification_ray.stages.multimodal import AudioFeatures
+
+    af = AudioFeatures()
+    assert af.features_one(None)[-1] is False or af.features_one(None)[-1] == False  # noqa: E712
+    assert af.features_one(b"garbage")[4] == False  # noqa: E712
+    assert af.features_one(b"FAKEAUD1")[4] == False  # noqa: E712
+
+
+def test_audio_pipeline(ray_session, sf_dir):
+    from language_identification_ray.stages.multimodal import audio_pipeline
+
+    df = audio_pipeline(sf_dir).to_pandas()
+    assert len(df) > 0
+    assert df["audio_ok"].all()
+    assert (df["duration_sec"] > 0.2).all() and (df["duration_sec"] <= 1.01).all()
+    # gaussian noise at sigma=8192/32768: rms ~ 0.25
+    assert ((df["rms"] - 0.25).abs() < 0.02).all()
