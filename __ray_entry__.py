@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_dedup_bloom": analysis.incremental_dedup_bloom,
         "train_val_test_split": analysis.train_val_test_split,
         "semantic_dedup_docs": analysis.semantic_dedup_docs,
+        "dup_clusters": analysis.dup_clusters,
         # --- dedup / similarity (SQL-checkable where exact) ---------------
         "jaccard_pairs": jaccard_pairs_q,
         "embedding_dup_pairs": embedding_dup_pairs_q,
@@ -643,6 +644,22 @@ def oracle_sql() -> dict[str, str]:
                         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'd' THEN 'val'
                         ELSE 'test' END AS split
             FROM documents
+        """,
+        "dup_clusters": """
+            WITH RECURSIVE
+            pairs AS (
+                SELECT a.vec_id AS i, b.vec_id AS j
+                FROM embeddings a JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) >= 0.4
+            ),
+            edges AS (SELECT i AS src, j AS dst FROM pairs UNION ALL SELECT j, i FROM pairs),
+            reach(node, anc) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT node AS doc_id, min(anc) AS cluster_id FROM reach GROUP BY node
         """,
         "semantic_dedup_docs": """
             WITH pairs AS (

@@ -1457,3 +1457,103 @@ def incremental_dedup_bloom(sf_dir: str, m_bits: int = 1 << 17, k: int = 7) -> "
         .groupby("lang")
         .aggregate(Sum("n_new_docs", alias_name="n_new_docs"), Sum("n_seen_docs", alias_name="n_seen_docs"))
     )
+
+
+def dup_clusters(sf_dir: str, threshold: float = 0.4, max_iters: int = 50) -> "rd.Dataset":
+    """Connected components over the embedding near-dup pair graph:
+    every document gets ``cluster_id`` = the smallest doc_id reachable
+    through dup edges (singletons point at themselves).  The step real
+    pipelines need between pairwise dedup and keep-one-per-cluster.
+
+    Distributed min-label propagation, Ray-Data-shaped: each round is TWO
+    groupbys and zero joins — round 1 groups each node's current label with
+    its incident edge rows (union-tag, same pattern as
+    :func:`semantic_dedup_docs`) and emits the label to every neighbor;
+    round 2 takes the min per node.  Labels only decrease, so the fixpoint
+    test is "Sum(label) unchanged" — one tiny aggregate per round.
+    Converges in O(component diameter) rounds (near-dup clusters are
+    near-cliques, diameter ~2; ``max_iters`` bounds pathological chains).
+    Each round materializes one (node, label) row per doc — bounded state,
+    no lineage-chain blowup.  The oracle is a DuckDB recursive CTE
+    (reachability → min ancestor), exact on the same pair predicate."""
+    from language_identification_ray.stages.dedup import embedding_dup_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_dup_pairs(emb, threshold=threshold)
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "vec_a" not in batch.schema.names:
+            e = pa.array([], pa.int64())
+            return pa.table({"node": e, "peer": e})
+        a = batch["vec_a"].cast(pa.int64())
+        b = batch["vec_b"].cast(pa.int64())
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
+                "peer": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
+            }
+        )
+
+    edges = pairs.map_batches(edge_rows, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].cast(pa.int64())
+        return pa.table({"node": ids, "label": ids})
+
+    labels = _docs(sf_dir, ["doc_id"]).map_batches(init_labels, batch_format="pyarrow").materialize()
+    prev_sum = None
+    for _ in range(max_iters):
+        cur = labels.aggregate(Sum("label"))["sum(label)"]
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+
+        def tag_label(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "peer": pa.nulls(batch.num_rows, pa.int64()),
+                    "label": batch["label"],
+                }
+            )
+
+        def tag_edge(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch["node"],
+                    "peer": batch["peer"],
+                    "label": pa.nulls(batch.num_rows, pa.int64()),
+                }
+            )
+
+        def send(group: pd.DataFrame) -> pd.DataFrame:
+            labs = group["label"].dropna()
+            if labs.empty:  # edge endpoint outside the doc table: nothing to send
+                return pd.DataFrame({"node": [], "cand": []}).astype(np.int64)
+            lab = int(labs.min())
+            peers = group["peer"].dropna().astype(np.int64)
+            nodes = [int(group["node"].iloc[0]), *peers.tolist()]
+            return pd.DataFrame({"node": nodes, "cand": [lab] * len(nodes)})
+
+        msgs = (
+            labels.map_batches(tag_label, batch_format="pyarrow")
+            .union(edges.map_batches(tag_edge, batch_format="pyarrow"))
+            .groupby("node")
+            .map_groups(send, batch_format="pandas")
+        )
+        labels = (
+            msgs.groupby("node")
+            .aggregate(Min("cand", alias_name="label"))
+            .map_batches(
+                lambda t: pa.table(
+                    {"node": t["node"].cast(pa.int64()), "label": t["label"].cast(pa.int64())}
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["node"], "cluster_id": batch["label"]})
+
+    return labels.map_batches(finalize, batch_format="pyarrow")

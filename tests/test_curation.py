@@ -88,3 +88,43 @@ def test_semantic_dedup_no_pairs_keeps_all(ray_session, tiny_sf):
     # mode that crashes Dataset.join (schema-less empty shuffle partitions)
     out = analysis.semantic_dedup_docs(tiny_sf, threshold=1.1).to_pandas()
     assert len(out) == 5
+
+
+def test_dup_clusters_transitive_chain(ray_session, tmp_path):
+    """a-b and b-c are dup edges but a-c is not: the cluster {a,b,c} only
+    forms through multi-round label propagation (graph diameter 2)."""
+    import math
+
+    d = tmp_path / "chain_sf"
+    d.mkdir()
+    ids = [10, 11, 12, 13]
+    # angles 0, 25, 50 deg: cos(25)=0.906 >= 0.9, cos(50)=0.64 < 0.9
+    angs = [0.0, math.radians(25), math.radians(50), math.radians(180)]
+    vecs = [[math.cos(a), math.sin(a), 0.0] for a in angs]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * 4, pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(["x"] * 4, pa.string()),
+                "lang": pa.array(["en"] * 4, pa.string()),
+                "source": pa.array(["s"] * 4, pa.string()),
+                "n_chars": pa.array([1] * 4, pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = analysis.dup_clusters(str(d), threshold=0.9).to_pandas().set_index("doc_id")
+    assert out.loc[10, "cluster_id"] == 10
+    assert out.loc[11, "cluster_id"] == 10  # direct edge
+    assert out.loc[12, "cluster_id"] == 10  # TRANSITIVE via 11
+    assert out.loc[13, "cluster_id"] == 13  # singleton
