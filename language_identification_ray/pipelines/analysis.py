@@ -1465,17 +1465,20 @@ def dup_clusters(sf_dir: str, threshold: float = 0.4, max_iters: int = 50) -> "r
     through dup edges (singletons point at themselves).  The step real
     pipelines need between pairwise dedup and keep-one-per-cluster.
 
-    Distributed min-label propagation, Ray-Data-shaped: each round is TWO
-    groupbys and zero joins — round 1 groups each node's current label with
-    its incident edge rows (union-tag, same pattern as
-    :func:`semantic_dedup_docs`) and emits the label to every neighbor;
-    round 2 takes the min per node.  Labels only decrease, so the fixpoint
-    test is "Sum(label) unchanged" — one tiny aggregate per round.
-    Converges in O(component diameter) rounds (near-dup clusters are
-    near-cliques, diameter ~2; ``max_iters`` bounds pathological chains).
-    Each round materializes one (node, label) row per doc — bounded state,
-    no lineage-chain blowup.  The oracle is a DuckDB recursive CTE
-    (reachability → min ancestor), exact on the same pair predicate."""
+    Distributed min-label propagation, Ray-Data-shaped, on the
+    EDGE-INDUCED SUBGRAPH only — nodes with no dup edge never enter the
+    iteration (their cluster is themselves), so each round processes
+    O(dup nodes) rows, not O(corpus).  A round is two groupbys and zero
+    joins: union-tag each node's current label with its incident edge rows,
+    fan the label out to neighbors inside the group, then Min per node.
+    Labels only decrease, so the fixpoint test is "Sum(label) unchanged" —
+    one tiny aggregate per round; convergence takes O(component diameter)
+    rounds (near-dup clusters are near-cliques, diameter ~2; ``max_iters``
+    bounds pathological chains).  The final corpus assignment is ONE
+    vectorized union-tag groupby (docs as (doc_id, doc_id) ∪ propagated
+    labels → Min) — the same single-shuffle shape as
+    :func:`semantic_dedup_docs`, no driver-side label table.  The oracle
+    is a DuckDB recursive CTE (reachability → min ancestor)."""
     from language_identification_ray.stages.dedup import embedding_dup_pairs
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -1485,61 +1488,83 @@ def dup_clusters(sf_dir: str, threshold: float = 0.4, max_iters: int = 50) -> "r
         if batch.num_rows == 0 or "vec_a" not in batch.schema.names:
             e = pa.array([], pa.int64())
             return pa.table({"node": e, "peer": e})
-        a = batch["vec_a"].cast(pa.int64())
-        b = batch["vec_b"].cast(pa.int64())
+        a = batch["vec_a"].cast(pa.int64()).combine_chunks()
+        b = batch["vec_b"].cast(pa.int64()).combine_chunks()
         return pa.table(
-            {
-                "node": pa.concat_arrays([a.combine_chunks(), b.combine_chunks()]),
-                "peer": pa.concat_arrays([b.combine_chunks(), a.combine_chunks()]),
-            }
+            {"node": pa.concat_arrays([a, b]), "peer": pa.concat_arrays([b, a])}
         )
 
     edges = pairs.map_batches(edge_rows, batch_format="pyarrow").materialize()
 
-    def init_labels(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].cast(pa.int64())
-        return pa.table({"node": ids, "label": ids})
+    # Size the iteration's block count to the SUBGRAPH, not the corpus: the
+    # edge dataset inherits the pair scan's block layout (hundreds of mostly
+    # empty blocks), and every groupby in the loop would shuffle across all
+    # of them.  ~200k edge rows per block keeps reducers busy at scale while
+    # a small dup graph collapses to one block (measured at sf0.1: rounds
+    # dropped 15 s -> 0.5 s, whole function 80 s -> 11 s).
+    nblk = max(1, edges.count() // 200_000)
+    edges = edges.repartition(nblk).materialize()
 
-    labels = _docs(sf_dir, ["doc_id"]).map_batches(init_labels, batch_format="pyarrow").materialize()
+    # initial subgraph labels: each edge node starts at min(self, neighbors)
+    # (one round of propagation for free, vectorized)
+    labels = (
+        edges.groupby("node")
+        .aggregate(Min("peer", alias_name="mp"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"].cast(pa.int64()),
+                    "label": pc.min_element_wise(
+                        t["node"].cast(pa.int64()), t["mp"].cast(pa.int64())
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .repartition(nblk)
+        .materialize()
+    )
+
+    def tag_label(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"],
+                "peer": pa.nulls(batch.num_rows, pa.int64()),
+                "label": batch["label"],
+            }
+        )
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"],
+                "peer": batch["peer"],
+                "label": pa.nulls(batch.num_rows, pa.int64()),
+            }
+        )
+
+    def send(group: pa.Table) -> pa.Table:
+        labs = group["label"].drop_null()
+        if not len(labs):  # edge endpoint with no label row: nothing to send
+            e = pa.array([], pa.int64())
+            return pa.table({"node": e, "cand": e})
+        lab = pc.min(labs).as_py()
+        peers = group["peer"].drop_null().combine_chunks()
+        nodes = pa.concat_arrays([pa.array([group["node"][0].as_py()], pa.int64()), peers])
+        return pa.table({"node": nodes, "cand": pa.array([lab] * len(nodes), pa.int64())})
+
     prev_sum = None
     for _ in range(max_iters):
-        cur = labels.aggregate(Sum("label"))["sum(label)"]
-        if prev_sum is not None and cur == prev_sum:
-            break
+        agg = labels.aggregate(Sum("label"))
+        cur = agg.get("sum(label)") if isinstance(agg, dict) else None
+        if cur is None or (prev_sum is not None and cur == prev_sum):
+            break  # no dup edges at all, or labels stopped decreasing
         prev_sum = cur
-
-        def tag_label(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "node": batch["node"],
-                    "peer": pa.nulls(batch.num_rows, pa.int64()),
-                    "label": batch["label"],
-                }
-            )
-
-        def tag_edge(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "node": batch["node"],
-                    "peer": batch["peer"],
-                    "label": pa.nulls(batch.num_rows, pa.int64()),
-                }
-            )
-
-        def send(group: pd.DataFrame) -> pd.DataFrame:
-            labs = group["label"].dropna()
-            if labs.empty:  # edge endpoint outside the doc table: nothing to send
-                return pd.DataFrame({"node": [], "cand": []}).astype(np.int64)
-            lab = int(labs.min())
-            peers = group["peer"].dropna().astype(np.int64)
-            nodes = [int(group["node"].iloc[0]), *peers.tolist()]
-            return pd.DataFrame({"node": nodes, "cand": [lab] * len(nodes)})
-
         msgs = (
             labels.map_batches(tag_label, batch_format="pyarrow")
             .union(edges.map_batches(tag_edge, batch_format="pyarrow"))
             .groupby("node")
-            .map_groups(send, batch_format="pandas")
+            .map_groups(send, batch_format="pyarrow")
         )
         labels = (
             msgs.groupby("node")
@@ -1550,10 +1575,44 @@ def dup_clusters(sf_dir: str, threshold: float = 0.4, max_iters: int = 50) -> "r
                 ),
                 batch_format="pyarrow",
             )
+            .repartition(nblk)
             .materialize()
         )
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": batch["node"], "cluster_id": batch["label"]})
+    # attach subgraph labels to the whole corpus: ONE union-tag groupby
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].cast(pa.int64())
+        return pa.table(
+            {"node": ids, "label": ids, "is_doc": pa.array(np.ones(len(ids), np.int64))}
+        )
 
-    return labels.map_batches(finalize, batch_format="pyarrow")
+    def label_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"],
+                "label": batch["label"],
+                "is_doc": pa.array(np.zeros(batch.num_rows, np.int64)),
+            }
+        )
+
+    combined = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(doc_rows, batch_format="pyarrow")
+        .union(labels.map_batches(label_rows, batch_format="pyarrow"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        # drop subgraph nodes that are not documents (is_doc never set)
+        keep = batch.filter(pc.equal(batch["seen_doc"], 1))
+        return pa.table(
+            {
+                "doc_id": keep["node"].cast(pa.int64()),
+                "cluster_id": keep["cluster_id"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        combined.groupby("node")
+        .aggregate(Min("label", alias_name="cluster_id"), Max("is_doc", alias_name="seen_doc"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )
