@@ -230,6 +230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": analysis.exact_dedup,
         "events_hourly": analysis.events_hourly,
         "events_sessionize": analysis.events_sessionize,
+        "events_json_kpi": analysis.events_json_kpi,
+        "per_source_cap": analysis.per_source_cap,
         "knn_cosine_top10": analysis.knn_cosine_top10,
         "knn_batch_top5": knn_batch_q,
         "normalize_umlauts": analysis.normalize_umlauts,
@@ -542,6 +544,20 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(floor(value*100 + 0.5) AS BIGINT))/100.0 AS total_value
             FROM events
             GROUP BY 1, 2
+        """,
+        "events_json_kpi": """
+            SELECT event_type,
+                   count(*) AS n_events,
+                   avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
+            FROM events
+            GROUP BY event_type
+        """,
+        "per_source_cap": """
+            SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 20
         """,
         "knn_cosine_top10": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings))

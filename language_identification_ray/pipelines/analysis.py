@@ -346,6 +346,106 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
     )
 
 
+def events_json_kpi(sf_dir: str) -> "rd.Dataset":
+    """Semi-structured field extraction + grouped KPI: pull the integer
+    ``k`` out of the JSON ``props`` column and report count + mean per
+    event type.
+
+    The extraction is a VECTORIZED regex capture (``pc.extract_regex`` —
+    Arrow's RE2, the same engine DuckDB uses, so match semantics are
+    identical to the ``json_extract_string`` oracle on these single-key
+    payloads), not a ``json.loads`` Python loop — the scale path for
+    "parse one field out of a JSON blob per record", which at 100 TB is a
+    top-3 CPU sink if done row-wise.  Each batch pre-aggregates to one row
+    per event type before the shuffle, so the exchange carries
+    O(types × batches) rows; the mean is finalized from exact integer sums
+    in float64 (identical to DuckDB ``avg`` over BIGINT)."""
+    pat = r'"k":\s*(?P<k>-?\d+)'  # Arrow extract_regex wants a NAMED group
+
+    def partial(batch: pa.Table) -> pa.Table:
+        caught = pc.extract_regex(batch["props"], pat)
+        ks = pc.cast(pc.struct_field(caught, "k"), pa.int64())
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "k": ks.to_pandas(),
+            }
+        )
+        g = df.groupby("event_type", as_index=False, sort=False).agg(
+            n_events=("k", "size"), n_k=("k", "count"), sum_k=("k", "sum")
+        )
+        return pa.table(
+            {
+                "event_type": pa.array(g["event_type"], pa.string()),
+                "n_events": pa.array(g["n_events"], pa.int64()),
+                "n_k": pa.array(g["n_k"], pa.int64()),
+                "sum_k": pa.array(g["sum_k"], pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        avg = pc.divide(
+            pc.cast(batch["sum_k"], pa.float64()), pc.cast(batch["n_k"], pa.float64())
+        )
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "n_events": batch["n_events"].cast(pa.int64()),
+                "avg_k": avg,
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("n_k", alias_name="n_k"),
+            Sum("sum_k", alias_name="sum_k"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def per_source_cap(sf_dir: str, cap: int = 20) -> "rd.Dataset":
+    """Per-source document quota: keep at most ``cap`` docs per source,
+    deterministically (lowest doc_id first) — the per-domain cap every
+    web-corpus curation recipe applies so no single site dominates the
+    training mix.
+
+    Grouped top-k shape: each batch first cuts itself to ≤``cap`` rows per
+    source (vectorized pandas head per key), so the shuffle input is
+    bounded by cap × sources × batches instead of the corpus; the
+    per-source final cut then runs inside ``map_groups``.  Skew-safe: a
+    source with a billion docs still ships at most cap rows per batch."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pandas(),
+                "doc_id": batch["doc_id"].to_pandas(),
+            }
+        )
+        out = df.sort_values("doc_id", kind="stable").groupby("source", sort=False).head(cap)
+        return pa.table(
+            {
+                "source": pa.array(out["source"], pa.string()),
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+            }
+        )
+
+    def final_cut(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id", kind="stable").head(cap)[["source", "doc_id"]]
+
+    return (
+        _docs(sf_dir, ["source", "doc_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final_cut, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search (new scale operator)
 

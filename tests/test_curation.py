@@ -128,3 +128,59 @@ def test_dup_clusters_transitive_chain(ray_session, tmp_path):
     assert out.loc[11, "cluster_id"] == 10  # direct edge
     assert out.loc[12, "cluster_id"] == 10  # TRANSITIVE via 11
     assert out.loc[13, "cluster_id"] == 13  # singleton
+
+
+def test_events_json_kpi_null_and_missing_key(ray_session, tmp_path):
+    """Rows whose props lack an integer k (malformed JSON, NULL, other keys)
+    count toward n_events but are excluded from avg_k — DuckDB avg
+    semantics over a NULL-producing json_extract."""
+    import datetime as dt
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    ts = [dt.datetime(2026, 1, 1, h) for h in range(5)]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(5), pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1] * 5, pa.int64()),
+                "event_type": pa.array(["a", "a", "a", "b", "b"], pa.string()),
+                "value": pa.array([0.0] * 5, pa.float64()),
+                "props": pa.array(
+                    ['{"k": 4}', '{"other": 1}', None, '{"k": -2}', '{"k": 8}'],
+                    pa.string(),
+                ),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = analysis.events_json_kpi(str(d)).to_pandas().set_index("event_type")
+    assert out.loc["a", "n_events"] == 3
+    assert out.loc["a", "avg_k"] == 4.0  # only the one parseable k
+    assert out.loc["b", "n_events"] == 2
+    assert out.loc["b", "avg_k"] == 3.0  # (-2 + 8) / 2
+
+
+def test_per_source_cap_keeps_lowest_ids(ray_session, tmp_path):
+    d = tmp_path / "docs"
+    d.mkdir()
+    ids = list(range(30))
+    srcs = ["big"] * 25 + ["small"] * 5
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(["x"] * 30, pa.string()),
+                "lang": pa.array(["en"] * 30, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+                "n_chars": pa.array([1] * 30, pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = analysis.per_source_cap(str(d), cap=10).to_pandas()
+    big = out[out["source"] == "big"]["doc_id"].sort_values().tolist()
+    small = out[out["source"] == "small"]["doc_id"].sort_values().tolist()
+    assert big == list(range(10))  # capped, lowest doc_ids win
+    assert small == list(range(25, 30))  # under cap: untouched
