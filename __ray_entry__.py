@@ -232,6 +232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": analysis.events_sessionize,
         "events_json_kpi": analysis.events_json_kpi,
         "per_source_cap": analysis.per_source_cap,
+        "repetition_stats": analysis.repetition_stats,
+        "length_outlier_filter": analysis.length_outlier_filter,
         "knn_cosine_top10": analysis.knn_cosine_top10,
         "knn_batch_top5": knn_batch_q,
         "normalize_umlauts": analysis.normalize_umlauts,
@@ -558,6 +560,31 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
                 FROM documents
             ) WHERE rn <= 20
+        """,
+        "repetition_stats": """
+            WITH g AS (
+                SELECT doc_id, array_to_string(ws[i:i+2], ' ') AS gram
+                FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+                      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+            ),
+            s AS (SELECT doc_id, count(*) AS n_grams, count(DISTINCT gram) AS n_distinct
+                  FROM g GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(s.n_grams, 0) AS n_grams,
+                   COALESCE(s.n_distinct, 0) AS n_distinct,
+                   CASE WHEN s.n_grams > 0
+                        THEN 1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_grams
+                        ELSE 0.0 END AS dup_frac
+            FROM documents d LEFT JOIN s USING (doc_id)
+        """,
+        "length_outlier_filter": """
+            WITH cut AS (
+                SELECT lang, quantile_cont(n_chars, 0.99) AS cutoff
+                FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars
+            FROM documents d JOIN cut USING (lang)
+            WHERE d.n_chars <= cut.cutoff
         """,
         "knn_cosine_top10": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings))

@@ -94,6 +94,57 @@ def stopword_stats(sf_dir: str) -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
+def repetition_stats(sf_dir: str) -> "rd.Dataset":
+    """Gopher/Dolma-style repetition signal, SQL-parity variant: per doc, the
+    fraction of whitespace word 3-grams that are repeats
+    (``1 - n_distinct/n_grams``).  The flagship's quality stage computes the
+    same signal over the real tokenizer (``stages/quality.py``
+    ``q_dup_ngram_frac``); this query exposes the shape to the exact oracle.
+
+    Map-only, no shuffle.  Exact distinct counting WITHOUT hashing: words
+    are integer-coded per batch (one ``np.unique`` over the flattened word
+    stream), 3-grams become (doc, c1, c2, c3) int32 rows viewed as fixed
+    16-byte records, and a second ``np.unique`` over the byte view counts
+    distinct rows — no 64-bit multiplies (slow in this sandbox) and no
+    collision risk against the SQL ``count(DISTINCT gram)``."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        n_words = pc.list_value_length(words).to_numpy().astype(np.int64)
+        flat = words.flatten()
+        _, codes = np.unique(flat.to_numpy(zero_copy_only=False), return_inverse=True)
+        codes = codes.astype(np.int32)
+        n = len(batch)
+        n_grams = np.maximum(n_words - 2, 0)
+        total = int(n_grams.sum())
+        n_distinct = np.zeros(n, dtype=np.int64)
+        if total:
+            doc_of = np.repeat(np.arange(n, dtype=np.int32), n_words)
+            starts = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(n_words, out=starts[1:])
+            # index of the FIRST word of each 3-gram, per doc segment
+            gi = _segment_aranges(starts[:-1], n_grams)
+            rows = np.empty((total, 4), dtype=np.int32)
+            rows[:, 0] = doc_of[gi]
+            rows[:, 1] = codes[gi]
+            rows[:, 2] = codes[gi + 1]
+            rows[:, 3] = codes[gi + 2]
+            uniq = np.unique(np.ascontiguousarray(rows).view("V16"))
+            udocs = uniq.view(np.int32).reshape(-1, 4)[:, 0]
+            n_distinct = np.bincount(udocs, minlength=n).astype(np.int64)
+        dup_frac = np.where(n_grams > 0, 1.0 - n_distinct / np.maximum(n_grams, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_distinct": pa.array(n_distinct, pa.int64()),
+                "dup_frac": pa.array(dup_frac, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # grouped aggregations (SURVEY §2.5)
 
@@ -650,6 +701,50 @@ def lang_percentiles(sf_dir: str) -> "rd.Dataset":
         _docs(sf_dir, ["lang", "n_chars"])
         .groupby("lang")
         .map_groups(pcts, batch_format="pandas")
+    )
+
+
+def length_outlier_filter(sf_dir: str, q: float = 0.99) -> "rd.Dataset":
+    """Two-pass statistical filter: drop docs longer than their language's
+    p99 length — the stats-pass → broadcast-cutoffs → filter-pass shape
+    every corpus curation recipe uses (outlier trimming, perplexity
+    cutoffs, per-lang quality thresholds).
+
+    Pass 1 computes the exact per-lang quantile (same ``quantile_cont``
+    interpolation as :func:`lang_percentiles`, so DuckDB parity is
+    bit-exact) — its output is one row per language, so collecting it on
+    the driver is bounded by language count, not corpus size.  Pass 2 is a
+    map-only filter against the broadcast cutoff dict; the corpus itself
+    never shuffles."""
+
+    def quantile_cont(v: np.ndarray, qq: float) -> float:
+        x = (len(v) - 1) * qq
+        lo = int(np.floor(x))
+        hi = min(lo + 1, len(v) - 1)
+        frac = x - lo
+        return float(v[lo] * (1.0 - frac) + v[hi] * frac)
+
+    def cut(group: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(group["n_chars"].to_numpy(dtype=np.float64))
+        return pd.DataFrame({"lang": [group["lang"].iloc[0]], "cutoff": [quantile_cont(v, q)]})
+
+    cuts = (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .groupby("lang")
+        .map_groups(cut, batch_format="pandas")
+        .to_pandas()  # bounded: one row per language
+    )
+    cutoff = dict(zip(cuts["lang"], cuts["cutoff"]))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        lim = np.array(
+            [cutoff.get(l, np.inf) for l in batch["lang"].to_pylist()], dtype=np.float64
+        )
+        mask = batch["n_chars"].to_numpy(zero_copy_only=False) <= lim
+        return batch.filter(pa.array(mask)).select(["doc_id", "lang", "n_chars"])
+
+    return _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        keep, batch_format="pyarrow"
     )
 
 

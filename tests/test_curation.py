@@ -184,3 +184,32 @@ def test_per_source_cap_keeps_lowest_ids(ray_session, tmp_path):
     small = out[out["source"] == "small"]["doc_id"].sort_values().tolist()
     assert big == list(range(10))  # capped, lowest doc_ids win
     assert small == list(range(25, 30))  # under cap: untouched
+
+
+def test_repetition_stats_counts_repeats(ray_session, tmp_path):
+    d = tmp_path / "rep"
+    d.mkdir()
+    texts = [
+        "a b c a b c a b c",  # 7 trigrams, 3 distinct -> dup_frac 4/7
+        "all words here are distinct tokens",  # 4 trigrams, all distinct
+        "one two",  # < 3 words: no trigrams, dup_frac 0
+        "",
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 4, pa.string()),
+                "source": pa.array(["s"] * 4, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = analysis.repetition_stats(str(d)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_grams"] == 7 and out.loc[0, "n_distinct"] == 3
+    assert abs(out.loc[0, "dup_frac"] - 4 / 7) < 1e-12
+    assert out.loc[1, "n_grams"] == 4 and out.loc[1, "dup_frac"] == 0.0
+    assert out.loc[2, "n_grams"] == 0 and out.loc[2, "dup_frac"] == 0.0
+    assert out.loc[3, "n_grams"] == 0  # "" splits to one empty word -> no trigrams
