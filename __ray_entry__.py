@@ -234,6 +234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "per_source_cap": analysis.per_source_cap,
         "repetition_stats": analysis.repetition_stats,
         "length_outlier_filter": analysis.length_outlier_filter,
+        "mixture_sample": analysis.mixture_sample,
+        "global_length_rank": analysis.global_length_rank,
         "knn_cosine_top10": analysis.knn_cosine_top10,
         "knn_batch_top5": knn_batch_q,
         "normalize_umlauts": analysis.normalize_umlauts,
@@ -585,6 +587,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang, d.n_chars
             FROM documents d JOIN cut USING (lang)
             WHERE d.n_chars <= cut.cutoff
+        """,
+        "mixture_sample": """
+            SELECT doc_id, source
+            FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <=
+                  CASE CAST(substr(source, 4) AS INTEGER) % 4
+                       WHEN 0 THEN '3fff'
+                       WHEN 1 THEN '7fff'
+                       WHEN 2 THEN 'bfff'
+                       ELSE 'ffff' END
+        """,
+        "global_length_rank": """
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank
+            FROM documents
         """,
         "knn_cosine_top10": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings))

@@ -748,6 +748,80 @@ def length_outlier_filter(sf_dir: str, q: float = 0.99) -> "rd.Dataset":
     )
 
 
+def mixture_sample(sf_dir: str) -> "rd.Dataset":
+    """Training-mix resampling: downsample each source to its target rate,
+    deterministically — the static mixture-reweighting step (DoReMi-style
+    fixed rates) that turns raw web shards into a balanced training mix.
+
+    Rates here are a fixed demo policy ((source index mod 4 + 1)/4, so
+    sources keep 25/50/75/100 %).  A doc survives iff the first 4 hex
+    chars of ``md5(doc_id)`` are lexicographically ≤ the rate's inclusive
+    hex threshold (``rate·65536 − 1`` as 4 lowercase hex digits) —
+    equal-length lowercase hex compares like the integer, so the SQL
+    oracle is the same string comparison.  Map-only, shuffle-free,
+    reproducible across engines and runs (no RNG state to coordinate
+    across workers); raising a source's rate keeps a superset of the
+    previous sample, never a reshuffle."""
+
+    def thresh(src: str) -> str:
+        i = int(src[3:]) if src[3:].isdigit() else 0
+        rate = (i % 4 + 1) / 4.0
+        return format(int(rate * 65536) - 1, "04x")  # inclusive upper bound
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        srcs = batch["source"].to_pylist()
+        keep = [
+            i
+            for i, (d, s) in enumerate(zip(ids, srcs))
+            if hashlib.md5(str(d).encode()).hexdigest()[:4] <= thresh(s)
+        ]
+        return batch.take(pa.array(keep, pa.int64())).select(["doc_id", "source"])
+
+    return _docs(sf_dir, ["doc_id", "source"]).map_batches(f, batch_format="pyarrow")
+
+
+def global_length_rank(sf_dir: str) -> "rd.Dataset":
+    """Exact global rank of every document by (n_chars desc, doc_id asc) —
+    the distributed row_number/zipWithIndex primitive, built the way
+    distributed sorts assign positions: a HISTOGRAM pass plus a per-key
+    rank pass, never a single-reducer global sort.
+
+    Pass 1 groups by n_chars and counts — the shuffle and the driver
+    collect are bounded by DISTINCT LENGTHS (≤ the 10 MiB doc-size cap),
+    not corpus size.  The cumulative histogram gives each length its
+    global offset; pass 2 ranks within each equal-length group by doc_id
+    and adds the broadcast offset.  Oracle: SQL ``row_number()`` window."""
+    hist = (
+        _docs(sf_dir, ["n_chars"])
+        .groupby("n_chars")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()  # bounded by distinct lengths
+        .sort_values("n_chars", ascending=False)
+    )
+    counts = hist["n"].to_numpy(dtype=np.int64)
+    offsets = dict(
+        zip(hist["n_chars"].tolist(), (np.cumsum(counts) - counts).tolist())
+    )
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable").reset_index(drop=True)
+        base = offsets[int(g["n_chars"].iloc[0])]
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n_chars": g["n_chars"],
+                "rank": np.arange(1, len(g) + 1, dtype=np.int64) + base,
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .groupby("n_chars")
+        .map_groups(rank_group, batch_format="pandas")
+    )
+
+
 def sample_docs_hash(sf_dir: str) -> "rd.Dataset":
     """Deterministic content-addressed sampling (SURVEY §2.6 sampling row):
     keep docs whose md5(doc_id) starts with hex '0' (a ~1/16 sample).

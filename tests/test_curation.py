@@ -213,3 +213,50 @@ def test_repetition_stats_counts_repeats(ray_session, tmp_path):
     assert out.loc[1, "n_grams"] == 4 and out.loc[1, "dup_frac"] == 0.0
     assert out.loc[2, "n_grams"] == 0 and out.loc[2, "dup_frac"] == 0.0
     assert out.loc[3, "n_grams"] == 0  # "" splits to one empty word -> no trigrams
+
+
+def test_mixture_sample_rates_and_determinism(ray_session, tmp_path):
+    d = tmp_path / "mix"
+    d.mkdir()
+    n = 4000
+    srcs = [f"src{i % 4}" for i in range(n)]  # rates 0.25/0.5/0.75/1.0
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(["x"] * n, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+                "n_chars": pa.array([1] * n, pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = analysis.mixture_sample(str(d)).to_pandas()
+    kept = out.groupby("source")["doc_id"].count()
+    assert kept["src3"] == n // 4  # rate 1.0 keeps everything
+    for src, rate in [("src0", 0.25), ("src1", 0.5), ("src2", 0.75)]:
+        frac = kept.get(src, 0) / (n // 4)
+        assert abs(frac - rate) < 0.08, (src, frac)
+    out2 = analysis.mixture_sample(str(d)).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])  # deterministic
+
+
+def test_global_length_rank_breaks_ties_by_doc_id(ray_session, tmp_path):
+    d = tmp_path / "rank"
+    d.mkdir()
+    lens = [10, 30, 30, 20, 10]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(5), pa.int64()),
+                "text": pa.array(["x"] * 5, pa.string()),
+                "lang": pa.array(["en"] * 5, pa.string()),
+                "source": pa.array(["s"] * 5, pa.string()),
+                "n_chars": pa.array(lens, pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = analysis.global_length_rank(str(d)).to_pandas().set_index("doc_id")["rank"]
+    assert out.to_dict() == {1: 1, 2: 2, 3: 3, 0: 4, 4: 5}
