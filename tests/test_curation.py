@@ -6,6 +6,7 @@ import hashlib
 import os
 import sys
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -260,3 +261,68 @@ def test_global_length_rank_breaks_ties_by_doc_id(ray_session, tmp_path):
     )
     out = analysis.global_length_rank(str(d)).to_pandas().set_index("doc_id")["rank"]
     assert out.to_dict() == {1: 1, 2: 2, 3: 3, 0: 4, 4: 5}
+
+
+def test_repetition_stats_matches_naive_on_random_docs(ray_session, tmp_path):
+    """200 seeded random word-soup docs vs a per-doc Python Counter — pins
+    the vectorized byte-view-unique trigram counting against the obvious
+    implementation across repeat-heavy and repeat-free shapes."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab -> many repeated grams
+    texts = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(0, 40))))
+        for _ in range(200)
+    ]
+    d = tmp_path / "randrep"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = analysis.repetition_stats(str(d)).to_pandas().set_index("doc_id")
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        grams = list(zip(ws, ws[1:], ws[2:]))
+        assert out.loc[i, "n_grams"] == len(grams), i
+        assert out.loc[i, "n_distinct"] == len(set(grams)), i
+
+
+def test_global_length_rank_matches_pandas_on_random_lengths(ray_session, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 500
+    lens = rng.integers(1, 30, size=n)  # heavy ties
+    d = tmp_path / "randrank"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(["x"] * n, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["s"] * n, pa.string()),
+                "n_chars": pa.array(lens, pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = analysis.global_length_rank(str(d)).to_pandas()
+    expect = (
+        pd.DataFrame({"doc_id": range(n), "n_chars": lens})
+        .sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    expect["rank"] = np.arange(1, n + 1, dtype=np.int64)
+    got = out.sort_values("rank").reset_index(drop=True)[["doc_id", "n_chars", "rank"]]
+    pd.testing.assert_frame_equal(got, expect[["doc_id", "n_chars", "rank"]])
