@@ -112,6 +112,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return audio_pipeline(sf_dir)
 
+    def media_metadata_q(sf_dir: str):
+        """Binary round-trip oracle: dimensions encoded into real payload
+        headers must be recovered exactly by the actor-pool decoder; the
+        synthesized values are arithmetic on doc_id, so SQL can state them."""
+        from language_identification_ray.stages.multimodal import media_metadata
+
+        return media_metadata(sf_dir)
+
+    def audio_metadata_q(sf_dir: str):
+        """PCM-header round-trip oracle: duration recovered from the binary
+        payload must equal the synthesized (4000 + doc_id % 12001)/16000 s."""
+        from language_identification_ray.stages.multimodal import audio_metadata
+
+        return audio_metadata(sf_dir)
+
     def video_frames_q(sf_dir: str):
         """Video frame sampling: flat_map fan-out of every-10th frame as a standalone image payload, then the SAME decode/feature actor stages as stills (fake codec; counts pinned in pytest)."""
         from language_identification_ray.stages.multimodal import video_frame_pipeline
@@ -286,8 +301,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_filtered": knn_label_q,
         "fuzzy_correct_sample": analysis.fuzzy_correct_sample,
         "media_pipeline": media_pipeline_q,
+        "media_metadata": media_metadata_q,
         "video_frame_features": video_frames_q,
         "audio_features": audio_features_q,
+        "audio_metadata": audio_metadata_q,
         "detector_agreement": detector_agreement_q,
     }
 
@@ -602,6 +619,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars,
                    CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank
             FROM documents
+        """,
+        "media_metadata": """
+            SELECT doc_id AS media_id,
+                   CAST(64 + doc_id % 128 AS INTEGER) AS width,
+                   CAST(64 + (doc_id * 7) % 128 AS INTEGER) AS height,
+                   TRUE AS decode_ok
+            FROM documents
+        """,
+        "audio_metadata": """
+            SELECT doc_id AS media_id,
+                   (4000 + doc_id % 12001) / 16000.0 AS duration_sec,
+                   TRUE AS audio_ok
+            FROM documents
+            WHERE doc_id % 3 = 0
         """,
         "knn_cosine_top10": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings))

@@ -250,6 +250,34 @@ def media_pipeline(sf_dir: str) -> "rd.Dataset":
     )
 
 
+def media_metadata(sf_dir: str) -> "rd.Dataset":
+    """Binary-plumbing oracle query: synthesize encodes (width, height) into
+    a REAL binary payload header, the payload crosses the object store as an
+    opaque ``binary`` column, and the actor-pool decoder parses the values
+    back out.  Because the synthesized dimensions are pure arithmetic on
+    doc_id, a SQL oracle can state what the decoder must recover — an exact
+    end-to-end check of the encode → binary column → actor decode path
+    (the part of the multimodal stack that is NOT stubbed)."""
+    ds = synthesize_media(sf_dir)
+    ds = ds.map_batches(MediaDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+    return ds.map_batches(
+        lambda t: t.select(["media_id", "width", "height", "decode_ok"]),
+        batch_format="pyarrow",
+    )
+
+
+def audio_metadata(sf_dir: str) -> "rd.Dataset":
+    """Same binary round-trip oracle for audio: duration must equal the
+    synthesized (4000 + doc_id % 12001) / 16000 s, recovered by parsing the
+    PCM header + counting real samples — SQL-stateable arithmetic."""
+    ds = synthesize_audio(sf_dir)
+    ds = ds.map_batches(AudioFeatures, batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+    return ds.map_batches(
+        lambda t: t.select(["media_id", "duration_sec", "audio_ok"]),
+        batch_format="pyarrow",
+    )
+
+
 def synthesize_videos(sf_dir: str) -> "rd.Dataset":
     """Deterministic video table derived from documents.parquet: one fake
     video per 5th doc, 8-31 frames each."""
