@@ -127,6 +127,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return audio_metadata(sf_dir)
 
+    def video_metadata_q(sf_dir: str):
+        """Frame-sampler round-trip oracle: sampled frame indices and the
+        per-frame decoded dimensions are arithmetic on doc_id."""
+        from language_identification_ray.stages.multimodal import video_metadata
+
+        return video_metadata(sf_dir)
+
     def video_frames_q(sf_dir: str):
         """Video frame sampling: flat_map fan-out of every-10th frame as a standalone image payload, then the SAME decode/feature actor stages as stills (fake codec; counts pinned in pytest)."""
         from language_identification_ray.stages.multimodal import video_frame_pipeline
@@ -303,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_pipeline": media_pipeline_q,
         "media_metadata": media_metadata_q,
         "video_frame_features": video_frames_q,
+        "video_metadata": video_metadata_q,
         "audio_features": audio_features_q,
         "audio_metadata": audio_metadata_q,
         "detector_agreement": detector_agreement_q,
@@ -633,6 +641,19 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS audio_ok
             FROM documents
             WHERE doc_id % 3 = 0
+        """,
+        "video_metadata": """
+            WITH v AS (
+                SELECT doc_id AS media_id,
+                       8 + doc_id % 24 AS n_frames,
+                       CAST(32 + doc_id % 64 AS INTEGER) AS width,
+                       CAST(32 + (doc_id * 3) % 64 AS INTEGER) AS height
+                FROM documents WHERE doc_id % 5 = 0
+            )
+            SELECT media_id,
+                   CAST(unnest(generate_series(0, n_frames - 1, 10)) AS INTEGER) AS frame_idx,
+                   width, height, TRUE AS decode_ok
+            FROM v
         """,
         "knn_cosine_top10": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings))

@@ -320,6 +320,20 @@ def video_frame_pipeline(sf_dir: str, every_n: int = 10) -> "rd.Dataset":
     )
 
 
+def video_metadata(sf_dir: str, every_n: int = 10) -> "rd.Dataset":
+    """Binary round-trip oracle for the video path: the flat_map frame
+    sampler must emit exactly the arithmetic frame indices
+    (0, every_n, ... < n_frames) and each sampled frame's standalone image
+    payload must decode back to the synthesized dimensions."""
+    ds = synthesize_videos(sf_dir)
+    ds = ds.map_batches(FrameSampler(every_n=every_n), batch_format="pyarrow", batch_size=32)
+    ds = ds.map_batches(MediaDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4))
+    return ds.map_batches(
+        lambda t: t.select(["media_id", "frame_idx", "width", "height", "decode_ok"]),
+        batch_format="pyarrow",
+    )
+
+
 AUDIO_MAGIC = b"FAKEAUD1"
 
 
