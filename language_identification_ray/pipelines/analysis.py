@@ -410,8 +410,16 @@ def events_json_kpi(sf_dir: str) -> "rd.Dataset":
     top-3 CPU sink if done row-wise.  Each batch pre-aggregates to one row
     per event type before the shuffle, so the exchange carries
     O(types × batches) rows; the mean is finalized from exact integer sums
-    in float64 (identical to DuckDB ``avg`` over BIGINT)."""
-    pat = r'"k":\s*(?P<k>-?\d+)'  # Arrow extract_regex wants a NAMED group
+    in float64 (identical to DuckDB ``avg`` over BIGINT).
+
+    Data contract (enforced by the anchored pattern): ``props`` is a flat
+    object whose FIRST key is an integer ``k`` (the events synthesizer's
+    shape).  The anchor means a ``k`` nested inside a sub-object does NOT
+    match — same NULL the oracle's ``json_extract('$.k')`` yields — and a
+    non-integer ``k`` yields NULL here where the oracle's CAST errors; a
+    schema change to props should be caught by either signal, not silently
+    averaged."""
+    pat = r'^\{\s*"k":\s*(?P<k>-?\d+)\s*[,}]'  # NAMED group (Arrow requires it)
 
     def partial(batch: pa.Table) -> pa.Table:
         caught = pc.extract_regex(batch["props"], pat)
@@ -669,6 +677,21 @@ def longest_docs_top100(sf_dir: str, k: int = 100) -> "rd.Dataset":
     )
 
 
+def _quantile_cont(v: np.ndarray, q: float) -> float:
+    """Exact linear-interpolation quantile over a SORTED array.
+
+    DuckDB's interpolation expression: lo*(1-frac) + hi*frac — written out
+    literally so the float arithmetic matches the ``quantile_cont`` oracle
+    bit-for-bit (np.percentile uses the algebraically equal
+    lo + (hi-lo)*frac, which differs in the last ULP).  Shared by every
+    quantile-parity query — do NOT 'simplify' the formula."""
+    x = (len(v) - 1) * q
+    lo = int(np.floor(x))
+    hi = min(lo + 1, len(v) - 1)
+    frac = x - lo
+    return float(v[lo] * (1.0 - frac) + v[hi] * frac)
+
+
 def lang_percentiles(sf_dir: str) -> "rd.Dataset":
     """Per-language length percentiles (p50/p90, linear interpolation —
     identical definition to DuckDB ``quantile_cont``).  Grouped exact
@@ -676,24 +699,13 @@ def lang_percentiles(sf_dir: str) -> "rd.Dataset":
     per group.  At 100 TB swap for a t-digest combine inside map_batches;
     exact is fine while each group's values fit one block."""
 
-    def quantile_cont(v: np.ndarray, q: float) -> float:
-        # DuckDB's interpolation expression: lo*(1-frac) + hi*frac — written
-        # out literally so the float arithmetic matches the oracle bit-for-bit
-        # (np.percentile uses the algebraically equal lo + (hi-lo)*frac,
-        # which differs in the last ULP)
-        x = (len(v) - 1) * q
-        lo = int(np.floor(x))
-        hi = min(lo + 1, len(v) - 1)
-        frac = x - lo
-        return float(v[lo] * (1.0 - frac) + v[hi] * frac)
-
     def pcts(group: pd.DataFrame) -> pd.DataFrame:
         v = np.sort(group["n_chars"].to_numpy(dtype=np.float64))
         return pd.DataFrame(
             {
                 "lang": [group["lang"].iloc[0]],
-                "p50_chars": [quantile_cont(v, 0.5)],
-                "p90_chars": [quantile_cont(v, 0.9)],
+                "p50_chars": [_quantile_cont(v, 0.5)],
+                "p90_chars": [_quantile_cont(v, 0.9)],
             }
         )
 
@@ -717,16 +729,9 @@ def length_outlier_filter(sf_dir: str, q: float = 0.99) -> "rd.Dataset":
     map-only filter against the broadcast cutoff dict; the corpus itself
     never shuffles."""
 
-    def quantile_cont(v: np.ndarray, qq: float) -> float:
-        x = (len(v) - 1) * qq
-        lo = int(np.floor(x))
-        hi = min(lo + 1, len(v) - 1)
-        frac = x - lo
-        return float(v[lo] * (1.0 - frac) + v[hi] * frac)
-
     def cut(group: pd.DataFrame) -> pd.DataFrame:
         v = np.sort(group["n_chars"].to_numpy(dtype=np.float64))
-        return pd.DataFrame({"lang": [group["lang"].iloc[0]], "cutoff": [quantile_cont(v, q)]})
+        return pd.DataFrame({"lang": [group["lang"].iloc[0]], "cutoff": [_quantile_cont(v, q)]})
 
     cuts = (
         _docs(sf_dir, ["lang", "n_chars"])
@@ -764,8 +769,11 @@ def mixture_sample(sf_dir: str) -> "rd.Dataset":
     previous sample, never a reshuffle."""
 
     def thresh(src: str) -> str:
-        i = int(src[3:]) if src[3:].isdigit() else 0
-        rate = (i % 4 + 1) / 4.0
+        if not src[3:].isdigit():
+            # same data contract as the oracle's CAST(substr(source,4) AS INT):
+            # fail loudly on a source that isn't 'src<N>', don't silently sample
+            raise ValueError(f"mixture_sample expects sources like 'srcN', got {src!r}")
+        rate = (int(src[3:]) % 4 + 1) / 4.0
         return format(int(rate * 65536) - 1, "04x")  # inclusive upper bound
 
     def f(batch: pa.Table) -> pa.Table:

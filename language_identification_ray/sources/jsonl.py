@@ -7,9 +7,10 @@ Thin, Ray-Data-native wrappers:
   * ``read_jsonl_docs``  — ``ray.data.read_json``: each worker parses its own
     files (Arrow's JSON reader, block-parallel), nothing funnels through the
     driver.
-  * ``write_jsonl_docs`` — one ``.jsonl`` file per block via
-    ``Dataset.write_json``: the distributed sink mirror, resumable at file
-    granularity like the parquet writers.
+  * ``write_jsonl_docs`` — one newline-delimited ``.json`` file per block
+    via ``Dataset.write_json`` (Ray's writer names them ``*.json``): the
+    distributed sink mirror, resumable at file granularity like the parquet
+    writers.
 
 Scale note: JSONL is ~3-6x the bytes of the same table as parquet and loses
 column pruning (every read parses whole records), so the engine treats it as
@@ -20,8 +21,6 @@ an INGEST/EGRESS format only — pipelines convert to parquet at the boundary
 from __future__ import annotations
 
 import ray.data as rd
-
-DOC_COLUMNS = ["doc_id", "text", "lang", "source", "n_chars"]
 
 
 def read_jsonl_docs(path: str) -> "rd.Dataset":

@@ -31,9 +31,10 @@ def describe(fn) -> str:
     if not doc:
         return ""
     flat = " ".join(line.strip() for line in doc.splitlines())
-    # cut at the first double-space paragraph break beyond ~180 chars
+    # hard cap ~180 chars, truncating at a word boundary so no dangling
+    # mid-word or mid-``code`` fragments land in the table
     if len(flat) > 180:
-        flat = flat[:177].rstrip() + "..."
+        flat = flat[:177].rsplit(" ", 1)[0].rstrip("`,;:") + "..."
     return flat.replace("|", "\\|")
 
 

@@ -139,17 +139,18 @@ def test_events_json_kpi_null_and_missing_key(ray_session, tmp_path):
 
     d = tmp_path / "ev"
     d.mkdir()
-    ts = [dt.datetime(2026, 1, 1, h) for h in range(5)]
+    ts = [dt.datetime(2026, 1, 1, h) for h in range(6)]
     pq.write_table(
         pa.table(
             {
-                "event_id": pa.array(range(5), pa.int64()),
+                "event_id": pa.array(range(6), pa.int64()),
                 "ts": pa.array(ts, pa.timestamp("us")),
-                "user_id": pa.array([1] * 5, pa.int64()),
-                "event_type": pa.array(["a", "a", "a", "b", "b"], pa.string()),
-                "value": pa.array([0.0] * 5, pa.float64()),
+                "user_id": pa.array([1] * 6, pa.int64()),
+                "event_type": pa.array(["a", "a", "a", "b", "b", "b"], pa.string()),
+                "value": pa.array([0.0] * 6, pa.float64()),
                 "props": pa.array(
-                    ['{"k": 4}', '{"other": 1}', None, '{"k": -2}', '{"k": 8}'],
+                    ['{"k": 4}', '{"other": 1}', None, '{"k": -2}', '{"k": 8}',
+                     '{"outer": {"k": 9}}'],  # nested k must NOT match (json_extract('$.k') parity)
                     pa.string(),
                 ),
             }
@@ -159,8 +160,8 @@ def test_events_json_kpi_null_and_missing_key(ray_session, tmp_path):
     out = analysis.events_json_kpi(str(d)).to_pandas().set_index("event_type")
     assert out.loc["a", "n_events"] == 3
     assert out.loc["a", "avg_k"] == 4.0  # only the one parseable k
-    assert out.loc["b", "n_events"] == 2
-    assert out.loc["b", "avg_k"] == 3.0  # (-2 + 8) / 2
+    assert out.loc["b", "n_events"] == 3
+    assert out.loc["b", "avg_k"] == 3.0  # (-2 + 8) / 2; nested k excluded
 
 
 def test_per_source_cap_keeps_lowest_ids(ray_session, tmp_path):

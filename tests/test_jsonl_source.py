@@ -16,19 +16,16 @@ from language_identification_ray.sources.jsonl import (
     write_jsonl_docs,
 )
 
-SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.001")
-
-
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)[
         ["doc_id", "text", "lang", "source", "n_chars"]
     ]
 
 
-def test_jsonl_roundtrip_preserves_documents(ray_session, tmp_path):
+def test_jsonl_roundtrip_preserves_documents(ray_session, sf_dir, tmp_path):
     import ray.data as rd
 
-    src = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+    src = rd.read_parquet(f"{sf_dir}/documents.parquet")
     out = str(tmp_path / "docs_jsonl")
     write_jsonl_docs(src, out)
     assert any(n.endswith(".json") for n in os.listdir(out))
@@ -39,16 +36,16 @@ def test_jsonl_roundtrip_preserves_documents(ray_session, tmp_path):
     pd.testing.assert_frame_equal(a, b, check_dtype=True)
 
 
-def test_jsonl_to_parquet_boundary(ray_session, tmp_path):
+def test_jsonl_to_parquet_boundary(ray_session, sf_dir, tmp_path):
     import ray.data as rd
 
     jl = str(tmp_path / "jl")
     pqdir = str(tmp_path / "pq")
-    rd.read_parquet(f"{SF_DIR}/documents.parquet").write_json(jl)
+    rd.read_parquet(f"{sf_dir}/documents.parquet").write_json(jl)
     jsonl_to_parquet(jl, pqdir)
     import pyarrow.dataset as pads
 
-    n_src = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    n_src = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     assert pads.dataset(pqdir).count_rows() == n_src
     # column pruning is back after the boundary conversion
     cols = rd.read_parquet(pqdir, columns=["doc_id"]).schema().names
