@@ -473,11 +473,15 @@ def per_source_cap(sf_dir: str, cap: int = 20) -> "rd.Dataset":
     web-corpus curation recipe applies so no single site dominates the
     training mix.
 
-    Grouped top-k shape: each batch first cuts itself to ≤``cap`` rows per
-    source (vectorized pandas head per key), so the shuffle input is
-    bounded by cap × sources × batches instead of the corpus; the
-    per-source final cut then runs inside ``map_groups``.  Skew-safe: a
-    source with a billion docs still ships at most cap rows per batch."""
+    Grouped top-k as a COMBINER CASCADE: each batch first cuts itself to
+    ≤``cap`` rows per source (vectorized pandas head per key); the bounded
+    intermediate is then folded through a second partial-cut level (a cheap
+    repartition of ≤ cap × sources × batches rows — tiny relative to the
+    corpus — followed by the same per-block cut), so the keyed groupby's
+    hottest source receives ≤ cap × fold-blocks rows instead of
+    cap × input-batches.  Without the fold, a billion-doc source at
+    cluster scale would ship cap rows for every one of millions of input
+    batches to a single reducer."""
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
@@ -499,6 +503,8 @@ def per_source_cap(sf_dir: str, cap: int = 20) -> "rd.Dataset":
 
     return (
         _docs(sf_dir, ["source", "doc_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(64)  # fold level: bounds per-source rows at the groupby to cap × 64
         .map_batches(partial, batch_format="pyarrow")
         .groupby("source")
         .map_groups(final_cut, batch_format="pandas")
@@ -727,7 +733,13 @@ def length_outlier_filter(sf_dir: str, q: float = 0.99) -> "rd.Dataset":
     bit-exact) — its output is one row per language, so collecting it on
     the driver is bounded by language count, not corpus size.  Pass 2 is a
     map-only filter against the broadcast cutoff dict; the corpus itself
-    never shuffles."""
+    never shuffles.
+
+    Partitioning assumption: the stats pass puts each language's lengths in
+    one reducer (exact quantile needs the whole group).  At 100 TB swap
+    pass 1 for the mergeable quantile digest
+    (:func:`lang_percentiles_sketch`) — pass 2 and the broadcast are
+    unchanged."""
 
     def cut(group: pd.DataFrame) -> pd.DataFrame:
         v = np.sort(group["n_chars"].to_numpy(dtype=np.float64))
@@ -799,7 +811,12 @@ def global_length_rank(sf_dir: str) -> "rd.Dataset":
     collect are bounded by DISTINCT LENGTHS (≤ the 10 MiB doc-size cap),
     not corpus size.  The cumulative histogram gives each length its
     global offset; pass 2 ranks within each equal-length group by doc_id
-    and adds the broadcast offset.  Oracle: SQL ``row_number()`` window."""
+    and adds the broadcast offset.  Oracle: SQL ``row_number()`` window.
+
+    Partitioning assumption: one equal-length TIE GROUP fits a reducer.  If
+    a single length dominates (e.g. truncated-at-cap docs), apply the same
+    histogram trick recursively inside that group on a doc_id range key —
+    the offsets compose."""
     hist = (
         _docs(sf_dir, ["n_chars"])
         .groupby("n_chars")
