@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_outlier_filter": analysis.length_outlier_filter,
         "mixture_sample": analysis.mixture_sample,
         "global_length_rank": analysis.global_length_rank,
+        "documents_profile": analysis.documents_profile,
         "knn_cosine_top10": analysis.knn_cosine_top10,
         "knn_batch_top5": knn_batch_q,
         "normalize_umlauts": analysis.normalize_umlauts,
@@ -626,6 +627,15 @@ def oracle_sql() -> dict[str, str]:
         "global_length_rank": """
             SELECT doc_id, n_chars,
                    CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank
+            FROM documents
+        """,
+        "documents_profile": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars,
+                   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources
             FROM documents
         """,
         "media_metadata": """

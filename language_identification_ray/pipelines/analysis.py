@@ -765,6 +765,56 @@ def length_outlier_filter(sf_dir: str, q: float = 0.99) -> "rd.Dataset":
     )
 
 
+def documents_profile(sf_dir: str) -> "pd.DataFrame":
+    """One-row data-quality profile of the documents table: row count, null
+    count, length min/max, distinct languages and sources — the audit every
+    pipeline stage boundary should emit before 100 TB flows into the next
+    job.
+
+    Row-count/null/min/max fold per batch with Arrow kernels into one
+    partial row per batch, then a global aggregate (the shuffle carries one
+    row per batch).  Exact distinct counts reuse the groupby-count shape
+    with key-only shuffles (5 langs / 20 sources); at higher cardinality
+    swap for the HLL sketch (:func:`distinct_words_per_lang_hll` pattern).
+    Final assembly is three bounded driver-side scalars — no corpus
+    materialization."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch["text"]
+        nc = batch["n_chars"]
+        return pa.table(
+            {
+                "n_docs": pa.array([len(batch)], pa.int64()),
+                "null_text": pa.array([int(t.null_count)], pa.int64()),
+                "min_chars": pa.array([pc.min(nc).as_py()], pa.int64()),
+                "max_chars": pa.array([pc.max(nc).as_py()], pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir, ["text", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("null_text", alias_name="null_text"),
+            Min("min_chars", alias_name="min_chars"),
+            Max("max_chars", alias_name="max_chars"),
+        )
+    )
+    n_langs = _docs(sf_dir, ["lang"]).groupby("lang").count().count()
+    n_sources = _docs(sf_dir, ["source"]).groupby("source").count().count()
+    return pd.DataFrame(
+        {
+            "n_docs": [int(agg["n_docs"])],
+            "null_text": [int(agg["null_text"])],
+            "min_chars": [int(agg["min_chars"])],
+            "max_chars": [int(agg["max_chars"])],
+            "n_langs": [int(n_langs)],
+            "n_sources": [int(n_sources)],
+        }
+    )
+
+
 def mixture_sample(sf_dir: str) -> "rd.Dataset":
     """Training-mix resampling: downsample each source to its target rate,
     deterministically — the static mixture-reweighting step (DoReMi-style
