@@ -327,3 +327,12 @@ def test_global_length_rank_matches_pandas_on_random_lengths(ray_session, tmp_pa
     expect["rank"] = np.arange(1, n + 1, dtype=np.int64)
     got = out.sort_values("rank").reset_index(drop=True)[["doc_id", "n_chars", "rank"]]
     pd.testing.assert_frame_equal(got, expect[["doc_id", "n_chars", "rank"]])
+
+
+def test_dup_clusters_no_edges_all_singletons(ray_session, tiny_sf):
+    # threshold above any similarity: the edge subgraph is EMPTY — the
+    # fixpoint loop must break on the empty aggregate and every doc must
+    # come back as its own cluster
+    out = analysis.dup_clusters(tiny_sf, threshold=1.1).to_pandas()
+    assert (out["cluster_id"] == out["doc_id"]).all()
+    assert len(out) == 5
