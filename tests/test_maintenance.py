@@ -52,3 +52,39 @@ def test_compact_parquet_respects_target_size(ray_session, tmp_path):
     stats = compact_parquet(str(frag), str(out), target_bytes=max(1, total // 2))
     assert stats["files_after"] <= 4  # blocks may split, but far fewer than 8
     assert stats["rows"] == 8000
+
+
+def test_cluster_write_produces_pruning_ranges(ray_session, tmp_path):
+    """After clustering by n_chars, per-file [min,max] key ranges are
+    near-disjoint (each file must NOT span the whole key range the way an
+    unclustered write does)."""
+    import numpy as np
+    import ray.data as rd
+
+    from language_identification_ray.pipelines.maintenance import cluster_write
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 10_000, size=20_000)
+    src = tmp_path / "src"
+    src.mkdir()
+    # 8 unclustered fragments, each spanning the full key range
+    for i in range(8):
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(i * 2500, (i + 1) * 2500), pa.int64()),
+                      "n_chars": pa.array(vals[i * 2500:(i + 1) * 2500], pa.int64())}),
+            src / f"p{i}.parquet",
+        )
+    out = tmp_path / "clustered"
+    stats = cluster_write(rd.read_parquet(str(src)), str(out), key="n_chars")
+    assert stats["files"] >= 2
+    rngs = sorted(stats["ranges"], key=lambda r: r["min"])
+    full = 10_000
+    for r in rngs:
+        assert (r["max"] - r["min"]) < full * 0.8  # no file spans the whole range
+    # consecutive files overlap at most at the boundary value
+    for a, b in zip(rngs, rngs[1:]):
+        assert b["min"] >= a["max"] - 1
+    # row preservation
+    import pyarrow.dataset as pads
+
+    assert pads.dataset(str(out)).count_rows() == 20_000
