@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": analysis.events_hourly,
         "events_sessionize": analysis.events_sessionize,
         "events_json_kpi": analysis.events_json_kpi,
+        "events_funnel": analysis.events_funnel,
         "per_source_cap": analysis.per_source_cap,
         "repetition_stats": analysis.repetition_stats,
         "length_outlier_filter": analysis.length_outlier_filter,
@@ -581,6 +582,26 @@ def oracle_sql() -> dict[str, str]:
                    avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
             FROM events
             GROUP BY event_type
+        """,
+        "events_funnel": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                   JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                   JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+            SELECT u.user_id,
+                   CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                             WHEN s2.user_id IS NOT NULL THEN 2
+                             WHEN s1.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS stage
+            FROM u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
         """,
         "per_source_cap": """
             SELECT source, doc_id FROM (

@@ -397,6 +397,43 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
     )
 
 
+def events_funnel(sf_dir: str) -> "rd.Dataset":
+    """Per-user conversion funnel (view → click → purchase, strictly
+    increasing timestamps): ``stage`` = how many steps the user completed in
+    order — the sessionized product-analytics shape next to
+    :func:`events_sessionize`.
+
+    One shuffle keyed by user; inside each group a three-step masked-min
+    cascade over numpy arrays (work per group is O(events), no Python loop
+    over event rows).  Ordering assumption, same as sessionize: one user's
+    events fit one group.  The oracle builds each stage as a chained min-ts
+    cascade of self-joins."""
+    steps = ["view", "click", "purchase"]
+
+    def funnel(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy()
+        et = g["event_type"].to_numpy()
+        stage = 0
+        t_prev = None
+        for s in steps:
+            cand = ts[et == s]
+            if t_prev is not None:
+                cand = cand[cand > t_prev]
+            if cand.size == 0:
+                break
+            t_prev = cand.min()
+            stage += 1
+        return pd.DataFrame(
+            {"user_id": [g["user_id"].iloc[0]], "stage": np.array([stage], np.int64)}
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(funnel, batch_format="pandas")
+    )
+
+
 def events_json_kpi(sf_dir: str) -> "rd.Dataset":
     """Semi-structured field extraction + grouped KPI: pull the integer
     ``k`` out of the JSON ``props`` column and report count + mean per

@@ -924,6 +924,10 @@ def lsh_exact_jaccard_pairs(
     # the 256 shard groups actually spread over the cluster: 33 s → 14-18 s
     # wall at 32 CPUs.  256 output blocks measured WORSE (36 s: per-task
     # fixed costs dominate tiny blocks) — parallelism ≈ 2×CPUs is the knee.
+    # Also measured and REJECTED: repartitioning the raw docs BEFORE prep
+    # (batch_size=None, one block per task) to avoid moving the banded table
+    # — 64 tiny prep tasks pay per-task cold-buffer faults that cost MORE
+    # than the post-prep repartition saves (minhash warm 17 s → 23 s).
     import ray as _ray
 
     cpus = int(_ray.cluster_resources().get("CPU", 32)) if _ray.is_initialized() else 32

@@ -336,3 +336,33 @@ def test_dup_clusters_no_edges_all_singletons(ray_session, tiny_sf):
     out = analysis.dup_clusters(tiny_sf, threshold=1.1).to_pandas()
     assert (out["cluster_id"] == out["doc_id"]).all()
     assert len(out) == 5
+
+
+def test_events_funnel_requires_strict_order(ray_session, tmp_path):
+    """A purchase BEFORE the first click must not count as stage 3."""
+    import datetime as dt
+
+    d = tmp_path / "funnel"
+    d.mkdir()
+    T = lambda m: dt.datetime(2026, 1, 1, 0, m)
+    rows = [  # (user, minute, type)
+        (1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),   # full funnel
+        (2, 0, "view"), (2, 2, "click"), (2, 1, "purchase"),   # purchase BEFORE click
+        (3, 0, "click"), (3, 1, "view"),                        # click before view
+        (4, 0, "error"),                                        # nothing
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([T(m) for _, m, _ in rows], pa.timestamp("us")),
+                "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+                "event_type": pa.array([t for _, _, t in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = analysis.events_funnel(str(d)).to_pandas().set_index("user_id")["stage"]
+    assert out.to_dict() == {1: 3, 2: 2, 3: 1, 4: 0}
