@@ -199,6 +199,32 @@ def _report_cap(counters, op: str, run_len: int, max_bucket: int) -> None:
     print(f"{op}: bucket of {run_len} capped at {max_bucket}")
 
 
+def _validate_shard_params(
+    n_shards: int, max_bucket: int, n_perm: int | None = None, bands: int | None = None
+) -> None:
+    """Fail loudly on parameter values the sharded-verify math silently
+    mishandles: ``shard = bucket & (n_shards-1)`` needs a power of two (any
+    other value collapses the shard count to 2^popcount(mask) groups), and
+    the pair-index/pair-key arithmetic is int32 (chosen for this host's fast
+    32-bit multiplies), which caps a verification bucket at 46340 rows."""
+    if n_shards <= 0 or n_shards & (n_shards - 1):
+        raise ValueError(
+            f"n_shards must be a power of two (shard = bucket & (n_shards-1)); got {n_shards}"
+        )
+    if not 2 <= max_bucket <= 46340:
+        raise ValueError(
+            f"max_bucket must be in [2, 46340] (pair math is int32: n*(n-1)/2 < 2^31); got {max_bucket}"
+        )
+    if bands is not None:
+        if not 1 <= bands <= n_perm:
+            raise ValueError(f"bands must be in [1, n_perm={n_perm}]; got {bands}")
+        if n_perm % bands:
+            raise ValueError(
+                f"bands must divide n_perm={n_perm} or trailing permutations are"
+                f" silently discarded and the (1-t^r)^b recall math is wrong; got {bands}"
+            )
+
+
 def _triu32(n: int):
     """All (i, j) with i < j as int32 arrays.  ``np.triu_indices`` builds
     int64 index arrays through a boolean-mask path that is pathologically
@@ -340,13 +366,18 @@ def minhash_lsh_pairs(
     near-identical boilerplate floods); pass a ``RunCounters`` handle as
     ``counters`` to surface every cap as data (see ``_report_cap``).
     """
+    _validate_shard_params(n_shards, max_bucket, n_perm, bands)
     hasher = MinHasher(n_perm)
 
     def sigs(batch: pa.Table) -> pa.Table:
         ids = batch[id_column].to_numpy(zero_copy_only=False)
         texts = batch[text_column].to_pylist()
         sig = _signatures(texts, hasher.a32, hasher.b32, shingle_k)
-        nonempty = np.flatnonzero(sig[:, 0] != _SIG_SENTINEL)
+        # empty docs carry an ALL-sentinel row; check the whole row, not just
+        # column 0 — a real doc whose perm-0 minhash happens to be the
+        # sentinel value (p = 2^-32 per doc, certain at corpus scale) must
+        # not be silently dropped from dedup
+        nonempty = np.flatnonzero(~np.all(sig == _SIG_SENTINEL, axis=1))
         sig = sig[nonempty]
         ids = ids[nonempty]
         buckets = _band_buckets(sig, bands)  # (n, bands)
@@ -376,14 +407,29 @@ def minhash_lsh_pairs(
                 run = run[:max_bucket]
             m = len(run)
             mat = np.frombuffer(b"".join(blobs[i] for i in run), dtype=np.uint32).reshape(m, -1)
-            sim = (mat[:, None, :] == mat[None, :, :]).mean(axis=2)
-            iu = np.triu_indices(m, k=1)
-            keep = sim[iu] >= threshold
-            ga, gb = ids[run[iu[0][keep]]], ids[run[iu[1][keep]]]
+            # per-pair equality accumulation over int32 pair indices: the
+            # (m, m, n_perm) broadcast cube this replaces was 1.07 GB at the
+            # bucket cap (minutes of first-touch faults on this host); these
+            # P-sized lanes are n_perm× smaller and reuse their buffers
+            pi, pj = _triu32(m)
+            matT = np.ascontiguousarray(mat.T)
+            acc = np.zeros(len(pi), np.uint16)
+            ca = np.empty(len(pi), np.uint32)
+            cb = np.empty(len(pi), np.uint32)
+            eq = np.empty(len(pi), np.bool_)
+            for j in range(matT.shape[0]):
+                np.take(matT[j], pi, out=ca)
+                np.take(matT[j], pj, out=cb)
+                np.equal(ca, cb, out=eq)
+                acc += eq
+            sim = acc.astype(np.float64)
+            sim /= matT.shape[0]
+            keep = sim >= threshold
+            ga, gb = ids[run[pi[keep]]], ids[run[pj[keep]]]
             distinct = ga != gb
             out_a.append(np.minimum(ga, gb)[distinct])
             out_b.append(np.maximum(ga, gb)[distinct])
-            est.append(sim[iu][keep][distinct])
+            est.append(sim[keep][distinct])
         a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
         b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
         e_ = np.concatenate(est) if est else np.empty(0, dtype=np.float64)
@@ -447,9 +493,11 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
     return _POP16[v].sum(axis=1, dtype=np.int64).reshape(x.shape)
 
 
-def _batch_simhash(texts) -> np.ndarray:
-    """uint64[n] SimHash per text, one hash pass + one reduceat per batch
-    (same scheme as :class:`SimHasher` but with the vectorized word hash)."""
+def _batch_simhash(texts) -> "tuple[np.ndarray, np.ndarray]":
+    """(uint64[n] SimHash, bool[n] has-tokens) per text, one hash pass + one
+    reduceat per batch (same scheme as :class:`SimHasher` but with the
+    vectorized word hash).  The mask lets callers drop token-less docs —
+    they all hash to 0 and would otherwise flood one bucket per chunk."""
     import itertools
 
     words_per_doc = [(t or "").lower().split() for t in texts]
@@ -457,7 +505,7 @@ def _batch_simhash(texts) -> np.ndarray:
     W32 = _hash_words32(list(itertools.chain.from_iterable(words_per_doc)))
     out = np.zeros(len(texts), dtype=np.uint64)
     if not len(W32):
-        return out
+        return out, counts > 0
     # widen to 64 bits via two independent uint32 mixes (no 64-bit muls)
     g1 = W32 * _MIX32[0]
     g1 ^= g1 >> np.uint32(16)
@@ -483,7 +531,7 @@ def _batch_simhash(texts) -> np.ndarray:
         vj = np.add.reduceat(b, starts[nonempty])
         acc |= (vj > 0).astype(np.uint64) << np.uint64(j)
     out[nonempty] = acc
-    return out
+    return out, counts > 0
 
 
 def simhash_pairs(
@@ -503,11 +551,18 @@ def simhash_pairs(
     rationale as ``minhash_lsh_pairs``) with local bucketing + vectorized
     popcount verification.  Shuffle payload is 24 B per (doc, chunk);
     capped buckets are surfaced via ``counters`` (see ``_report_cap``)."""
+    _validate_shard_params(n_shards, max_bucket)
 
     def sigs(batch: pa.Table) -> pa.Table:
         ids = batch[id_column].to_numpy(zero_copy_only=False)
         texts = batch[text_column].to_pylist()
-        sims = _batch_simhash(texts)  # uint64[n]
+        sims, has_tokens = _batch_simhash(texts)
+        # token-less docs all hash to 0: without this drop they flood one
+        # bucket per chunk with spurious hamming-0 pairs and fire the cap
+        # counters with pure noise (same hazard minhash_lsh_pairs guards)
+        keep_docs = np.flatnonzero(has_tokens)
+        sims = sims[keep_docs]
+        ids = ids[keep_docs]
         chunk_ids = np.arange(4, dtype=np.uint64)
         vals = (sims[:, None] >> (chunk_ids * np.uint64(16))[None, :]) & np.uint64(0xFFFF)
         # (chunk_id, chunk_val) is already a unique 18-bit key — no hashing
@@ -534,16 +589,26 @@ def simhash_pairs(
             if len(run) > max_bucket:
                 _report_cap(counters, "simhash_pairs", len(run), max_bucket)
                 run = run[:max_bucket]
-            h = sims[run]
-            xor = h[:, None] ^ h[None, :]
-            d = _popcount64(xor)
-            iu = np.triu_indices(len(run), k=1)
-            keep = d[iu] <= max_hamming
-            ga, gb = ids[run[iu[0][keep]]], ids[run[iu[1][keep]]]
+            h = np.ascontiguousarray(sims[run])
+            # pairwise hamming over int32 pair indices, one uint16 lane at a
+            # time through the _POP16 LUT — replaces an (m, m) uint64 xor
+            # matrix (~400 MB of fresh temporaries at the bucket cap)
+            pi, pj = _triu32(len(run))
+            lanes = h.view(np.uint16).reshape(len(run), 4)
+            d = np.zeros(len(pi), np.int64)
+            xa = np.empty(len(pi), np.uint16)
+            xb = np.empty(len(pi), np.uint16)
+            for lane in range(4):
+                np.take(lanes[:, lane], pi, out=xa)
+                np.take(lanes[:, lane], pj, out=xb)
+                np.bitwise_xor(xa, xb, out=xa)
+                d += _POP16[xa]
+            keep = d <= max_hamming
+            ga, gb = ids[run[pi[keep]]], ids[run[pj[keep]]]
             distinct = ga != gb
             out_a.append(np.minimum(ga, gb)[distinct])
             out_b.append(np.maximum(ga, gb)[distinct])
-            ham.append(d[iu][keep][distinct])
+            ham.append(d[keep][distinct])
         a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
         b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
         h_ = np.concatenate(ham) if ham else np.empty(0, dtype=np.int64)
@@ -674,6 +739,16 @@ def _exact_inter_counts(
     order = np.lexsort((rows, inv))
     w_sorted = inv[order].astype(np.int64)
     r_sorted = rows[order].astype(np.int32)
+    # recode shard-global word codes to run-local dense ranks (input is
+    # sorted, so one neighbor-compare cumsum — no extra sort): bincount and
+    # hot_mask below are then sized by the RUN's vocab, not the shard-wide
+    # code range, which at production scale is ~10^7 codes × ~80 MB of
+    # first-touch-faulted zeros per verified run
+    if len(w_sorted):
+        newseg = np.empty(len(w_sorted), np.bool_)
+        newseg[0] = True
+        np.not_equal(w_sorted[1:], w_sorted[:-1], out=newseg[1:])
+        w_sorted = np.cumsum(newseg) - 1
     counts = np.bincount(w_sorted)
     # fill ALL 64 lanes greedily with the highest-count words (count ≥ 2 —
     # single-posting words intersect nothing): a lane costs one scatter plus
@@ -973,6 +1048,7 @@ def embedding_dup_pairs(
     vec_column: str = "embedding",
     block_column: str = "label",
     threshold: float = 0.4,
+    n_tiles: int = 4,
 ) -> "rd.Dataset":
     """Pairs with cosine ≥ t inside each blocking group.
 
@@ -991,7 +1067,6 @@ def embedding_dup_pairs(
     rows.  Each vector pair lands in exactly one tile-pair group → no dedup
     pass needed.  Raise ``n_tiles`` with group size (duplication factor is
     n_tiles per row)."""
-    n_tiles = 4
 
     def fan_out(batch: pa.Table) -> pa.Table:
         ids = batch[id_column].to_numpy(zero_copy_only=False)
@@ -1031,10 +1106,11 @@ def embedding_dup_pairs(
         if t_lo == t_hi:
             # self tile: rows appear once (is_lo always true); triangular pairs
             sims = np.round(mat @ mat.T, 5)
-            iu = np.triu_indices(len(ids), k=1)
-            mask = sims[iu] >= threshold
-            a, b = ids[iu[0][mask]], ids[iu[1][mask]]
-            s = sims[iu][mask]
+            pi, pj = _triu32(len(ids))
+            pair_sims = sims[pi, pj]
+            mask = pair_sims >= threshold
+            a, b = ids[pi[mask]], ids[pj[mask]]
+            s = pair_sims[mask]
         else:
             la, lb = np.flatnonzero(is_lo), np.flatnonzero(~is_lo)
             sims = np.round(mat[la] @ mat[lb].T, 5)

@@ -88,3 +88,46 @@ def test_exact_inter_counts_matches_sets(nsub, vocab, seed):
     got = _exact_inter_counts(inv, rows, nsub, pi.astype(np.int64), pj.astype(np.int64))
     want = np.array([len(sets[a] & sets[b]) for a, b in zip(pi, pj)], dtype=np.int64)
     assert np.array_equal(got, want)
+
+
+def test_validate_shard_params_rejects_bad_values():
+    import pytest as _pytest
+
+    from language_identification_ray.stages.dedup import _validate_shard_params
+
+    _validate_shard_params(256, 4096, 64, 16)  # the defaults pass
+    with _pytest.raises(ValueError, match="power of two"):
+        _validate_shard_params(300, 4096)
+    with _pytest.raises(ValueError, match="46340"):
+        _validate_shard_params(256, 70000)
+    with _pytest.raises(ValueError, match="divide"):
+        _validate_shard_params(256, 4096, 64, 24)
+    with _pytest.raises(ValueError, match="bands"):
+        _validate_shard_params(256, 4096, 64, 128)
+
+
+def test_simhash_pairs_drops_tokenless_docs(ray_session, tmp_path):
+    """Empty/whitespace docs all simhash to 0; they must not pair with each
+    other (hamming 0) nor flood the chunk buckets."""
+    import pyarrow.parquet as _pq
+    import ray.data as _rd
+
+    from language_identification_ray.stages.dedup import simhash_pairs
+
+    import pyarrow as pa
+
+    texts = ["", "   ", "", "real text with several words here", "real text with several words here"]
+    _pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(5), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        ),
+        tmp_path / "docs.parquet",
+    )
+    out = simhash_pairs(_rd.read_parquet(str(tmp_path / "docs.parquet"))).to_pandas()
+    pairs = set(zip(out["id_a"], out["id_b"]))
+    assert (3, 4) in pairs  # the real dup survives
+    for a, b in pairs:  # no pair involves a token-less doc
+        assert a not in (0, 1, 2) and b not in (0, 1, 2)
