@@ -7,8 +7,10 @@ SURVEY.md §4.1); this module is the scale-out answer:
   * the input parquet file list is split into deterministic **work groups**
     (``group_size`` fragments each, sorted order — stable across runs);
   * each group runs the full streaming pipeline and writes to its own
-    ``group=NNNNN/`` output directory — first into a ``*._tmp`` staging dir,
-    renamed into place only on success, so partial output is never visible;
+    ``group=NNNNN/`` output directory — first into a ``_tmp_group=NNNNN``
+    staging dir (the leading underscore makes parquet dataset discovery
+    skip it, so partial output is invisible even mid-crash), renamed into
+    place only on success;
   * per-group **lineage** (input files + row counters + wall time) is
     appended as one JSON line to ``_LINEAGE.jsonl`` *after* the rename —
     the commit record;
@@ -16,11 +18,14 @@ SURVEY.md §4.1); this module is the scale-out answer:
     idempotent resume; a crashed group leaves only a staging dir that the
     next run clears and redoes.
 
-Counters are collected by a zero-cpu ``RunCounters`` Ray actor that the
-final pipeline stage updates per batch (the distributed analogue of the
-reference notebooks' in-process ``Counter`` folds, e.g.
-``datasets/common_words.ipynb`` cell 2) — no extra pass over the data and
-no driver-side iteration.
+Live progress counters are collected by zero-cpu ``RunCounters`` actors
+that the final pipeline stage updates per batch (the distributed analogue
+of the reference notebooks' in-process ``Counter`` folds, e.g.
+``datasets/common_words.ipynb`` cell 2).  Those streaming counters are
+AT-LEAST-ONCE (a retried Ray task re-adds its batch), so the lineage
+record's counters are instead derived from the staged parquet itself —
+row counts from footers plus one bounded columnar read of keep /
+drop_reason — which is exactly-once by construction.
 
 At 100 TB: group_size × fragment size bounds per-checkpoint work (e.g. 64
 × 1 GiB fragments ≈ 64 GiB per commit); each group still fans out over the
@@ -34,16 +39,13 @@ import os
 import shutil
 import time
 from collections import Counter
-from typing import List, Optional
+from typing import List
 
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.dataset as pads
 
 import ray
-import ray.data as rd
-
-from language_identification_ray.pipelines.quality_filter import build
-from language_identification_ray.sources.pages import read_pages
 
 LINEAGE_FILE = "_LINEAGE.jsonl"
 
@@ -95,7 +97,11 @@ class CounterPool:
 class _CountingSink:
     """Final map_batches stage: updates a counter shard per batch and passes
     the batch through unchanged (zero-copy).  Shard choice is per worker
-    process, so concurrent sink tasks spread over the pool."""
+    process, so concurrent sink tasks spread over the pool.
+
+    LIVE metrics only — under Ray task retry the same batch can be added
+    twice (at-least-once), so committed lineage counts come from
+    ``_count_staged`` instead."""
 
     def __init__(self, shards: List["ray.actor.ActorHandle"]):
         self.shards = shards
@@ -135,17 +141,85 @@ def list_input_files(input_path: str) -> List[str]:
 
 
 def completed_groups(out_dir: str) -> dict:
-    """group_id -> lineage record, from the commit log."""
+    """group_id -> lineage record, from the commit log.
+
+    A torn FINAL line (crash between write and fsync) is by construction an
+    uncommitted record: skip it with a warning so resume still works.  A
+    malformed line anywhere else means real corruption — fail loudly."""
     path = os.path.join(out_dir, LINEAGE_FILE)
     done = {}
     if os.path.exists(path):
         with open(path) as f:
-            for line in f:
-                line = line.strip()
-                if line:
-                    rec = json.loads(line)
-                    done[rec["group"]] = rec
+            lines = [ln.strip() for ln in f]
+        lines = [ln for ln in lines if ln]
+        for i, line in enumerate(lines):
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                if i == len(lines) - 1:
+                    print(f"{LINEAGE_FILE}: ignoring torn trailing line (uncommitted record)")
+                    continue
+                raise
+            done[rec["group"]] = rec
     return done
+
+
+def _count_staged(staging: str) -> dict:
+    """Exactly-once group counters from the staged parquet: row count from
+    footers, kept/drop-reason from one bounded columnar read."""
+    d = pads.dataset(staging)
+    rows = d.count_rows()
+    tbl = d.to_table(columns=["keep", "drop_reason"])
+    kept = int(pc.sum(tbl["keep"]).as_py() or 0)
+    reasons = Counter(r for r in tbl["drop_reason"].to_pylist() if r)
+    return {
+        "rows": rows,
+        "kept": kept,
+        "dropped": rows - kept,
+        **{f"drop_{k}": v for k, v in reasons.items()},
+    }
+
+
+class _RunLock:
+    """O_EXCL pid lock on out_dir: a second concurrent driver would rmtree
+    staging dirs the first is writing and double-append lineage records.
+    A lock whose pid is dead (crashed driver) is taken over."""
+
+    def __init__(self, out_dir: str):
+        self.path = os.path.join(out_dir, "_LOCK")
+
+    def __enter__(self):
+        for _ in range(2):
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    pid = int(open(self.path).read().strip() or "0")
+                except (ValueError, OSError):
+                    pid = 0
+                alive = False
+                if pid > 0:
+                    try:
+                        os.kill(pid, 0)
+                        alive = True
+                    except (ProcessLookupError, PermissionError):
+                        alive = False
+                if alive:
+                    raise RuntimeError(
+                        f"another driver (pid {pid}) holds {self.path}; "
+                        "refusing to run two resumable jobs on one out_dir"
+                    )
+                os.unlink(self.path)  # stale lock from a dead driver
+        raise RuntimeError(f"could not acquire {self.path}")
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
 
 
 def run_resumable(
@@ -165,23 +239,59 @@ def run_resumable(
     if not files:
         raise FileNotFoundError(f"no parquet under {input_path}")
     groups = [files[i : i + group_size] for i in range(0, len(files), group_size)]
+    # paths in lineage are stored relative to the input root so resuming
+    # from a different cwd / path spelling of the SAME data still matches
+    rel_root = input_path if os.path.isdir(input_path) else os.path.dirname(input_path) or "."
     os.makedirs(out_dir, exist_ok=True)
     done = completed_groups(out_dir)
+    stale = [g for g in done if g >= len(groups)]
+    if stale:
+        raise RuntimeError(
+            f"lineage has committed group(s) {stale} beyond this run's "
+            f"{len(groups)} group(s) — the input file set shrank; their "
+            "output dirs would silently contribute rows from files no "
+            "longer in the input.  Use a fresh out_dir."
+        )
 
     counters = CounterPool()
     ran, skipped = [], []
     lineage_path = os.path.join(out_dir, LINEAGE_FILE)
 
+    lock = _RunLock(out_dir)
+    lock.__enter__()
+    try:
+        _run_groups(
+            groups, rel_root, out_dir, done, counters, ran, skipped,
+            lineage_path, pages_dataset_fn, pipeline_kwargs,
+        )
+    finally:
+        lock.__exit__()
+
+    totals: Counter = Counter()
+    for rec in completed_groups(out_dir).values():
+        totals.update(rec.get("counters", {}))
+    return {"groups_run": ran, "groups_skipped": skipped, "counters": dict(totals)}
+
+
+def _run_groups(
+    groups, rel_root, out_dir, done, counters, ran, skipped,
+    lineage_path, pages_dataset_fn, pipeline_kwargs,
+) -> None:
+    from language_identification_ray.pipelines.quality_filter import build as _build
+    from language_identification_ray.sources.pages import read_pages as _read_pages
+
     for gid, gfiles in enumerate(groups):
         gname = f"group={gid:05d}"
         gdir = os.path.join(out_dir, gname)
+        rel_files = [os.path.relpath(f, rel_root) for f in gfiles]
         if gid in done:
             # a group id is positional; if the input file set or group_size
             # changed since the committed run, gid would map to DIFFERENT
             # files — skipping then silently drops fragments.  Resume is
-            # only valid when the lineage record's file list matches.
+            # only valid when the lineage record's file list matches
+            # (relative form preferred; absolute accepted for old records).
             rec_files = done[gid].get("input_files")
-            if rec_files != gfiles:
+            if rec_files not in (rel_files, gfiles):
                 raise RuntimeError(
                     f"lineage mismatch for {gname}: committed run processed "
                     f"{len(rec_files or [])} file(s) starting with "
@@ -193,24 +303,37 @@ def run_resumable(
                 )
             skipped.append(gid)
             continue
-        staging = gdir + "._tmp"
-        for stale in (staging, gdir):  # redo any partial/crashed attempt
-            if os.path.exists(stale):
-                shutil.rmtree(stale)
+        # leading underscore: parquet dataset discovery skips the staging
+        # dir, so a reader of out_dir never sees a crashed partial write
+        staging = os.path.join(out_dir, f"_tmp_{gname}")
+        for leftover in (staging, gdir + "._tmp", gdir):  # redo crashed attempts
+            if os.path.exists(leftover):
+                shutil.rmtree(leftover)
 
         t0 = time.time()
-        pages = pages_dataset_fn(gfiles) if pages_dataset_fn else read_pages(gfiles)
-        out = build(pages, **pipeline_kwargs)
+        pages = pages_dataset_fn(gfiles) if pages_dataset_fn else _read_pages(gfiles)
+        out = _build(pages, **pipeline_kwargs)
+        # batch_size=None: count whatever block arrives — forcing a size
+        # would re-buffer the upstream 1024-row blocks just to count them
         out = out.map_batches(
-            _CountingSink(counters.shards), batch_format="pyarrow", batch_size=4096
+            _CountingSink(counters.shards), batch_format="pyarrow", batch_size=None
         )
         out.write_parquet(staging)
-        group_counts = counters.reset()
+        counters.reset()  # streaming shards: clear per group (live view only)
+        group_counts = _count_staged(staging)  # exactly-once, from the data
         os.rename(staging, gdir)  # commit point 1: output visible
+        # make the rename durable BEFORE the lineage record: otherwise a
+        # power loss can persist the fsynced lineage line while the cached
+        # rename is lost — resume would then skip a group with no output
+        dfd = os.open(out_dir, os.O_DIRECTORY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
         rec = {
             "group": gid,
             "dir": gname,
-            "input_files": gfiles,
+            "input_files": rel_files,
             "wall_s": round(time.time() - t0, 3),
             "counters": group_counts,
         }
@@ -219,8 +342,3 @@ def run_resumable(
             f.flush()
             os.fsync(f.fileno())
         ran.append(gid)
-
-    totals: Counter = Counter()
-    for rec in completed_groups(out_dir).values():
-        totals.update(rec.get("counters", {}))
-    return {"groups_run": ran, "groups_skipped": skipped, "counters": dict(totals)}

@@ -142,3 +142,80 @@ def test_dedup_cap_surfaces_in_counters(ray_session):
     assert snap.get("minhash_lsh_pairs_capped_rows", 0) >= 4
     # pairs among the first max_bucket ids still emitted
     assert len(out) > 0
+
+
+def test_torn_trailing_lineage_line_is_ignored(tmp_path):
+    from language_identification_ray.pipelines.checkpoint import (
+        LINEAGE_FILE,
+        completed_groups,
+    )
+
+    out = tmp_path / "out"
+    out.mkdir()
+    good = json.dumps({"group": 0, "input_files": ["a"], "counters": {}})
+    with open(out / LINEAGE_FILE, "w") as f:
+        f.write(good + "\n")
+        f.write('{"group": 1, "input_fi')  # torn mid-append by a crash
+    done = completed_groups(str(out))
+    assert list(done) == [0]  # torn record ignored, resume still possible
+
+    # a malformed NON-trailing line is real corruption: loud failure
+    with open(out / LINEAGE_FILE, "w") as f:
+        f.write('{"group": 0, bro\n')
+        f.write(good + "\n")
+    with pytest.raises(json.JSONDecodeError):
+        completed_groups(str(out))
+
+
+def test_resume_rejects_shrunk_input(ray_session, sharded_input, tmp_path):
+    """Committed groups beyond the new group list mean the input shrank:
+    their rows would silently pollute out_dir — must fail loudly."""
+    from language_identification_ray.pipelines.checkpoint import run_resumable
+
+    input_dir, _ = sharded_input
+    out = str(tmp_path / "out")
+    run_resumable(input_dir, out, group_size=2, pages_dataset_fn=_synth_fn)
+
+    import shutil
+
+    smaller = tmp_path / "smaller"
+    smaller.mkdir()
+    frags = sorted(os.listdir(input_dir))[:2]  # keep only group 0's files
+    for f in frags:
+        shutil.copy(os.path.join(input_dir, f), smaller / f)
+    with pytest.raises(RuntimeError, match="shrank"):
+        run_resumable(str(smaller), out, group_size=2, pages_dataset_fn=_synth_fn)
+
+
+def test_lock_blocks_second_driver(tmp_path):
+    from language_identification_ray.pipelines.checkpoint import _RunLock
+
+    out = tmp_path / "out"
+    out.mkdir()
+    with _RunLock(str(out)):
+        with pytest.raises(RuntimeError, match="another driver"):
+            _RunLock(str(out)).__enter__()
+    # released: can acquire again; a stale lock from a dead pid is taken over
+    with open(out / "_LOCK", "w") as f:
+        f.write("999999999")  # no such pid
+    with _RunLock(str(out)):
+        pass
+
+
+def test_staging_dir_is_invisible_to_parquet_readers(ray_session, sharded_input, tmp_path):
+    """A crashed group's staging dir must NOT leak rows into readers of
+    out_dir (parquet discovery skips underscore-prefixed directories)."""
+    import ray.data as rd
+
+    from language_identification_ray.pipelines.checkpoint import run_resumable
+
+    input_dir, n_rows = sharded_input
+    out = str(tmp_path / "out")
+    run_resumable(input_dir, out, group_size=2, pages_dataset_fn=_synth_fn)
+
+    # simulate a crash: a half-written staging dir with real parquet inside
+    import shutil
+
+    staging = os.path.join(out, "_tmp_group=00007")
+    shutil.copytree(os.path.join(out, "group=00000"), staging)
+    assert len(rd.read_parquet(out).to_pandas()) == n_rows  # staging unseen
