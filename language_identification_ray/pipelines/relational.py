@@ -33,10 +33,15 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 
-def _cents(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Exact integer cents, round-half-up — matches SQL floor(x*100+0.5)."""
-    v = arr.to_numpy(zero_copy_only=False).astype(np.float64)
+def _cents_np(v: np.ndarray) -> np.ndarray:
+    """Exact integer cents, round-half-up — matches SQL floor(x*100+0.5).
+    The ONE place the money-rounding convention lives; every operator's
+    oracle exactness depends on it."""
     return np.floor(v * 100.0 + 0.5).astype(np.int64)
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    return _cents_np(arr.to_numpy(zero_copy_only=False).astype(np.float64))
 
 
 def _join_partitions(*datasets: "rd.Dataset", target_bytes: int = 64 << 20) -> int:
@@ -48,6 +53,17 @@ def _join_partitions(*datasets: "rd.Dataset", target_bytes: int = 64 << 20) -> i
     pool; cap 4096 bounds tiny-partition overhead."""
     biggest = max(ds.size_bytes() or 0 for ds in datasets)
     return int(min(4096, max(8, biggest // target_bytes)))
+
+
+def _group_spread(ds: "rd.Dataset") -> "rd.Dataset":
+    """``map_groups`` parallelism equals the upstream BLOCK count in Ray
+    2.49, not the group count: a single-file events read arrives as a few
+    blocks and would squeeze thousands of per-user groups through those few
+    tasks (the measured straggler shape — see stages/dedup.py's verify
+    spread).  Repartition the narrow, column-pruned rows to ~2 blocks per
+    CPU first; the repartition moves only the pruned columns."""
+    cpus = int(ray.cluster_resources().get("CPU", 32)) if ray.is_initialized() else 32
+    return ds.repartition(min(512, max(16, 2 * cpus)))
 
 
 def customers_per_region(sf_dir: str) -> "rd.Dataset":
@@ -221,10 +237,14 @@ def events_asof_purchase(sf_dir: str) -> "rd.Dataset":
         pm = etype == "purchase"
         pts, pval = ts[pm], value[pm]
         if pts.size:
-            # dedupe to one purchase per ts: max(value) wins (deterministic)
+            # dedupe to one purchase per ts: max(value) wins (deterministic).
+            # fmax, not maximum: NULL values arrive as NaN and SQL max()
+            # ignores NULLs — maximum.at would propagate NaN over a real
+            # value; a slot whose purchases are ALL NULL stays NaN (= SQL
+            # NULL), which is also why the init is NaN, not -inf
             uts, inv = np.unique(pts, return_inverse=True)
-            vmax = np.full(len(uts), -np.inf)
-            np.maximum.at(vmax, inv, pval)
+            vmax = np.full(len(uts), np.nan)
+            np.fmax.at(vmax, inv, pval)
             pts, pval = uts, vmax
 
         cm = etype == "click"
@@ -247,10 +267,12 @@ def events_asof_purchase(sf_dir: str) -> "rd.Dataset":
         )
 
     return (
-        rd.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["event_id", "user_id", "ts", "event_type", "value"],
-            filter=pads.field("event_type").isin(["click", "purchase"]),
+        _group_spread(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "user_id", "ts", "event_type", "value"],
+                filter=pads.field("event_type").isin(["click", "purchase"]),
+            )
         )
         .groupby("user_id")
         .map_groups(per_user, batch_format="pyarrow")
@@ -265,9 +287,9 @@ def lineitem_pricing_summary(sf_dir: str) -> "rd.Dataset":
     cutoff = np.datetime64("2000-06-30T00:00:00")
 
     def partial(batch: pa.Table) -> pa.Table:
-        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
-        m = ship <= cutoff
-        if not m.any():
+        # the shipdate cutoff is already pushed into the parquet read; only
+        # the empty-batch shape needs guarding here
+        if batch.num_rows == 0:
             return pa.table(
                 {
                     "l_returnflag": pa.array([], pa.string()),
@@ -278,13 +300,13 @@ def lineitem_pricing_summary(sf_dir: str) -> "rd.Dataset":
                     "count_order": pa.array([], pa.int64()),
                 }
             )
-        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)[m]
-        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
-        disc = batch["l_discount"].to_numpy(zero_copy_only=False)[m]
-        rf = np.asarray(batch["l_returnflag"].to_pylist(), dtype=object)[m]
-        ls = np.asarray(batch["l_linestatus"].to_pylist(), dtype=object)[m]
-        base_cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
-        disc_cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        rf = np.asarray(batch["l_returnflag"].to_pylist(), dtype=object)
+        ls = np.asarray(batch["l_linestatus"].to_pylist(), dtype=object)
+        base_cents = _cents_np(price)
+        disc_cents = _cents_np(price * (1.0 - disc))
         qty_i = np.floor(qty + 0.5).astype(np.int64)
         keys = np.char.add(np.char.add(rf.astype(str), "|"), ls.astype(str))
         uk, inv = np.unique(keys, return_inverse=True)
@@ -377,11 +399,28 @@ def revenue_by_supplier_nation(sf_dir: str) -> "rd.Dataset":
 
     def partial(batch: pa.Table) -> pa.Table:
         supp_nation, nation_name, region_name = ray.get(lookup_ref)
-        nk = supp_nation[batch["l_suppkey"].to_numpy(zero_copy_only=False)]
-        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
-        disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keys = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        # inner-join semantics for dangling FKs (the docstring's skewed web
+        # data): keys outside the dense table or hitting the -1 sentinel are
+        # DROPPED like the SQL join drops them — negative fancy indexing
+        # would silently credit their revenue to the last nation
+        in_range = (keys >= 0) & (keys < len(supp_nation))
+        nk = np.where(in_range, supp_nation[np.clip(keys, 0, len(supp_nation) - 1)], -1)
+        ok = nk >= 0
+        nk = nk[ok]
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)[ok]
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)[ok]
         # exact cents of extendedprice*(1-discount), round-half-up (Q1 convention)
-        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        rev = _cents_np(price * (1.0 - disc))
+        if not len(nk):
+            return pa.table(
+                {
+                    "region": pa.array([], pa.string()),
+                    "nation": pa.array([], pa.string()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                    "n_items": pa.array([], pa.int64()),
+                }
+            )
         uk, inv = np.unique(nk, return_inverse=True)
         tot = np.bincount(inv, weights=rev, minlength=len(uk)).astype(np.int64)
         cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
@@ -422,15 +461,21 @@ def revenue_by_supplier_nation(sf_dir: str) -> "rd.Dataset":
 def inactive_customers(sf_dir: str, cutoff: str = "2001-01-01") -> "rd.Dataset":
     """Anti-join: customers with NO order on/after ``cutoff``.
 
-    Distributed anti-join shape (NOT EXISTS): the order side is first
-    reduced to distinct active custkeys by a groupby (shuffle moves one row
-    per active customer, not one per order), then ``Dataset.join`` left-outer
-    against customer and a null-probe filter keeps the non-matching rows.
-    At 100 TB both sides stay distributed — no driver-side key set.  The
-    reference's analogous op is the cardinality anti-join in
-    ``merge_wordlists.ipynb`` cells 3-4 (SURVEY §2.7 D3).
+    Distributed anti-join shape (NOT EXISTS) as a UNION-TAG groupby: the
+    order side is first reduced to distinct active custkeys (shuffle moves
+    one row per active customer, not one per order), active keys and
+    customer rows are tagged and unioned, and ONE keyed groupby keeps
+    customers whose group saw no active row.  Both sides stay distributed —
+    no driver-side key set.  Deliberately NOT ``Dataset.join`` left-outer:
+    Ray 2.49's hash join crashes when the active side is empty or sparse
+    (a cutoff past the last order date — schema-less empty shuffle
+    partitions; the same hazard ``semantic_dedup_docs`` documents), while
+    the union-tag shape degrades to a plain pass-through.  The reference's
+    analogous op is the cardinality anti-join in ``merge_wordlists.ipynb``
+    cells 3-4 (SURVEY §2.7 D3).
     """
-    from ray.data.aggregate import Count
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum as _Sum
 
     cut = datetime.datetime.fromisoformat(cutoff)
     recent_orders = rd.read_parquet(
@@ -438,23 +483,45 @@ def inactive_customers(sf_dir: str, cutoff: str = "2001-01-01") -> "rd.Dataset":
         columns=["o_custkey", "o_orderdate"],
         filter=(pads.field("o_orderdate") >= cut),
     )
-    active = recent_orders.groupby("o_custkey").aggregate(Count(alias_name="n_recent"))
+
+    def active_rows(batch: pa.Table) -> pa.Table:
+        # distinct within batch; the groupby below finishes the reduction
+        keys = np.unique(batch["o_custkey"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "c_custkey": pa.array(keys, pa.int64()),
+                "c_name": pa.nulls(len(keys), pa.string()),
+                "is_active": pa.array(np.ones(len(keys), np.int64)),
+                "is_cust": pa.array(np.zeros(len(keys), np.int64)),
+            }
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"].cast(pa.int64()),
+                "c_name": batch["c_name"],
+                "is_active": pa.array(np.zeros(n, np.int64)),
+                "is_cust": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    joined = cust.join(
-        active,
-        join_type="left_outer",
-        num_partitions=_join_partitions(recent_orders, cust),
-        on=("c_custkey",),
-        right_on=("o_custkey",),
+    combined = cust.map_batches(cust_rows, batch_format="pyarrow").union(
+        recent_orders.map_batches(active_rows, batch_format="pyarrow")
+    )
+    agg = combined.groupby("c_custkey").aggregate(
+        _Sum("is_active", alias_name="n_recent"),
+        _Sum("is_cust", alias_name="n_cust"),
+        Max("c_name", alias_name="c_name"),
     )
 
-    import pyarrow.compute as pc
-
-    def keep_unmatched(batch: pa.Table) -> pa.Table:
-        m = pc.is_null(batch["n_recent"])
+    def keep_inactive(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(batch["n_recent"], 0), pc.greater(batch["n_cust"], 0))
         return batch.filter(m).select(["c_custkey", "c_name"])
 
-    return joined.map_batches(keep_unmatched, batch_format="pyarrow")
+    return agg.map_batches(keep_inactive, batch_format="pyarrow")
 
 
 def events_purchases_within_hour(sf_dir: str) -> "rd.Dataset":
@@ -498,9 +565,14 @@ def events_purchases_within_hour(sf_dir: str) -> "rd.Dataset":
         )
 
     return (
-        rd.read_parquet(
-            f"{sf_dir}/events.parquet",
-            columns=["event_id", "user_id", "ts", "event_type"],
+        _group_spread(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "user_id", "ts", "event_type"],
+                # only the two probed types leave storage; 'view' rows (the
+                # bulk of a web events table) never hit the shuffle
+                filter=pads.field("event_type").isin(["click", "purchase"]),
+            )
         )
         .groupby("user_id")
         .map_groups(per_user, batch_format="pyarrow")
@@ -628,6 +700,17 @@ def late_shipment_priority(sf_dir: str, grace_days: int = 30) -> "rd.Dataset":
     )
 
 
+def _empty_top_revenue_table() -> pa.Table:
+    return pa.table(
+        {
+            "orderkey": pa.array([], pa.int64()),
+            "revenue": pa.array([], pa.float64()),
+            "orderdate": pa.array([], pa.timestamp("us")),
+            "orderpriority": pa.array([], pa.string()),
+        }
+    )
+
+
 def top_revenue_orders(
     sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-07-01", k: int = 10
 ) -> "rd.Dataset":
@@ -654,6 +737,18 @@ def top_revenue_orders(
         columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
         filter=(pads.field("o_orderdate") < cut),
     )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") > cut),
+    )
+    # Ray 2.49's hash join crashes on an EMPTY side (schema-less shuffle
+    # partitions) where SQL just returns no rows — an unknown segment or an
+    # out-of-range cutoff must degrade, not die.  limit(1) probes terminate
+    # as soon as one row is seen, so the guard is cheap even on the fact
+    # table.
+    if any(side.limit(1).count() == 0 for side in (cust, orders, li)):
+        return rd.from_arrow(_empty_top_revenue_table())
     co = orders.join(
         cust,
         join_type="inner",
@@ -662,17 +757,11 @@ def top_revenue_orders(
         right_on=("c_custkey",),
     )
 
-    li = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
-        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
-        filter=(pads.field("l_shipdate") > cut),
-    )
-
     def rev_partial(batch: pa.Table) -> pa.Table:
         keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
-        rev = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        rev = _cents_np(price * (1.0 - disc))
         uk, inv = np.unique(keys, return_inverse=True)
         tot = np.bincount(inv, weights=rev, minlength=len(uk)).astype(np.int64)
         return pa.table(

@@ -81,7 +81,11 @@ def brute_force_topk(
         out_q, out_id, out_s = [], [], []
         top = min(k, sims.shape[0])
         for qi in range(sims.shape[1]):
-            order = np.argsort(-sims[:, qi], kind="stable")[:top]
+            # lexsort, not bare argsort: equal similarities (duplicate
+            # embeddings exist in the fixtures) must break by vec_id asc,
+            # matching the global sort and the SQL oracle — a positional
+            # cut could drop the lower id before the final sort ever sees it
+            order = np.lexsort((ids, -sims[:, qi]))[:top]
             out_q.extend([qi] * len(order))
             out_id.extend(ids[order])
             out_s.extend(sims[order, qi])
@@ -163,7 +167,7 @@ def lsh_topk(
         sub = _normalize(mat[mask])
         sims = sub @ qn
         ids = batch[id_column].to_numpy()[mask]
-        top = np.argsort(-sims, kind="stable")[:k]
+        top = np.lexsort((ids, -sims))[:k]  # ties break by id (oracle parity)
         return pa.table({"vec_id": pa.array(ids[top], pa.int64()), "cos_sim": pa.array(sims[top], pa.float64())})
 
     return ds.map_batches(scan, batch_format="pyarrow").sort(
@@ -244,7 +248,7 @@ def label_filtered_topk(
         mat = _normalize(_as_matrix(batch[vec_column]))
         sims = mat @ qn
         ids = batch[id_column].to_numpy()
-        top = np.argsort(-sims, kind="stable")[:k]
+        top = np.lexsort((ids, -sims))[:k]  # ties break by id (oracle parity)
         return pa.table(
             {
                 "vec_id": pa.array(ids[top], pa.int64()),
@@ -328,7 +332,7 @@ def ivf_pruned_topk(
         mat = _normalize(_as_matrix(batch[vec_column]))
         sims = mat @ qn
         ids = batch[id_column].to_numpy()
-        top = np.argsort(-sims, kind="stable")[:k]
+        top = np.lexsort((ids, -sims))[:k]  # ties break by id (oracle parity)
         return pa.table(
             {
                 "vec_id": pa.array(ids[top], pa.int64()),
@@ -384,7 +388,7 @@ def ivf_topk(
         sub = _normalize(mat[mask])
         sims = sub @ qn
         ids = batch[id_column].to_numpy()[mask]
-        top = np.argsort(-sims, kind="stable")[:k]
+        top = np.lexsort((ids, -sims))[:k]  # ties break by id (oracle parity)
         return pa.table(
             {
                 "vec_id": pa.array(ids[top], pa.int64()),

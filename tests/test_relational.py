@@ -5,6 +5,7 @@ import os
 import sys
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -69,3 +70,60 @@ def test_purchases_within_hour_user_without_purchases(ray_session, events_dir):
     assert df.loc[6, "n_purchases_1h"] == 0
     assert df.loc[2, "n_purchases_1h"] == 1
     assert df.loc[4, "n_purchases_1h"] == 2
+
+
+def test_inactive_customers_all_inactive_when_no_recent_orders(ray_session, sf_dir):
+    """Cutoff past the last order date: the active side is EMPTY — the
+    union-tag anti-join must return every customer (a left_outer
+    Dataset.join crashes on this shape in Ray 2.49)."""
+    import pyarrow.parquet as pq
+
+    from language_identification_ray.pipelines.relational import inactive_customers
+
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    out = inactive_customers(sf_dir, cutoff="2199-01-01").to_pandas()
+    assert len(out) == n_cust
+
+
+def test_top_revenue_orders_unknown_segment_returns_empty(ray_session, sf_dir):
+    from language_identification_ray.pipelines.relational import top_revenue_orders
+
+    ds = top_revenue_orders(sf_dir, segment="NOSUCHSEGMENT")
+    # schema survives on the Dataset (to_pandas of 0 rows drops columns — Ray quirk)
+    assert ds.schema().names == ["orderkey", "revenue", "orderdate", "orderpriority"]
+    assert ds.count() == 0
+
+
+def test_asof_null_purchase_values_ignored_like_sql_max(ray_session, tmp_path):
+    """A (user, ts) slot with one NULL and one real purchase value must keep
+    the real value (SQL max() ignores NULLs); an all-NULL slot stays NULL."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from language_identification_ray.pipelines.relational import events_asof_purchase
+
+    T = lambda m: dt.datetime(2026, 1, 1, 0, m)
+    rows = [  # (user, minute, type, value)
+        (1, 0, "purchase", None), (1, 0, "purchase", 7.0), (1, 5, "click", 0.0),
+        (2, 0, "purchase", None), (2, 5, "click", 0.0),
+    ]
+    d = tmp_path / "ev"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([T(m) for _, m, _, _ in rows], pa.timestamp("us")),
+                "user_id": pa.array([u for u, _, _, _ in rows], pa.int64()),
+                "event_type": pa.array([t for _, _, t, _ in rows], pa.string()),
+                "value": pa.array([v for _, _, _, v in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = events_asof_purchase(str(d)).to_pandas().set_index("user_id")
+    assert out.loc[1, "last_purchase_value"] == 7.0  # NULL ignored, real kept
+    assert pd.isna(out.loc[2, "last_purchase_value"])  # all-NULL slot -> NULL
