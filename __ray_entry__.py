@@ -589,10 +589,12 @@ def oracle_sql() -> dict[str, str]:
                    WHERE event_type = 'view' GROUP BY user_id),
             s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
                    JOIN s1 USING (user_id)
-                   WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+                   WHERE e.event_type = 'click' AND e.ts > s1.t1
+                     AND e.ts <= s1.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
             s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
                    JOIN s2 USING (user_id)
-                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                     AND e.ts <= s2.t2 + INTERVAL 24 HOUR GROUP BY e.user_id)
             SELECT u.user_id,
                    CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
                              WHEN s2.user_id IS NOT NULL THEN 2

@@ -366,3 +366,34 @@ def test_events_funnel_requires_strict_order(ray_session, tmp_path):
     )
     out = analysis.events_funnel(str(d)).to_pandas().set_index("user_id")["stage"]
     assert out.to_dict() == {1: 3, 2: 2, 3: 1, 4: 0}
+
+
+def test_events_funnel_conversion_window(ray_session, tmp_path):
+    """A next step OUTSIDE the conversion window does not count: view at
+    t=0, click at t=+25h with a 24h window stalls at stage 1."""
+    import datetime as dt
+
+    d = tmp_path / "funnel_w"
+    d.mkdir()
+    rows = [
+        (1, dt.datetime(2026, 1, 1, 0, 0), "view"),
+        (1, dt.datetime(2026, 1, 2, 1, 0), "click"),      # +25h: outside
+        (2, dt.datetime(2026, 1, 1, 0, 0), "view"),
+        (2, dt.datetime(2026, 1, 1, 23, 0), "click"),     # +23h: inside
+        (2, dt.datetime(2026, 1, 2, 22, 0), "purchase"),  # +23h after click
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([t for _, t, _ in rows], pa.timestamp("us")),
+                "user_id": pa.array([u for u, _, _ in rows], pa.int64()),
+                "event_type": pa.array([e for _, _, e in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = analysis.events_funnel(str(d)).to_pandas().set_index("user_id")["stage"]
+    assert out.to_dict() == {1: 1, 2: 3}
