@@ -321,8 +321,12 @@ def estimate(highest_counts: Dict[tuple, int], order: int) -> KNModel:
             suffix = g[1:]
             cont[suffix] += 1
         counts[k] = dict(cont)
-    # BOS-only contexts of order k never appear as suffixes; add from raw
-    # counts so P(w | <s>...) has a denominator
+    # NOTE: BOS-anchored contexts of order k (e.g. (<s>, w)) DO get counted
+    # here — they arise as suffixes of the padded order-(k+1) grams
+    # ((<s>, <s>, w) → (<s>, w)), because lm_sentences pads with order-1
+    # BOS tokens.  P(w | <s>...) therefore has a denominator ONLY via that
+    # padding invariant: if counting ever prunes low-count grams or reduces
+    # the BOS padding, an explicit raw-count fallback must be added here.
     vocab = {g[-1] for g in counts[order]} | {g[-1] for g in counts[1]}
     vocab.discard(BOS)
 

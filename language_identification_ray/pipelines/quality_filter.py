@@ -111,7 +111,7 @@ class QualityFilterStage:
 def build(
     pages: "rd.Dataset",
     language_codes: Optional[Sequence[str]] = None,
-    langid_concurrency=(1, 8),
+    langid_concurrency=(2, 8),
     batch_size: int = 1024,
     with_perplexity: bool = False,
     perplexity_per_language: bool = False,
@@ -164,10 +164,12 @@ def _add_partition_key(batch: pa.Table) -> pa.Table:
 
 
 def hash_url(url: str) -> int:
-    """Stable (process-independent) url hash — NOT Python's randomized hash()."""
+    """Stable (process-independent) url hash — NOT Python's randomized hash().
+    None-safe: a missing url (optional metadata in crawl inputs) lands in
+    the '' partition salt instead of killing the whole partitioned write."""
     import zlib
 
-    return zlib.crc32(url.encode("utf-8"))
+    return zlib.crc32((url or "").encode("utf-8"))
 
 
 def write_partitioned(

@@ -50,6 +50,10 @@ _H1 = np.uint64(1000003)
 
 Ranking = List[Tuple[str, float]]
 
+# chars scored per doc: rank / loglik_batch / predict_batch / top1_batch must
+# truncate IDENTICALLY or their documented bit-exact parity silently breaks
+SCORE_MAX_CHARS = 400
+
 
 _H2 = np.uint64(2654435761)
 _MASK = np.uint64(HASH_BUCKETS - 1)
@@ -115,7 +119,7 @@ class NgramDetector:
         Columns are gathered BEFORE any row restriction: ``matrix[:, hashes]``
         touches L×|hashes| floats, whereas ``matrix[rows]`` would copy a
         rows×65536 slice per call (≈3.6 MB/doc — measured 25× slower)."""
-        cps = np.frombuffer((" " + text + " ").encode("utf-32-le"), dtype=np.uint32)
+        cps = np.frombuffer((" " + text + " ").encode("utf-32-le", "replace"), dtype=np.uint32)
         hashes = ngram_hashes(self._lower[cps])
         n_rows = len(self.langs) if lang_rows is None else len(lang_rows)
         if len(hashes) == 0:
@@ -133,7 +137,7 @@ class NgramDetector:
             self._rows_cache[langs_key] = cached
         return cached
 
-    def rank(self, text: str, langs: Optional[Sequence[str]] = None, max_chars: int = 400) -> Ranking:
+    def rank(self, text: str, langs: Optional[Sequence[str]] = None, max_chars: int = SCORE_MAX_CHARS) -> Ranking:
         """softmax over per-ngram average log-likelihoods → (lang, prob) desc."""
         allowed, rows = self._rows_for(tuple(langs) if langs else ())
         if len(rows) == 0:
@@ -156,7 +160,7 @@ class NgramDetector:
             return [[] for _ in texts]
         ll = self.loglik_batch(texts, rows)
         temp = np.fromiter(
-            (min(len(t[:400]), 64) for t in texts), dtype=np.float64, count=len(texts)
+            (min(len(t[:SCORE_MAX_CHARS]), 64) for t in texts), dtype=np.float64, count=len(texts)
         )
         ll = ll * temp[:, None]
         ll -= ll.max(axis=1, keepdims=True)
@@ -168,7 +172,7 @@ class NgramDetector:
         ]
 
     def loglik_batch(
-        self, texts: Sequence[str], rows: np.ndarray, max_chars: int = 400
+        self, texts: Sequence[str], rows: np.ndarray, max_chars: int = SCORE_MAX_CHARS
     ) -> np.ndarray:
         """float64[n_docs, len(rows)] — per-doc mean log-likelihoods,
         bit-identical to ``_score_doc`` per doc (same gather + same
@@ -177,7 +181,12 @@ class NgramDetector:
         lower = self._lower
         mt = self.matrix_t
         for d, t in enumerate(texts):
-            cps = np.frombuffer((" " + t[:max_chars] + " ").encode("utf-32-le"), dtype=np.uint32)
+            # errors="replace": a lone surrogate (bytes decoded with
+            # surrogateescape — standard WARC-payload handling) must score
+            # as U+FFFD noise, not kill the whole batch
+            cps = np.frombuffer(
+                (" " + t[:max_chars] + " ").encode("utf-32-le", "replace"), dtype=np.uint32
+            )
             hashes = ngram_hashes(lower[cps])
             if len(hashes):
                 out[d] = (mt[hashes].sum(axis=0, dtype=np.float64) / len(hashes))[rows]
@@ -218,7 +227,7 @@ class ScriptDetector:
         n = len(texts)
         out = np.zeros((n, len(SCRIPT_NAMES)), dtype=np.float64)
         joined = "\n".join(texts) if n else ""
-        cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        cps = np.frombuffer(joined.encode("utf-32-le", "replace"), dtype=np.uint32)
         if not len(cps):
             return out
         cls = self._charclass[cps]
@@ -308,10 +317,16 @@ class EnsembleDetector:
                     conf = float(row[dom])
                     out.append([(l, p * conf) for l, p in ranking])
                     continue
+            if allowed_set:
+                # restrict BEFORE normalizing: the allowlist defines the
+                # candidate universe, so conf renormalizes over it (same
+                # order as ScriptDetector and the NB branch) — clipping
+                # after would report 1/(1+i)/H(n) for a sole allowed lang
+                cand = [l for l in cand if l in allowed_set]
             if len(cand) >= 1:
                 ranking = [(l, float(row[dom]) / (1 + i)) for i, l in enumerate(cand)]
                 s = sum(p for _, p in ranking)
-                out.append(_clip([(l, p / s) for l, p in ranking], allowed_set))
+                out.append([(l, p / s) for l, p in ranking])
             else:
                 out.append([])
         return out
@@ -380,7 +395,7 @@ class EnsembleDetector:
             group_texts = [texts[d] for d in docs]
             ll = self.ngram.loglik_batch(group_texts, rows)  # (m, L)
             temp = np.fromiter(
-                (min(len(t[:400]), 64) for t in group_texts), dtype=np.float64, count=len(docs)
+                (min(len(t[:SCORE_MAX_CHARS]), 64) for t in group_texts), dtype=np.float64, count=len(docs)
             )
             ll = ll * temp[:, None]
             ll -= ll.max(axis=1, keepdims=True)

@@ -175,3 +175,41 @@ def test_to_iso639_1_remap():
     assert to_iso639_1("en") == "en"     # already short: pass through
     assert to_iso639_1("zzz") == "zzz"   # unknown: pass through
     assert to_iso639_1("") == ""
+
+
+def test_top1_batch_matches_predict_batch_top1(ensemble):
+    """top1_batch duplicates predict_batch's decision tree for speed; this
+    pins the two code paths to identical top-1 results across scripts,
+    ambiguity classes, and edge docs so a threshold tweak to one copy
+    cannot silently diverge the other."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog and keeps running",
+        "el rapido zorro marron salta sobre el perro perezoso cada dia",
+        "die schnelle braune katze springt uber den faulen hund hinweg",
+        "съешь же ещё этих мягких французских булок да выпей чаю",
+        "ぎんいろの つきが まちを てらしている よるに ねこが あるく",
+        "안녕하세요 오늘 날씨가 정말 좋네요 공원에 같이 산책하러 가요",
+        "这是一个用来测试语言识别的中文句子 包含足够多的汉字",
+        "مرحبا بالعالم هذه جملة عربية طويلة بما يكفي للاختبار",
+        "1234 5678 9090",
+        "",
+        "mixed 混合 text with латиница and more",
+    ]
+    langs, confs = ensemble.top1_batch(texts)
+    for i, t in enumerate(texts):
+        ranking = ensemble.predict_batch([t])[0]
+        want_lang = ranking[0][0] if ranking else "und"
+        want_conf = ranking[0][1] if ranking else 0.0
+        assert langs[i] == want_lang, (i, t[:20], langs[i], want_lang)
+        assert abs(confs[i] - want_conf) < 1e-12, (i, confs[i], want_conf)
+
+
+def test_allowlist_renormalizes_prior_fallback(ensemble):
+    """A sole allowed language in a prior-fallback script must get conf 1.0
+    (the allowlist defines the candidate universe), not its unrenormalized
+    share of the full prior list."""
+    heb = "שלום עולם זה משפט בעברית לבדיקה של זיהוי שפות"
+    ranking = ensemble.predict_batch([heb], ["yi", "en"])[0]
+    assert ranking, "expected a ranking for the allowed script language"
+    assert ranking[0][0] == "yi"
+    assert abs(ranking[0][1] - 1.0) < 1e-12
