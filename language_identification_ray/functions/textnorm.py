@@ -113,15 +113,12 @@ def truncate_text(
         cut = min(cut, max_bytes_length)
         encoded = text[:cut].encode("utf-8")
         if len(encoded) > max_bytes_length:
-            # cut the byte string at the cap, then back off to a char boundary
-            clipped = encoded[:max_bytes_length]
-            # drop trailing continuation bytes of a split codepoint
-            while clipped and (clipped[-1] & 0xC0) == 0x80:
-                clipped = clipped[:-1]
-            # drop a dangling lead byte
-            if clipped and clipped[-1] >= 0xC0:
-                clipped = clipped[:-1]
-            cut = len(clipped.decode("utf-8"))
+            # cut the byte string at the cap; decode-ignore keeps every
+            # COMPLETE char and drops only an incomplete tail sequence —
+            # a manual strip-continuation-bytes loop would also delete a
+            # complete final multibyte char whose last byte is (valid)
+            # 0x80-0xBF, returning one char less than the maximal prefix
+            cut = len(encoded[:max_bytes_length].decode("utf-8", errors="ignore"))
 
     if truncate_to_space and cut < len(text):
         window = max(cut // 100, 0)
@@ -134,7 +131,8 @@ def truncate_text(
 
 
 _COMPRESSION_SUFFIXES = {".gz", ".bz2", ".lz", ".lzma", ".lzo", ".xz", ".z", ".zst"} | {
-    f".{i:03d}" for i in range(100)
+    # split archives conventionally number .001-.999 (three digits)
+    f".{i:03d}" for i in range(1000)
 }
 
 

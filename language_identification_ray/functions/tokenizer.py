@@ -139,7 +139,14 @@ def merge_apostrophe_words(tokens: Iterator[Tuple[str, bool]]) -> Iterator[Tuple
     Examples (ref docstring, ``tokenizer.py:358-365``): ``O'reilly`` and
     ``wasn’t`` merge; ``wasn‘t`` does not (left quote); ``a'b'c`` stays
     split; ``test’oops`` merges even across an opening-quote context (the
-    reference documents that case as undesirable but defined)."""
+    reference documents that case as undesirable but defined).
+
+    Reference parity note (``tokenizer.py:181-251``): a standalone
+    apostrophe in word position — e.g. the OPENING quote of 'quoted
+    speech' — sets the same wait state as the reference's
+    ``_merge_apostrophes_into_words``, so contractions inside
+    straight-quoted spans do not merge on either implementation.
+    """
     w1 = apos = w2 = None
     wait = False
     for text, is_word in tokens:

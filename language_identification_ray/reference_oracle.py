@@ -31,6 +31,7 @@ differentially tested by its own agreement harness
 
 from __future__ import annotations
 
+import re
 import unicodedata
 from collections import Counter
 from typing import Dict, List, Optional, Sequence
@@ -107,9 +108,11 @@ def quality_stats(text: str, lang: Optional[str]) -> Dict[str, float]:
 
     n_sentences = 0
     if text:
-        n_sentences = max(
-            sum(text.count(e) for e in _SENTENCE_ENDERS), 1 if n_words else 0
-        )
+        # run-based, decimal-guarded — mirrors the engine's documented
+        # definition (naively, with its own regexes)
+        stripped = re.sub(r"(?<=\d)\.(?=\d)", "", text)
+        runs = re.findall("[" + re.escape("".join(_SENTENCE_ENDERS)) + "]+", stripped)
+        n_sentences = max(len(runs), 1 if n_words else 0)
     if not text:
         max_line_frac = 0.0
     elif "\n" in text:

@@ -23,6 +23,7 @@ Stateful only for the broadcast stopword tables → runs as an actor pool.
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 
 import numpy as np
@@ -38,6 +39,17 @@ from language_identification_ray.stages.langid import set_or_append
 from language_identification_ray.state.stopwords import STOPWORDS
 
 _SENTENCE_ENDERS = (".", "!", "?", "…", "。", "！", "？")
+
+# sentence counting: runs of enders count ONCE ("..." is one boundary) and a
+# '.' between digits (decimals, versions, IPs) is not an ender — the same
+# no-close-on-digit heuristic as functions.tokenizer.sentence_split
+_RE_DECIMAL_DOT = re.compile(r"(?<=\d)\.(?=\d)")
+_RE_SENT_RUN = re.compile("[" + re.escape("".join(_SENTENCE_ENDERS)) + "]+")
+
+
+def _count_sentences(text: str) -> int:
+    return len(_RE_SENT_RUN.findall(_RE_DECIMAL_DOT.sub("", text)))
+
 
 
 class QualityStats:
@@ -105,9 +117,7 @@ class QualityStats:
         for d, t in enumerate(texts):
             if not t:
                 continue
-            n_sentences[d] = max(
-                sum(t.count(e) for e in _SENTENCE_ENDERS), 1 if n_words[d] else 0
-            )
+            n_sentences[d] = max(_count_sentences(t), 1 if n_words[d] else 0)
             if "\n" in t:
                 longest = max(len(line) for line in t.split("\n"))
                 max_line_frac[d] = longest / len(t)

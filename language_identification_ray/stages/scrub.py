@@ -26,8 +26,13 @@ from language_identification_ray.stages.langid import set_or_append
 
 RE_EMAIL = re.compile(r"[\w.+-]+@[\w-]+(?:\.[\w-]+)+", flags=re.U)
 # international-ish phone: optional +CC, 3 groups of digits with separators
-RE_PHONE = re.compile(r"(?<!\d)(?:\+?\d{1,3}[-.\s])?(?:\(?\d{3}\)?[-.\s])\d{3}[-.\s]\d{4}(?!\d)")
-RE_SSN = re.compile(r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)")
+# re.ASCII: \d must mean 0-9 only — the vectorized digit GATE below counts
+# ASCII digits, and Unicode \d (fullwidth/Arabic-Indic digits) would match
+# docs the gate filters out, silently leaking that PII unscrubbed
+RE_PHONE = re.compile(
+    r"(?<!\d)(?:\+?\d{1,3}[-.\s])?(?:\(?\d{3}\)?[-.\s])\d{3}[-.\s]\d{4}(?!\d)", flags=re.ASCII
+)
+RE_SSN = re.compile(r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)", flags=re.ASCII)
 # reference README.md:149-153 design note: clamp repeats of 1-4 char patterns
 RE_REPEAT = re.compile(r"(.{1,4}?)\1{4,}", flags=re.S)
 

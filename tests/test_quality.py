@@ -81,3 +81,14 @@ def test_rules_missing_column_is_skipped():
     t = pa.table({"q_n_words": [10], "q_mean_word_len": [4.0]})
     out = KeepDropRules()(t)  # most rule columns absent → those rules skip
     assert out["keep"].to_pylist() == [True]
+
+
+def test_sentence_count_runs_and_decimals():
+    """Ender RUNS count once and digit-separating dots are not enders."""
+    from language_identification_ray.stages.quality import _count_sentences
+
+    assert _count_sentences("Wait... what? Ok.") == 3
+    assert _count_sentences("ip is 192.168.1.1 ok") == 0
+    assert _count_sentences("v2.3.1 released. done.") == 2
+    assert _count_sentences("no enders here") == 0
+    assert _count_sentences("！？。") == 1  # one mixed run

@@ -81,6 +81,10 @@ def test_scrub_gates_are_sound():
         "at sign @ alone",
         "x" * 30,
         "12 34 56 78 90 spread digits",
+        # non-ASCII digits: RE_SSN/RE_PHONE are compiled re.ASCII so these
+        # must NOT match — and therefore the ASCII-digit gate stays sound
+        "ssn １２３-４５-６７８９ fullwidth",
+        "call ١٢٣-٤٥٦-٧٨٩٠ arabic",
     ]
     has_at, has_digits, has_repeat = _scrub_gates(texts)
     for i, t in enumerate(texts):

@@ -100,3 +100,20 @@ def test_split_filename():
     assert split_filename("photo.jpeg") == ("photo", ".jpg")
     assert split_filename("/tmp/x/noext.") == ("noext", ".")
     assert split_filename("plain") == ("plain", "")
+
+
+def test_truncate_keeps_complete_char_at_exact_boundary():
+    """A multibyte char whose last byte lands exactly on the cap must be
+    KEPT (maximal-prefix contract): the old backoff stripped it."""
+    assert truncate_text("éé", max_bytes_length=2, truncate_to_space=False) == "é"
+    assert truncate_text("aéxyz", max_bytes_length=3, truncate_to_space=False) == "aé"
+    # mid-sequence cut still drops the incomplete char only
+    assert truncate_text("aé", max_bytes_length=2, truncate_to_space=False) == "a"
+
+
+def test_split_filename_split_archive_three_digits():
+    from language_identification_ray.functions.textnorm import split_filename
+
+    assert split_filename("backup.tar.001") == ("backup", ".tar.001")
+    assert split_filename("backup.tar.100") == ("backup", ".tar.100")
+    assert split_filename("backup.tar.999") == ("backup", ".tar.999")
