@@ -52,4 +52,7 @@ class SpellCorrector:
         )
 
     def correction(self, word: str) -> str:
+        if not word or not word.strip():
+            # edits1('') would fabricate single-letter "corrections"
+            return word
         return max(sorted(self.candidates(word)), key=self.p)

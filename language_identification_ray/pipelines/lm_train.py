@@ -36,8 +36,20 @@ def train_kn(
     corpus: "rd.Dataset",
     text_column: str = "text",
     order: int = 3,
+    max_types: int = 50_000_000,
 ) -> KNModel:
-    """Train an order-n KN model over a (possibly huge) corpus Dataset."""
+    """Train an order-n KN model over a corpus Dataset.
+
+    The counting fans out (per-batch Counter partials → one grouped sum,
+    the distributed part), but KN ESTIMATION is inherently whole-table:
+    the discount statistics and continuation counts need every surviving
+    n-gram type, so the aggregated types are collected to the driver.
+    ``max_types`` bounds that collect — at web scale distinct trigram
+    types run to billions, and the right move is vocabulary pruning
+    UPSTREAM (token-level cutoff before counting), not count-threshold
+    pruning here: dropping low-count grams after the fact breaks the
+    BOS-padding denominator invariant (see ``kneser_ney.estimate``'s
+    NOTE)."""
 
     def partial(batch: pa.Table) -> pa.Table:
         c: Counter = Counter()
@@ -59,6 +71,13 @@ def train_kn(
     for batch in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
         for k, v in zip(batch["ngram"].to_pylist(), batch["cnt"].to_pylist()):
             counts[tuple(k.split(_SEP))] = int(v)
+        if len(counts) > max_types:
+            raise MemoryError(
+                f"train_kn: > {max_types:,} distinct n-gram types — the "
+                "driver-side KN estimation would exhaust memory.  Prune the "
+                "vocabulary upstream (token cutoff before counting) or raise "
+                "max_types deliberately."
+            )
     return estimate(counts, order)
 
 

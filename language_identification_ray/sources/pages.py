@@ -74,7 +74,7 @@ def _synthesize_batch(batch: pa.Table) -> pa.Table:
     sources = batch["source"].to_pylist()
 
     out_text, out_html, out_lang, urls = [], [], [], []
-    for i, (d, t, lang, src) in enumerate(zip(doc_ids, texts, langs, sources)):
+    for d, t, lang, src in (zip(doc_ids, texts, langs, sources)):
         d = int(d)
         t = t or ""
         if d % 7 == 0:

@@ -47,9 +47,20 @@ class PerplexityScorer:
         # langs fall back to the default model
         self.per_lang: dict = {}
         if per_language:
-            assets = (_DEFAULT_MODEL).parent
-            for p in sorted(assets.glob("kn_*.json")):
-                self.per_lang[p.stem[3:]] = load_model(str(p))
+            # sibling kn_<lang>.json files of the CALLER'S model path, not a
+            # hardcoded asset dir — a deployment pointing at its own trained
+            # models must not silently score under the repo's seed models
+            from pathlib import Path
+
+            base = Path(str(model_path or _DEFAULT_MODEL))
+            for p in sorted(base.parent.glob("kn_*.json")):
+                if p == base:
+                    # the default model IS one of the kn_*.json siblings:
+                    # reuse the loaded object instead of a duplicate parse +
+                    # duplicate score-index arrays per actor
+                    self.per_lang[p.stem[3:]] = self.model
+                else:
+                    self.per_lang[p.stem[3:]] = load_model(str(p))
 
     def __call__(self, batch: pa.Table, texts=None) -> pa.Table:
         if texts is None:

@@ -10,8 +10,12 @@ heuristics).
 
 The rule registry is the engine's user-extension surface (the analogue of
 the reference's detector-wrapper plug-in contract, SURVEY.md §2.10): each
-rule is (name, fn(batch)->bool-mask-of-drops) and callers may pass a custom
-list.
+rule is ``(name, required_columns, fn(batch) -> bool-mask-of-drops)`` and
+callers may pass a custom list.  A rule whose REQUIRED COLUMNS are absent
+from the batch is skipped (pipeline variants run without some stages); any
+error the rule itself raises propagates — a silently disabled rule would
+ship documents it should drop.  Legacy 2-tuples ``(name, fn)`` are still
+accepted and fall back to skip-on-KeyError.
 """
 
 from __future__ import annotations
@@ -23,7 +27,8 @@ import pyarrow as pa
 
 from language_identification_ray.stages.langid import set_or_append
 
-Rule = Tuple[str, Callable[[pa.Table], np.ndarray]]
+# (name, required_columns, fn); legacy (name, fn) also accepted
+Rule = Tuple
 
 
 def _col(batch: pa.Table, name: str) -> np.ndarray:
@@ -31,19 +36,25 @@ def _col(batch: pa.Table, name: str) -> np.ndarray:
 
 
 DEFAULT_RULES: List[Rule] = [
-    ("empty", lambda b: _col(b, "q_n_words") == 0),
-    ("too_short", lambda b: _col(b, "q_n_words") < 5),
-    ("mean_word_len", lambda b: (_col(b, "q_mean_word_len") < 2.0) | (_col(b, "q_mean_word_len") > 12.0)),
-    ("symbol_ratio", lambda b: _col(b, "q_symbol_word_ratio") > 1.5),
-    ("digit_ratio", lambda b: _col(b, "q_digit_ratio") > 0.3),
-    ("repetition", lambda b: _col(b, "q_dup_ngram_frac") > 0.30),
-    ("stopword", lambda b: (_col(b, "q_stopword_hits") < 1) & (_col(b, "q_n_words") >= 20)),
-    ("low_lang_conf", lambda b: _col(b, "lang_conf") < 0.20),
-    ("toxicity", lambda b: _col(b, "pii_slurs").astype(np.int64) >= 3),
+    ("empty", ("q_n_words",), lambda b: _col(b, "q_n_words") == 0),
+    ("too_short", ("q_n_words",), lambda b: _col(b, "q_n_words") < 5),
+    ("mean_word_len", ("q_mean_word_len",),
+     lambda b: (_col(b, "q_mean_word_len") < 2.0) | (_col(b, "q_mean_word_len") > 12.0)),
+    ("symbol_ratio", ("q_symbol_word_ratio",), lambda b: _col(b, "q_symbol_word_ratio") > 1.5),
+    ("digit_ratio", ("q_digit_ratio",), lambda b: _col(b, "q_digit_ratio") > 0.3),
+    ("repetition", ("q_dup_ngram_frac",), lambda b: _col(b, "q_dup_ngram_frac") > 0.30),
+    ("stopword", ("q_stopword_hits", "q_n_words"),
+     lambda b: (_col(b, "q_stopword_hits") < 1) & (_col(b, "q_n_words") >= 20)),
+    ("low_lang_conf", ("lang_conf",), lambda b: _col(b, "lang_conf") < 0.20),
+    # nan_to_num: a NULL count (rules applied to a parquet-sourced table
+    # rather than live Scrubber output) means "not counted" → 0, not the
+    # undefined NaN→int64 cast (INT64_MIN + a RuntimeWarning per batch)
+    ("toxicity", ("pii_slurs",),
+     lambda b: np.nan_to_num(_col(b, "pii_slurs").astype(np.float64)) >= 3),
     # perplexity band (north_rule): wildly out-of-model text is dropped;
     # NaN (unscoreable) compares False → kept.  Skipped when the pipeline
     # variant runs without the LM stage (column absent).
-    ("perplexity", lambda b: _col(b, "perplexity") > 1.0e5),
+    ("perplexity", ("perplexity",), lambda b: _col(b, "perplexity") > 1.0e5),
 ]
 
 
@@ -59,11 +70,18 @@ class KeepDropRules:
         drop_reason = np.full(n, "", dtype=object)
         dropped = np.zeros(n, dtype=bool)
         names = set(batch.schema.names)
-        for name, fn in self.rules:
-            try:
-                mask = np.asarray(fn(batch), dtype=bool)
-            except KeyError:
-                continue  # rule's input column not present in this pipeline variant
+        for rule in self.rules:
+            if len(rule) == 3:
+                name, requires, fn = rule
+                if any(c not in names for c in requires):
+                    continue  # pipeline variant without this stage's columns
+                mask = np.asarray(fn(batch), dtype=bool)  # rule errors propagate
+            else:  # legacy (name, fn): no declared columns, skip on KeyError
+                name, fn = rule
+                try:
+                    mask = np.asarray(fn(batch), dtype=bool)
+                except KeyError:
+                    continue
             newly = mask & ~dropped
             drop_reason[newly] = name
             dropped |= mask

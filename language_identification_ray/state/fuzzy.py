@@ -176,7 +176,10 @@ class FuzzyWordIndex:
         """→ [(candidate, score, damerau_levenshtein, levenshtein)] ranked.
 
         Keeps candidates scoring ≥ 0.9×top plus any within edit distance 1
-        (the reference's rescue rule, ``datatypes.py:602-617``)."""
+        AMONG THE TOP ``2×top_k`` score-ranked candidates — the reference's
+        exact rescue window (``datatypes.py:613-617`` iterates
+        ``counter.most_common(top_k * 2)``), so a DL≤1 word ranked below
+        that window is not rescued on either implementation."""
         if not word:
             raise ValueError("empty word")
         if self.case_insensitive:

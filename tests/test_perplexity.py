@@ -150,3 +150,28 @@ def test_generate_sentence_deterministic_and_in_vocab():
     assert math.isfinite(m.perplexity(s1)) or True  # smoke: scoring runs
     # different seeds explore: at least one of several seeds differs
     assert any(m.generate_sentence(min_length=3, seed=s) != s1 for s in range(8, 16))
+
+
+def test_per_language_models_load_from_callers_dir(tmp_path):
+    """per_language=True must glob kn_*.json next to the CALLER's
+    model_path, not the repo asset dir — and reuse the already-loaded
+    default model instead of parsing its file twice."""
+    import shutil
+
+    from language_identification_ray.stages.perplexity import _DEFAULT_MODEL, PerplexityScorer
+
+    d = tmp_path / "models"
+    d.mkdir()
+    shutil.copy(_DEFAULT_MODEL, d / "kn_en.json")
+    shutil.copy(_DEFAULT_MODEL, d / "kn_xx.json")
+    sc = PerplexityScorer(model_path=str(d / "kn_en.json"), per_language=True)
+    assert set(sc.per_lang) == {"en", "xx"}  # caller's dir, not the 26 repo assets
+    assert sc.per_lang["en"] is sc.model  # no duplicate parse of the default
+
+
+def test_spell_correction_empty_input_is_identity():
+    from language_identification_ray.functions.spell import SpellCorrector
+
+    sc = SpellCorrector(corpus_text="a man a plan i am here")
+    assert sc.correction("") == ""
+    assert sc.correction("  ") == "  "
