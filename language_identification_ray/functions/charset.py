@@ -32,6 +32,11 @@ class CharSet:
             out.add(c)
         object.__setattr__(self, "_chars", frozenset(out))
 
+    def __setattr__(self, name, value):
+        # actually enforce immutability — hash/eq contracts depend on it
+        # (without this, the object.__setattr__ ceremony above is theater)
+        raise AttributeError("CharSet is immutable")
+
     # -- constructors ----------------------------------------------------
     @classmethod
     def from_ranges(cls, ranges: Iterable[Tuple[int, int]]) -> "CharSet":

@@ -39,7 +39,10 @@ _TAG_ALT = "|".join(re.escape(t) for t in HTML_TAG_NAMES)
 
 RE_COMMENT = re.compile(r"(?:<!--(?P<comment>.*)-->)", flags=re.I | re.U)
 RE_SCRIPT = re.compile(r"(?:<script(?:\s+[^<>]*)?>.*</script\s*>)", flags=re.I | re.U)
-RE_STYLE = re.compile(r"(?:<style(?:\s+[^<>]*)?>.*</style\s*>)", flags=re.I | re.U)
+# engine extension (no reference-parity constraint, unlike comment/script
+# above): non-greedy + DOTALL so a MULTI-LINE style block is stripped —
+# greedy no-DOTALL left the CSS body in the text that feeds language ID
+RE_STYLE = re.compile(r"(?:<style(?:\s+[^<>]*)?>.*?</style\s*>)", flags=re.I | re.U | re.S)
 RE_TAG = re.compile(rf"(?:</?(?:{_TAG_ALT})(?:\s+[^<>]*)?/?>)", flags=re.I | re.U)
 
 

@@ -31,8 +31,11 @@ ISO639_2_TO_1: dict[str, str] = {
 
 def to_iso639_1(code: str) -> str:
     """639-2 (B or T) → 639-1 where one exists; already-short or unknown
-    codes pass through unchanged (matching the reference's .get fallback,
-    ``scripts_langid.py:31``)."""
+    codes pass through LOWERCASED (the reference's .get fallback,
+    ``scripts_langid.py:31``, over its already-lowercase keys).  Lowercasing
+    the fallback too keeps normalization total: 'ENG' and 'EN' must land in
+    the same group as 'en', not split one language into case-variant keys."""
     if not code:
         return code
-    return ISO639_2_TO_1.get(code.lower(), code)
+    low = code.lower()
+    return ISO639_2_TO_1.get(low, low)

@@ -84,17 +84,15 @@ def detector_agreement(sf_dir: str) -> "rd.Dataset":
         # min-2 pool: detector init is ~2.6 s/actor, so eager-starting two
         # actors halves wall time on small inputs vs autoscale-from-1
         .map_batches(AgreementScorer, batch_format="pyarrow", batch_size=256, concurrency=(2, 4))
+        # keep EVERY lang_* vote column (wheel-gated external detectors add
+        # theirs when installed) — a vote_agreement must be explainable from
+        # the visible columns; a fixed select hid external votes that still
+        # counted in the fraction
         .map_batches(
             lambda t: t.select(
-                [
-                    "doc_id",
-                    "lang_ensemble",
-                    "lang_ngram",
-                    "lang_script",
-                    "lang_dictionary",
-                    "lang_vote",
-                    "vote_agreement",
-                ]
+                ["doc_id"]
+                + sorted(c for c in t.schema.names if c.startswith("lang_") and c != "lang_vote")
+                + ["lang_vote", "vote_agreement"]
             ),
             batch_format="pyarrow",
         )

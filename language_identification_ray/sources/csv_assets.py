@@ -85,6 +85,14 @@ def split_by_lang(
     writers, idempotent re-runs.  Unknown langs are dropped (the reference
     filters them the same way, ``split-ngram-langs.ipynb`` cell 1)."""
     if known_langs is not None:
-        allowed = set(known_langs)
-        ds = ds.filter(lambda row: row["lang"] in allowed)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        # vectorized Arrow membership filter — a per-row Python lambda
+        # costs one interpreter call per row on a GDELT-scale demux
+        allowed = pa.array(sorted(set(known_langs)), pa.string())
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.is_in(t["lang"], value_set=allowed)),
+            batch_format="pyarrow",
+        )
     ds.write_parquet(out_dir, partition_cols=["lang"])

@@ -64,9 +64,10 @@ class MultiDictionary:
     def add_dictionary(self, d: BilingualDictionary) -> "MultiDictionary":
         idx = len(self.dictionaries)
         self.dictionaries.append(d)
+        # TERM words only: lookup_terms scans the term index, so a
+        # definition-side-only hit would select a dictionary that can never
+        # return anything — pure fan-out waste on every query
         for w in d._term_index:
-            self._word_index[w].add(idx)
-        for w in d._def_index:
             self._word_index[w].add(idx)
         return self
 
@@ -93,10 +94,15 @@ class DictionaryDetector:
     def predict_batch(
         self, texts: Sequence[str], language_codes: Optional[Iterable[str]] = None
     ) -> List[List[Tuple[str, float]]]:
+        from language_identification_ray.stages.langid import SCORE_MAX_CHARS
+
         allowed = set(language_codes) & set(self.vocab) if language_codes else set(self.vocab)
         out = []
         for text in texts:
-            words = [w.casefold() for w in tokenize(text)]
+            # same truncation as every other detector (langid.SCORE_MAX_CHARS):
+            # membership fractions converge long before 400 chars, and an
+            # untruncated 1 MB doc would cost ~150k word x vocab set lookups
+            words = [w.casefold() for w in tokenize((text or "")[:SCORE_MAX_CHARS])]
             if not words:
                 out.append([])
                 continue

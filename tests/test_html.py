@@ -54,3 +54,14 @@ def test_full_page():
     )
     words = extract_text(page).split()
     assert words == ["T", "Header", "Body", "text", "here."]
+
+
+def test_multiline_style_block_is_stripped():
+    """RE_STYLE is an engine extension (no parity constraint): multi-line
+    CSS bodies must not leak into the text that feeds language ID."""
+    from language_identification_ray.functions.html import extract_text
+
+    page = "before<style>\nbody { color: red }\nh1 { font: x }\n</style>after"
+    out = extract_text(page)
+    assert "color" not in out and "body" not in out
+    assert "before" in out and "after" in out
