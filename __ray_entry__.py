@@ -35,7 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return (
             rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-            .map_batches(LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+            .map_batches(LangIdStage, batch_format="pyarrow", concurrency=(2, 4))
             .map_batches(lambda t: t.select(["doc_id", "lang", "lang_conf"]), batch_format="pyarrow")
         )
 
@@ -46,7 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return (
             rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-            .map_batches(PerplexityScorer, batch_format="pyarrow", concurrency=(1, 4))
+            .map_batches(PerplexityScorer, batch_format="pyarrow", concurrency=(2, 4))
             .map_batches(lambda t: t.select(["doc_id", "perplexity"]), batch_format="pyarrow")
         )
 
@@ -231,6 +231,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         if os.path.exists(cent_path):
             index = IvfIndex(np.load(cent_path))
         else:
+            # an interrupted earlier build leaves PARTIAL cell files (the
+            # centroids marker is written last); write_parquet would add new
+            # uniquely-named files NEXT TO them, duplicating vectors in the
+            # probed cells — rebuild from a clean directory
+            import shutil
+
+            shutil.rmtree(layout, ignore_errors=True)
             index = build_ivf_layout(rd.read_parquet(src), layout)
             np.save(cent_path, index.centroids)
         return ivf_pruned_topk(layout, index, q, k=10, n_probe=4)

@@ -40,12 +40,17 @@ def _pages_parquet(sf_dir: str, replication: int) -> tuple:
 
     from language_identification_ray.sources.pages import _synthesize_batch
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    src_path = f"{sf_dir}/documents.parquet"
+    meta = pq.ParquetFile(src_path)  # footer only — no data read on the cached path
+    n_docs = meta.metadata.num_rows
+    # cache key includes the SOURCE file identity: regenerated testdata must
+    # invalidate the materialized pages, not silently serve stale ones
+    st = os.stat(src_path)
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{int(st.st_mtime)}_{st.st_size}"
     cache = f"/tmp/bench_pages_{tag}_x{replication}"
     done = os.path.join(cache, "_DONE")
-    src = pq.read_table(f"{sf_dir}/documents.parquet")
-    n_docs = len(src)
     if not os.path.exists(done):
+        src = pq.read_table(src_path)
         os.makedirs(cache, exist_ok=True)
         idx = src.schema.names.index("doc_id")
         base_ids = src["doc_id"].to_numpy()
@@ -93,7 +98,9 @@ def run_headline() -> dict:
 
     from language_identification_ray.pipelines.quality_filter import build
 
-    # warm the page cache + actor pools with one untimed small pass
+    # warm the page cache (untimed).  Actor-pool init CANNOT be pre-warmed:
+    # Ray Data actor pools are per-execution, so the ~5 s model-load cost is
+    # part of the timed window — the same cold start a production run pays
     pages, n_pages = _replicated_pages(SF_DIR, PAGES_REPLICATION)
 
     import shutil
@@ -148,16 +155,20 @@ def run_headline() -> dict:
         }
     for name, fn in entrymod.queries().items():
         t0 = time.time()
-        res = fn(SF_DIR)
         try:
+            res = fn(SF_DIR)
             import ray.data as rd
 
             if isinstance(res, rd.Dataset):
+                # consumption is where a lazy Dataset actually executes — a
+                # swallowed exception here would record a crashing operator
+                # as a fast successful time
                 for _ in res.iter_batches(batch_size=8192):
                     pass
-        except Exception:
-            pass
-        queries[name] = round(time.time() - t0, 3)
+            queries[name] = round(time.time() - t0, 3)
+        except Exception as e:
+            print(f"QUERY FAILED {name}: {type(e).__name__}: {e}", file=sys.stderr)
+            queries[name] = None
 
     return {
         "metric": "flagship_pipeline_sec",

@@ -268,9 +268,18 @@ def run_resumable(
         lock.__exit__()
 
     totals: Counter = Counter()
+    totals_run: Counter = Counter()
+    ran_set = set(ran)
     for rec in completed_groups(out_dir).values():
         totals.update(rec.get("counters", {}))
-    return {"groups_run": ran, "groups_skipped": skipped, "counters": dict(totals)}
+        if rec.get("group") in ran_set:
+            totals_run.update(rec.get("counters", {}))
+    return {
+        "groups_run": ran,
+        "groups_skipped": skipped,
+        "counters": dict(totals),  # ALL committed groups (table totals)
+        "counters_run": dict(totals_run),  # only groups THIS invocation ran
+    }
 
 
 def _run_groups(

@@ -31,22 +31,31 @@ from language_identification_ray.functions.textnorm import (
 _RE_WS = re.compile(r"\s+", flags=re.U)
 
 
-def decode_and_extract(text: str | None, html: bytes | None) -> str:
-    if text:
+def decode_and_extract(text: str | None, html: bytes | None) -> "tuple[str, int]":
+    """→ (canonical text, pre-truncation utf-8 byte size).
+
+    Whitespace-only pre-extracted text does NOT suppress the html fallback:
+    a page whose text field is "  \n " but whose html holds real content
+    must be extracted, not emitted empty and dropped downstream."""
+    if text and text.strip():
         out = ensure_unicode(text)
     elif html is not None and len(html):
         out = extract_text(ensure_unicode(html))
     else:
-        return ""
+        return "", 0
     out = _RE_WS.sub(" ", out).strip()
-    return truncate_text(out, max_bytes_length=BYTE_LENGTH_LIMIT)
+    # n_bytes is the PRE-truncation size (run metrics count input volume;
+    # measuring after the 10 MiB cap would silently clip every large doc)
+    n = len(out.encode("utf-8"))
+    return truncate_text(out, max_bytes_length=BYTE_LENGTH_LIMIT), n
 
 
 def decode_extract_batch(batch: pa.Table) -> pa.Table:
     texts = batch["text"].to_pylist() if "text" in batch.schema.names else [None] * len(batch)
     htmls = batch["html"].to_pylist() if "html" in batch.schema.names else [None] * len(batch)
-    out = [decode_and_extract(t, h) for t, h in zip(texts, htmls)]
-    n_bytes = pa.array([len(t.encode("utf-8")) for t in out], pa.int64())
+    pairs = [decode_and_extract(t, h) for t, h in zip(texts, htmls)]
+    out = [p[0] for p in pairs]
+    n_bytes = pa.array([p[1] for p in pairs], pa.int64())
 
     names = batch.schema.names
     result = batch.set_column(names.index("text"), "text", pa.array(out, pa.string())) if "text" in names else batch.append_column("text", pa.array(out, pa.string()))

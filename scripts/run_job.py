@@ -40,10 +40,16 @@ def main() -> int:
     import ray
 
     if not ray.is_initialized():
+        import os
+
         kwargs = dict(include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
         if args.num_cpus:
             kwargs["num_cpus"] = args.num_cpus
-        ray.init(address="local", **kwargs)
+        # honor the job environment's RAY_ADDRESS (ray job submit sets it so
+        # the driver joins the EXISTING cluster); standalone, None starts a
+        # local session — address="local" would force a fresh single-node
+        # Ray even inside a cluster job
+        ray.init(address=os.environ.get("RAY_ADDRESS"), **kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -65,6 +71,7 @@ def main() -> int:
     )
     wall = time.time() - t0
     rows = info["counters"].get("rows", 0)
+    rows_run = info["counters_run"].get("rows", 0)
     print(
         json.dumps(
             {
@@ -73,7 +80,9 @@ def main() -> int:
                 "rows": rows,
                 "kept": info["counters"].get("kept", 0),
                 "wall_s": round(wall, 2),
-                "docs_per_sec": round(rows / wall, 1) if wall > 0 and info["groups_run"] else None,
+                # throughput of THIS invocation only: on a resume, `rows`
+                # includes previously committed groups this run never touched
+                "docs_per_sec": round(rows_run / wall, 1) if wall > 0 and info["groups_run"] else None,
             }
         )
     )

@@ -8,17 +8,19 @@ from language_identification_ray.stages.decode import decode_and_extract
 
 
 def test_decode_prefers_text():
-    assert decode_and_extract("already here", b"<p>ignored</p>") == "already here"
+    assert decode_and_extract("already here", b"<p>ignored</p>")[0] == "already here"
 
 
 def test_decode_falls_back_to_html():
-    assert decode_and_extract("", b"<html><body><p>from html</p></body></html>") == "from html"
-    assert decode_and_extract(None, None) == ""
+    assert decode_and_extract("", b"<html><body><p>from html</p></body></html>")[0] == "from html"
+    # whitespace-only text must fall through to the html content too
+    assert decode_and_extract("  \n ", b"<html><body><p>real</p></body></html>")[0] == "real"
+    assert decode_and_extract(None, None) == ("", 0)
 
 
 def test_decode_cp1252_html():
     raw = "<p>curly ’quote’</p>".encode("cp1252")
-    assert decode_and_extract("", raw) == "curly ’quote’"
+    assert decode_and_extract("", raw)[0] == "curly ’quote’"
 
 
 @pytest.fixture(scope="module")
