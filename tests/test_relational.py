@@ -94,6 +94,33 @@ def test_top_revenue_orders_unknown_segment_returns_empty(ray_session, sf_dir):
     assert ds.count() == 0
 
 
+def test_late_shipment_join_fallback_matches_broadcast(ray_session, sf_dir):
+    """The size-gated broadcast path and the shuffle-join fallback of
+    late_shipment_priority must agree row-for-row: the gate only picks a
+    physical plan, never changes the answer."""
+    import numpy as np
+
+    from language_identification_ray.pipelines.relational import (
+        _late_shipment_priority_join,
+        late_shipment_priority,
+    )
+
+    fast = (
+        late_shipment_priority(sf_dir)
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    grace_ns = np.int64(30) * np.int64(86_400_000_000_000)
+    slow = (
+        _late_shipment_priority_join(sf_dir, grace_ns)
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    assert fast.equals(slow), (fast, slow)
+
+
 def test_asof_null_purchase_values_ignored_like_sql_max(ray_session, tmp_path):
     """A (user, ts) slot with one NULL and one real purchase value must keep
     the real value (SQL max() ignores NULLs); an all-NULL slot stays NULL."""
