@@ -32,6 +32,17 @@ def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+def _text_col(batch: pa.Table) -> pa.ChunkedArray:
+    """``text`` with NULLs as empty strings, single-chunk.  The pure-Arrow
+    word paths crash on NULL text otherwise (null list lengths → NaN counts
+    into ``np.repeat``), and ``documents_profile`` explicitly treats
+    null_text as an anticipated input.  Convention: NULL text behaves like
+    '' (one empty token from a space-split, zero n-grams) — a deliberate
+    engine-side choice where SQL would propagate NULL; the driver fixtures
+    contain no NULL text, so oracle hashes are unaffected."""
+    return pc.fill_null(batch["text"], "").combine_chunks()
+
+
 # ---------------------------------------------------------------------------
 # per-record maps / filters (SURVEY §2.2)
 
@@ -42,7 +53,7 @@ def token_count(sf_dir: str) -> "rd.Dataset":
     (Tokenization M9 reduced to the SQL-parity split.)"""
 
     def f(batch: pa.Table) -> pa.Table:
-        n = pc.list_value_length(pc.split_pattern(batch["text"], " ")).cast(pa.int64())
+        n = pc.list_value_length(pc.split_pattern(_text_col(batch), " ")).cast(pa.int64())
         return pa.table({"doc_id": batch["doc_id"], "n_tokens": n})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
@@ -76,7 +87,7 @@ def stopword_stats(sf_dir: str) -> "rd.Dataset":
     stop_arr = pa.array(SQL_STOPWORDS, pa.string())
 
     def f(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        words = pc.split_pattern(_text_col(batch), " ")
         n_words = pc.list_value_length(words).cast(pa.int64())
         hits_mask = pc.is_in(pc.list_flatten(words), value_set=stop_arr)
         doc_of = np.repeat(np.arange(len(batch), dtype=np.int64), n_words.to_numpy())
@@ -109,7 +120,7 @@ def repetition_stats(sf_dir: str) -> "rd.Dataset":
     collision risk against the SQL ``count(DISTINCT gram)``."""
 
     def f(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        words = pc.split_pattern(_text_col(batch), " ")
         n_words = pc.list_value_length(words).to_numpy().astype(np.int64)
         flat = words.flatten()
         _, codes = np.unique(flat.to_numpy(zero_copy_only=False), return_inverse=True)
@@ -466,22 +477,52 @@ def events_json_kpi(sf_dir: str) -> "rd.Dataset":
     O(types × batches) rows; the mean is finalized from exact integer sums
     in float64 (identical to DuckDB ``avg`` over BIGINT).
 
-    Data contract (enforced by the anchored pattern): ``props`` is a flat
-    object whose FIRST key is an integer ``k`` (the events synthesizer's
-    shape).  The anchor means a ``k`` nested inside a sub-object does NOT
-    match — same NULL the oracle's ``json_extract('$.k')`` yields — and a
-    non-integer ``k`` yields NULL here where the oracle's CAST errors; a
-    schema change to props should be caught by either signal, not silently
-    averaged."""
+    Two-tier extraction (r2 ADVICE: the anchored regex alone silently
+    NULLed any ``k`` that wasn't the literal first key).  Tier 1 is the
+    vectorized first-key regex — it hits 100% of the events synthesizer's
+    payloads, so the hot path stays one RE2 pass per batch.  Every row the
+    regex misses that still CONTAINS a quoted ``"k"`` (key reordered,
+    unusual whitespace, string-typed number, nested object) falls through
+    to an exact per-row ``json.loads`` of just those rows — top-level
+    integer/numeric-string ``k`` is recovered exactly as
+    ``json_extract_string('$.k')`` would, nested/absent/malformed stay
+    NULL, so the oracle's semantics hold under schema drift instead of
+    silently diverging.  The fallback cost is proportional to the drifted
+    tail, not the corpus."""
     pat = r'^\{\s*"k":\s*(?P<k>-?\d+)\s*[,}]'  # NAMED group (Arrow requires it)
 
     def partial(batch: pa.Table) -> pa.Table:
-        caught = pc.extract_regex(batch["props"], pat)
+        props = batch["props"]
+        caught = pc.extract_regex(props, pat)
         ks = pc.cast(pc.struct_field(caught, "k"), pa.int64())
+        k_col = ks.to_pandas()
+        miss = pc.and_(
+            pc.and_(pc.is_null(ks), pc.is_valid(props)),
+            pc.match_substring(props, '"k"'),
+        ).to_numpy(zero_copy_only=False)
+        if miss.any():
+            import json
+
+            pv = props.to_pylist()
+            for i in np.nonzero(miss)[0]:
+                try:
+                    obj = json.loads(pv[i])
+                except (ValueError, TypeError):
+                    continue  # malformed JSON: NULL, like json_extract
+                v = obj.get("k") if isinstance(obj, dict) else None
+                if isinstance(v, bool):
+                    continue  # CAST('true' AS BIGINT) errors; stay NULL
+                if isinstance(v, int):
+                    k_col.iloc[int(i)] = v
+                elif isinstance(v, str):
+                    try:
+                        k_col.iloc[int(i)] = int(v)
+                    except ValueError:
+                        pass
         df = pd.DataFrame(
             {
                 "event_type": batch["event_type"].to_pandas(),
-                "k": ks.to_pandas(),
+                "k": k_col,
             }
         )
         g = df.groupby("event_type", as_index=False, sort=False).agg(
@@ -1528,7 +1569,7 @@ def tfidf_top5_per_lang(sf_dir: str, k: int = 5) -> "rd.Dataset":
         """Per-batch (lang, word) counts, all-Arrow/numpy: split → flatten
         with lang repeated per token → dictionary-encode both columns →
         bincount the packed code pairs.  No per-row Python."""
-        words = pc.split_pattern(batch["text"], " ")
+        words = pc.split_pattern(_text_col(batch), " ")
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()
         n_tok = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)

@@ -189,7 +189,7 @@ class _RunLock:
         self.path = os.path.join(out_dir, "_LOCK")
 
     def __enter__(self):
-        for _ in range(2):
+        for _ in range(3):
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
                 os.write(fd, str(os.getpid()).encode())
@@ -205,14 +205,30 @@ class _RunLock:
                     try:
                         os.kill(pid, 0)
                         alive = True
-                    except (ProcessLookupError, PermissionError):
+                    except ProcessLookupError:
                         alive = False
+                    except PermissionError:
+                        # the pid exists but belongs to another user — it
+                        # cannot be a crashed driver of ours (same-user
+                        # writes created the lock); treat as held
+                        alive = True
                 if alive:
                     raise RuntimeError(
                         f"another driver (pid {pid}) holds {self.path}; "
                         "refusing to run two resumable jobs on one out_dir"
                     )
-                os.unlink(self.path)  # stale lock from a dead driver
+                # TOCTOU-safe takeover (r2 ADVICE): CLAIM the stale lock with
+                # an atomic rename before removing it — of N drivers that all
+                # read the dead pid, exactly one rename succeeds; the losers
+                # fall back to the O_EXCL attempt and see the winner's fresh
+                # lock.  A bare unlink here would let a loser delete the
+                # winner's just-created lock.
+                claim = f"{self.path}.stale.{os.getpid()}"
+                try:
+                    os.rename(self.path, claim)
+                except FileNotFoundError:
+                    continue  # another racer claimed it first; retry O_EXCL
+                os.unlink(claim)
         raise RuntimeError(f"could not acquire {self.path}")
 
     def __exit__(self, *exc):

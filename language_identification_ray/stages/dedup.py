@@ -177,26 +177,45 @@ def _runs(sorted_keys: np.ndarray):
             yield int(s), int(e)
 
 
-def _report_cap(counters, op: str, run_len: int, max_bucket: int) -> None:
-    """Surface a truncated verification bucket as DATA, not just worker
-    stdout: with a ``RunCounters`` handle the cap lands in cluster-visible
+class _CapTally:
+    """Surfaces truncated verification buckets as DATA, not just worker
+    stdout: with a ``RunCounters`` handle the caps land in cluster-visible
     counters (``<op>_capped_buckets`` / ``<op>_capped_rows`` — the dropped
-    candidate ids), so recall loss is observable by the caller.  Caps are
-    the exceptional path, so the synchronous actor round-trip costs nothing
-    in the common case and makes the count complete by the time the caller
-    reads it after consuming the dataset."""
-    if counters is not None:
-        import ray
+    candidate ids), so recall loss is observable by the caller.
 
-        ray.get(
-            counters.add.remote(
-                **{
-                    f"{op}_capped_buckets": 1,
-                    f"{op}_capped_rows": run_len - max_bucket,
-                }
+    Caps are accumulated locally and flushed as ONE synchronous actor
+    round-trip per shard-group invocation (r2 ADVICE: a per-bucket
+    ``ray.get`` serialized every shard task on the single counters actor
+    exactly on flood-heavy corpora, where caps fire constantly).  The flush
+    stays synchronous so the counts are complete by the time the caller
+    reads them after consuming the dataset."""
+
+    def __init__(self, counters, op: str, max_bucket: int):
+        self._counters = counters
+        self._op = op
+        self._max_bucket = max_bucket
+        self._buckets = 0
+        self._rows = 0
+
+    def hit(self, run_len: int) -> None:
+        self._buckets += 1
+        self._rows += run_len - self._max_bucket
+        print(f"{self._op}: bucket of {run_len} capped at {self._max_bucket}")
+
+    def flush(self) -> None:
+        if self._buckets and self._counters is not None:
+            import ray
+
+            ray.get(
+                self._counters.add.remote(
+                    **{
+                        f"{self._op}_capped_buckets": self._buckets,
+                        f"{self._op}_capped_rows": self._rows,
+                    }
+                )
             )
-        )
-    print(f"{op}: bucket of {run_len} capped at {max_bucket}")
+        self._buckets = 0
+        self._rows = 0
 
 
 def _validate_shard_params(
@@ -211,9 +230,16 @@ def _validate_shard_params(
         raise ValueError(
             f"n_shards must be a power of two (shard = bucket & (n_shards-1)); got {n_shards}"
         )
-    if not 2 <= max_bucket <= 46340:
+    if not 2 <= max_bucket <= 8192:
+        # 8192 is a MEMORY bound, not the int32-overflow bound (46340): the
+        # pair-lane verify allocates O(n^2) int32/byte buffers — at 8192 that
+        # is ~33.5M pairs (~0.5 GB across pi/pj/ca/cb/eq per task), and at
+        # the overflow bound it would be ~1.07e9 pairs (15+ GB, certain
+        # worker OOM).  Larger buckets should be salted, not verified whole.
         raise ValueError(
-            f"max_bucket must be in [2, 46340] (pair math is int32: n*(n-1)/2 < 2^31); got {max_bucket}"
+            f"max_bucket must be in [2, 8192] (pair buffers grow as n^2: "
+            f"8192 -> ~0.5 GB/task; the int32 pair-index math alone would "
+            f"allow 46340 but that is a 15+ GB allocation); got {max_bucket}"
         )
     if bands is not None:
         if not 1 <= bands <= n_perm:
@@ -364,7 +390,7 @@ def minhash_lsh_pairs(
     ``n_shards`` with the corpus so a shard fits a worker; bucket
     verification is capped at ``max_bucket`` ids (larger buckets are
     near-identical boilerplate floods); pass a ``RunCounters`` handle as
-    ``counters`` to surface every cap as data (see ``_report_cap``).
+    ``counters`` to surface every cap as data (see ``_CapTally``).
     """
     _validate_shard_params(n_shards, max_bucket, n_perm, bands)
     hasher = MinHasher(n_perm)
@@ -400,10 +426,11 @@ def minhash_lsh_pairs(
         blobs = group["sig"].to_pylist()
         order = np.lexsort((ids, buckets))
         out_a, out_b, est = [], [], []
+        tally = _CapTally(counters, "minhash_lsh_pairs", max_bucket)
         for s, e in _runs(buckets[order]):
             run = order[s:e]
             if len(run) > max_bucket:
-                _report_cap(counters, "minhash_lsh_pairs", len(run), max_bucket)
+                tally.hit(len(run))
                 run = run[:max_bucket]
             m = len(run)
             mat = np.frombuffer(b"".join(blobs[i] for i in run), dtype=np.uint32).reshape(m, -1)
@@ -430,6 +457,7 @@ def minhash_lsh_pairs(
             out_a.append(np.minimum(ga, gb)[distinct])
             out_b.append(np.maximum(ga, gb)[distinct])
             est.append(sim[keep][distinct])
+        tally.flush()
         a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
         b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
         e_ = np.concatenate(est) if est else np.empty(0, dtype=np.float64)
@@ -550,7 +578,7 @@ def simhash_pairs(
     mixed into one uint64; groups are ``n_shards`` fixed shards (same
     rationale as ``minhash_lsh_pairs``) with local bucketing + vectorized
     popcount verification.  Shuffle payload is 24 B per (doc, chunk);
-    capped buckets are surfaced via ``counters`` (see ``_report_cap``)."""
+    capped buckets are surfaced via ``counters`` (see ``_CapTally``)."""
     _validate_shard_params(n_shards, max_bucket)
 
     def sigs(batch: pa.Table) -> pa.Table:
@@ -584,10 +612,11 @@ def simhash_pairs(
         sims = group["simhash"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, buckets))
         out_a, out_b, ham = [], [], []
+        tally = _CapTally(counters, "simhash_pairs", max_bucket)
         for s, e in _runs(buckets[order]):
             run = order[s:e]
             if len(run) > max_bucket:
-                _report_cap(counters, "simhash_pairs", len(run), max_bucket)
+                tally.hit(len(run))
                 run = run[:max_bucket]
             h = np.ascontiguousarray(sims[run])
             # pairwise hamming over int32 pair indices, one uint16 lane at a
@@ -609,6 +638,7 @@ def simhash_pairs(
             out_a.append(np.minimum(ga, gb)[distinct])
             out_b.append(np.maximum(ga, gb)[distinct])
             ham.append(d[keep][distinct])
+        tally.flush()
         a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
         b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
         h_ = np.concatenate(ham) if ham else np.empty(0, dtype=np.int64)
@@ -923,10 +953,11 @@ def lsh_exact_jaccard_pairs(
         )
         order = np.lexsort((ids, buckets))
         out_a, out_b, out_j = [], [], []
+        tally = _CapTally(counters, "lsh_exact_jaccard_pairs", max_bucket)
         for s, e in _runs(buckets[order]):
             run = order[s:e]
             if len(run) > max_bucket:
-                _report_cap(counters, "lsh_exact_jaccard_pairs", len(run), max_bucket)
+                tally.hit(len(run))
                 run = run[:max_bucket]
             m = len(run)
             # FIRST-BAND OWNERSHIP: this run's band verifies a pair only if
@@ -973,6 +1004,7 @@ def lsh_exact_jaccard_pairs(
             out_a.append(np.minimum(ga, gb)[distinct])
             out_b.append(np.maximum(ga, gb)[distinct])
             out_j.append(vals[keep][distinct])
+        tally.flush()
         a = np.concatenate(out_a) if out_a else np.empty(0, dtype=np.int64)
         b = np.concatenate(out_b) if out_b else np.empty(0, dtype=np.int64)
         j = np.concatenate(out_j) if out_j else np.empty(0, dtype=np.float64)

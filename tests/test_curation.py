@@ -397,3 +397,82 @@ def test_events_funnel_conversion_window(ray_session, tmp_path):
     )
     out = analysis.events_funnel(str(d)).to_pandas().set_index("user_id")["stage"]
     assert out.to_dict() == {1: 1, 2: 3}
+
+
+@pytest.fixture()
+def null_text_sf(tmp_path):
+    """documents table with a NULL and an empty text row (the
+    documents_profile-audited inputs the pure-Arrow word paths must not
+    crash on)."""
+    texts = ["alpha beta alpha beta alpha beta gamma", None, "", "delta delta"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en", "en", "de", "de"], pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    return str(tmp_path)
+
+
+def test_arrow_text_paths_survive_null_text(ray_session, null_text_sf):
+    """NULL text behaves like '' in every pure-Arrow word path (the r2
+    ADVICE crash: null list lengths -> NaN counts into np.repeat)."""
+    tc = analysis.token_count(null_text_sf).to_pandas().set_index("doc_id")
+    assert tc.loc[0, "n_tokens"] == 7
+    assert tc.loc[1, "n_tokens"] == 1  # NULL -> '' -> one empty token
+    assert tc.loc[2, "n_tokens"] == 1
+
+    sw = analysis.stopword_stats(null_text_sf).to_pandas()
+    assert len(sw) == 4 and (sw["stop_hits"] >= 0).all()
+
+    rep = analysis.repetition_stats(null_text_sf).to_pandas().set_index("doc_id")
+    assert rep.loc[1, "n_grams"] == 0 and rep.loc[1, "dup_frac"] == 0.0
+    assert rep.loc[0, "n_grams"] == 5 and rep.loc[0, "n_distinct"] == 3
+
+    tf = analysis.tfidf_top5_per_lang(null_text_sf).to_pandas()
+    assert set(tf["lang"]) == {"en", "de"}
+
+
+def test_events_json_kpi_key_position_and_drift(ray_session, tmp_path):
+    """`k` in ANY flat-object position is extracted (r2 ADVICE: the old
+    first-key anchor silently NULLed reordered payloads) via the exact
+    json.loads fallback, including string-typed numbers — matching
+    json_extract_string('$.k') + CAST under schema drift."""
+    import datetime as dt
+
+    def write(d, props):
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(range(len(props)), pa.int64()),
+                    "user_id": pa.array([1] * len(props), pa.int64()),
+                    "ts": pa.array([dt.datetime(2026, 1, 1)] * len(props), pa.timestamp("us")),
+                    "event_type": pa.array(["view"] * len(props), pa.string()),
+                    "value": pa.array([0.0] * len(props), pa.float64()),
+                    "props": pa.array(props, pa.string()),
+                }
+            ),
+            d / "events.parquet",
+        )
+        return str(d)
+
+    ok = write(tmp_path / "ok", ['{"k": 4}', '{"a": 1, "k": 6}', '{"other": 2}'])
+    out = analysis.events_json_kpi(ok).to_pandas()
+    assert out.loc[0, "n_events"] == 3
+    assert out.loc[0, "avg_k"] == 5.0  # both positions extracted, no-k row skipped
+
+    drifted = write(
+        tmp_path / "drift",
+        ['{"k": 1}', '{ "k" : 3 }', '{"k": "5"}', '{"nested": {"k": 99}}', "not json {\"k\""],
+    )
+    out = analysis.events_json_kpi(drifted).to_pandas()
+    assert out.loc[0, "n_events"] == 5
+    # odd whitespace and string-typed k recovered; nested + malformed stay NULL
+    assert out.loc[0, "avg_k"] == 3.0  # (1 + 3 + 5) / 3
