@@ -1,31 +1,57 @@
 """ISO 639 language-code normalization (SURVEY §2.4 J5).
 
 The reference ships a full ISO 639-3 table (``iso639_3.py``) plus ad-hoc
-remaps (``datasets/tmp.py:39-150``).  The engine needs only the common
-bibliographic/terminology 639-2 → 639-1 remap for the languages it scores —
-public ISO data, written out compactly here.  Unknown codes pass through.
+remaps (``datasets/tmp.py:39-150``).  ``ISO639_2_TO_1`` carries the FULL
+639-2 (bibliographic and terminology) → 639-1 remap — 204 entries of
+public ISO data, parity-tested against the reference's ``iso639_2_1``
+table (``iso639_3.py:1-206``) so demux grouping of tail languages matches
+(``split_by_lang`` / the agreement panel).  Unknown codes pass through.
 """
 
 from __future__ import annotations
 
 ISO639_2_TO_1: dict[str, str] = {
-    "eng": "en", "fra": "fr", "fre": "fr", "deu": "de", "ger": "de",
-    "spa": "es", "ita": "it", "por": "pt", "nld": "nl", "dut": "nl",
-    "msa": "ms", "may": "ms", "ind": "id", "tgl": "tl", "vie": "vi",
-    "swe": "sv", "pol": "pl", "tur": "tr", "rus": "ru", "ukr": "uk",
-    "ell": "el", "gre": "el", "ara": "ar", "fas": "fa", "per": "fa",
-    "urd": "ur", "hin": "hi", "ben": "bn", "pan": "pa", "guj": "gu",
-    "ori": "or", "tam": "ta", "tel": "te", "kan": "kn", "mal": "ml",
-    "sin": "si", "tha": "th", "lao": "lo", "bod": "bo", "tib": "bo",
-    "mya": "my", "bur": "my", "kat": "ka", "geo": "ka", "kor": "ko",
-    "jpn": "ja", "zho": "zh", "chi": "zh", "heb": "he", "yid": "yi",
-    "amh": "am", "tir": "ti", "khm": "km", "mon": "mn", "div": "dv",
-    "hye": "hy", "arm": "hy", "srp": "sr", "bul": "bg", "ces": "cs",
-    "cze": "cs", "slk": "sk", "slo": "sk", "ron": "ro", "rum": "ro",
-    "hun": "hu", "fin": "fi", "dan": "da", "nor": "no", "isl": "is",
-    "ice": "is", "cat": "ca", "eus": "eu", "baq": "eu", "glg": "gl",
-    "hrv": "hr", "lit": "lt", "lav": "lv", "est": "et", "mar": "mr",
-    "nep": "ne", "san": "sa", "asm": "as",
+    "aar": "aa", "abk": "ab", "afr": "af", "aka": "ak", "alb": "sq",
+    "amh": "am", "ara": "ar", "arg": "an", "arm": "hy", "asm": "as",
+    "ava": "av", "ave": "ae", "aym": "ay", "aze": "az", "bak": "ba",
+    "bam": "bm", "baq": "eu", "bel": "be", "ben": "bn", "bih": "bh",
+    "bis": "bi", "bod": "bo", "bos": "bs", "bre": "br", "bul": "bg",
+    "bur": "my", "cat": "ca", "ces": "cs", "cha": "ch", "che": "ce",
+    "chi": "zh", "chu": "cu", "chv": "cv", "cor": "kw", "cos": "co",
+    "cre": "cr", "cym": "cy", "cze": "cs", "dan": "da", "deu": "de",
+    "div": "dv", "dut": "nl", "dzo": "dz", "ell": "el", "eng": "en",
+    "epo": "eo", "est": "et", "eus": "eu", "ewe": "ee", "fao": "fo",
+    "fas": "fa", "fij": "fj", "fin": "fi", "fra": "fr", "fre": "fr",
+    "fry": "fy", "ful": "ff", "geo": "ka", "ger": "de", "gla": "gd",
+    "gle": "ga", "glg": "gl", "glv": "gv", "gre": "el", "grn": "gn",
+    "guj": "gu", "hat": "ht", "hau": "ha", "heb": "he", "her": "hz",
+    "hin": "hi", "hmo": "ho", "hrv": "hr", "hun": "hu", "hye": "hy",
+    "ibo": "ig", "ice": "is", "ido": "io", "iii": "ii", "iku": "iu",
+    "ile": "ie", "ina": "ia", "ind": "id", "ipk": "ik", "isl": "is",
+    "ita": "it", "jav": "jv", "jpn": "ja", "kal": "kl", "kan": "kn",
+    "kas": "ks", "kat": "ka", "kau": "kr", "kaz": "kk", "khm": "km",
+    "kik": "ki", "kin": "rw", "kir": "ky", "kom": "kv", "kon": "kg",
+    "kor": "ko", "kua": "kj", "kur": "ku", "lao": "lo", "lat": "la",
+    "lav": "lv", "lim": "li", "lin": "ln", "lit": "lt", "ltz": "lb",
+    "lub": "lu", "lug": "lg", "mac": "mk", "mah": "mh", "mal": "ml",
+    "mao": "mi", "mar": "mr", "may": "ms", "mkd": "mk", "mlg": "mg",
+    "mlt": "mt", "mon": "mn", "mri": "mi", "msa": "ms", "mya": "my",
+    "nau": "na", "nav": "nv", "nbl": "nr", "nde": "nd", "ndo": "ng",
+    "nep": "ne", "nld": "nl", "nno": "nn", "nob": "nb", "nor": "no",
+    "nya": "ny", "oci": "oc", "oji": "oj", "ori": "or", "orm": "om",
+    "oss": "os", "pan": "pa", "per": "fa", "pli": "pi", "pol": "pl",
+    "por": "pt", "pus": "ps", "que": "qu", "roh": "rm", "ron": "ro",
+    "rum": "ro", "run": "rn", "rus": "ru", "sag": "sg", "san": "sa",
+    "sin": "si", "slk": "sk", "slo": "sk", "slv": "sl", "sme": "se",
+    "smo": "sm", "sna": "sn", "snd": "sd", "som": "so", "sot": "st",
+    "spa": "es", "sqi": "sq", "srd": "sc", "srp": "sr", "ssw": "ss",
+    "sun": "su", "swa": "sw", "swe": "sv", "tah": "ty", "tam": "ta",
+    "tat": "tt", "tel": "te", "tgk": "tg", "tgl": "tl", "tha": "th",
+    "tib": "bo", "tir": "ti", "ton": "to", "tsn": "tn", "tso": "ts",
+    "tuk": "tk", "tur": "tr", "twi": "tw", "uig": "ug", "ukr": "uk",
+    "urd": "ur", "uzb": "uz", "ven": "ve", "vie": "vi", "vol": "vo",
+    "wel": "cy", "wln": "wa", "wol": "wo", "xho": "xh", "yid": "yi",
+    "yor": "yo", "zha": "za", "zho": "zh", "zul": "zu",
 }
 
 

@@ -43,6 +43,83 @@ def _positional_ngrams(word: str, n: int) -> Dict[str, Tuple[float, ...]]:
     return {g: tuple(v) for g, v in locs.items()}
 
 
+class ApproxWordList1:
+    """The reference's first fuzzy-index variant — n-gram COUNT vectors
+    scored by cosine similarity (reference ``datatypes.py:693-749``), no
+    positions and no EMD:
+
+    * grams come from the literally ``^``/``$``-padded word for EVERY
+      order (including n=1, where the pad chars themselves become grams);
+    * each word's per-order gram-count vector is L2-normalized at ADD time
+      and stored inverted (gram → [(word_idx, norm_count)]), so a lookup
+      accumulates the cosine directly from the posting lists;
+    * per-order cosines are power-mean-averaged across orders
+      (``(sum(x**dim)/len)**(1/dim)``, dim=1 default) and ranked desc with
+      the reference's ``Counter.most_common`` tie order (insertion order =
+      first-seen during gram iteration).
+    """
+
+    def __init__(self, n: Union[int, Iterable[int]] = (2, 4)):
+        self.n_list: Tuple[int, ...] = (n,) if isinstance(n, int) else tuple(n)
+        self.vocabulary: List[str] = []
+        self._vocab_indices: Dict[str, int] = {}
+        # per order: n_gram -> [(word_idx, normalized count)]
+        self._indices: Dict[int, Dict[str, List[Tuple[int, float]]]] = {}
+
+    @staticmethod
+    def _gram_counts(word: str, n: int) -> Dict[str, int]:
+        padded = f"^{word}$"
+        counts: Dict[str, int] = {}
+        for i in range(len(padded) - n + 1):
+            g = padded[i : i + n]
+            counts[g] = counts.get(g, 0) + 1
+        return counts
+
+    def add_word(self, word: str) -> "ApproxWordList1":
+        if not word:
+            raise ValueError("empty word")
+        if word in self._vocab_indices:
+            return self
+        idx = self._vocab_indices[word] = len(self.vocabulary)
+        self.vocabulary.append(word)
+        for n in set(self.n_list):
+            index = self._indices.setdefault(n, {})
+            counts = self._gram_counts(word, n)
+            denom = sum(c * c for c in counts.values()) ** 0.5
+            for gram, c in counts.items():
+                index.setdefault(gram, []).append((idx, c / denom))
+        return self
+
+    def add_words(self, words: Iterable[str]) -> "ApproxWordList1":
+        for w in words:
+            if w:
+                self.add_word(w)
+        return self
+
+    def lookup(self, word: str, top_k: Optional[int] = None, dim: float = 1.0) -> List[Tuple[str, float]]:
+        """→ [(candidate, round(power_mean_cosine, 3))] ranked desc."""
+        matches: Dict[int, List[float]] = {}
+        for n_idx, n in enumerate(self.n_list):
+            index = self._indices.get(n, {})
+            counts = self._gram_counts(word, n)
+            denom = sum(c * c for c in counts.values()) ** 0.5
+            for gram, c in counts.items():
+                for widx, norm_count in index.get(gram, ()):
+                    scores = matches.setdefault(widx, [0.0] * len(self.n_list))
+                    scores[n_idx] += norm_count * (c / denom)
+        order = {widx: rank for rank, widx in enumerate(matches)}
+        ranked = sorted(
+            (
+                (widx, (sum(s**dim for s in scores) / len(scores)) ** (1.0 / dim))
+                for widx, scores in matches.items()
+            ),
+            key=lambda kv: (-kv[1], order[kv[0]]),
+        )
+        if top_k is None:
+            top_k = len(ranked)
+        return [(self.vocabulary[widx], round(score, 3)) for widx, score in ranked[:top_k]]
+
+
 class ApproxWordList2:
     """The reference's intermediate positional-list variant
     (``dictionary_langid/datatypes.py:390-458``), kept for parity alongside

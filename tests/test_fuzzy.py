@@ -194,3 +194,98 @@ class TestApproxWordList2:
 
         idx = ApproxWordList2(2).add_words(["abc", "abc"])
         assert len(idx.vocabulary) == 1
+
+
+# ---------------------------------------------------------------------------
+# v1 cosine variant + the reference's own misspelling conformance corpus
+
+
+def _misspelling_corpus():
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data", "schwarzenegger_misspellings.txt")
+    with open(path) as f:
+        return [ln.strip() for ln in f if ln.strip() and not ln.startswith("#")]
+
+
+def _conformance_vocab():
+    from language_identification_ray.state.seed_corpus import SEED_SENTENCES
+
+    vocab = sorted({w for s in SEED_SENTENCES["en"] for w in s.split()})
+    # confusable distractors make the corpus a real discrimination test
+    vocab += ["schwarzenegger", "schwartz", "switzerland", "sweater", "swagger",
+              "schubert", "eggers", "governor", "terminator", "austria"]
+    return vocab
+
+
+class TestApproxWordList1Cosine:
+    """ApproxWordList v1 (reference datatypes.py:693-749): L2-normalized
+    n-gram count vectors scored by cosine, power-mean across orders."""
+
+    def test_exact_word_scores_one(self):
+        from language_identification_ray.state.fuzzy import ApproxWordList1
+
+        idx = ApproxWordList1((2, 4)).add_words(["banana", "bandana", "cabana"])
+        out = idx.lookup("banana")
+        assert out[0] == ("banana", 1.0)  # cosine of a vector with itself
+
+    def test_single_order_equals_plain_cosine(self):
+        """Hand-checked cosine on 2-grams of ^cat$ vs ^cart$."""
+        from language_identification_ray.state.fuzzy import ApproxWordList1
+
+        idx = ApproxWordList1(2).add_words(["cart"])
+        # ^cat$ grams: {^c, ca, at, t$}; ^cart$ grams: {^c, ca, ar, rt, t$}
+        # shared: ^c, ca, t$ -> cos = 3 / (sqrt(4)*sqrt(5))
+        (cand, score), = idx.lookup("cat")
+        assert cand == "cart"
+        assert score == round(3 / (4**0.5 * 5**0.5), 3)
+
+    def test_misspelling_corpus_all_variants(self):
+        """The reference's 254 real-world 'Schwarzenegger' misspellings
+        (dictionary_langid/datatypes.py:714-975) against a vocabulary with
+        confusable distractors.  Floors are the measured behavior of each
+        algorithm (v1's plain cosine is genuinely weaker than the EMD
+        variants — that is WHY the reference iterated to v2/v3), pinned so
+        a scoring regression in any variant fails loudly."""
+        from language_identification_ray.state.fuzzy import (
+            ApproxWordList1,
+            ApproxWordList2,
+            FuzzyWordIndex,
+        )
+
+        vocab = _conformance_vocab()
+        mis = _misspelling_corpus()
+        assert len(mis) == 254
+
+        v1 = ApproxWordList1((2, 4)).add_words(vocab)
+        v2 = ApproxWordList2((2, 4)).add_words(vocab)
+        v3 = FuzzyWordIndex((2, 4)).add_words(vocab)
+
+        def top1_rate(index):
+            return sum(
+                1
+                for m in mis
+                if (out := index.lookup(m.casefold(), top_k=3)) and out[0][0] == "schwarzenegger"
+            ) / len(mis)
+
+        assert top1_rate(v1) >= 0.55  # measured 150/254
+        assert top1_rate(v2) >= 0.90  # measured 234/254
+        assert top1_rate(v3) >= 0.90  # measured 233/254
+        # v1 recovers in top-3 almost always (measured 250/254)
+        v1_top3 = sum(
+            1
+            for m in mis
+            if any(c == "schwarzenegger" for c, *_ in v1.lookup(m.casefold(), top_k=3))
+        )
+        assert v1_top3 / len(mis) >= 0.97
+
+    def test_pinned_scores(self):
+        """Frozen outputs for two canonical misspellings (regression pins)."""
+        from language_identification_ray.state.fuzzy import ApproxWordList1
+
+        idx = ApproxWordList1((2, 4)).add_words(_conformance_vocab())
+        assert idx.lookup("schwarzeneger", top_k=2) == [
+            ("schwarzenegger", 0.883),
+            ("schwartz", 0.485),
+        ]
+        assert idx.lookup("shwarzenegger", top_k=1) == [("schwarzenegger", 0.849)]
