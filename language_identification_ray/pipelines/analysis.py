@@ -390,23 +390,33 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
     one user fit one group and are sorted by ts inside it)."""
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="stable")
-        new_s = g["ts"].diff().gt(gap) | g["ts"].diff().isna()
-        g = g.assign(session_id=new_s.cumsum().astype("int64"))
-        out = (
-            g.groupby("session_id", as_index=False)
-            .agg(n_events=("ts", "size"), t_start=("ts", "min"), t_end=("ts", "max"))
+    def sessions(group: pa.Table) -> pa.Table:
+        ts_type = group.schema.field("ts").type
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        ts = ts[np.argsort(ts, kind="stable")]
+        new_s = np.ones(len(ts), dtype=bool)
+        if len(ts) > 1:
+            new_s[1:] = (ts[1:] - ts[:-1]) > gap
+        starts = np.flatnonzero(new_s)
+        ends = np.append(starts[1:], len(ts))
+        uid = group["user_id"][0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array(np.full(len(starts), uid), pa.int64()),
+                # 1-based running count of session starts (SQL sum-over-window)
+                "session_id": pa.array(np.arange(1, len(starts) + 1, dtype=np.int64)),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+                "t_start": pa.array(ts[starts]).cast(ts_type),
+                "t_end": pa.array(ts[ends - 1]).cast(ts_type),
+            }
         )
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
 
     from language_identification_ray.pipelines.relational import _group_spread
 
     return (
         _group_spread(rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
         .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        .map_groups(sessions, batch_format="pyarrow")
     )
 
 
@@ -432,9 +442,9 @@ def events_funnel(sf_dir: str, window_hours: int = 24) -> "rd.Dataset":
     steps = ["view", "click", "purchase"]
     window = np.timedelta64(window_hours * 3600, "s")
 
-    def funnel(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].to_numpy()
-        et = g["event_type"].to_numpy()
+    def funnel(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        et = np.asarray(group["event_type"].to_pylist(), dtype=object)
         ok = ~np.isnat(ts)
         ts, et = ts[ok], et[ok]
         stage = 0
@@ -447,8 +457,11 @@ def events_funnel(sf_dir: str, window_hours: int = 24) -> "rd.Dataset":
                 break
             t_prev = cand.min()
             stage += 1
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "stage": np.array([stage], np.int64)}
+        return pa.table(
+            {
+                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+                "stage": pa.array([stage], pa.int64()),
+            }
         )
 
     return (
@@ -458,7 +471,7 @@ def events_funnel(sf_dir: str, window_hours: int = 24) -> "rd.Dataset":
             )
         )
         .groupby("user_id")
-        .map_groups(funnel, batch_format="pandas")
+        .map_groups(funnel, batch_format="pyarrow")
     )
 
 
@@ -579,22 +592,35 @@ def per_source_cap(sf_dir: str, cap: int = 20) -> "rd.Dataset":
     batches to a single reducer."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {
-                "source": batch["source"].to_pandas(),
-                "doc_id": batch["doc_id"].to_pandas(),
-            }
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        # rank docs within each source by doc_id: sort by (source, doc_id),
+        # then keep positions whose within-run index < cap
+        order = np.lexsort((ids, src))
+        s_sorted = src[order]
+        run_start = np.ones(len(order), dtype=bool)
+        run_start[1:] = s_sorted[1:] != s_sorted[:-1]
+        idx_in_run = np.arange(len(order)) - np.maximum.accumulate(
+            np.where(run_start, np.arange(len(order)), 0)
         )
-        out = df.sort_values("doc_id", kind="stable").groupby("source", sort=False).head(cap)
+        keep = order[idx_in_run < cap]
+        keep.sort()  # preserve input order (irrelevant to the set, cheap)
         return pa.table(
             {
-                "source": pa.array(out["source"], pa.string()),
-                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "source": pa.array(src[keep], pa.string()),
+                "doc_id": pa.array(ids[keep], pa.int64()),
             }
         )
 
-    def final_cut(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values("doc_id", kind="stable").head(cap)[["source", "doc_id"]]
+    def final_cut(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        take = np.sort(ids)[:cap]
+        return pa.table(
+            {
+                "source": pa.array([group["source"][0].as_py()] * len(take), pa.string()),
+                "doc_id": pa.array(take, pa.int64()),
+            }
+        )
 
     return (
         _docs(sf_dir, ["source", "doc_id"])
@@ -602,7 +628,7 @@ def per_source_cap(sf_dir: str, cap: int = 20) -> "rd.Dataset":
         .repartition(64)  # fold level: bounds per-source rows at the groupby to cap × 64
         .map_batches(partial, batch_format="pyarrow")
         .groupby("source")
-        .map_groups(final_cut, batch_format="pandas")
+        .map_groups(final_cut, batch_format="pyarrow")
     )
 
 
@@ -745,15 +771,16 @@ def top_docs_per_lang(sf_dir: str, k: int = 3) -> "rd.Dataset":
     per language, deterministic tie-break (n_chars desc, doc_id asc).
     One small shuffle over 5 language groups; oracle = window row_number."""
 
-    def topk(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(
-            ["n_chars", "doc_id"], ascending=[False, True]
-        ).head(k)[["lang", "doc_id", "n_chars"]]
+    def topk(group: pa.Table) -> pa.Table:
+        n = group["n_chars"].to_numpy(zero_copy_only=False)
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -n))[:k]
+        return group.take(pa.array(order)).select(["lang", "doc_id", "n_chars"])
 
     return (
         _docs(sf_dir, ["doc_id", "lang", "n_chars"])
         .groupby("lang")
-        .map_groups(topk, batch_format="pandas")
+        .map_groups(topk, batch_format="pyarrow")
     )
 
 
@@ -800,20 +827,20 @@ def lang_percentiles(sf_dir: str) -> "rd.Dataset":
     per group.  At 100 TB swap for a t-digest combine inside map_batches;
     exact is fine while each group's values fit one block."""
 
-    def pcts(group: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(group["n_chars"].to_numpy(dtype=np.float64))
-        return pd.DataFrame(
+    def pcts(group: pa.Table) -> pa.Table:
+        v = np.sort(group["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table(
             {
-                "lang": [group["lang"].iloc[0]],
-                "p50_chars": [_quantile_cont(v, 0.5)],
-                "p90_chars": [_quantile_cont(v, 0.9)],
+                "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+                "p50_chars": pa.array([_quantile_cont(v, 0.5)], pa.float64()),
+                "p90_chars": pa.array([_quantile_cont(v, 0.9)], pa.float64()),
             }
         )
 
     return (
         _docs(sf_dir, ["lang", "n_chars"])
         .groupby("lang")
-        .map_groups(pcts, batch_format="pandas")
+        .map_groups(pcts, batch_format="pyarrow")
     )
 
 
@@ -836,14 +863,19 @@ def length_outlier_filter(sf_dir: str, q: float = 0.99) -> "rd.Dataset":
     (:func:`lang_percentiles_sketch`) — pass 2 and the broadcast are
     unchanged."""
 
-    def cut(group: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(group["n_chars"].to_numpy(dtype=np.float64))
-        return pd.DataFrame({"lang": [group["lang"].iloc[0]], "cutoff": [_quantile_cont(v, q)]})
+    def cut(group: pa.Table) -> pa.Table:
+        v = np.sort(group["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64))
+        return pa.table(
+            {
+                "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+                "cutoff": pa.array([_quantile_cont(v, q)], pa.float64()),
+            }
+        )
 
     cuts = (
         _docs(sf_dir, ["lang", "n_chars"])
         .groupby("lang")
-        .map_groups(cut, batch_format="pandas")
+        .map_groups(cut, batch_format="pyarrow")
         .to_pandas()  # bounded: one row per language
     )
     cutoff = dict(zip(cuts["lang"], cuts["cutoff"]))
@@ -974,21 +1006,21 @@ def global_length_rank(sf_dir: str) -> "rd.Dataset":
         zip(hist["n_chars"].tolist(), (np.cumsum(counts) - counts).tolist())
     )
 
-    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="stable").reset_index(drop=True)
-        base = offsets[int(g["n_chars"].iloc[0])]
-        return pd.DataFrame(
+    def rank_group(group: pa.Table) -> pa.Table:
+        ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
+        base = offsets[int(group["n_chars"][0].as_py())]
+        return pa.table(
             {
-                "doc_id": g["doc_id"],
-                "n_chars": g["n_chars"],
-                "rank": np.arange(1, len(g) + 1, dtype=np.int64) + base,
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_chars": group["n_chars"],
+                "rank": pa.array(np.arange(1, len(ids) + 1, dtype=np.int64) + base),
             }
         )
 
     return (
         _docs(sf_dir, ["doc_id", "n_chars"])
         .groupby("n_chars")
-        .map_groups(rank_group, batch_format="pandas")
+        .map_groups(rank_group, batch_format="pyarrow")
     )
 
 
@@ -1065,27 +1097,32 @@ def user_rolling_avg(sf_dir: str, window: int = 3) -> "rd.Dataset":
     float op — identical to the SQL oracle, no float-accumulation drift.
     Scale: one shuffle on user_id; each group is one user's events."""
 
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable").reset_index(drop=True)
-        cents = np.floor(g["value"].to_numpy(dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
+    def roll(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        g = group.take(pa.array(order))
+        cents = np.floor(
+            g["value"].to_numpy(zero_copy_only=False).astype(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
         csum = np.concatenate(([0], np.cumsum(cents)))
         n = len(cents)
         lo = np.maximum(np.arange(n) - (window - 1), 0)
         wsum = csum[np.arange(n) + 1] - csum[lo]
         wcnt = np.arange(n) + 1 - lo
-        return pd.DataFrame(
+        return pa.table(
             {
                 "event_id": g["event_id"],
                 "user_id": g["user_id"],
                 "ts": g["ts"],
-                "rolling_avg": (wsum / 100.0) / wcnt,
+                "rolling_avg": pa.array((wsum / 100.0) / wcnt, pa.float64()),
             }
         )
 
     return (
         rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"])
         .groupby("user_id")
-        .map_groups(roll, batch_format="pandas")
+        .map_groups(roll, batch_format="pyarrow")
     )
 
 
@@ -1115,19 +1152,22 @@ def distinct_words_per_lang_hll(sf_dir: str, p: int = 12) -> "rd.Dataset":
             }
         )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(group: pa.Table) -> pa.Table:
         regs = sk.hll_empty(p)
-        for b in g["regs"]:
+        for b in group["regs"].to_pylist():
             regs = sk.hll_merge(regs, np.frombuffer(b, dtype=np.uint8))
-        return pd.DataFrame(
-            {"lang": [g["lang"].iloc[0]], "n_words_approx": [sk.hll_estimate(regs)]}
+        return pa.table(
+            {
+                "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+                "n_words_approx": pa.array([sk.hll_estimate(regs)], pa.float64()),
+            }
         )
 
     return (
         _docs(sf_dir, ["text", "lang"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("lang")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 
@@ -1155,16 +1195,16 @@ def lang_percentiles_sketch(sf_dir: str, k: int = 256) -> "rd.Dataset":
             }
         )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(group: pa.Table) -> pa.Table:
         vals = np.empty(0, dtype=np.float64)
         wts = np.empty(0, dtype=np.float64)
-        for v, w in zip(g["qs_vals"], g["qs_wts"]):
+        for v, w in zip(group["qs_vals"].to_pylist(), group["qs_wts"].to_pylist()):
             vals, wts = sk.qsketch_merge(vals, wts, np.asarray(v), np.asarray(w), k)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "lang": [g["lang"].iloc[0]],
-                "p50_chars": [sk.qsketch_quantile(vals, wts, 0.5)],
-                "p90_chars": [sk.qsketch_quantile(vals, wts, 0.9)],
+                "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+                "p50_chars": pa.array([sk.qsketch_quantile(vals, wts, 0.5)], pa.float64()),
+                "p90_chars": pa.array([sk.qsketch_quantile(vals, wts, 0.9)], pa.float64()),
             }
         )
 
@@ -1172,7 +1212,7 @@ def lang_percentiles_sketch(sf_dir: str, k: int = 256) -> "rd.Dataset":
         _docs(sf_dir, ["lang", "n_chars"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("lang")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 

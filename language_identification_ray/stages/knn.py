@@ -97,15 +97,16 @@ def brute_force_topk(
             }
         )
 
-    import pandas as pd
-
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
+    def final_topk(group: pa.Table) -> pa.Table:
+        sims = group["cos_sim"].to_numpy(zero_copy_only=False)
+        ids = group["vec_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        return group.take(pa.array(order))
 
     return (
         ds.map_batches(score, batch_format="pyarrow")
         .groupby("query_idx")
-        .map_groups(final_topk, batch_format="pandas")
+        .map_groups(final_topk, batch_format="pyarrow")
     )
 
 
