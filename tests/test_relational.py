@@ -121,6 +121,50 @@ def test_late_shipment_join_fallback_matches_broadcast(ray_session, sf_dir):
     assert fast.equals(slow), (fast, slow)
 
 
+def test_orders_by_mktsegment_join_fallback_matches_broadcast(ray_session, sf_dir):
+    """The size-gated broadcast-lookup plan and the shuffle-join fallback of
+    orders_by_mktsegment must agree row-for-row."""
+    from language_identification_ray.pipelines.relational import (
+        _orders_by_mktsegment_join,
+        orders_by_mktsegment,
+    )
+
+    fast = (
+        orders_by_mktsegment(sf_dir)
+        .to_pandas()
+        .sort_values("mktsegment")
+        .reset_index(drop=True)
+    )
+    slow = (
+        _orders_by_mktsegment_join(sf_dir)
+        .to_pandas()
+        .sort_values("mktsegment")
+        .reset_index(drop=True)
+    )
+    assert fast.equals(slow), (fast, slow)
+
+
+def test_top_revenue_orders_join_fallback_matches_broadcast(ray_session, sf_dir):
+    """The size-gated broadcast plan and the two-hash-join fallback of
+    top_revenue_orders must agree row-for-row (same top-k, same tie cut)."""
+    import datetime as dt
+
+    from language_identification_ray.pipelines.relational import (
+        _top_revenue_orders_join,
+        top_revenue_orders,
+    )
+
+    fast = top_revenue_orders(sf_dir).to_pandas().reset_index(drop=True)
+    slow = (
+        _top_revenue_orders_join(
+            sf_dir, "BUILDING", dt.datetime.fromisoformat("1998-07-01"), 10
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert fast.equals(slow), (fast, slow)
+
+
 def test_asof_null_purchase_values_ignored_like_sql_max(ray_session, tmp_path):
     """A (user, ts) slot with one NULL and one real purchase value must keep
     the real value (SQL max() ignores NULLs); an all-NULL slot stays NULL."""
