@@ -393,12 +393,29 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
     def sessions(group: pa.Table) -> pa.Table:
         ts_type = group.schema.field("ts").type
         ts = group["ts"].to_numpy(zero_copy_only=False)
-        ts = ts[np.argsort(ts, kind="stable")]
+        ts = ts[np.argsort(ts, kind="stable")]  # NaT sorts last = SQL NULLS LAST
+        # NULL-ts rows follow the oracle's window semantics exactly: the
+        # FIRST NaT row merges into the last session (lag(ts) is the last
+        # real ts, ts - lag(ts) is NULL, NULL > gap is falsy — the numpy
+        # NaT-diff comparison below is False, same outcome); every
+        # SUBSEQUENT NaT row starts its own session, because its lag(ts)
+        # is the previous row's NULL and the oracle's `lag(ts) IS NULL`
+        # branch fires (verified against DuckDB).
         new_s = np.ones(len(ts), dtype=bool)
         if len(ts) > 1:
             new_s[1:] = (ts[1:] - ts[:-1]) > gap
+            nat = np.isnat(ts)
+            new_s[1:] |= nat[:-1] & nat[1:]
         starts = np.flatnonzero(new_s)
         ends = np.append(starts[1:], len(ts))
+        # SQL min/max ignore NULLs: with NaT sorted last, the real rows are
+        # a prefix, so the session max is the last element BELOW n_real (a
+        # session that is all-NaT — only possible from row 0 — stays NaT)
+        n_real = int(np.count_nonzero(~np.isnat(ts)))
+        last_real = np.minimum(ends, n_real) - 1
+        t_end = np.where(
+            last_real >= starts, ts[np.maximum(last_real, 0)], np.datetime64("NaT")
+        )
         uid = group["user_id"][0].as_py()
         return pa.table(
             {
@@ -407,7 +424,7 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
                 "session_id": pa.array(np.arange(1, len(starts) + 1, dtype=np.int64)),
                 "n_events": pa.array((ends - starts).astype(np.int64)),
                 "t_start": pa.array(ts[starts]).cast(ts_type),
-                "t_end": pa.array(ts[ends - 1]).cast(ts_type),
+                "t_end": pa.array(t_end).cast(ts_type),
             }
         )
 
@@ -516,10 +533,13 @@ def events_json_kpi(sf_dir: str) -> "rd.Dataset":
         if miss.any():
             import json
 
-            pv = props.to_pylist()
-            for i in np.nonzero(miss)[0]:
+            # materialize ONLY the drifted rows (a full props.to_pylist()
+            # would make the fallback O(batch) when one row misses)
+            miss_idx = np.nonzero(miss)[0]
+            missed = props.take(pa.array(miss_idx)).to_pylist()
+            for i, raw in zip(miss_idx, missed):
                 try:
-                    obj = json.loads(pv[i])
+                    obj = json.loads(raw)
                 except (ValueError, TypeError):
                     continue  # malformed JSON: NULL, like json_extract
                 v = obj.get("k") if isinstance(obj, dict) else None

@@ -31,6 +31,7 @@ import pyarrow.dataset as pads
 
 import ray
 import ray.data as rd
+from ray.data import DataContext
 from ray.data.aggregate import Sum
 
 
@@ -67,14 +68,21 @@ def _group_spread(ds: "rd.Dataset", target_block_bytes: int = 8 << 20) -> "rd.Da
     ``size_bytes()`` (~8 MiB of pruned rows per block, metadata-only for
     fresh reads) and capped at 2 blocks/CPU — a fixed 2×CPU fan-out cost
     more than it saved on a 2 MB events read (0.98 s → 1.63 s).  When the
-    upstream read already fans out at least that wide (many input files),
-    the repartition is skipped entirely."""
+    upstream read already fans out at least that wide, the repartition is
+    skipped entirely.  File count alone is NOT a safe width proxy: Ray's
+    read planner COALESCES many small files into fewer read tasks
+    (``num_blocks()`` is unavailable pre-execution), so the skip also
+    requires the size-derived block estimate — a lower bound on what the
+    planner emits at ``target_max_block_size`` — to reach the target."""
     cpus = int(ray.cluster_resources().get("CPU", 32)) if ray.is_initialized() else 32
     ceiling = min(512, max(16, 2 * cpus))
     size = ds.size_bytes() or 0
     target = int(min(ceiling, max(8, size // target_block_bytes)))
     try:
-        if len(ds.input_files()) >= target:
+        n_files = len(ds.input_files())
+        max_block = DataContext.get_current().target_max_block_size or (128 << 20)
+        est_read_blocks = min(n_files, max(1, size // max_block))
+        if est_read_blocks >= target:
             return ds
     except Exception:
         pass  # non-read upstream: no file count; repartition unconditionally
@@ -164,6 +172,19 @@ def orders_by_mktsegment(sf_dir: str) -> "rd.Dataset":
         import pyarrow.parquet as pq
 
         ctab = pq.read_table(cust_path, columns=["c_custkey", "c_mktsegment"])
+        if ctab.num_rows == 0:
+            # zero-row customer side: SQL returns no rows; an empty sidecar
+            # would make the searchsorted probe index an empty array
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "mktsegment": pa.array([], pa.string()),
+                        "n_orders": pa.array([], pa.int64()),
+                        "total_price": pa.array([], pa.float64()),
+                        "avg_price": pa.array([], pa.float64()),
+                    }
+                )
+            )
         ckeys = ctab["c_custkey"].to_numpy()
         seg_names, seg_codes = np.unique(
             np.asarray(ctab["c_mktsegment"].to_pylist(), dtype=object),
@@ -179,8 +200,7 @@ def orders_by_mktsegment(sf_dir: str) -> "rd.Dataset":
             sorted_ckeys, sorted_seg = ray.get(sidecar_ref)
             keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
             cents = _cents(batch["o_totalprice"])
-            idx = np.clip(np.searchsorted(sorted_ckeys, keys), 0, len(sorted_ckeys) - 1)
-            hit = sorted_ckeys[idx] == keys  # dangling custkeys: inner-join dropped
+            idx, hit = _probe_sorted(sorted_ckeys, keys)  # dangling custkeys: inner-join dropped
             codes = sorted_seg[idx[hit]]
             n = np.bincount(codes, minlength=n_segs).astype(np.int64)
             tot = np.bincount(codes, weights=cents[hit], minlength=n_segs).astype(np.int64)
@@ -747,6 +767,54 @@ def _parquet_bytes(path: str) -> int:
     return os.path.getsize(path)
 
 
+def _probe_sorted(sorted_keys: np.ndarray, keys: np.ndarray):
+    """Membership probe of ``keys`` against a SORTED key array — the shared
+    kernel of every broadcast-sidecar plan in this module.  Returns
+    ``(positions, hit_mask)``; positions are valid wherever the mask is
+    True.  Safe on an empty sidecar (all-miss, no IndexError)."""
+    if len(sorted_keys) == 0:
+        return np.zeros(len(keys), np.intp), np.zeros(len(keys), dtype=bool)
+    idx = np.searchsorted(sorted_keys, keys)
+    np.clip(idx, 0, len(sorted_keys) - 1, out=idx)
+    return idx, sorted_keys[idx] == keys
+
+
+def _revenue_cents_per_order(batch_keys: np.ndarray, price: np.ndarray, disc: np.ndarray) -> pa.Table:
+    """Map-side partial: exact integer-cents revenue summed per orderkey —
+    shared by both physical plans of ``top_revenue_orders`` so the rounding
+    rule can never drift between them."""
+    rev = _cents_np(price.astype(np.float64) * (1.0 - disc.astype(np.float64)))
+    uk, inv = np.unique(batch_keys, return_inverse=True)
+    tot = np.bincount(inv, weights=rev, minlength=len(uk)).astype(np.int64)
+    return pa.table(
+        {
+            "l_orderkey": pa.array(uk, pa.int64()),
+            "revenue_cents": pa.array(tot, pa.int64()),
+        }
+    )
+
+
+def _topk_order(rev: np.ndarray, keys: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-``k`` rows by (revenue desc, orderkey asc) — the
+    one tie-break rule both ``top_revenue_orders`` plans share."""
+    return np.lexsort((keys, -rev))[:k]
+
+
+def _finalize_top_revenue(batch: pa.Table) -> pa.Table:
+    """Output projection shared by both ``top_revenue_orders`` plans."""
+    return pa.table(
+        {
+            "orderkey": batch["l_orderkey"],
+            "revenue": pa.array(
+                batch["revenue_cents"].to_numpy(zero_copy_only=False) / 100.0,
+                pa.float64(),
+            ),
+            "orderdate": batch["o_orderdate"],
+            "orderpriority": batch["o_orderpriority"],
+        }
+    )
+
+
 def late_shipment_priority(sf_dir: str, grace_days: int = 30) -> "rd.Dataset":
     """TPC-H-Q4-style EXISTS semi-join: orders per priority having at least
     one lineitem shipped ≥ ``grace_days`` after the order date.
@@ -785,6 +853,17 @@ def late_shipment_priority(sf_dir: str, grace_days: int = 30) -> "rd.Dataset":
     otab = pq.read_table(
         orders_path, columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
     )
+    if otab.num_rows == 0:
+        # zero-row orders side: no order can have a late lineitem; an empty
+        # sidecar would make the searchsorted probe index an empty array
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        )
     okeys = otab["o_orderkey"].to_numpy()
     odates = otab["o_orderdate"].to_numpy().astype("datetime64[ns]").astype(np.int64)
     prio_names, prio_codes = np.unique(
@@ -800,10 +879,8 @@ def late_shipment_priority(sf_dir: str, grace_days: int = 30) -> "rd.Dataset":
         sorted_keys, sorted_deadline, _ = ray.get(sidecar_ref)
         keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
         ts = batch["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[ns]").astype(np.int64)
-        idx = np.searchsorted(sorted_keys, keys)
-        idx_c = np.clip(idx, 0, len(sorted_keys) - 1)
         # dangling lineitem orderkeys (no order row) are inner-join dropped
-        hit = sorted_keys[idx_c] == keys
+        idx_c, hit = _probe_sorted(sorted_keys, keys)
         late = hit & (ts >= sorted_deadline[idx_c])
         return pa.table({"orderkey": pa.array(np.unique(keys[late]), pa.int64())})
 
@@ -962,11 +1039,7 @@ def top_revenue_orders(
         )
         okeys = otab["o_orderkey"].to_numpy()
         ockeys = otab["o_custkey"].to_numpy()
-        if len(seg_keys):
-            ci = np.clip(np.searchsorted(seg_keys, ockeys), 0, len(seg_keys) - 1)
-            in_seg = seg_keys[ci] == ockeys
-        else:
-            in_seg = np.zeros(len(ockeys), dtype=bool)
+        _, in_seg = _probe_sorted(seg_keys, ockeys)
         if not in_seg.any():
             return rd.from_arrow(_empty_top_revenue_table())
         qkeys = okeys[in_seg]
@@ -978,47 +1051,26 @@ def top_revenue_orders(
         def rev_partial_bcast(batch: pa.Table) -> pa.Table:
             sorted_qkeys, _, _ = ray.get(sidecar_ref)
             keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-            idx = np.clip(np.searchsorted(sorted_qkeys, keys), 0, len(sorted_qkeys) - 1)
-            hit = sorted_qkeys[idx] == keys
-            keys = keys[hit]
-            price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[hit].astype(np.float64)
-            disc = batch["l_discount"].to_numpy(zero_copy_only=False)[hit].astype(np.float64)
-            rev = _cents_np(price * (1.0 - disc))
-            uk, inv = np.unique(keys, return_inverse=True)
-            tot = np.bincount(inv, weights=rev, minlength=len(uk)).astype(np.int64)
-            return pa.table(
-                {
-                    "l_orderkey": pa.array(uk, pa.int64()),
-                    "revenue_cents": pa.array(tot, pa.int64()),
-                }
+            _, hit = _probe_sorted(sorted_qkeys, keys)
+            return _revenue_cents_per_order(
+                keys[hit],
+                batch["l_extendedprice"].to_numpy(zero_copy_only=False)[hit],
+                batch["l_discount"].to_numpy(zero_copy_only=False)[hit],
             )
 
         def topk_attach(batch: pa.Table) -> pa.Table:
             sorted_qkeys, sorted_dates, sorted_prio = ray.get(sidecar_ref)
             rev = batch["revenue_cents"].to_numpy(zero_copy_only=False)
             keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-            order = np.lexsort((keys, -rev))[:k]
+            order = _topk_order(rev, keys, k)
             keys, rev = keys[order], rev[order]
-            pos = np.searchsorted(sorted_qkeys, keys)
+            pos = np.searchsorted(sorted_qkeys, keys)  # every key is a prior hit
             return pa.table(
                 {
                     "l_orderkey": pa.array(keys, pa.int64()),
                     "revenue_cents": pa.array(rev, pa.int64()),
                     "o_orderdate": pa.array(sorted_dates[pos]).cast(pa.timestamp("us")),
                     "o_orderpriority": pa.array(sorted_prio[pos], pa.string()),
-                }
-            )
-
-        def finalize_bcast(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "orderkey": batch["l_orderkey"],
-                    "revenue": pa.array(
-                        batch["revenue_cents"].to_numpy(zero_copy_only=False) / 100.0,
-                        pa.float64(),
-                    ),
-                    "orderdate": batch["o_orderdate"],
-                    "orderpriority": batch["o_orderpriority"],
                 }
             )
 
@@ -1034,7 +1086,7 @@ def top_revenue_orders(
             .map_batches(topk_attach, batch_format="pyarrow")
             .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
             .limit(k)
-            .map_batches(finalize_bcast, batch_format="pyarrow")
+            .map_batches(_finalize_top_revenue, batch_format="pyarrow")
         )
     return _top_revenue_orders_join(sf_dir, segment, cut, k)
 
@@ -1079,17 +1131,10 @@ def _top_revenue_orders_join(
     )
 
     def rev_partial(batch: pa.Table) -> pa.Table:
-        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
-        disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
-        rev = _cents_np(price * (1.0 - disc))
-        uk, inv = np.unique(keys, return_inverse=True)
-        tot = np.bincount(inv, weights=rev, minlength=len(uk)).astype(np.int64)
-        return pa.table(
-            {
-                "l_orderkey": pa.array(uk, pa.int64()),
-                "revenue_cents": pa.array(tot, pa.int64()),
-            }
+        return _revenue_cents_per_order(
+            batch["l_orderkey"].to_numpy(zero_copy_only=False),
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False),
+            batch["l_discount"].to_numpy(zero_copy_only=False),
         )
 
     li_rev = (
@@ -1108,25 +1153,11 @@ def _top_revenue_orders_join(
     def topk_partial(batch: pa.Table) -> pa.Table:
         rev = batch["revenue_cents"].to_numpy(zero_copy_only=False)
         keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((keys, -rev))[:k]
-        return batch.take(pa.array(order))
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "orderkey": batch["l_orderkey"],
-                "revenue": pa.array(
-                    batch["revenue_cents"].to_numpy(zero_copy_only=False) / 100.0,
-                    pa.float64(),
-                ),
-                "orderdate": batch["o_orderdate"],
-                "orderpriority": batch["o_orderpriority"],
-            }
-        )
+        return batch.take(pa.array(_topk_order(rev, keys, k)))
 
     return (
         joined.map_batches(topk_partial, batch_format="pyarrow")
         .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
         .limit(k)
-        .map_batches(finalize, batch_format="pyarrow")
+        .map_batches(_finalize_top_revenue, batch_format="pyarrow")
     )

@@ -399,6 +399,56 @@ def test_events_funnel_conversion_window(ray_session, tmp_path):
     assert out.to_dict() == {1: 1, 2: 3}
 
 
+def test_events_sessionize_null_ts_matches_oracle(ray_session, tmp_path):
+    """NULL timestamps follow the declared DuckDB oracle's window semantics:
+    a NULL-ts row never STARTS a session (ts - lag(ts) is NULL → falsy), it
+    merges into the user's last session, and t_start/t_end ignore NULLs like
+    SQL min/max.  A user whose every ts is NULL yields one all-NULL session."""
+    import datetime as dt
+
+    import duckdb
+    import __ray_entry__ as entrymod
+
+    d = tmp_path / "sess_nat"
+    d.mkdir()
+    T = lambda m: dt.datetime(2026, 1, 1, 0, 0) + dt.timedelta(minutes=m)
+    rows = [  # (user, ts)
+        (1, T(0)), (1, T(5)), (1, None),            # NULL merges into session 1
+        (2, T(0)), (2, T(90)), (2, None), (2, None),  # gap split + 2 NULLs at end
+        (3, None), (3, None),                        # all-NULL user
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([t for _, t in rows], pa.timestamp("us")),
+                "user_id": pa.array([u for u, _ in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    got = (
+        analysis.events_sessionize(str(d))
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    want = (
+        con.sql(entrymod.oracle_sql()["events_sessionize"])
+        .df()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
+
+
 @pytest.fixture()
 def null_text_sf(tmp_path):
     """documents table with a NULL and an empty text row (the
