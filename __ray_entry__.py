@@ -197,6 +197,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         label = tbl["label"][i].as_py()
         return label_filtered_topk(f"{sf_dir}/embeddings.parquet", q, label, k=5)
 
+    def knn_pq_q(sf_dir: str):
+        """Product-quantization ANN (Jégou et al. 2011): vectors stored as m
+        uint8 codes (16× smaller than float32 — the memory path for 100 TB
+        embedding stores), scanned with per-query ADC lookup tables; recall
+        gated in pytest, no SQL oracle by design (approximate)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from language_identification_ray.stages.knn import pq_topk_over_embeddings
+
+        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        ids = tbl["vec_id"].to_numpy()
+        q = np.array(tbl["embedding"].to_pylist()[int(np.argmin(ids))], dtype=np.float64)
+        return pq_topk_over_embeddings(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=10)
+
     def knn_ivf_pruned_q(sf_dir: str):
         """IVF layout materialized as hive-partitioned parquet (one dir per
         cell); the query reads ONLY its probed cells' files — read-level
@@ -338,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh_top10": knn_lsh_q,
         "knn_ivf_top10": knn_ivf_q,
         "knn_ivf_pruned": knn_ivf_pruned_q,
+        "knn_pq_top10": knn_pq_q,
         "fuzzy_correct_sample": analysis.fuzzy_correct_sample,
         "media_pipeline": media_pipeline_q,
         "video_frame_features": video_frames_q,

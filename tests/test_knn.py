@@ -150,3 +150,91 @@ def test_label_filtered_topk_exact_within_partition(ray_session, sf_dir):
     mask = tbl["label"].to_numpy() == label
     order = sorted(zip(-sims[mask], ids[mask]))[:5]
     assert list(got["vec_id"]) == [int(v) for _, v in order]
+
+
+def test_pq_codebook_deterministic_and_compact():
+    """Same seed → identical codebooks and codes across instances; codes are
+    m uint8 per vector (the 32× compression claim)."""
+    from language_identification_ray.stages.knn import PqCodebook
+
+    rng = np.random.default_rng(5)
+    sample = rng.standard_normal((200, 32))
+    cb1 = PqCodebook.train(sample, m=4, n_centroids=16)
+    cb2 = PqCodebook.train(sample, m=4, n_centroids=16)
+    assert (cb1.codebooks == cb2.codebooks).all()
+    codes = cb1.encode(sample)
+    assert codes.shape == (200, 4) and codes.dtype == np.uint8
+    assert (codes == cb2.encode(sample)).all()
+
+
+def test_pq_adc_approximates_cosine():
+    """ADC score of a coded vector must track the true cosine: per-vector
+    absolute error stays small on clustered data, and the reconstruction is
+    exact when vectors ARE centroids."""
+    from language_identification_ray.stages.knn import PqCodebook
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((10, 32)) * 3
+    vecs = np.vstack([c + rng.standard_normal((30, 32)) * 0.05 for c in centers])
+    cb = PqCodebook.train(vecs, m=4, n_centroids=32)
+    q = vecs[0]
+    table = cb.adc_table(q)
+    scores = cb.adc_scores(cb.encode(vecs).astype(np.intp), table)
+    qn = q / np.linalg.norm(q)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    true = vn @ qn
+    assert np.abs(scores - true).mean() < 0.05, np.abs(scores - true).mean()
+
+
+def test_pq_topk_recall(ray_session, sf_dir):
+    """End-to-end PQ path over the fixture embeddings: recall@10 vs brute
+    force, ranked + deterministic output."""
+    import pyarrow.parquet as pq
+
+    from language_identification_ray.stages.knn import (
+        brute_force_topk,
+        pq_topk_over_embeddings,
+    )
+
+    path = f"{sf_dir}/embeddings.parquet"
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    q = np.asarray(tbl["embedding"].to_pylist()[0], dtype=np.float64)
+
+    exact = brute_force_topk(rd.read_parquet(path), q[None, :], k=10).to_pandas()
+    approx = pq_topk_over_embeddings(rd.read_parquet(path), q, k=10).to_pandas()
+
+    assert len(approx) == 10
+    overlap = len(set(exact["vec_id"]) & set(approx["vec_id"]))
+    assert overlap >= 6, overlap
+    sims = approx["adc_sim"].to_numpy()
+    assert (np.diff(sims) <= 1e-12).all()
+    again = pq_topk_over_embeddings(rd.read_parquet(path), q, k=10).to_pandas()
+    assert (again["vec_id"].to_numpy() == approx["vec_id"].to_numpy()).all()
+
+
+def test_pq_codes_table_roundtrip(ray_session, sf_dir):
+    """build_pq_codes → write → read → pq_topk must equal the in-flow path:
+    the stored codes table is a faithful scan substrate."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from language_identification_ray.stages.knn import (
+        PqCodebook,
+        build_pq_codes,
+        pq_topk,
+    )
+
+    path = f"{sf_dir}/embeddings.parquet"
+    tbl = pq.read_table(path, columns=["vec_id", "embedding"])
+    vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    q = vecs[0]
+    cb = PqCodebook.train(vecs[:256], m=8, n_centroids=64)
+
+    direct = pq_topk(
+        build_pq_codes(rd.read_parquet(path), cb), cb, q, k=5
+    ).to_pandas()
+    with tempfile.TemporaryDirectory() as d:
+        build_pq_codes(rd.read_parquet(path), cb).write_parquet(d)
+        stored = pq_topk(rd.read_parquet(d), cb, q, k=5).to_pandas()
+    assert (direct["vec_id"].to_numpy() == stored["vec_id"].to_numpy()).all()
