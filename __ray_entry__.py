@@ -273,7 +273,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # knn_cosine_top10; doc_frequency shares the distinct-(doc,word) shape
     # with the checked word_lang_incidence).  All 62 are additionally
     # self-checked by scripts/check_oracle.py (artifact:
-    # ORACLE_SELFCHECK_r03.json).
+    # ORACLE_SELFCHECK_r03.json) AND pytest-gated every run:
+    # tests/test_queries_oracle.py parametrizes over EVERY oracle-backed
+    # entry (in- or out-of-window), so an edit that breaks slots 51-62
+    # fails the suite even though the driver would not see it.
     return {
         # --- round-2-unchecked oracle-backed operators first ---------------
         "jaccard_pairs": jaccard_pairs_q,

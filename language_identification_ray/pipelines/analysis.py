@@ -526,9 +526,15 @@ def events_json_kpi(sf_dir: str) -> "rd.Dataset":
         caught = pc.extract_regex(props, pat)
         ks = pc.cast(pc.struct_field(caught, "k"), pa.int64())
         k_col = ks.to_pandas()
-        miss = pc.and_(
-            pc.and_(pc.is_null(ks), pc.is_valid(props)),
-            pc.match_substring(props, '"k"'),
+        # and_kleene + fill_null: plain and_ propagates the NULL that
+        # match_substring yields on NULL props, degrading the mask to a
+        # Python-object ndarray (and .any() to an interpreter loop)
+        miss = pc.fill_null(
+            pc.and_kleene(
+                pc.and_kleene(pc.is_null(ks), pc.is_valid(props)),
+                pc.match_substring(props, '"k"'),
+            ),
+            False,
         ).to_numpy(zero_copy_only=False)
         if miss.any():
             import json
@@ -612,7 +618,15 @@ def per_source_cap(sf_dir: str, cap: int = 20) -> "rd.Dataset":
     batches to a single reducer."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        # dictionary-encode rather than materializing Python strings: integer
+        # lexsort keys, and a NULL source ranks as its own group instead of
+        # raising str-vs-None TypeError (SQL GROUP BY keeps a NULL group)
+        sarr = batch["source"].combine_chunks()
+        sdict = sarr.dictionary_encode()
+        codes_arr = sdict.indices
+        if codes_arr.null_count:
+            codes_arr = pc.fill_null(codes_arr, len(sdict.dictionary))
+        src = codes_arr.to_numpy(zero_copy_only=False).astype(np.int64)
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         # rank docs within each source by doc_id: sort by (source, doc_id),
         # then keep positions whose within-run index < cap
@@ -627,17 +641,31 @@ def per_source_cap(sf_dir: str, cap: int = 20) -> "rd.Dataset":
         keep.sort()  # preserve input order (irrelevant to the set, cheap)
         return pa.table(
             {
-                "source": pa.array(src[keep], pa.string()),
+                "source": sarr.take(pa.array(keep)),
                 "doc_id": pa.array(ids[keep], pa.int64()),
+            }
+        )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        # Ray's sort-based groupby cannot order a NULL string key against
+        # real ones; group on (filled key, is-null flag) and restore the
+        # NULL in final_cut — ("", false) and ("", true) stay distinct
+        src = batch["source"]
+        return pa.table(
+            {
+                "src_key": pc.fill_null(src, ""),
+                "src_null": pc.is_null(src),
+                "doc_id": batch["doc_id"],
             }
         )
 
     def final_cut(group: pa.Table) -> pa.Table:
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
         take = np.sort(ids)[:cap]
+        src = None if group["src_null"][0].as_py() else group["src_key"][0].as_py()
         return pa.table(
             {
-                "source": pa.array([group["source"][0].as_py()] * len(take), pa.string()),
+                "source": pa.array([src] * len(take), pa.string()),
                 "doc_id": pa.array(take, pa.int64()),
             }
         )
@@ -647,7 +675,8 @@ def per_source_cap(sf_dir: str, cap: int = 20) -> "rd.Dataset":
         .map_batches(partial, batch_format="pyarrow")
         .repartition(64)  # fold level: bounds per-source rows at the groupby to cap × 64
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("source")
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby(["src_key", "src_null"])
         .map_groups(final_cut, batch_format="pyarrow")
     )
 

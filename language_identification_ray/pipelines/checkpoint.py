@@ -228,6 +228,27 @@ class _RunLock:
                     os.rename(self.path, claim)
                 except FileNotFoundError:
                     continue  # another racer claimed it first; retry O_EXCL
+                # rename() claims whatever file sits at self.path — which may
+                # be a FRESH lock a faster racer already recreated after its
+                # own takeover, not the stale one we read.  Verify the claimed
+                # pid before discarding; restore a stolen live lock with
+                # link() (atomic: fails if yet another lock appeared).
+                try:
+                    claimed_pid = int(open(claim).read().strip() or "0")
+                except (ValueError, OSError):
+                    claimed_pid = 0
+                if claimed_pid not in (0, pid):
+                    try:
+                        os.link(claim, self.path)
+                    except FileExistsError:
+                        raise RuntimeError(
+                            f"lock takeover race on {self.path}: claimed live "
+                            f"lock of pid {claimed_pid} and a third lock "
+                            "appeared before it could be restored; manual "
+                            f"cleanup of {claim} required"
+                        )
+                    os.unlink(claim)
+                    continue
                 os.unlink(claim)
         raise RuntimeError(f"could not acquire {self.path}")
 

@@ -27,6 +27,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as _pc
 import pyarrow.dataset as pads
 
 import ray
@@ -51,10 +52,24 @@ def _join_partitions(*datasets: "rd.Dataset", target_bytes: int = 64 << 20) -> i
     side's size so reducer parallelism grows with the data instead of being
     pinned (a fixed count caps a 100 TB join at that many reducers).  Uses
     parquet metadata via ``size_bytes()`` — no execution is triggered for
-    fresh reads.  Floor of 8 keeps tiny test inputs spread over the local
-    pool; cap 4096 bounds tiny-partition overhead."""
+    fresh reads.  Cap 4096 bounds tiny-partition overhead.
+
+    The floor is 1, NOT a fixed spread: Ray 2.49's hash join broadcasts a
+    side's schema only with the FIRST block its shuffle submits, and a
+    groupby-aggregated side carries schema-less 0-column blocks for its
+    empty partitions — if one of those goes first, every join partition
+    that side leaves empty finalizes as a 0-column table and
+    ``pa.Table.join`` dies with "No match for FieldRef".  Sparse keys
+    spread over many partitions (exactly what a fixed floor creates on
+    small inputs) make that near-certain; sizing partitions to the data
+    keeps every partition non-empty on the occupied side."""
     biggest = max(ds.size_bytes() or 0 for ds in datasets)
-    return int(min(4096, max(8, biggest // target_bytes)))
+    return int(min(4096, max(1, biggest // target_bytes)))
+
+
+def _parquet_num_rows(path: str) -> int:
+    """Row count from parquet footers only — no data pages are read."""
+    return pads.dataset(path).count_rows()
 
 
 def _group_spread(ds: "rd.Dataset", target_block_bytes: int = 8 << 20) -> "rd.Dataset":
@@ -186,10 +201,15 @@ def orders_by_mktsegment(sf_dir: str) -> "rd.Dataset":
                 )
             )
         ckeys = ctab["c_custkey"].to_numpy()
-        seg_names, seg_codes = np.unique(
-            np.asarray(ctab["c_mktsegment"].to_pylist(), dtype=object),
-            return_inverse=True,
-        )
+        # dictionary_encode, not to_pylist+np.unique: at the 256 MB gate the
+        # latter allocates one Python str per customer row driver-side
+        seg_dict = ctab["c_mktsegment"].combine_chunks().dictionary_encode()
+        seg_names = np.asarray(seg_dict.dictionary.to_pylist(), dtype=object)
+        seg_idx = seg_dict.indices
+        if seg_idx.null_count:  # NULL segment is its own group (SQL GROUP BY)
+            seg_names = np.append(seg_names, None)
+            seg_idx = _pc.fill_null(seg_idx, len(seg_names) - 1)
+        seg_codes = seg_idx.to_numpy(zero_copy_only=False)
         cust_sort = np.argsort(ckeys, kind="stable")
         sorted_ckeys = ckeys[cust_sort]
         sorted_seg = seg_codes[cust_sort].astype(np.int16)
@@ -242,6 +262,22 @@ def orders_by_mktsegment(sf_dir: str) -> "rd.Dataset":
 
 def _orders_by_mktsegment_join(sf_dir: str) -> "rd.Dataset":
     """Shuffle-join plan for ``orders_by_mktsegment`` (large customer side)."""
+    if (
+        _parquet_num_rows(f"{sf_dir}/orders.parquet") == 0
+        or _parquet_num_rows(f"{sf_dir}/customer.parquet") == 0
+    ):
+        # an all-empty join side never ships a schema through the shuffle
+        # (see _join_partitions); SQL just returns no rows
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "mktsegment": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                    "total_price": pa.array([], pa.float64()),
+                    "avg_price": pa.array([], pa.float64()),
+                }
+            )
+        )
 
     def order_partial(batch: pa.Table) -> pa.Table:
         keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
@@ -278,20 +314,27 @@ def _orders_by_mktsegment_join(sf_dir: str) -> "rd.Dataset":
     )
 
     def seg_partial(batch: pa.Table) -> pa.Table:
-        segs = np.asarray(batch["c_mktsegment"].to_pylist(), dtype=object)
+        # dictionary codes, not Python strings: integer scatter-add partials,
+        # and a NULL segment becomes its own group (SQL GROUP BY semantics)
+        # instead of a str-vs-None TypeError
+        sdict = batch["c_mktsegment"].combine_chunks().dictionary_encode()
+        names = sdict.dictionary.to_pylist()
+        idx = sdict.indices
+        if idx.null_count:
+            names.append(None)
+            idx = _pc.fill_null(idx, len(names) - 1)
+        codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
         n = batch["n_orders"].to_numpy(zero_copy_only=False)
         cents = batch["price_cents"].to_numpy(zero_copy_only=False)
-        out = {"mktsegment": [], "n_orders": [], "price_cents": []}
-        for s in sorted(set(segs.tolist())):
-            m = segs == s
-            out["mktsegment"].append(s)
-            out["n_orders"].append(int(n[m].sum()))
-            out["price_cents"].append(int(cents[m].sum()))
+        n_sum = np.zeros(len(names), dtype=np.int64)
+        np.add.at(n_sum, codes, n)
+        c_sum = np.zeros(len(names), dtype=np.int64)
+        np.add.at(c_sum, codes, cents)
         return pa.table(
             {
-                "mktsegment": pa.array(out["mktsegment"], pa.string()),
-                "n_orders": pa.array(out["n_orders"], pa.int64()),
-                "price_cents": pa.array(out["price_cents"], pa.int64()),
+                "mktsegment": pa.array(names, pa.string()),
+                "n_orders": pa.array(n_sum, pa.int64()),
+                "price_cents": pa.array(c_sum, pa.int64()),
             }
         )
 
@@ -865,13 +908,22 @@ def late_shipment_priority(sf_dir: str, grace_days: int = 30) -> "rd.Dataset":
             )
         )
     okeys = otab["o_orderkey"].to_numpy()
-    odates = otab["o_orderdate"].to_numpy().astype("datetime64[ns]").astype(np.int64)
-    prio_names, prio_codes = np.unique(
-        np.asarray(otab["o_orderpriority"].to_pylist(), dtype=object), return_inverse=True
-    )
+    odates64 = otab["o_orderdate"].to_numpy().astype("datetime64[ns]")
+    odates = odates64.astype(np.int64)
+    prio_dict = otab["o_orderpriority"].combine_chunks().dictionary_encode()
+    prio_names = np.asarray(prio_dict.dictionary.to_pylist(), dtype=object)
+    prio_idx = prio_dict.indices
+    if prio_idx.null_count:  # NULL priority is its own group (SQL GROUP BY)
+        prio_names = np.append(prio_names, None)
+        prio_idx = _pc.fill_null(prio_idx, len(prio_names) - 1)
+    prio_codes = prio_idx.to_numpy(zero_copy_only=False)
     order_sort = np.argsort(okeys, kind="stable")
     sorted_keys = okeys[order_sort]
     sorted_deadline = odates[order_sort] + grace_ns  # precompute date+grace
+    # NULL o_orderdate is NaT == INT64_MIN; +grace wraps to a huge negative
+    # deadline that every real shipdate passes.  SQL's `ship >= NULL + 30d`
+    # is NULL → not late, so pin those deadlines unreachably high.
+    sorted_deadline[np.isnat(odates64[order_sort])] = np.iinfo(np.int64).max
     sorted_prio = prio_codes[order_sort].astype(np.int16)
     sidecar_ref = ray.put((sorted_keys, sorted_deadline, sorted_prio))
 
@@ -915,6 +967,20 @@ def _late_shipment_priority_join(sf_dir: str, grace_ns: np.int64) -> "rd.Dataset
     keyed groupby → hash join to orders → 5-key priority rollup."""
     from ray.data.aggregate import Count, Max
 
+    if (
+        _parquet_num_rows(f"{sf_dir}/lineitem.parquet") == 0
+        or _parquet_num_rows(f"{sf_dir}/orders.parquet") == 0
+    ):
+        # an all-empty join side never ships a schema through the shuffle
+        # (see _join_partitions); SQL just returns no rows
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "n_orders": pa.array([], pa.int64()),
+                }
+            )
+        )
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
     )
@@ -950,8 +1016,12 @@ def _late_shipment_priority_join(sf_dir: str, grace_ns: np.int64) -> "rd.Dataset
     )
 
     def late_filter(batch: pa.Table) -> pa.Table:
-        od = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[ns]").astype(np.int64)
+        od64 = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[ns]")
+        od = od64.astype(np.int64)
         late = batch["max_ship_ns"].to_numpy(zero_copy_only=False) >= od + grace_ns
+        # NULL o_orderdate → NaT int64 wraps negative and passes the >= test;
+        # SQL's NULL comparison makes the order NOT late
+        late &= ~np.isnat(od64)
         return batch.filter(pa.array(late)).select(["o_orderpriority"])
 
     return (
@@ -1044,7 +1114,15 @@ def top_revenue_orders(
             return rd.from_arrow(_empty_top_revenue_table())
         qkeys = okeys[in_seg]
         qdates = otab["o_orderdate"].to_numpy()[in_seg]
-        qprio = np.asarray(otab["o_orderpriority"].to_pylist(), dtype=object)[in_seg]
+        # codes in the sidecar, not Python strings: object arrays pickle
+        # per-element through ray.put; int16 codes are zero-copy
+        prio_dict = otab["o_orderpriority"].combine_chunks().dictionary_encode()
+        prio_names = np.asarray(prio_dict.dictionary.to_pylist(), dtype=object)
+        prio_idx = prio_dict.indices
+        if prio_idx.null_count:
+            prio_names = np.append(prio_names, None)
+            prio_idx = _pc.fill_null(prio_idx, len(prio_names) - 1)
+        qprio = prio_idx.to_numpy(zero_copy_only=False).astype(np.int16)[in_seg]
         qsort = np.argsort(qkeys, kind="stable")
         sidecar_ref = ray.put((qkeys[qsort], qdates[qsort], qprio[qsort]))
 
@@ -1070,7 +1148,7 @@ def top_revenue_orders(
                     "l_orderkey": pa.array(keys, pa.int64()),
                     "revenue_cents": pa.array(rev, pa.int64()),
                     "o_orderdate": pa.array(sorted_dates[pos]).cast(pa.timestamp("us")),
-                    "o_orderpriority": pa.array(sorted_prio[pos], pa.string()),
+                    "o_orderpriority": pa.array(prio_names[sorted_prio[pos]], pa.string()),
                 }
             )
 

@@ -444,6 +444,10 @@ class PqCodebook:
         n, dim = mat.shape
         if dim % m:
             raise ValueError(f"dim {dim} not divisible by m={m}")
+        if n_centroids > 256:
+            # encode() stores codes as uint8; a larger codebook would wrap
+            # indices silently and corrupt every stored code
+            raise ValueError(f"n_centroids {n_centroids} exceeds the uint8 code limit (256)")
         rng = np.random.default_rng(seed)
         k_eff = min(n_centroids, n)
         books = np.empty((m, k_eff, dim // m), dtype=np.float64)

@@ -526,3 +526,30 @@ def test_events_json_kpi_key_position_and_drift(ray_session, tmp_path):
     assert out.loc[0, "n_events"] == 5
     # odd whitespace and string-typed k recovered; nested + malformed stay NULL
     assert out.loc[0, "avg_k"] == 3.0  # (1 + 3 + 5) / 3
+
+
+def test_per_source_cap_null_source_is_own_group(ray_session, tmp_path):
+    """A NULL source must form its own capped group (SQL GROUP BY keeps a
+    NULL group) — regression: the numpy lexsort partial raised
+    str-vs-None TypeError on any NULL source."""
+    d = tmp_path / "docs_null_src"
+    d.mkdir()
+    ids = list(range(20))
+    srcs = ["a"] * 8 + [None] * 12
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(["x"] * 20, pa.string()),
+                "lang": pa.array(["en"] * 20, pa.string()),
+                "source": pa.array(srcs, pa.string()),
+                "n_chars": pa.array([1] * 20, pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = analysis.per_source_cap(str(d), cap=5).to_pandas()
+    a_ids = out[out["source"] == "a"]["doc_id"].sort_values().tolist()
+    null_ids = out[out["source"].isna()]["doc_id"].sort_values().tolist()
+    assert a_ids == list(range(5))
+    assert null_ids == list(range(8, 13))  # lowest 5 NULL-source doc_ids

@@ -238,3 +238,16 @@ def test_pq_codes_table_roundtrip(ray_session, sf_dir):
         build_pq_codes(rd.read_parquet(path), cb).write_parquet(d)
         stored = pq_topk(rd.read_parquet(d), cb, q, k=5).to_pandas()
     assert (direct["vec_id"].to_numpy() == stored["vec_id"].to_numpy()).all()
+
+
+def test_pq_train_rejects_oversized_codebook():
+    """n_centroids > 256 cannot be represented in uint8 codes; train() must
+    refuse instead of silently wrapping indices into corrupt codes."""
+    import numpy as np
+    import pytest
+
+    from language_identification_ray.stages.knn import PqCodebook
+
+    rng = np.random.default_rng(0)
+    with pytest.raises(ValueError, match="uint8"):
+        PqCodebook.train(rng.normal(size=(600, 16)), m=4, n_centroids=512)

@@ -198,3 +198,50 @@ def test_asof_null_purchase_values_ignored_like_sql_max(ray_session, tmp_path):
     out = events_asof_purchase(str(d)).to_pandas().set_index("user_id")
     assert out.loc[1, "last_purchase_value"] == 7.0  # NULL ignored, real kept
     assert pd.isna(out.loc[2, "last_purchase_value"])  # all-NULL slot -> NULL
+
+
+def test_late_shipment_null_orderdate_not_late(ray_session, tmp_path):
+    """A NULL o_orderdate must exclude the order (SQL: ship >= NULL + grace
+    is NULL -> not late), not wrap NaT to INT64_MIN and count everything.
+    Both physical plans."""
+    import datetime as dt
+
+    from language_identification_ray.pipelines.relational import (
+        _late_shipment_priority_join,
+        late_shipment_priority,
+    )
+
+    d = tmp_path / "lsp"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2], pa.int64()),
+                "o_orderdate": pa.array(
+                    [dt.datetime(2024, 1, 1), None], pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"], pa.string()),
+            }
+        ),
+        d / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 2], pa.int64()),
+                "l_shipdate": pa.array(
+                    [dt.datetime(2024, 3, 1)] * 2, pa.timestamp("us")
+                ),
+            }
+        ),
+        d / "lineitem.parquet",
+    )
+    for plan in (
+        lambda: late_shipment_priority(str(d)),
+        lambda: _late_shipment_priority_join(
+            str(d), np.int64(30) * np.int64(86_400_000_000_000)
+        ),
+    ):
+        out = plan().to_pandas()
+        assert out["o_orderpriority"].tolist() == ["1-URGENT"], out
+        assert out["n_orders"].tolist() == [1], out
