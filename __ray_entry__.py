@@ -362,6 +362,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_features": video_frames_q,
         "audio_features": audio_features_q,
         "detector_agreement": detector_agreement_q,
+        # oracle-backed, added r3 (outside the window; pytest-gated)
+        "boilerplate_ngram_stats": analysis.boilerplate_ngram_stats,
     }
 
 
@@ -828,6 +830,18 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(h.n_hits, 0) > 0 AS contaminated
             FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
             WHERE d.doc_id % 13 <> 0
+        """,
+        "boilerplate_ngram_stats": """
+            WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            grams AS (
+                SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+                FROM docs, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ),
+            freq AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 4)
+            SELECT g.doc_id, count(*) AS n_grams, count(f.gram) AS n_boiler,
+                   (2 * count(f.gram) <= count(*)) AS keep
+            FROM grams g LEFT JOIN freq f USING (gram)
+            GROUP BY g.doc_id
         """,
         "train_val_test_split": """
             SELECT doc_id, lang,

@@ -2184,3 +2184,113 @@ def dup_clusters(sf_dir: str, threshold: float = 0.4, max_iters: int = 50) -> "r
         .aggregate(Min("label", alias_name="cluster_id"), Max("is_doc", alias_name="seen_doc"))
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document boilerplate detection (RefinedWeb / CCNet shape)
+
+
+def _unique_doc_grams(batch: pa.Table, n: int):
+    """Vectorized per-batch extraction of DISTINCT (doc, word-n-gram) pairs.
+
+    Returns ``(n_docs, udoc, ucode, gram_dictionary)``: ``udoc``/``ucode``
+    index the unique pairs (doc position in batch, code into the batch-local
+    ``gram_dictionary`` string array).  No per-row Python: splitting is one
+    Arrow kernel, gram strings are one ``binary_join_element_wise`` over
+    ``take``-gathered word columns, and per-doc dedup is one ``np.unique``
+    over packed (doc << 32 | code) keys."""
+    words = pc.split_pattern(pc.fill_null(batch["text"], ""), " ").combine_chunks()
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.values
+    lens = np.diff(offs)
+    per_doc = np.maximum(lens - n + 1, 0)
+    total = int(per_doc.sum())
+    n_docs = len(lens)
+    if total == 0:
+        return n_docs, np.empty(0, np.int64), np.empty(0, np.int64), pa.array([], pa.string())
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)
+    seg_start = np.concatenate(([0], np.cumsum(per_doc)))[:-1]
+    starts = np.arange(total, dtype=np.int64) - np.repeat(seg_start, per_doc) + np.repeat(offs[:-1], per_doc)
+    cols = [flat.take(pa.array(starts + j)) for j in range(n)]
+    grams = pc.binary_join_element_wise(*cols, " ")
+    gd = grams.dictionary_encode()
+    codes = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ukey = np.unique((doc_idx << 32) | codes)
+    return n_docs, ukey >> 32, ukey & 0xFFFFFFFF, gd.dictionary
+
+
+def boilerplate_ngram_stats(
+    sf_dir: str, n: int = 3, min_docs: int = 4
+) -> "rd.Dataset":
+    """Cross-document boilerplate detection (the RefinedWeb / CCNet filter):
+    a word n-gram appearing in ≥ ``min_docs`` DISTINCT documents is
+    boilerplate (nav bars, cookie banners, license footers); each document
+    reports how much of it is made of such grams, plus the standard ≤ 50%
+    keep decision — integer-exact (2 × n_boiler ≤ n_grams), no float in the
+    oracle compare.
+
+    Scale shape: pass 1 is a combiner-cascade count — per-batch DISTINCT
+    (doc, gram) partials (one row per gram per batch, not per occurrence)
+    → one keyed groupby over gram strings → threshold filter.  The
+    surviving frequent-gram set is BROADCAST via ``ray.put`` (boilerplate
+    is heavy-hitters by definition: its size is bounded by corpus
+    redundancy, not corpus size — the same contract as
+    ``decontaminate_docs``'s eval set; the driver-side union is the one
+    bounded materialization and is counted).  Pass 2 is then map-only:
+    per-batch membership via ``pc.is_in`` against the broadcast set and two
+    ``bincount`` folds — the 100 TB side never shuffles.  Documents with
+    fewer than ``n`` words (or NULL text) have no grams and are absent from
+    the output, exactly as the SQL's UNNEST produces no rows for them."""
+    import ray
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        _, _, ucode, gdict = _unique_doc_grams(batch, n)
+        cnt = np.bincount(ucode, minlength=len(gdict)).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "gram": gdict.take(pa.array(nz)),
+                "n_docs": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    def keep_frequent(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["n_docs"], min_docs)).select(["gram"])
+
+    freq_parts = []
+    freq_ds = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(gram_partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .map_batches(keep_frequent, batch_format="pyarrow")
+    )
+    for b in freq_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        freq_parts.append(b["gram"].combine_chunks())
+    freq_arr = pa.concat_arrays(freq_parts) if freq_parts else pa.array([], pa.string())
+    freq_ref = ray.put(freq_arr)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ndocs, udoc, ucode, gdict = _unique_doc_grams(batch, n)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        freq = ray.get(freq_ref)
+        is_b = (
+            pc.is_in(gdict, value_set=freq).to_numpy(zero_copy_only=False)
+            if len(gdict)
+            else np.empty(0, bool)
+        )
+        n_grams = np.bincount(udoc, minlength=ndocs)
+        n_boiler = np.bincount(udoc[is_b[ucode]], minlength=ndocs) if len(ucode) else np.zeros(ndocs, np.int64)
+        present = n_grams > 0
+        ng = n_grams[present].astype(np.int64)
+        nb = n_boiler[present].astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[present], pa.int64()),
+                "n_grams": pa.array(ng, pa.int64()),
+                "n_boiler": pa.array(nb, pa.int64()),
+                "keep": pa.array(2 * nb <= ng, pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pyarrow")

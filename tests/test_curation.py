@@ -553,3 +553,44 @@ def test_per_source_cap_null_source_is_own_group(ray_session, tmp_path):
     null_ids = out[out["source"].isna()]["doc_id"].sort_values().tolist()
     assert a_ids == list(range(5))
     assert null_ids == list(range(8, 13))  # lowest 5 NULL-source doc_ids
+
+
+def test_boilerplate_ngram_stats_flags_repeated_spans(ray_session, tmp_path):
+    """Grams shared by >= min_docs distinct docs are boilerplate; a doc that
+    is mostly boilerplate is dropped (2*n_boiler > n_grams).  Short and NULL
+    texts have no grams and are absent, matching the SQL UNNEST."""
+    d = tmp_path / "boiler"
+    d.mkdir()
+    banner = "accept all cookies to continue"   # 5 words -> 3 trigrams
+    texts = [
+        banner + " unique tail one two three four five",  # mostly original: keep
+        banner + " other words entirely different here too",
+        banner,                                  # pure boilerplate: drop
+        banner,
+        "totally original text with no repeats at all",
+        "ab",                                    # < 3 words: absent
+        None,                                    # NULL: absent
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = (
+        analysis.boilerplate_ngram_stats(str(d), n=3, min_docs=4)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert sorted(out.index) == [0, 1, 2, 3, 4]  # 5 and 6 have no grams
+    # the 3 banner trigrams appear in docs 0-3 (4 distinct docs) -> boilerplate
+    assert out.loc[2, "n_grams"] == 3 and out.loc[2, "n_boiler"] == 3
+    assert not out.loc[2, "keep"] and not out.loc[3, "keep"]
+    assert out.loc[0, "keep"] and out.loc[4, "keep"]
+    assert out.loc[4, "n_boiler"] == 0
