@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "detector_agreement": detector_agreement_q,
         # oracle-backed, added r3 (outside the window; pytest-gated)
         "boilerplate_ngram_stats": analysis.boilerplate_ngram_stats,
+        "sequence_pack_offsets": analysis.sequence_pack_offsets,
     }
 
 
@@ -842,6 +843,24 @@ def oracle_sql() -> dict[str, str]:
                    (2 * count(f.gram) <= count(*)) AS keep
             FROM grams g LEFT JOIN freq f USING (gram)
             GROUP BY g.doc_id
+        """,
+        "sequence_pack_offsets": """
+            WITH t AS (
+                SELECT doc_id, len(string_split(coalesce(text, ''), ' ')) AS n_tokens
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+                FROM t
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(start_offset AS BIGINT) AS start_offset,
+                   CAST(start_offset // 512 AS BIGINT) AS pack_id,
+                   (start_offset + GREATEST(n_tokens, 1) - 1) // 512 <> start_offset // 512
+                       AS spans_boundary
+            FROM s
         """,
         "train_val_test_split": """
             SELECT doc_id, lang,

@@ -2294,3 +2294,74 @@ def boilerplate_ngram_stats(
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pyarrow")
+
+
+def sequence_pack_offsets(
+    sf_dir: str, budget: int = 512, bucket: int = 4096
+) -> "rd.Dataset":
+    """GPT-style sequence packing map: concatenate all documents in doc_id
+    order and chunk the stream into fixed ``budget``-token training
+    sequences; every document reports its global start-token offset, the
+    pack (chunk) its first token lands in, and whether it straddles a pack
+    boundary (the docs an attention-mask reset or a boundary-loss trick
+    must handle).  All integers — the oracle compare is exact.
+
+    The global running sum is a DISTRIBUTED PREFIX SUM, the same
+    histogram-offset shape as :func:`global_length_rank`: pass 1 sums
+    tokens per doc_id-range bucket (``doc_id // bucket`` — contiguous in
+    the order being packed), the driver cumsums the per-bucket totals
+    (bounded by bucket COUNT, corpus/4096, not corpus size — the one
+    bounded materialization), and pass 2 adds each bucket's broadcast base
+    to a local vectorized cumsum.  No global sort, no single reducer; the
+    only exchange is the bucket-keyed groupby whose groups are ≤ ``bucket``
+    rows by construction.  Token count = whitespace split, identical to
+    ``token_count``'s oracle (NULL text coalesced to '' on both sides)."""
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ntok = pc.list_value_length(
+            pc.split_pattern(pc.fill_null(batch["text"], ""), " ")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ids // bucket, pa.int64()),
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+            }
+        )
+
+    toks = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        tok_partial, batch_format="pyarrow"
+    )
+    per_bucket = (
+        toks.groupby("bucket")
+        .aggregate(Sum("n_tokens", alias_name="bucket_tokens"))
+        .to_pandas()  # bounded by bucket count (= docs / 4096), not corpus size
+        .sort_values("bucket")
+    )
+    sums = per_bucket["bucket_tokens"].to_numpy(dtype=np.int64)
+    bases = dict(
+        zip(per_bucket["bucket"].tolist(), (np.cumsum(sums) - sums).tolist())
+    )
+
+    def pack_group(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        ntok = group["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids, ntok = ids[order], ntok[order]
+        start = np.cumsum(ntok) - ntok + bases[int(group["bucket"][0].as_py())]
+        pack_id = start // budget
+        # a 0-token doc occupies no tokens and cannot straddle; guard the
+        # (start + n - 1) end-token formula against n == 0
+        end = start + np.maximum(ntok, 1) - 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "start_offset": pa.array(start, pa.int64()),
+                "pack_id": pa.array(pack_id, pa.int64()),
+                "spans_boundary": pa.array((end // budget) != pack_id, pa.bool_()),
+            }
+        )
+
+    return toks.groupby("bucket").map_groups(pack_group, batch_format="pyarrow")

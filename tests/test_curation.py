@@ -594,3 +594,38 @@ def test_boilerplate_ngram_stats_flags_repeated_spans(ray_session, tmp_path):
     assert not out.loc[2, "keep"] and not out.loc[3, "keep"]
     assert out.loc[0, "keep"] and out.loc[4, "keep"]
     assert out.loc[4, "n_boiler"] == 0
+
+
+def test_sequence_pack_offsets_prefix_sum(ray_session, tmp_path):
+    """Start offsets are an exact prefix sum in doc_id order regardless of
+    bucket boundaries, and the boundary flag fires exactly for docs whose
+    tokens cross a pack edge."""
+    d = tmp_path / "pack"
+    d.mkdir()
+    # budget 512; tokens: 500, 10, 5, 600 -> offsets 0, 500, 510, 515
+    toks = [500, 10, 5, 600]
+    texts = ["w " * (t - 1) + "w" for t in toks]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 5000, 5001], pa.int64()),  # spans 2 buckets
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * 4, pa.string()),
+                "source": pa.array(["s"] * 4, pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = (
+        analysis.sequence_pack_offsets(str(d), budget=512)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["start_offset"].tolist() == [0, 500, 510, 515]
+    assert out["pack_id"].tolist() == [0, 0, 0, 1]
+    # doc 1 covers tokens 500-509 (inside pack 0): no straddle; doc 5000
+    # covers 510-514, crossing the 512 edge -> yes; doc 5001 covers
+    # 515-1114, crossing 1024 -> yes
+    assert out["spans_boundary"].tolist() == [False, False, True, True]
