@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # oracle-backed, added r3 (outside the window; pytest-gated)
         "boilerplate_ngram_stats": analysis.boilerplate_ngram_stats,
         "sequence_pack_offsets": analysis.sequence_pack_offsets,
+        "events_hopping_window": analysis.events_hopping_window,
     }
 
 
@@ -843,6 +844,19 @@ def oracle_sql() -> dict[str, str]:
                    (2 * count(f.gram) <= count(*)) AS keep
             FROM grams g LEFT JOIN freq f USING (gram)
             GROUP BY g.doc_id
+        """,
+        "events_hopping_window": """
+            WITH hops AS (
+                SELECT e.event_type,
+                       CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents,
+                       time_bucket(INTERVAL 15 MINUTE, e.ts)
+                           - (h.i * INTERVAL 15 MINUTE) AS window_start
+                FROM events e, UNNEST(range(0, 4)) AS h(i)
+                WHERE e.ts IS NOT NULL
+            )
+            SELECT window_start, event_type, count(*) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS value_cents
+            FROM hops GROUP BY window_start, event_type
         """,
         "sequence_pack_offsets": """
             WITH t AS (

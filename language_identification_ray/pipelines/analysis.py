@@ -2365,3 +2365,78 @@ def sequence_pack_offsets(
         )
 
     return toks.groupby("bucket").map_groups(pack_group, batch_format="pyarrow")
+
+
+def events_hopping_window(
+    sf_dir: str, hop_min: int = 15, hops: int = 4
+) -> "rd.Dataset":
+    """Hopping (sliding) window aggregate: 1-hour windows advancing every
+    ``hop_min`` minutes (``hops`` × hop = window length), count + exact
+    cent-sum per (window_start, event_type) — the stream-analytics shape
+    Ray Data has no native operator for.
+
+    Map-side each event FANS OUT to the ``hops`` windows that contain it
+    (window_start = floor(ts, hop) − i·hop), the standard hop expansion of
+    stream processors; the batch is then PRE-AGGREGATED to one row per
+    (window, type) before the shuffle, so the exchange is bounded by
+    distinct windows per batch × types — ``hops``-fold smaller than the
+    fanned rows — and the final groupby is over window-key cardinality.
+    All vectorized: one dictionary encode, one np.unique over packed
+    (window, type) keys, two scatter-adds.  NULL timestamps are excluded
+    on both sides (SQL WHERE ts IS NOT NULL); epoch-aligned buckets match
+    DuckDB ``time_bucket`` exactly."""
+    hop_ns = np.int64(hop_min) * np.int64(60_000_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts64 = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[ns]")
+        valid = ~np.isnat(ts64)
+        ts = ts64.astype(np.int64)[valid]
+        cents = np.floor(
+            batch["value"].to_numpy(zero_copy_only=False)[valid] * 100.0 + 0.5
+        ).astype(np.int64)
+        tdict = batch["event_type"].combine_chunks().dictionary_encode()
+        names = tdict.dictionary.to_pylist()
+        codes = tdict.indices.to_numpy(zero_copy_only=False).astype(np.int64)[valid]
+        n_types = max(len(names), 1)
+        bucket = ts // hop_ns  # int64 floor division rounds toward -inf
+        # fan out to the `hops` containing windows, then collapse duplicates
+        widx = np.concatenate([bucket - i for i in range(hops)])
+        fcodes = np.tile(codes, hops)
+        fcents = np.tile(cents, hops)
+        key = widx * n_types + fcodes
+        ukey, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        csum = np.zeros(len(ukey), dtype=np.int64)
+        np.add.at(csum, inv, fcents)
+        uwin = (ukey // n_types) * hop_ns
+        ucode = ukey % n_types
+        type_col = pa.array(names, pa.string()).take(pa.array(ucode))
+        return pa.table(
+            {
+                "window_start": pa.array(uwin).cast(pa.timestamp("ns")).cast(pa.timestamp("us")),
+                "event_type": type_col,
+                "n_events": pa.array(n, pa.int64()),
+                "value_cents": pa.array(csum, pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": batch["window_start"].cast(pa.timestamp("us")),
+                "event_type": batch["event_type"],
+                "n_events": batch["n_events"].cast(pa.int64()),
+                "value_cents": batch["value_cents"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )

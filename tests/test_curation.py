@@ -629,3 +629,39 @@ def test_sequence_pack_offsets_prefix_sum(ray_session, tmp_path):
     # covers 510-514, crossing the 512 edge -> yes; doc 5001 covers
     # 515-1114, crossing 1024 -> yes
     assert out["spans_boundary"].tolist() == [False, False, True, True]
+
+
+def test_events_hopping_window_fanout_and_null_ts(ray_session, tmp_path):
+    """Each event lands in exactly `hops` windows; counts per window reflect
+    which events' 1-hour spans cover it; NULL ts rows are excluded."""
+    import datetime as dt
+
+    d = tmp_path / "hop"
+    d.mkdir()
+    T = lambda m: dt.datetime(2026, 1, 1, 10, m)
+    # two clicks 30 min apart + one NULL-ts row
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "ts": pa.array([T(0), T(30), None], pa.timestamp("us")),
+                "user_id": pa.array([1, 1, 1], pa.int64()),
+                "event_type": pa.array(["click"] * 3, pa.string()),
+                "value": pa.array([1.0, 2.0, 4.0], pa.float64()),
+                "props": pa.array(["{}"] * 3, pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = (
+        analysis.events_hopping_window(str(d))
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    # event@10:00 -> windows 09:15..10:00; event@10:30 -> 09:45..10:30
+    assert len(out) == 6  # 8 fanned rows, 2 shared windows (09:45, 10:00)
+    assert out["n_events"].sum() == 8  # 2 events x 4 hops; NULL ts excluded
+    both = out[out["n_events"] == 2]
+    assert [str(w)[11:16] for w in both["window_start"]] == ["09:45", "10:00"]
+    assert (both["value_cents"] == 300).all()
