@@ -2297,7 +2297,7 @@ def boilerplate_ngram_stats(
 
 
 def sequence_pack_offsets(
-    sf_dir: str, budget: int = 512, bucket: int = 4096
+    sf_dir: str, budget: int = 512, bucket: int = 1 << 20
 ) -> "rd.Dataset":
     """GPT-style sequence packing map: concatenate all documents in doc_id
     order and chunk the stream into fixed ``budget``-token training
@@ -2310,11 +2310,12 @@ def sequence_pack_offsets(
     histogram-offset shape as :func:`global_length_rank`: pass 1 sums
     tokens per doc_id-range bucket (``doc_id // bucket`` — contiguous in
     the order being packed), the driver cumsums the per-bucket totals
-    (bounded by bucket COUNT, corpus/4096, not corpus size — the one
-    bounded materialization), and pass 2 adds each bucket's broadcast base
-    to a local vectorized cumsum.  No global sort, no single reducer; the
-    only exchange is the bucket-keyed groupby whose groups are ≤ ``bucket``
-    rows by construction.  Token count = whitespace split, identical to
+    (bounded by bucket COUNT: corpus / 2^20 ≈ 10^6 rows / ~25 MB even at
+    10^12 documents — the one bounded materialization), and pass 2 adds
+    each bucket's broadcast base to a local vectorized cumsum.  No global
+    sort, no single reducer; the only exchange is the bucket-keyed groupby
+    whose groups are ≤ ``bucket`` rows (≈ 25 MB of int64 triples) by
+    construction, and 10^6 groups keep every reducer busy.  Token count = whitespace split, identical to
     ``token_count``'s oracle (NULL text coalesced to '' on both sides)."""
 
     def tok_partial(batch: pa.Table) -> pa.Table:

@@ -618,7 +618,7 @@ def test_sequence_pack_offsets_prefix_sum(ray_session, tmp_path):
         d / "documents.parquet",
     )
     out = (
-        analysis.sequence_pack_offsets(str(d), budget=512)
+        analysis.sequence_pack_offsets(str(d), budget=512, bucket=4096)
         .to_pandas()
         .sort_values("doc_id")
         .reset_index(drop=True)
