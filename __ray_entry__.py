@@ -855,7 +855,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE e.ts IS NOT NULL
             )
             SELECT window_start, event_type, count(*) AS n_events,
-                   CAST(sum(cents) AS BIGINT) AS value_cents
+                   CAST(COALESCE(sum(cents), 0) AS BIGINT) AS value_cents
             FROM hops GROUP BY window_start, event_type
         """,
         "sequence_pack_offsets": """

@@ -2209,8 +2209,7 @@ def _unique_doc_grams(batch: pa.Table, n: int):
     if total == 0:
         return n_docs, np.empty(0, np.int64), np.empty(0, np.int64), pa.array([], pa.string())
     doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), per_doc)
-    seg_start = np.concatenate(([0], np.cumsum(per_doc)))[:-1]
-    starts = np.arange(total, dtype=np.int64) - np.repeat(seg_start, per_doc) + np.repeat(offs[:-1], per_doc)
+    starts = _segment_aranges(offs[:-1], per_doc)
     cols = [flat.take(pa.array(starts + j)) for j in range(n)]
     grams = pc.binary_join_element_wise(*cols, " ")
     gd = grams.dictionary_encode()
@@ -2331,13 +2330,19 @@ def sequence_pack_offsets(
             }
         )
 
-    toks = _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        tok_partial, batch_format="pyarrow"
+    # materialized ONCE: both the per-bucket total pass and the packing pass
+    # consume it, and it is the REDUCED form (24 bytes/doc of int64 triples,
+    # the same rows the groupby shuffles anyway) — without this the corpus
+    # text would be re-read and re-split for the second pass
+    toks = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(tok_partial, batch_format="pyarrow")
+        .materialize()
     )
     per_bucket = (
         toks.groupby("bucket")
         .aggregate(Sum("n_tokens", alias_name="bucket_tokens"))
-        .to_pandas()  # bounded by bucket count (= docs / 4096), not corpus size
+        .to_pandas()  # bounded by bucket count (= docs / 2^20), not corpus size
         .sort_values("bucket")
     )
     sums = per_bucket["bucket_tokens"].to_numpy(dtype=np.int64)
@@ -2392,12 +2397,21 @@ def events_hopping_window(
         ts64 = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[ns]")
         valid = ~np.isnat(ts64)
         ts = ts64.astype(np.int64)[valid]
+        # NULL value → NaN → 0 cents: matches the oracle's
+        # COALESCE(sum(cents), 0), which skips NULL addends (the row still
+        # counts toward n_events, exactly like SQL count(*))
         cents = np.floor(
-            batch["value"].to_numpy(zero_copy_only=False)[valid] * 100.0 + 0.5
+            np.nan_to_num(batch["value"].to_numpy(zero_copy_only=False)[valid])
+            * 100.0
+            + 0.5
         ).astype(np.int64)
         tdict = batch["event_type"].combine_chunks().dictionary_encode()
         names = tdict.dictionary.to_pylist()
-        codes = tdict.indices.to_numpy(zero_copy_only=False).astype(np.int64)[valid]
+        tidx = tdict.indices
+        if tidx.null_count:  # NULL event_type is its own group (SQL GROUP BY)
+            names.append(None)
+            tidx = pc.fill_null(tidx, len(names) - 1)
+        codes = tidx.to_numpy(zero_copy_only=False).astype(np.int64)[valid]
         n_types = max(len(names), 1)
         bucket = ts // hop_ns  # int64 floor division rounds toward -inf
         # fan out to the `hops` containing windows, then collapse duplicates
@@ -2412,10 +2426,13 @@ def events_hopping_window(
         uwin = (ukey // n_types) * hop_ns
         ucode = ukey % n_types
         type_col = pa.array(names, pa.string()).take(pa.array(ucode))
+        # Ray's sort-based groupby cannot order a NULL string key; shuffle
+        # on (filled key, is-null flag) and restore NULL in finalize
         return pa.table(
             {
                 "window_start": pa.array(uwin).cast(pa.timestamp("ns")).cast(pa.timestamp("us")),
-                "event_type": type_col,
+                "type_key": pc.fill_null(type_col, ""),
+                "type_null": pc.is_null(type_col),
                 "n_events": pa.array(n, pa.int64()),
                 "value_cents": pa.array(csum, pa.int64()),
             }
@@ -2425,7 +2442,9 @@ def events_hopping_window(
         return pa.table(
             {
                 "window_start": batch["window_start"].cast(pa.timestamp("us")),
-                "event_type": batch["event_type"],
+                "event_type": pc.if_else(
+                    batch["type_null"], pa.scalar(None, pa.string()), batch["type_key"]
+                ),
                 "n_events": batch["n_events"].cast(pa.int64()),
                 "value_cents": batch["value_cents"].cast(pa.int64()),
             }
@@ -2434,7 +2453,7 @@ def events_hopping_window(
     return (
         rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby(["window_start", "event_type"])
+        .groupby(["window_start", "type_key", "type_null"])
         .aggregate(
             Sum("n_events", alias_name="n_events"),
             Sum("value_cents", alias_name="value_cents"),

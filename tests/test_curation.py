@@ -665,3 +665,51 @@ def test_events_hopping_window_fanout_and_null_ts(ray_session, tmp_path):
     both = out[out["n_events"] == 2]
     assert [str(w)[11:16] for w in both["window_start"]] == ["09:45", "10:00"]
     assert (both["value_cents"] == 300).all()
+
+
+def test_events_hopping_window_null_type_and_value(ray_session, tmp_path):
+    """NULL event_type forms its own group and NULL value contributes 0
+    cents while still counting toward n_events — exact parity with the
+    declared DuckDB oracle on a NULL-bearing fixture."""
+    import datetime as dt
+
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    d = tmp_path / "hopnull"
+    d.mkdir()
+    T = lambda m: dt.datetime(2026, 1, 1, 10, m)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "ts": pa.array([T(0), T(0), T(0), None], pa.timestamp("us")),
+                "user_id": pa.array([1] * 4, pa.int64()),
+                "event_type": pa.array(["click", None, None, "click"], pa.string()),
+                "value": pa.array([1.0, 2.0, None, 8.0], pa.float64()),
+                "props": pa.array(["{}"] * 4, pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = (
+        analysis.events_hopping_window(str(d))
+        .to_pandas()
+        .sort_values(["window_start", "event_type"], na_position="last")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    odf = (
+        con.sql(entrymod.oracle_sql()["events_hopping_window"])
+        .df()
+        .sort_values(["window_start", "event_type"], na_position="last")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[odf.columns.tolist()], odf, check_dtype=False
+    )
+    # the NULL-type group carries both NULL-value (0 cents) and real rows
+    nulls = out[out["event_type"].isna()]
+    assert (nulls["n_events"] == 2).all() and (nulls["value_cents"] == 200).all()
