@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_ngram_stats": analysis.boilerplate_ngram_stats,
         "sequence_pack_offsets": analysis.sequence_pack_offsets,
         "events_hopping_window": analysis.events_hopping_window,
+        "word_cooccurrence_top100": analysis.word_cooccurrence_top100,
     }
 
 
@@ -844,6 +845,19 @@ def oracle_sql() -> dict[str, str]:
                    (2 * count(f.gram) <= count(*)) AS keep
             FROM grams g LEFT JOIN freq f USING (gram)
             GROUP BY g.doc_id
+        """,
+        "word_cooccurrence_top100": """
+            WITH w AS (
+                SELECT DISTINCT doc_id,
+                       unnest(string_split(coalesce(text, ''), ' ')) AS word
+                FROM documents
+            ),
+            p AS (
+                SELECT a.word AS w1, b.word AS w2
+                FROM w a JOIN w b ON a.doc_id = b.doc_id AND a.word < b.word
+            )
+            SELECT w1, w2, count(*) AS n_docs FROM p GROUP BY w1, w2
+            ORDER BY n_docs DESC, w1, w2 LIMIT 100
         """,
         "events_hopping_window": """
             WITH hops AS (

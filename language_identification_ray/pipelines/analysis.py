@@ -2460,3 +2460,95 @@ def events_hopping_window(
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def word_cooccurrence_top100(sf_dir: str, k: int = 100) -> "rd.Dataset":
+    """Top-``k`` word pairs by DOCUMENT co-occurrence count — the
+    association-mining / PMI-numerator primitive (count of documents whose
+    distinct-word set contains both words, pairs ordered ``w1 < w2``).
+
+    Scale shape: pair generation is BATCH-LOCAL (a document's text lives in
+    one row, so its distinct-word set never crosses a batch) and fully
+    vectorized — one dictionary encode per batch, codes remapped to
+    lexicographic ranks, and each document's C(v,2) unordered pairs expanded
+    with the condensed-triangular-index decode (the scipy ``squareform``
+    formulas) rather than a per-doc Python loop.  Each batch pre-aggregates
+    to one row per pair before the shuffle; the keyed groupby is over pair
+    cardinality (≤ vocab², and in web text bounded by co-occurrence
+    sparsity), then a partial top-k per block feeds the tiny final sort.
+
+    Partitioning assumption, stated: pairs per doc grow as v² in the
+    DISTINCT-word count v.  Web documents hold v in the hundreds–thousands;
+    corpora with outlier vocab-dense docs should cap v upstream (e.g. the
+    per-doc top-v by term frequency) — this operator generates exactly the
+    SQL self-join's pair set and does NOT silently cap."""
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.fill_null(batch["text"], ""), " ").combine_chunks()
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.values
+        gd = flat.dictionary_encode()
+        names = np.asarray(gd.dictionary.to_pylist(), dtype=object)
+        # remap first-appearance codes to LEXICOGRAPHIC ranks so rank_i <
+        # rank_j is exactly the SQL's w1 < w2 (binary collation both sides)
+        order = np.argsort(names, kind="stable")
+        rank_of = np.empty(len(names), dtype=np.int64)
+        rank_of[order] = np.arange(len(names), dtype=np.int64)
+        codes = rank_of[gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+        lens = np.diff(offs)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        # distinct (doc, word) pairs, sorted by (doc, rank)
+        ukey = np.unique(doc_idx * np.int64(len(names) or 1) + codes)
+        urank = ukey % np.int64(len(names) or 1)
+        udoc = ukey // np.int64(len(names) or 1)
+        seg_start = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+        v = np.diff(np.r_[seg_start, len(udoc)])
+        m = v * (v - 1) // 2
+        total = int(m.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "w1": pa.array([], pa.string()),
+                    "w2": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                }
+            )
+        q = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+        vv = np.repeat(v, m)
+        ss = np.repeat(seg_start, m)
+        # condensed index q -> triangular (i, j), i < j (squareform decode)
+        i = (
+            vv
+            - 2
+            - np.floor(np.sqrt(-8.0 * q + 4.0 * vv * (vv - 1) - 7) / 2.0 - 0.5)
+        ).astype(np.int64)
+        j = q + i + 1 - vv * (vv - 1) // 2 + (vv - i) * ((vv - i) - 1) // 2
+        r1 = urank[ss + i]
+        r2 = urank[ss + j]
+        # per-batch pre-aggregation: one row per distinct pair
+        pkey, cnt = np.unique(r1 * np.int64(len(names)) + r2, return_counts=True)
+        sorted_names = names[order]
+        return pa.table(
+            {
+                "w1": pa.array(sorted_names[pkey // len(names)], pa.string()),
+                "w2": pa.array(sorted_names[pkey % len(names)], pa.string()),
+                "n_docs": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        n = batch["n_docs"].to_numpy(zero_copy_only=False)
+        cut = np.partition(n, len(n) - k)[len(n) - k]
+        return batch.filter(pa.array(n >= cut))
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+        .map_batches(partial_topk, batch_format="pyarrow")
+        .sort(["n_docs", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )

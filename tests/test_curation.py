@@ -713,3 +713,41 @@ def test_events_hopping_window_null_type_and_value(ray_session, tmp_path):
     # the NULL-type group carries both NULL-value (0 cents) and real rows
     nulls = out[out["event_type"].isna()]
     assert (nulls["n_events"] == 2).all() and (nulls["value_cents"] == 200).all()
+
+
+def test_word_cooccurrence_pairs_match_itertools(ray_session, tmp_path):
+    """The vectorized condensed-triangular-index pair expansion must emit
+    exactly itertools.combinations over each doc's sorted distinct words —
+    fuzzed over random docs with varied vocab sizes."""
+    import itertools
+    import random
+    from collections import Counter
+
+    rng = random.Random(41)
+    vocab = [f"w{i:02d}" for i in range(17)]
+    texts, expect = [], Counter()
+    for _ in range(60):
+        v = rng.randint(0, 9)
+        ws = rng.sample(vocab, v)
+        ws = ws + [rng.choice(ws)] * rng.randint(0, 3) if ws else ws  # repeats
+        rng.shuffle(ws)
+        texts.append(" ".join(ws))
+        for a, b in itertools.combinations(sorted(set(ws)), 2):
+            expect[(a, b)] += 1
+    d = tmp_path / "cooc"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = analysis.word_cooccurrence_top100(str(d), k=10_000).to_pandas()
+    got = {(r.w1, r.w2): r.n_docs for r in out.itertuples()}
+    assert got == dict(expect)
