@@ -2483,37 +2483,40 @@ def word_cooccurrence_top100(sf_dir: str, k: int = 100) -> "rd.Dataset":
     per-doc top-v by term frequency) — this operator generates exactly the
     SQL self-join's pair set and does NOT silently cap."""
 
+    def _empty_pairs() -> pa.Table:
+        return pa.table(
+            {
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+            }
+        )
+
     def pair_partial(batch: pa.Table) -> pa.Table:
-        words = pc.split_pattern(pc.fill_null(batch["text"], ""), " ").combine_chunks()
-        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = words.values
-        gd = flat.dictionary_encode()
-        names = np.asarray(gd.dictionary.to_pylist(), dtype=object)
+        # distinct (doc, word) extraction = the 1-gram case of the shared
+        # gram kernel; only the rank remap and pair expansion are new here
+        _, udoc, ucode, gdict = _unique_doc_grams(batch, 1)
+        K = len(gdict)
+        if K == 0 or len(ucode) == 0:
+            return _empty_pairs()
         # remap first-appearance codes to LEXICOGRAPHIC ranks so rank_i <
-        # rank_j is exactly the SQL's w1 < w2 (binary collation both sides)
-        order = np.argsort(names, kind="stable")
-        rank_of = np.empty(len(names), dtype=np.int64)
-        rank_of[order] = np.arange(len(names), dtype=np.int64)
-        codes = rank_of[gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
-        lens = np.diff(offs)
-        doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-        # distinct (doc, word) pairs, sorted by (doc, rank)
-        ukey = np.unique(doc_idx * np.int64(len(names) or 1) + codes)
-        urank = ukey % np.int64(len(names) or 1)
-        udoc = ukey // np.int64(len(names) or 1)
+        # rank_j is exactly the SQL's w1 < w2 — Arrow sort_indices is the
+        # same binary (UTF-8 byte) collation, and no Python str is built
+        order = pc.sort_indices(gdict)
+        sorted_dict = gdict.take(order)
+        rank_of = np.empty(K, dtype=np.int64)
+        rank_of[order.to_numpy(zero_copy_only=False).astype(np.int64)] = np.arange(
+            K, dtype=np.int64
+        )
+        ranks = rank_of[ucode]
+        o = np.lexsort((ranks, udoc))  # (doc, rank) order for i<j pairing
+        udoc, urank = udoc[o], ranks[o]
         seg_start = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
         v = np.diff(np.r_[seg_start, len(udoc)])
         m = v * (v - 1) // 2
-        total = int(m.sum())
-        if total == 0:
-            return pa.table(
-                {
-                    "w1": pa.array([], pa.string()),
-                    "w2": pa.array([], pa.string()),
-                    "n_docs": pa.array([], pa.int64()),
-                }
-            )
-        q = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(m) - m, m)
+        if int(m.sum()) == 0:
+            return _empty_pairs()
+        q = _segment_aranges(np.zeros(len(m), dtype=np.int64), m)
         vv = np.repeat(v, m)
         ss = np.repeat(seg_start, m)
         # condensed index q -> triangular (i, j), i < j (squareform decode)
@@ -2526,12 +2529,11 @@ def word_cooccurrence_top100(sf_dir: str, k: int = 100) -> "rd.Dataset":
         r1 = urank[ss + i]
         r2 = urank[ss + j]
         # per-batch pre-aggregation: one row per distinct pair
-        pkey, cnt = np.unique(r1 * np.int64(len(names)) + r2, return_counts=True)
-        sorted_names = names[order]
+        pkey, cnt = np.unique(r1 * np.int64(K) + r2, return_counts=True)
         return pa.table(
             {
-                "w1": pa.array(sorted_names[pkey // len(names)], pa.string()),
-                "w2": pa.array(sorted_names[pkey % len(names)], pa.string()),
+                "w1": sorted_dict.take(pa.array(pkey // K)),
+                "w2": sorted_dict.take(pa.array(pkey % K)),
                 "n_docs": pa.array(cnt.astype(np.int64), pa.int64()),
             }
         )
