@@ -74,3 +74,18 @@ def test_entry_smoke(ray_session):
     df = _to_pandas(entrymod.entry())
     assert len(df) >= 0
     assert "keep" in df.columns
+
+
+def test_driver_window_slots_are_all_oracle_backed():
+    """The external harness verifies only the first 50 queries() entries;
+    every one of those slots must carry a SQL oracle (a rows-only query in
+    the window wastes a verification slot), and the dict must stay larger
+    than the window so the ordering NOTE's accounting holds."""
+    qs = list(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    window = qs[:50]
+    not_backed = [q for q in window if q not in oracles]
+    assert not_backed == [], f"window slots without oracles: {not_backed}"
+    assert len(qs) > 50
+    # every oracle key maps to a real query (no orphaned SQL)
+    assert set(oracles) <= set(qs)
