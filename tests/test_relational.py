@@ -245,3 +245,26 @@ def test_late_shipment_null_orderdate_not_late(ray_session, tmp_path):
         out = plan().to_pandas()
         assert out["o_orderpriority"].tolist() == ["1-URGENT"], out
         assert out["n_orders"].tolist() == [1], out
+
+
+def test_late_shipment_join_multi_partition_parity(monkeypatch, ray_session, sf_dir):
+    """_join_partitions now floors at 1, so the default small-input path
+    never exercises a multi-partition join; force 4 partitions on the dense
+    sf fixture and require parity with the broadcast plan."""
+    from language_identification_ray.pipelines import relational
+
+    monkeypatch.setattr(relational, "_join_partitions", lambda *a, **k: 4)
+    grace_ns = np.int64(30) * np.int64(86_400_000_000_000)
+    slow = (
+        relational._late_shipment_priority_join(sf_dir, grace_ns)
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    fast = (
+        relational.late_shipment_priority(sf_dir)
+        .to_pandas()
+        .sort_values("o_orderpriority")
+        .reset_index(drop=True)
+    )
+    assert fast.equals(slow), (fast, slow)
