@@ -37,11 +37,16 @@ HTML_TAG_NAMES = sorted(
 
 _TAG_ALT = "|".join(re.escape(t) for t in HTML_TAG_NAMES)
 
-RE_COMMENT = re.compile(r"(?:<!--(?P<comment>.*)-->)", flags=re.I | re.U)
-RE_SCRIPT = re.compile(r"(?:<script(?:\s+[^<>]*)?>.*</script\s*>)", flags=re.I | re.U)
-# engine extension (no reference-parity constraint, unlike comment/script
-# above): non-greedy + DOTALL so a MULTI-LINE style block is stripped —
-# greedy no-DOTALL left the CSS body in the text that feeds language ID
+# DELIBERATE deviation from the reference's greedy, no-DOTALL forms
+# (remove_html_tags.py:155-156), same rationale as RE_STYLE below: on
+# minified (single-line) HTML the greedy comment regex deleted ALL visible
+# text between the first `<!--` and the last `-->`, and without DOTALL a
+# multi-line <script> body leaked its JS into the text that feeds language
+# ID.  Non-greedy + DOTALL strips each block exactly.
+RE_COMMENT = re.compile(r"(?:<!--(?P<comment>.*?)-->)", flags=re.I | re.U | re.S)
+RE_SCRIPT = re.compile(r"(?:<script(?:\s+[^<>]*)?>.*?</script\s*>)", flags=re.I | re.U | re.S)
+# engine extension: non-greedy + DOTALL so a MULTI-LINE style block is
+# stripped — greedy no-DOTALL left the CSS body in the langid text
 RE_STYLE = re.compile(r"(?:<style(?:\s+[^<>]*)?>.*?</style\s*>)", flags=re.I | re.U | re.S)
 RE_TAG = re.compile(rf"(?:</?(?:{_TAG_ALT})(?:\s+[^<>]*)?/?>)", flags=re.I | re.U)
 

@@ -28,8 +28,13 @@ BYTE_LENGTH_LIMIT = 10 * 1024 * 1024
 # their presence in a non-UTF-8 byte string almost always means cp1252.
 _CP1252_PRINTABLE = set(range(0x80, 0xA0)) - {0x81, 0x8D, 0x8F, 0x90, 0x9D}
 
-# Common UTF-8-read-as-cp1252 mojibake lead chars ('Ã', 'Â', 'â', 'Ê', ...).
-_MOJIBAKE_HINT = re.compile("[Â-Åâ][-¿Œœ–—‘’‚“”„†‡•…‰‹›€™]")
+# UTF-8-read-as-cp1252 mojibake: a UTF-8 LEAD byte (0xC2-0xF4) rendered as a
+# cp1252/latin-1 char (U+00C2-U+00F4 - covers 2/3/4-byte leads, so Cyrillic
+# '\u00d0'/'\u00d1', Greek '\u00ce'/'\u00cf', Arabic '\u00d8'/'\u00d9' mojibake is caught, not just
+# Latin '\u00c3'), followed by a CONTINUATION byte (0x80-0xBF) as its cp1252 or
+# latin-1 rendering.  The hint only gates the attempt; the strict
+# encode\u2192decode round trip in fix_mojibake is the real safety check.
+_MOJIBAKE_HINT = re.compile("[\u00c2-\u00f4][\x80-\xbf\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014\u02dc\u2122\u0161\u203a\u0153\u017e\u0178]")
 
 
 def decode_bytes(data: Union[bytes, bytearray], most_likely_encodings: Iterable[str] = ()) -> str:
@@ -50,21 +55,44 @@ def decode_bytes(data: Union[bytes, bytearray], most_likely_encodings: Iterable[
     return data.decode("latin-1")
 
 
+def _mojibake_roundtrip(text: str) -> Optional[str]:
+    """One strict encode→decode repair attempt, or None if neither legacy
+    encoding round-trips to valid UTF-8."""
+    for enc in ("cp1252", "latin-1"):
+        try:
+            return text.encode(enc, errors="strict").decode("utf-8", errors="strict")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            continue
+    return None
+
+
 def fix_mojibake(text: str, max_passes: int = 2) -> str:
     """Repair UTF-8-decoded-as-cp1252 mojibake ('â€™' → '’'), the core ftfy
     behavior relied on by the reference (``utils.py:37``).  Applies only when
     a re-encode→decode round trip succeeds AND the tell-tale lead bytes are
-    present, so plain text is untouched."""
+    present, so plain text is untouched.
+
+    The round trip is tried whole-text first (cheap, one pass); when a char
+    outside cp1252/latin-1 blocks the encode (an emoji, CJK, or U+FFFD
+    elsewhere in the document — common on real web pages), the repair falls
+    back to TOKEN-WISE round trips so unrelated characters cannot veto the
+    mojibake spans."""
     for _ in range(max_passes):
         if not _MOJIBAKE_HINT.search(text):
             return text
-        try:
-            fixed = text.encode("cp1252", errors="strict").decode("utf-8", errors="strict")
-        except (UnicodeEncodeError, UnicodeDecodeError):
-            try:
-                fixed = text.encode("latin-1", errors="strict").decode("utf-8", errors="strict")
-            except (UnicodeEncodeError, UnicodeDecodeError):
+        fixed = _mojibake_roundtrip(text)
+        if fixed is None:
+            parts = text.split(" ")
+            changed = False
+            for idx, part in enumerate(parts):
+                if _MOJIBAKE_HINT.search(part):
+                    repaired = _mojibake_roundtrip(part)
+                    if repaired is not None and repaired != part:
+                        parts[idx] = repaired
+                        changed = True
+            if not changed:
                 return text
+            fixed = " ".join(parts)
         if fixed == text:
             return text
         text = fixed

@@ -82,7 +82,11 @@ trigram_hashes = ngram_hashes
 
 def check_languages(specified: Optional[Iterable[str]], supported: Sequence[str]) -> List[str]:
     """Allowlist intersection, reference ``preprocessing.py:30-46`` semantics
-    (unsupported codes silently dropped; empty/None → all supported)."""
+    (unsupported codes silently dropped; empty/None → all supported).
+    Materialized first so an EMPTY ITERATOR also means "all supported" —
+    generators are always truthy, so a bare `not specified` would silently
+    treat a consumed/empty one as "no languages allowed"."""
+    specified = list(specified) if specified is not None else None
     if not specified:
         return sorted(supported)
     sup = set(supported)

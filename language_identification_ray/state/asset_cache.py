@@ -52,4 +52,26 @@ def mmap_derived(name: str, src_path: Path, build: Callable[[], np.ndarray]) -> 
             except OSError:
                 pass
             raise
+        # prune superseded generations of this asset (older mtimes) and
+        # orphaned .npy.tmp from hard-killed writers — without this every
+        # retrain leaks a multi-MB file into the cache dir forever.  Racing
+        # actors may hold an mmap of a pruned file; POSIX unlink keeps the
+        # mapping alive until it is closed, so this is safe.  Tmp files are
+        # only pruned once STALE (>1 h old): a fresh one may belong to a
+        # writer racing toward its os.replace.
+        import glob
+        import time
+
+        for stale in glob.glob(os.path.join(_CACHE_DIR, f"{name}-*.npy")):
+            if os.path.basename(stale) != os.path.basename(path):
+                try:
+                    os.unlink(stale)
+                except OSError:
+                    pass  # another actor pruned it first
+        for orphan in glob.glob(os.path.join(_CACHE_DIR, "*.npy.tmp")):
+            try:
+                if time.time() - os.stat(orphan).st_mtime > 3600:
+                    os.unlink(orphan)
+            except OSError:
+                pass
     return np.load(path, mmap_mode="r")

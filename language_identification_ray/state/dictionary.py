@@ -94,9 +94,11 @@ class DictionaryDetector:
     def predict_batch(
         self, texts: Sequence[str], language_codes: Optional[Iterable[str]] = None
     ) -> List[List[Tuple[str, float]]]:
-        from language_identification_ray.stages.langid import SCORE_MAX_CHARS
+        from language_identification_ray.stages.langid import SCORE_MAX_CHARS, check_languages
 
-        allowed = set(language_codes) & set(self.vocab) if language_codes else set(self.vocab)
+        # shared detector contract (empty/None/consumed iterator → all
+        # supported), not an ad-hoc truthiness test
+        langs = check_languages(language_codes, self.SUPPORTED_LANGUAGES)
         out = []
         for text in texts:
             # same truncation as every other detector (langid.SCORE_MAX_CHARS):
@@ -107,7 +109,7 @@ class DictionaryDetector:
                 out.append([])
                 continue
             scores = []
-            for lang in sorted(allowed):
+            for lang in langs:
                 hits = sum(1 for w in words if w in self.vocab[lang])
                 if hits:
                     scores.append((lang, hits / len(words)))

@@ -155,6 +155,8 @@ class ApproxWordList2:
         return {g: tuple(v) for g, v in locs.items()}
 
     def add_word(self, word: str) -> "ApproxWordList2":
+        if not word:
+            raise ValueError("empty word")  # same contract as v1/v3
         if word in self._vocab_indices:
             return self
         idx = self._vocab_indices[word] = len(self.vocabulary)
@@ -173,8 +175,10 @@ class ApproxWordList2:
 
     def lookup(self, word: str, top_k: Optional[int] = None, dim: float = 1.0) -> List[Tuple[str, float, int]]:
         """→ [(candidate, round(power_mean_score, 3), damerau_levenshtein)]
-        ranked by score desc (deterministic tie-break: insertion order,
-        matching the reference's Counter.most_common)."""
+        ranked by score desc with a deterministic tie-break on VOCABULARY
+        (add) order.  NOTE: the reference's Counter.most_common ties break
+        on first-seen-during-scoring order instead — deterministic either
+        way, but tie ORDER can differ from the reference's."""
         matches: Dict[int, List[float]] = {}
         for n_idx, n in enumerate(self.n_list):
             index = self._indices.get(n, {})

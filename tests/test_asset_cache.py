@@ -65,3 +65,32 @@ def test_no_tmp_litter(tmp_path, cache_dir):
     mmap_derived("t", src, lambda: np.ones(4))
     leftovers = [f for f in os.listdir(cache_dir) if f.endswith(".tmp")]
     assert leftovers == []
+
+
+def test_stale_generations_pruned_on_rebuild(tmp_path, monkeypatch):
+    """A retrain (new source mtime) must replace, not accumulate, the cached
+    derived array; orphaned fresh .tmp files survive (in-flight writers)."""
+    import os
+    import time
+
+    import numpy as np
+
+    from language_identification_ray.state import asset_cache
+
+    cache = tmp_path / "cache"
+    monkeypatch.setattr(asset_cache, "_CACHE_DIR", str(cache))
+    src = tmp_path / "src.bin"
+    src.write_bytes(b"v1")
+    asset_cache.mmap_derived("a", src, lambda: np.arange(3))
+    time.sleep(0.01)
+    src.write_bytes(b"v2")  # new mtime -> new generation
+    os.utime(src)
+    fresh_tmp = None
+    os.makedirs(cache, exist_ok=True)
+    fresh_tmp = cache / "inflight.npy.tmp"
+    fresh_tmp.write_bytes(b"partial")
+    arr = asset_cache.mmap_derived("a", src, lambda: np.arange(4))
+    assert len(arr) == 4
+    gens = [f for f in os.listdir(cache) if f.startswith("a-") and f.endswith(".npy")]
+    assert len(gens) == 1  # old generation pruned
+    assert fresh_tmp.exists()  # fresh tmp NOT pruned (could be in-flight)

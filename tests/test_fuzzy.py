@@ -289,3 +289,12 @@ class TestApproxWordList1Cosine:
             ("schwartz", 0.485),
         ]
         assert idx.lookup("shwarzenegger", top_k=1) == [("schwarzenegger", 0.849)]
+
+
+def test_v2_rejects_empty_word_like_siblings():
+    import pytest
+
+    from language_identification_ray.state.fuzzy import ApproxWordList2
+
+    with pytest.raises(ValueError, match="empty"):
+        ApproxWordList2().add_word("")

@@ -65,3 +65,23 @@ def test_multiline_style_block_is_stripped():
     out = extract_text(page)
     assert "color" not in out and "body" not in out
     assert "before" in out and "after" in out
+
+
+def test_minified_html_multiple_comments_keep_body():
+    """Greedy comment matching deleted everything between the FIRST <!-- and
+    the LAST --> on a line — the whole body of minified HTML."""
+    out = extract_text(
+        "<html><!-- nav --><body><p>Bonjour le monde.</p><!-- footer --></body></html>"
+    )
+    assert "Bonjour le monde." in out
+
+
+def test_multiline_script_body_removed():
+    """Without DOTALL a multi-line <script> body leaked its JS into the
+    text that feeds language ID."""
+    out = extract_text(
+        "<html><body><script>\nvar x = 1;\nfunction f() { return 'y'; }\n"
+        "</script><p>Hola mundo</p></body></html>"
+    )
+    assert "Hola mundo" in out
+    assert "var x" not in out and "function" not in out

@@ -242,3 +242,22 @@ def test_allowlist_renormalizes_prior_fallback(ensemble):
     assert ranking, "expected a ranking for the allowed script language"
     assert ranking[0][0] == "yi"
     assert abs(ranking[0][1] - 1.0) < 1e-12
+
+
+def test_check_languages_empty_iterator_means_all():
+    """Generators are always truthy: a consumed/empty iterator must mean
+    'all supported' (the documented empty/None contract), not 'none'."""
+    from language_identification_ray.stages.langid import check_languages
+
+    assert check_languages(iter([]), ["en", "de"]) == ["de", "en"]
+    assert check_languages(None, ["en"]) == ["en"]
+    assert check_languages([], ["en"]) == ["en"]
+
+
+def test_dictionary_detector_empty_iterator_contract():
+    from language_identification_ray.state.dictionary import DictionaryDetector
+
+    det = DictionaryDetector({"en": ["the", "cat"], "de": ["der", "katze"]})
+    full = det.predict_batch(["the cat sat"], None)[0]
+    via_iter = det.predict_batch(["the cat sat"], iter([]))[0]
+    assert full and via_iter == full

@@ -117,3 +117,25 @@ def test_split_filename_split_archive_three_digits():
     assert split_filename("backup.tar.001") == ("backup", ".tar.001")
     assert split_filename("backup.tar.100") == ("backup", ".tar.100")
     assert split_filename("backup.tar.999") == ("backup", ".tar.999")
+
+
+def test_fix_mojibake_non_latin_scripts():
+    """Cyrillic/Greek/Arabic mojibake has lead chars Ð/Ñ/Î/Ï/Ø/Ù — outside
+    the old [Â-Åâ] hint class, so it was never repaired."""
+    for original in ["Привет мир", "Γειά σου κόσμε", "مرحبا بالعالم"]:
+        bad = original.encode("utf-8").decode("cp1252", errors="replace")
+        if "�" in bad:  # bytes undefined in cp1252: decode path differs
+            bad = original.encode("utf-8").decode("latin-1")
+        assert fix_mojibake(bad) == original
+
+
+def test_fix_mojibake_tokenwise_when_emoji_blocks_whole_text():
+    """One char outside cp1252/latin-1 (emoji) must not veto repairing the
+    mojibake spans elsewhere in the document."""
+    mixed = "don’t stop".encode("utf-8").decode("cp1252") + " 😀"
+    assert fix_mojibake(mixed) == "don’t stop 😀"
+
+
+def test_fix_mojibake_still_leaves_mixed_clean_text():
+    for s in ["¿Cómo está? 😀", "café crème 中文", "naïve — test"]:
+        assert fix_mojibake(s) == s
