@@ -30,8 +30,10 @@ CLS_UNPRINTABLE = 4
 
 
 def codepoints(text: str) -> np.ndarray:
-    """str → uint32 codepoint array (zero-copy-ish via UTF-32 encode)."""
-    return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    """str → uint32 codepoint array (zero-copy-ish via UTF-32 encode).
+    Lone surrogates (surrogateescape-decoded bytes) become '?' (encode-replace) instead
+    of raising mid-batch."""
+    return np.frombuffer(text.encode("utf-32-le", errors="replace"), dtype=np.uint32)
 
 
 def classify(text: str) -> np.ndarray:

@@ -119,7 +119,7 @@ def build(
     """Compose the flagship pipeline over a pages Dataset (lazy).
 
     ``langid_concurrency`` is the (min, max) autoscaling actor-pool size for
-    the fused hot-path stage; (1, 8) keeps small runs light while letting
+    the fused hot-path stage; (2, 8) keeps small runs light while letting
     the pool grow to the node.  Size to cluster CPUs minus I/O headroom at
     scale — the pool is the only CPU-heavy operator, so it can take nearly
     the whole node."""

@@ -98,6 +98,7 @@ def quality_stats(text: str, lang: Optional[str]) -> Dict[str, float]:
 
     lowered = [w.lower() for w in ws]
     stop = STOPWORDS.get(lang) or _STOP_UNION
+    stopword_known = bool(STOPWORDS.get(lang))
     hits = sum(1 for w in lowered if w in stop)
 
     dup_frac = 0.0
@@ -129,6 +130,7 @@ def quality_stats(text: str, lang: Optional[str]) -> Dict[str, float]:
         "q_digit_ratio": (counts["digit"] / non_space) if non_space > 0 else 0.0,
         "q_stopword_hits": hits,
         "q_stopword_ratio": (hits / n_words) if n_words else 0.0,
+        "q_stopword_known": stopword_known,
         "q_max_line_frac": max_line_frac,
         "q_dup_ngram_frac": dup_frac,
     }
@@ -186,7 +188,8 @@ def keep_drop(row: Dict[str, object]) -> Dict[str, object]:
         reason = "digit_ratio"
     elif r["q_dup_ngram_frac"] > 0.30:
         reason = "repetition"
-    elif r["q_stopword_hits"] < 1 and r["q_n_words"] >= 20:
+    elif r["q_stopword_hits"] < 1 and r["q_n_words"] >= 20 and r["q_stopword_known"]:
+        # no-stopword-table languages never hit: unsupported, not gibberish
         reason = "stopword"
     elif r["lang_conf"] < 0.20:
         reason = "low_lang_conf"

@@ -28,7 +28,8 @@ from language_identification_ray.functions.textnorm import (
     truncate_text,
 )
 
-_RE_WS = re.compile(r"\s+", flags=re.U)
+_RE_HWS = re.compile(r"[^\S\n]+", flags=re.U)  # horizontal whitespace runs
+_RE_NLRUN = re.compile(r"[^\S\n]*\n[\s]*", flags=re.U)  # newline(+blank) runs
 
 
 def decode_and_extract(text: str | None, html: bytes | None) -> "tuple[str, int]":
@@ -36,14 +37,19 @@ def decode_and_extract(text: str | None, html: bytes | None) -> "tuple[str, int]
 
     Whitespace-only pre-extracted text does NOT suppress the html fallback:
     a page whose text field is "  \n " but whose html holds real content
-    must be extracted, not emitted empty and dropped downstream."""
+    must be extracted, not emitted empty and dropped downstream.
+
+    Whitespace is collapsed WITHIN lines but single newlines are preserved
+    (blank-line runs collapse to one) — collapsing '\\n' too made the
+    downstream ``q_max_line_frac`` boilerplate signal identically 1.0 for
+    every document on the flagship path."""
     if text and text.strip():
         out = ensure_unicode(text)
     elif html is not None and len(html):
         out = extract_text(ensure_unicode(html))
     else:
         return "", 0
-    out = _RE_WS.sub(" ", out).strip()
+    out = _RE_NLRUN.sub("\n", _RE_HWS.sub(" ", out)).strip()
     # n_bytes is the PRE-truncation size (run metrics count input volume;
     # measuring after the 10 MiB cap would silently clip every large doc)
     n = len(out.encode("utf-8"))

@@ -355,7 +355,6 @@ class EnsembleDetector:
 
         langs: List[Optional[str]] = [None] * n
         confs = np.zeros(n, dtype=np.float64)
-        undecided = []
 
         is_empty = total == 0
         is_ja = ~is_empty & (kana > 0.05)

@@ -125,6 +125,12 @@ class MediaResize:
                 raise NotImplementedError(
                     "Pillow is not available in this environment; use decoder='fake'"
                 ) from e
+            raise NotImplementedError(
+                "resize_one only implements the fake codec; a pillow resize "
+                "path must be added before requesting decoder='pillow'"
+            )
+        elif decoder != "fake":  # same contract as MediaDecoder/FrameSampler
+            raise ValueError(f"unknown decoder {decoder!r}")
         self.max_side = max_side
         self.payload_column = payload_column
 
@@ -374,7 +380,13 @@ class AudioFeatures:
             return 0.0, 0.0, 0.0, 0, False
         x = pcm.astype(np.float64) / 32768.0
         rms = float(np.sqrt(np.mean(x * x)))
-        zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) * sr / 2.0
+        # a 1-sample clip has no sign transitions: zcr 0.0, not a NaN from
+        # np.mean over the empty pairwise slice (plus a warning per row)
+        zcr = (
+            float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) * sr / 2.0
+            if len(x) > 1
+            else 0.0
+        )
         return len(pcm) / sr, rms, zcr, int(np.abs(pcm).max()), True
 
     def __call__(self, batch: pa.Table) -> pa.Table:

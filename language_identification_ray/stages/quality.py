@@ -98,6 +98,11 @@ class QualityStats:
         stopword_hits = np.zeros(n, dtype=np.int64)
         stopword_ratio = np.zeros(n, dtype=np.float64)
         dup_ngram_frac = np.zeros(n, dtype=np.float64)
+        # languages without a stopword table can never hit the union
+        # fallback (it holds only Latin/Cyrillic/Greek-script words), so the
+        # stopword RULE must know the count is unsupported rather than zero —
+        # otherwise every ≥20-word Arabic/Korean/Hindi/... doc is dropped
+        stopword_known = np.array([bool(self.stopwords.get(l)) for l in langs], dtype=bool)
         for d, words in bt.iter_doc_words():
             if not words:
                 continue
@@ -133,6 +138,7 @@ class QualityStats:
             ("q_digit_ratio", digit_ratio, pa.float64()),
             ("q_stopword_hits", stopword_hits, pa.int64()),
             ("q_stopword_ratio", stopword_ratio, pa.float64()),
+            ("q_stopword_known", stopword_known, pa.bool_()),
             ("q_max_line_frac", max_line_frac, pa.float64()),
             ("q_dup_ngram_frac", dup_ngram_frac, pa.float64()),
         ]:

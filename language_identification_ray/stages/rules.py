@@ -43,8 +43,13 @@ DEFAULT_RULES: List[Rule] = [
     ("symbol_ratio", ("q_symbol_word_ratio",), lambda b: _col(b, "q_symbol_word_ratio") > 1.5),
     ("digit_ratio", ("q_digit_ratio",), lambda b: _col(b, "q_digit_ratio") > 0.3),
     ("repetition", ("q_dup_ngram_frac",), lambda b: _col(b, "q_dup_ngram_frac") > 0.30),
-    ("stopword", ("q_stopword_hits", "q_n_words"),
-     lambda b: (_col(b, "q_stopword_hits") < 1) & (_col(b, "q_n_words") >= 20)),
+    # gated on q_stopword_known: a detected language with no stopword table
+    # (Arabic, Korean, Hindi, ...) can never score a hit, so zero hits there
+    # is "unsupported", not "gibberish" — without the gate this rule deleted
+    # every ≥20-word document in such languages from the corpus
+    ("stopword", ("q_stopword_hits", "q_n_words", "q_stopword_known"),
+     lambda b: (_col(b, "q_stopword_hits") < 1) & (_col(b, "q_n_words") >= 20)
+     & _col(b, "q_stopword_known")),
     ("low_lang_conf", ("lang_conf",), lambda b: _col(b, "lang_conf") < 0.20),
     # nan_to_num: a NULL count (rules applied to a parquet-sourced table
     # rather than live Scrubber output) means "not counted" → 0, not the

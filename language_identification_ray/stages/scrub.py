@@ -62,7 +62,10 @@ def _scrub_gates(texts: List[str]) -> tuple:
         z = np.zeros(0, dtype=bool)
         return z, z, z
     joined = "\n".join(texts)
-    cps = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    # errors="replace": a lone surrogate (surrogateescape-decoded WARC bytes)
+    # must gate as '?' noise (encode-replace), not raise and kill the whole batch — same
+    # defense the langid codepoint gather applies
+    cps = np.frombuffer(joined.encode("utf-32-le", errors="replace"), dtype=np.uint32)
     lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
     offsets = np.concatenate([[0], np.cumsum(lens + 1)])  # +1 separator
     doc_of = np.searchsorted(offsets[1:], np.arange(len(cps)), side="right")

@@ -200,3 +200,23 @@ def test_audio_pipeline(ray_session, sf_dir):
     assert (df["duration_sec"] > 0.2).all() and (df["duration_sec"] <= 1.01).all()
     # gaussian noise at sigma=8192/32768: rms ~ 0.25
     assert ((df["rms"] - 0.25).abs() < 0.02).all()
+
+
+def test_media_resize_rejects_unknown_decoder():
+    from language_identification_ray.stages.multimodal import MediaResize
+
+    with pytest.raises(ValueError, match="unknown decoder"):
+        MediaResize(decoder="not-a-decoder")
+
+
+def test_audio_features_single_sample_no_nan():
+    import warnings
+
+    from language_identification_ray.stages.multimodal import AudioFeatures, encode_pcm
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning fails the test
+        dur, rms, zcr, peak, ok = AudioFeatures().features_one(
+            encode_pcm(16000, np.array([100], dtype="<i2"))
+        )
+    assert ok and zcr == 0.0 and not np.isnan(zcr)

@@ -92,3 +92,40 @@ def test_sentence_count_runs_and_decimals():
     assert _count_sentences("v2.3.1 released. done.") == 2
     assert _count_sentences("no enders here") == 0
     assert _count_sentences("！？。") == 1  # one mixed run
+
+
+def test_stopword_rule_skips_unsupported_languages():
+    """A fluent >=20-word doc in a language with no stopword table (Arabic,
+    Korean, ...) must NOT be dropped as 'stopword' — zero hits there means
+    unsupported, not gibberish."""
+    ar = "هذه جملة طويلة مكتوبة باللغة العربية وتحتوي على عدد كاف من الكلمات لتجاوز عتبة العشرين كلمة المطلوبة في هذا الاختبار البسيط"
+    en_gibberish = "zxq wvu tsr qpo nml kji hgf edc baz yxw vut srq pon mlk jih gfe dcb azy xwv uts"
+    stats = _stats([ar, en_gibberish], langs=["ar", "en"])
+    stats = stats.append_column("lang_conf", pa.array([1.0, 1.0]))
+    stats = stats.append_column("pii_slurs", pa.array([0, 0]))
+    out = KeepDropRules()(stats)
+    assert out["q_stopword_known"].to_pylist() == [False, True]
+    reasons = out["drop_reason"].to_pylist()
+    assert reasons[0] != "stopword"  # unsupported language: rule skipped
+    assert reasons[1] == "stopword"  # supported language, zero hits: dropped
+
+
+def test_decode_preserves_line_structure_for_line_frac():
+    """decode used to collapse newlines, making q_max_line_frac identically
+    1.0 on the flagship path."""
+    from language_identification_ray.stages.decode import decode_and_extract
+
+    out, _ = decode_and_extract("short line\nthis is the much longer second line\n\n\nend", None)
+    assert out.count("\n") == 3 - 1  # blank-line run collapsed to one break
+    stats = _stats([out])
+    assert stats["q_max_line_frac"].to_pylist()[0] < 1.0
+
+
+def test_codepoints_tolerate_lone_surrogates():
+    """Arrow string columns cannot hold lone surrogates, but direct Python
+    callers (surrogateescape-decoded bytes) can: the codepoint gather must
+    classify them as '?' noise (encode-replace), not raise."""
+    from language_identification_ray.functions.tokenizer import codepoints
+
+    cps = codepoints("caf\udce9")
+    assert len(cps) == 4 and cps[-1] == ord('?')

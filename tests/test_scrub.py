@@ -123,3 +123,15 @@ def test_scrub_gates_hypothesis():
                 assert has_repeat[i]
 
     check()
+
+
+def test_scrub_gates_tolerate_lone_surrogates():
+    """Arrow columns cannot hold lone surrogates, but _scrub_gates also
+    serves direct callers with Python lists: a surrogateescape artifact must
+    gate as '?' noise (encode-replace), not raise UnicodeEncodeError for the whole batch."""
+    from language_identification_ray.stages.scrub import _scrub_gates
+
+    has_at, has_digits, has_repeat = _scrub_gates(
+        ["caf\udce9 mail me at a@b.com", "clean text"]
+    )
+    assert bool(has_at[0]) and not bool(has_at[1])
