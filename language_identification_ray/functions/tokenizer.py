@@ -48,7 +48,7 @@ class BatchTokens:
     char classes in one shot, and exposes per-document word slices.
     """
 
-    __slots__ = ("joined", "doc_offsets", "word_starts", "word_ends", "word_doc", "cls", "cps", "n_docs")
+    __slots__ = ("joined", "doc_offsets", "word_starts", "word_ends", "word_doc", "cls", "cps", "n_docs", "_doc_of")
 
     def __init__(self, texts: Sequence[str]):
         n = len(texts)
@@ -78,6 +78,18 @@ class BatchTokens:
         self.word_ends = ends
         # doc id per word: searchsorted the word start into doc offsets
         self.word_doc = np.searchsorted(self.doc_offsets[1:], starts, side="right") if n else starts
+        self._doc_of = None
+
+    def doc_of_char(self) -> np.ndarray:
+        """int64[len(cps)] — owning doc index per joined-buffer position
+        (separators attribute to the preceding doc boundary's right side).
+        Computed once and cached: class counts, scrub gates, and any other
+        per-char fold share it instead of re-running the searchsorted."""
+        if self._doc_of is None:
+            self._doc_of = np.searchsorted(
+                self.doc_offsets[1:], np.arange(len(self.cls)), side="right"
+            )
+        return self._doc_of
 
     def words_per_doc(self) -> np.ndarray:
         """int64[n_docs] — number of word tokens per document."""
@@ -99,7 +111,7 @@ class BatchTokens:
         n = self.n_docs
         if n == 0:
             return np.zeros((0, 5), dtype=np.int64)
-        doc_of_char = np.searchsorted(self.doc_offsets[1:], np.arange(len(self.cls)), side="right")
+        doc_of_char = self.doc_of_char()
         # mask separators (the char AT doc_offsets[1:]-1 for docs 0..n-2)
         mask = np.ones(len(self.cls), dtype=bool)
         sep_pos = self.doc_offsets[1:-1] - 1

@@ -97,13 +97,19 @@ class QualityFilterStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         # materialize the text column ONCE for the whole fused chain — each
         # stage otherwise re-converts Arrow→Python strings (4× the memory
-        # traffic; memory bandwidth is the scaling limiter at pool width)
+        # traffic; memory bandwidth is the scaling limiter at pool width).
+        # Ditto the utf-32 codepoint buffer: ONE BatchTokens serves both the
+        # quality stats and the scrub gates (langid encodes separately — it
+        # scores max_chars-truncated text, a different buffer by contract).
+        from language_identification_ray.functions.tokenizer import BatchTokens
+
         texts = [t or "" for t in batch["text"].to_pylist()]
+        bt = BatchTokens(texts)
         batch = self.langid(batch, texts=texts)
-        batch = self.quality(batch, texts=texts)
+        batch = self.quality(batch, texts=texts, bt=bt)
         if self.ppl is not None:
             batch = self.ppl(batch, texts=texts)
-        batch = self.scrub(batch, texts=texts)
+        batch = self.scrub(batch, texts=texts, bt=bt)
         batch = self.rules(batch)
         return batch.select([c for c in self.cols if c in batch.schema.names])
 

@@ -62,7 +62,7 @@ class QualityStats:
         # union set as the fallback when lang is unknown/unsupported
         self.stop_union = frozenset().union(*STOPWORDS.values())
 
-    def __call__(self, batch: pa.Table, texts=None) -> pa.Table:
+    def __call__(self, batch: pa.Table, texts=None, bt=None) -> pa.Table:
         if texts is None:
             texts = [t or "" for t in batch[self.text_column].to_pylist()]
         langs = (
@@ -71,7 +71,8 @@ class QualityStats:
             else [None] * len(texts)
         )
         n = len(texts)
-        bt = BatchTokens(texts)
+        if bt is None:
+            bt = BatchTokens(texts)
 
         n_words = bt.words_per_doc()
         word_chars = bt.word_char_count_per_doc()

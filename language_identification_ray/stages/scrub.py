@@ -44,7 +44,7 @@ SSN_TOKEN = "<SSN>"
 SLUR_TOKEN = "<SLUR>"
 
 
-def _scrub_gates(texts: List[str]) -> tuple:
+def _scrub_gates(texts: List[str], bt=None) -> tuple:
     """Vectorized per-doc preconditions for the regex passes (one classify
     pass over the joined batch — ~1 µs/doc vs 10-50 µs/doc per regex):
 
@@ -61,14 +61,21 @@ def _scrub_gates(texts: List[str]) -> tuple:
     if n == 0:
         z = np.zeros(0, dtype=bool)
         return z, z, z
-    joined = "\n".join(texts)
-    # errors="replace": a lone surrogate (surrogateescape-decoded WARC bytes)
-    # must gate as '?' noise (encode-replace), not raise and kill the whole batch — same
-    # defense the langid codepoint gather applies
-    cps = np.frombuffer(joined.encode("utf-32-le", errors="replace"), dtype=np.uint32)
-    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
-    offsets = np.concatenate([[0], np.cumsum(lens + 1)])  # +1 separator
-    doc_of = np.searchsorted(offsets[1:], np.arange(len(cps)), side="right")
+    if bt is not None:
+        # fused-stage path: reuse the QualityStats BatchTokens buffer (same
+        # '\n' join, same offsets math) — skips a second utf-32 encode of
+        # the whole batch plus its doc_of searchsorted
+        cps = bt.cps
+        doc_of = bt.doc_of_char()
+    else:
+        joined = "\n".join(texts)
+        # errors="replace": a lone surrogate (surrogateescape-decoded WARC
+        # bytes) must gate as '?' noise, not raise and kill the whole batch
+        # — same defense the langid codepoint gather applies
+        cps = np.frombuffer(joined.encode("utf-32-le", errors="replace"), dtype=np.uint32)
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+        offsets = np.concatenate([[0], np.cumsum(lens + 1)])  # +1 separator
+        doc_of = np.searchsorted(offsets[1:], np.arange(len(cps)), side="right")
 
     at_mask = cps == np.uint32(64)  # '@'
     has_at = np.zeros(n, dtype=bool)
@@ -148,10 +155,10 @@ class Scrubber:
             text = RE_REPEAT.sub(lambda m: m.group(1) * 5, text)
         return text, emails, phones, ssns, slurs
 
-    def __call__(self, batch: pa.Table, texts=None) -> pa.Table:
+    def __call__(self, batch: pa.Table, texts=None, bt=None) -> pa.Table:
         if texts is None:
             texts = [t or "" for t in batch[self.text_column].to_pylist()]
-        has_at, has_digits, has_repeat = _scrub_gates(texts)
+        has_at, has_digits, has_repeat = _scrub_gates(texts, bt=bt)
         scrubbed, emails, phones, ssns, slurs = [], [], [], [], []
         for d, t in enumerate(texts):
             s, e, p, n, sl = self.scrub_one(
