@@ -41,6 +41,26 @@ def classify(text: str) -> np.ndarray:
     return charclass[codepoints(text)]
 
 
+def segment_positions(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenated aranges ``[s0, s0+l0) ++ [s1, s1+l1) ++ ...`` (int64),
+    vectorized (no per-segment Python).  Zero-length segments contribute
+    nothing.  Used for batch-level char gathers over word slices."""
+    starts = np.asarray(starts, dtype=np.int64)
+    lens = np.asarray(lens, dtype=np.int64)
+    nz = lens > 0
+    if not nz.all():
+        starts, lens = starts[nz], lens[nz]
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.ones(total, dtype=np.int64)
+    ptr = np.cumsum(lens)[:-1]
+    out[0] = starts[0]
+    # at each segment boundary, jump from (prev start + prev len - 1) + 1
+    out[ptr] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+    return np.cumsum(out)
+
+
 class BatchTokens:
     """All word-token boundaries for a batch of texts, computed vectorized.
 
@@ -48,7 +68,7 @@ class BatchTokens:
     char classes in one shot, and exposes per-document word slices.
     """
 
-    __slots__ = ("joined", "doc_offsets", "word_starts", "word_ends", "word_doc", "cls", "cps", "n_docs", "_doc_of")
+    __slots__ = ("joined", "doc_offsets", "word_starts", "word_ends", "word_doc", "cls", "cps", "n_docs", "_doc_of", "_word_uids")
 
     def __init__(self, texts: Sequence[str]):
         n = len(texts)
@@ -79,6 +99,7 @@ class BatchTokens:
         # doc id per word: searchsorted the word start into doc offsets
         self.word_doc = np.searchsorted(self.doc_offsets[1:], starts, side="right") if n else starts
         self._doc_of = None
+        self._word_uids = None
 
     def doc_of_char(self) -> np.ndarray:
         """int64[len(cps)] — owning doc index per joined-buffer position
@@ -119,6 +140,74 @@ class BatchTokens:
         key = doc_of_char[mask] * 5 + self.cls[mask]
         flat = np.bincount(key, minlength=n * 5)
         return flat.reshape(n, 5).astype(np.int64)
+
+    def word_ids(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Exact batch-level dictionary encoding of the word tokens.
+
+        Returns ``(uid, ustarts, ulens)``: ``uid`` is int64[n_words] with
+        ``uid[i] == uid[j]`` iff words i and j are codepoint-identical;
+        ``ustarts``/``ulens`` locate one representative occurrence of each
+        distinct word inside ``joined`` (so distinct word k is
+        ``joined[ustarts[k] : ustarts[k] + ulens[k]]``).
+
+        EXACT, not probabilistic: a 64-bit FNV-style hash over the first 64
+        codepoints (+ length) only GROUPS candidates; every word is then
+        char-verified against its group representative in one vectorized
+        pass (O(total word chars)), and any group that fails verification —
+        a true hash collision or a >64-cp shared prefix — is re-split
+        through a Python dict on the decoded strings (adversarial-input
+        path; never taken on natural text).  Result is cached per batch:
+        quality stats, scrub, and any other per-word fold pay the encode
+        once and do Python work per DISTINCT word only.
+        """
+        if self._word_uids is not None:
+            return self._word_uids
+        starts = self.word_starts
+        lens = self.word_ends - starts
+        m = len(starts)
+        if m == 0:
+            e = np.empty(0, dtype=np.int64)
+            self._word_uids = (e, e, e)
+            return self._word_uids
+        cps = self.cps
+        h = lens.astype(np.uint64) * np.uint64(0x100000001B3)
+        prime = np.uint64(1099511628211)
+        for i in range(int(min(lens.max(), 64))):
+            mask = lens > i
+            hm = h[mask]
+            h[mask] = (hm * prime) ^ cps[starts[mask] + i].astype(np.uint64)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        grp_first = np.empty(m, dtype=bool)
+        grp_first[0] = True
+        grp_first[1:] = hs[1:] != hs[:-1]
+        gid_sorted = np.cumsum(grp_first) - 1
+        rep_word = order[np.flatnonzero(grp_first)]  # word idx of each group's first member
+        rep_of = rep_word[gid_sorted]  # rep word idx per sorted position
+        w = order
+        ok = lens[w] == lens[rep_of]
+        cand = np.flatnonzero(ok & (w != rep_of))
+        if len(cand):
+            cw, cr = w[cand], rep_of[cand]
+            cl = lens[cw]
+            eq = cps[segment_positions(starts[cw], cl)] == cps[segment_positions(starts[cr], cl)]
+            ptr = np.concatenate([[0], np.cumsum(cl)])[:-1]
+            bad_per = np.add.reduceat(~eq, ptr) if len(eq) else np.zeros(len(cand), dtype=np.int64)
+            ok[cand] = bad_per == 0
+        class_rep = rep_of.copy()  # canonical word idx per sorted position
+        bad = np.flatnonzero(~ok)
+        if len(bad):  # collision path: exact re-split via decoded strings
+            joined = self.joined
+            extra: dict = {}
+            for pos in bad:
+                widx = int(w[pos])
+                s = int(starts[widx])
+                class_rep[pos] = extra.setdefault(joined[s : s + int(lens[widx])], widx)
+        uniq_keys, inv = np.unique(class_rep, return_inverse=True)
+        uid = np.empty(m, dtype=np.int64)
+        uid[w] = inv
+        self._word_uids = (uid, starts[uniq_keys], lens[uniq_keys])
+        return self._word_uids
 
     def iter_doc_words(self) -> Iterator[Tuple[int, List[str]]]:
         """Yield (doc_idx, [word, ...]) materializing word strings per doc."""

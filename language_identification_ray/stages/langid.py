@@ -180,18 +180,31 @@ class NgramDetector:
     ) -> np.ndarray:
         """float64[n_docs, len(rows)] — per-doc mean log-likelihoods,
         bit-identical to ``_score_doc`` per doc (same gather + same
-        float64 pairwise sum), stacked for vectorized softmax/argmax."""
+        float64 pairwise sum), stacked for vectorized softmax/argmax.
+
+        The encode, lowercase gather, and rolling n-gram hash run ONCE over
+        the concatenated padded batch (a window's hash depends only on its
+        own codepoints, so per-doc hashes are pure slices of the batch
+        arrays, in the same tri-then-bi order ``ngram_hashes`` emits); only
+        the model gather + mean stay per-doc, preserving numpy's pairwise
+        float64 reduction per document exactly."""
         out = np.zeros((len(texts), len(rows)), dtype=np.float64)
-        lower = self._lower
+        if not len(texts):
+            return out
         mt = self.matrix_t
-        for d, t in enumerate(texts):
-            # errors="replace": a lone surrogate (bytes decoded with
-            # surrogateescape — standard WARC-payload handling) must score
-            # as U+FFFD noise, not kill the whole batch
-            cps = np.frombuffer(
-                (" " + t[:max_chars] + " ").encode("utf-32-le", "replace"), dtype=np.uint32
-            )
-            hashes = ngram_hashes(lower[cps])
+        # errors="replace": a lone surrogate (bytes decoded with
+        # surrogateescape — standard WARC-payload handling) must score
+        # as U+FFFD noise, not kill the whole batch
+        parts = [" " + t[:max_chars] + " " for t in texts]
+        lens = np.fromiter((len(p) for p in parts), dtype=np.int64, count=len(parts))
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        cps = np.frombuffer("".join(parts).encode("utf-32-le", "replace"), dtype=np.uint32)
+        c = self._lower[cps].astype(np.uint64)
+        h3 = (((c[:-2] * _H1 + c[1:-1]) * _H1 + c[2:]) & _MASK).astype(np.int64)
+        h2 = (((c[:-1] * _H1 + c[1:]) * _H2) & _MASK).astype(np.int64)
+        for d in range(len(texts)):
+            s, e = offs[d], offs[d + 1]
+            hashes = np.concatenate((h3[s : e - 2], h2[s : e - 1]))
             if len(hashes):
                 out[d] = (mt[hashes].sum(axis=0, dtype=np.float64) / len(hashes))[rows]
         return out

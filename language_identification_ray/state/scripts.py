@@ -150,3 +150,21 @@ def load_lower_table() -> np.ndarray:
             return z["lower"]
 
     return mmap_derived("chartables-lower", _ASSET, build)
+
+
+@lru_cache(maxsize=1)
+def load_nd_table() -> np.ndarray:
+    """codepoint → 1 iff Unicode category Nd (uint8 gather table, node-local
+    mmap).  ``str.isdecimal()`` is exactly category Nd, which is exactly what
+    Python's ``re`` ``\\d`` matches — so vectorized decimal-dot detection via
+    this table is bit-identical to the regex it replaces.  NOT the same set
+    as charclass 3 (that covers all of Nd/Nl/No: '²' and 'Ⅻ' are word
+    boundaries but not ``\\d``)."""
+    from language_identification_ray.state.asset_cache import mmap_derived
+
+    def build():
+        return np.fromiter(
+            (chr(c).isdecimal() for c in range(0x110000)), dtype=np.uint8, count=0x110000
+        )
+
+    return mmap_derived("chartables-nd", _ASSET, build)

@@ -91,3 +91,94 @@ def test_edit_distance_metric_properties(a, b):
     assert d == levenshtein(b, a)
     assert (d == 0) == (a == b)
     assert d <= max(len(a), len(b))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(TEXT, max_size=8))
+def test_word_ids_exact_dictionary_encoding(texts):
+    """word_ids is an EXACT dict-encode: same id ⟺ same word string, and the
+    representative slices decode to the id's word."""
+    bt = BatchTokens(texts)
+    uid, ustarts, ulens = bt.word_ids()
+    words = [bt.joined[s:e] for s, e in zip(bt.word_starts, bt.word_ends)]
+    by_str = {}
+    for w, i in zip(words, uid):
+        assert by_str.setdefault(w, i) == i  # same string → same id
+    assert len(by_str) == len(ustarts)  # distinct strings → distinct ids
+    for w, i in by_str.items():
+        s, l = int(ustarts[i]), int(ulens[i])
+        assert bt.joined[s : s + l] == w
+
+
+def test_word_ids_long_shared_prefix_fallback():
+    """Words sharing their first 64 codepoints (the hash window) but differing
+    later must still get distinct ids — exercises the verify+dict-resplit
+    collision path."""
+    base = "x" * 70
+    a, b, c = base + "aaa", base + "bbb", base + "aaa"
+    bt = BatchTokens([f"{a} {b} {c} {a}"])
+    uid, ustarts, ulens = bt.word_ids()
+    assert uid[0] == uid[2] == uid[3] and uid[0] != uid[1]
+    assert len(ustarts) == 2
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.text(max_size=120), min_size=1, max_size=6),
+    st.lists(st.sampled_from(["en", "de", "tr", "zh", "xx", None]), min_size=6, max_size=6),
+)
+def test_quality_stats_match_per_doc_reference(texts, langs):
+    """Differential: the vectorized QualityStats kernels must equal the
+    per-document reference semantics (frozenset membership per occurrence,
+    Counter 3-grams, _count_sentences regex, str.split line scan)."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow as pa
+
+    from language_identification_ray.stages.quality import QualityStats, _count_sentences
+    from language_identification_ray.state.stopwords import STOPWORDS
+
+    langs = langs[: len(texts)]
+    out = QualityStats()(pa.table(
+        {"text": pa.array(texts, pa.string()), "lang": pa.array(langs, pa.string())}
+    ))
+    stop_union = frozenset().union(*STOPWORDS.values())
+    bt = BatchTokens(texts)
+    n_words = bt.words_per_doc()
+    for d, words in bt.iter_doc_words():
+        t = texts[d]
+        low = [w.lower() for w in words]
+        stop = STOPWORDS.get(langs[d]) or stop_union
+        hits = sum(1 for w in low if w in stop)
+        assert out["q_stopword_hits"][d].as_py() == hits
+        exp_dup = 0.0
+        if len(low) >= 3:
+            grams = Counter(zip(low, low[1:], low[2:]))
+            exp_dup = (len(low) - 2 - len(grams)) / (len(low) - 2)
+        assert out["q_dup_ngram_frac"][d].as_py() == exp_dup
+        exp_sent = max(_count_sentences(t), 1 if n_words[d] else 0) if t else 0
+        assert out["q_n_sentences"][d].as_py() == exp_sent
+        if not t:
+            exp_mlf = 0.0
+        elif "\n" in t:
+            exp_mlf = max(len(line) for line in t.split("\n")) / len(t)
+        else:
+            exp_mlf = 1.0
+        assert out["q_max_line_frac"][d].as_py() == exp_mlf
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(max_size=600), max_size=6))
+def test_loglik_batch_bit_identical_to_score_doc(texts):
+    """The batch-hoisted encode/hash path must stay BIT-identical to the
+    scalar _score_doc (same gather, same float64 pairwise sum per doc)."""
+    import numpy as np
+
+    from language_identification_ray.stages.langid import NgramDetector, SCORE_MAX_CHARS
+
+    det = NgramDetector()
+    rows = np.arange(len(det.langs))
+    ll = det.loglik_batch(texts, rows)
+    for d, t in enumerate(texts):
+        assert np.array_equal(ll[d], det._score_doc(t[:SCORE_MAX_CHARS]))
