@@ -36,6 +36,39 @@ _RE_ENDERS = re.compile(r"[.!?]+")
 _RE_WS = re.compile(r"\s+")
 
 
+def _lm_char_table():
+    """codepoint → action table for the batch LM prep: 0 = token char,
+    1 = boundary (dropped by _RE_DROP, or whitespace), 2 = sentence ender.
+
+    Built by evaluating the ACTUAL module regexes per codepoint (they are
+    all single-char classes, so a dense table reproduces them exactly) and
+    cached node-locally keyed to this module's mtime — editing the regexes
+    invalidates it automatically."""
+    from pathlib import Path
+
+    import numpy as np
+
+    from language_identification_ray.state.asset_cache import mmap_derived
+
+    def build():
+        tab = np.zeros(0x110000, dtype=np.uint8)
+        # one C-speed regex scan over the all-codepoints string per class
+        allcp = "".join(map(chr, range(0x110000)))
+        for m in _RE_DROP.finditer(allcp):
+            tab[m.start()] = 1
+        for m in _RE_WS.finditer(allcp):
+            tab[m.start() : m.end()] = 1
+        # str.split() additionally splits on every str.isspace char
+        for c in range(0x110000):
+            if chr(c).isspace():
+                tab[c] = 1
+        for ch in ".!?":  # _RE_ENDERS class; never dropped, so set last
+            tab[ord(ch)] = 2
+        return tab
+
+    return mmap_derived("lm-chartable", Path(__file__), build)
+
+
 def lm_sentences(text: str) -> List[List[str]]:
     """Normalize text into token lists for LM counting/scoring.
 
@@ -233,23 +266,29 @@ class KNModel:
         tid = self._idx["tid"]
         bos, eos = tid[BOS], tid[EOS]
 
-        ids: List[int] = []
-        doc_of: List[int] = []
-        valid: List[bool] = []
-        for d, text in enumerate(texts):
-            for toks in lm_sentences(text or ""):
-                seq = [bos, bos] + [tid.get(t, 0) for t in toks] + [eos]
-                ids.extend(seq)
-                doc_of.extend([d] * len(seq))
-                valid.extend([False, False] + [True] * (len(seq) - 2))
         n_docs = len(texts)
         out = np.full(n_docs, np.nan)
-        if not ids:
-            return out.tolist()
-        I = np.asarray(ids, dtype=np.int64)
-        D = np.asarray(doc_of, dtype=np.int64)
-        pos = np.flatnonzero(np.asarray(valid, dtype=bool))
-        w0, w1, w2 = I[pos - 2], I[pos - 1], I[pos]
+        prep = self._prep_score_arrays(texts, tid, bos, eos)
+        if prep is None:  # lone-surrogate input: exact per-doc fallback
+            ids: List[int] = []
+            doc_of: List[int] = []
+            valid: List[bool] = []
+            for d, text in enumerate(texts):
+                for toks in lm_sentences(text or ""):
+                    seq = [bos, bos] + [tid.get(t, 0) for t in toks] + [eos]
+                    ids.extend(seq)
+                    doc_of.extend([d] * len(seq))
+                    valid.extend([False, False] + [True] * (len(seq) - 2))
+            if not ids:
+                return out.tolist()
+            I = np.asarray(ids, dtype=np.int64)
+            Dall = np.asarray(doc_of, dtype=np.int64)
+            pos = np.flatnonzero(np.asarray(valid, dtype=bool))
+            w0, w1, w2, D = I[pos - 2], I[pos - 1], I[pos], Dall[pos]
+        else:
+            w0, w1, w2, D = prep
+            if not len(w2):
+                return out.tolist()
 
         K3, P3 = self._idx["grams"][3]
         K2, P2 = self._idx["grams"][2]
@@ -264,11 +303,98 @@ class KNModel:
         uni, _ = self._lookup(K1, P1, w2, self._log_unk)
 
         logp = np.where(tri_hit, tri, bo2 + np.where(bi_hit, bi, bo1 + uni))
-        totals = np.bincount(D[pos], weights=logp, minlength=n_docs)
-        counts = np.bincount(D[pos], minlength=n_docs)
+        totals = np.bincount(D, weights=logp, minlength=n_docs)
+        counts = np.bincount(D, minlength=n_docs)
         scored = counts > 0
         out[scored] = 2.0 ** (-totals[scored] / counts[scored])
         return out.tolist()
+
+    @staticmethod
+    def _prep_score_arrays(texts: Sequence[str], tid: dict, bos: int, eos: int):
+        """(w0, w1, w2, D) int64 score arrays for order-3 models, built
+        batch-level — exactly the positions/contexts the per-doc
+        ``lm_sentences`` + [bos,bos]+tokens+[eos] construction yields, in
+        the same global order (doc-major, sentence-major, token-major).
+
+        How: one str.lower per doc (full Python lowercase semantics), docs
+        joined with '.' (a sentence ender, so sentences and tokens can
+        never merge across docs), one utf-32 encode, one _lm_char_table
+        gather (the table reproduces _RE_DROP / _RE_WS / str.isspace /
+        _RE_ENDERS per codepoint exactly), token runs + "'-" edge strips
+        vectorized, token→id via exact dict-encode (tid.get once per
+        DISTINCT token).  Returns None when the input contains lone
+        surrogates (strict utf-32 encode fails) — the caller then takes the
+        per-doc path, which operates on str and never encodes."""
+        import numpy as np
+
+        from language_identification_ray.functions.tokenizer import (
+            dict_encode_segments,
+            segment_positions,
+        )
+
+        lowered = [(t or "").lower() for t in texts]
+        joined = ".".join(lowered)
+        try:
+            buf = joined.encode("utf-32-le")
+        except UnicodeEncodeError:
+            return None
+        e64 = np.int64
+        if not joined:
+            z = np.empty(0, dtype=e64)
+            return z, z, z, z
+        cps = np.frombuffer(buf, dtype=np.uint32)
+        act = _lm_char_table()[cps]
+        is_tok = act == 0
+        starts = np.flatnonzero(is_tok & ~np.concatenate([[False], is_tok[:-1]]))
+        ends = np.flatnonzero(is_tok & ~np.concatenate([is_tok[1:], [False]])) + 1
+        # token.strip("'-"): peel matching edge chars until none remain
+        APOS, DASH = np.uint32(39), np.uint32(45)
+        while True:
+            alive = starts < ends
+            c = cps[np.where(alive, starts, 0)]
+            lead = alive & ((c == APOS) | (c == DASH))
+            c = cps[np.where(alive & ~lead, ends - 1, 0)]
+            trail = alive & ~lead & ((c == APOS) | (c == DASH)) & (ends - 1 > starts)
+            if not (lead.any() or trail.any()):
+                break
+            starts = starts + lead
+            ends = ends - trail
+        keep = starts < ends
+        starts, ends = starts[keep], ends[keep]
+        if not len(starts):
+            z = np.empty(0, dtype=e64)
+            return z, z, z, z
+        # sentence id = ender runs seen so far; doc id via the join offsets
+        ecum = np.concatenate([[0], np.cumsum(act == 2)])
+        sid = ecum[starts]
+        lens_docs = np.fromiter((len(t) for t in lowered), dtype=e64, count=len(lowered))
+        offs = np.concatenate([[0], np.cumsum(lens_docs + 1)])
+        docid = np.searchsorted(offs[1:], starts, side="right")
+        uid, ustarts, ulens = dict_encode_segments(cps, starts, ends - starts, joined)
+        tok2id = np.fromiter(
+            (
+                tid.get(joined[s : s + l], 0)
+                for s, l in zip(ustarts.tolist(), ulens.tolist())
+            ),
+            dtype=e64,
+            count=len(ustarts),
+        )
+        T = tok2id[uid]
+        new_sent = np.empty(len(sid), dtype=bool)
+        new_sent[0] = True
+        new_sent[1:] = sid[1:] != sid[:-1]
+        sent_first = np.flatnonzero(new_sent)
+        k = np.diff(np.concatenate([sent_first, [len(sid)]]))  # tokens per sentence
+        sent_doc = docid[sent_first]
+        # padded stream [bos, bos, tokens..., eos] per sentence
+        out_starts = np.concatenate([[0], np.cumsum(k + 3)])[:-1]
+        P = np.empty(int((k + 3).sum()), dtype=e64)
+        P[out_starts] = bos
+        P[out_starts + 1] = bos
+        P[segment_positions(out_starts + 2, k)] = T
+        P[out_starts + k + 2] = eos
+        v = segment_positions(out_starts + 2, k + 1)  # scored positions
+        return P[v - 2], P[v - 1], P[v], np.repeat(sent_doc, k + 1)
 
     # -- (de)serialization ----------------------------------------------
     def to_flat(self) -> dict:

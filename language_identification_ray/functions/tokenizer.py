@@ -61,6 +61,65 @@ def segment_positions(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return np.cumsum(out)
 
 
+def dict_encode_segments(
+    cps: np.ndarray, starts: np.ndarray, lens: np.ndarray, joined: str
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact dictionary encoding of arbitrary codepoint segments.
+
+    Returns ``(uid, ustarts, ulens)``: ``uid`` is int64[n_segments] with
+    ``uid[i] == uid[j]`` iff segments i and j are codepoint-identical;
+    ``ustarts``/``ulens`` locate one representative occurrence of each
+    distinct segment (decode as ``joined[s : s + l]``).
+
+    EXACT, not probabilistic: a 64-bit FNV-style hash over the first 64
+    codepoints (+ length) only GROUPS candidates; every segment is then
+    char-verified against its group representative in one vectorized pass
+    (O(total segment chars)), and any group that fails verification — a
+    true hash collision or a >64-cp shared prefix — is re-split through a
+    Python dict on the decoded strings (adversarial-input path; never taken
+    on natural text)."""
+    m = len(starts)
+    if m == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, e
+    h = lens.astype(np.uint64) * np.uint64(0x100000001B3)
+    prime = np.uint64(1099511628211)
+    for i in range(int(min(lens.max(), 64))):
+        mask = lens > i
+        hm = h[mask]
+        h[mask] = (hm * prime) ^ cps[starts[mask] + i].astype(np.uint64)
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    grp_first = np.empty(m, dtype=bool)
+    grp_first[0] = True
+    grp_first[1:] = hs[1:] != hs[:-1]
+    gid_sorted = np.cumsum(grp_first) - 1
+    rep_word = order[np.flatnonzero(grp_first)]  # segment idx of each group's first member
+    rep_of = rep_word[gid_sorted]  # rep segment idx per sorted position
+    w = order
+    ok = lens[w] == lens[rep_of]
+    cand = np.flatnonzero(ok & (w != rep_of))
+    if len(cand):
+        cw, cr = w[cand], rep_of[cand]
+        cl = lens[cw]
+        eq = cps[segment_positions(starts[cw], cl)] == cps[segment_positions(starts[cr], cl)]
+        ptr = np.concatenate([[0], np.cumsum(cl)])[:-1]
+        bad_per = np.add.reduceat(~eq, ptr) if len(eq) else np.zeros(len(cand), dtype=np.int64)
+        ok[cand] = bad_per == 0
+    class_rep = rep_of.copy()  # canonical segment idx per sorted position
+    bad = np.flatnonzero(~ok)
+    if len(bad):  # collision path: exact re-split via decoded strings
+        extra: dict = {}
+        for pos in bad:
+            widx = int(w[pos])
+            s = int(starts[widx])
+            class_rep[pos] = extra.setdefault(joined[s : s + int(lens[widx])], widx)
+    uniq_keys, inv = np.unique(class_rep, return_inverse=True)
+    uid = np.empty(m, dtype=np.int64)
+    uid[w] = inv
+    return uid, starts[uniq_keys], lens[uniq_keys]
+
+
 class BatchTokens:
     """All word-token boundaries for a batch of texts, computed vectorized.
 
@@ -160,53 +219,10 @@ class BatchTokens:
         quality stats, scrub, and any other per-word fold pay the encode
         once and do Python work per DISTINCT word only.
         """
-        if self._word_uids is not None:
-            return self._word_uids
-        starts = self.word_starts
-        lens = self.word_ends - starts
-        m = len(starts)
-        if m == 0:
-            e = np.empty(0, dtype=np.int64)
-            self._word_uids = (e, e, e)
-            return self._word_uids
-        cps = self.cps
-        h = lens.astype(np.uint64) * np.uint64(0x100000001B3)
-        prime = np.uint64(1099511628211)
-        for i in range(int(min(lens.max(), 64))):
-            mask = lens > i
-            hm = h[mask]
-            h[mask] = (hm * prime) ^ cps[starts[mask] + i].astype(np.uint64)
-        order = np.argsort(h, kind="stable")
-        hs = h[order]
-        grp_first = np.empty(m, dtype=bool)
-        grp_first[0] = True
-        grp_first[1:] = hs[1:] != hs[:-1]
-        gid_sorted = np.cumsum(grp_first) - 1
-        rep_word = order[np.flatnonzero(grp_first)]  # word idx of each group's first member
-        rep_of = rep_word[gid_sorted]  # rep word idx per sorted position
-        w = order
-        ok = lens[w] == lens[rep_of]
-        cand = np.flatnonzero(ok & (w != rep_of))
-        if len(cand):
-            cw, cr = w[cand], rep_of[cand]
-            cl = lens[cw]
-            eq = cps[segment_positions(starts[cw], cl)] == cps[segment_positions(starts[cr], cl)]
-            ptr = np.concatenate([[0], np.cumsum(cl)])[:-1]
-            bad_per = np.add.reduceat(~eq, ptr) if len(eq) else np.zeros(len(cand), dtype=np.int64)
-            ok[cand] = bad_per == 0
-        class_rep = rep_of.copy()  # canonical word idx per sorted position
-        bad = np.flatnonzero(~ok)
-        if len(bad):  # collision path: exact re-split via decoded strings
-            joined = self.joined
-            extra: dict = {}
-            for pos in bad:
-                widx = int(w[pos])
-                s = int(starts[widx])
-                class_rep[pos] = extra.setdefault(joined[s : s + int(lens[widx])], widx)
-        uniq_keys, inv = np.unique(class_rep, return_inverse=True)
-        uid = np.empty(m, dtype=np.int64)
-        uid[w] = inv
-        self._word_uids = (uid, starts[uniq_keys], lens[uniq_keys])
+        if self._word_uids is None:
+            self._word_uids = dict_encode_segments(
+                self.cps, self.word_starts, self.word_ends - self.word_starts, self.joined
+            )
         return self._word_uids
 
     def iter_doc_words(self) -> Iterator[Tuple[int, List[str]]]:

@@ -3,13 +3,12 @@
 Topology (all lazy; Ray's streaming executor pipelines the stages):
 
     pages (url, warc_ts, html, text, lang)
-      → map_batches(decode_extract_batch)            # stateless tasks, fused
-      → map_batches(LangIdStage,  actor pool)        # warm detector per actor
-      → map_batches(QualityStats, actor pool)        # broadcast stopwords
-      → map_batches(Scrubber,     actor pool)        # precompiled regexes
-      → map_batches(KeepDropRules)                   # vectorized masks, fused
-      → select output schema
-      [→ optional PerplexityScorer once an LM table is trained]
+      → map_batches(QualityFilterStage, actor pool)  # ONE fused pool stage:
+          decode/extract → langid → quality stats → [perplexity]
+          → scrub → keep/drop rules → select output schema
+    (read tasks stay pure I/O; every CPU-heavy step runs at pool width —
+     a separate decode task stage could only use the CPUs the pool does
+     not reserve and capped the stream at node-sized pools)
 
 Output schema per BASELINE.md: (url, lang, lang_conf, perplexity, keep,
 drop_reason, scrubbed_text, q_* stats, pii_* counts).  Shuffle-free on the
@@ -95,6 +94,13 @@ class QualityFilterStage:
         self.cols = cols
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # decode/extract runs INSIDE the pool too (idempotent on already-
+        # decoded input): as a separate task stage it could only use the
+        # CPUs the pool does not reserve — measured at 32 CPUs / 30 actors,
+        # ~51 s of extraction compute squeezed through 2 CPUs and capped the
+        # whole pipeline; in-pool it adds ~30 ms to a ~150 ms batch and
+        # scales with pool width.  Read tasks stay pure I/O.
+        batch = decode_extract_batch(batch)
         # materialize the text column ONCE for the whole fused chain — each
         # stage otherwise re-converts Arrow→Python strings (4× the memory
         # traffic; memory bandwidth is the scaling limiter at pool width).
@@ -128,9 +134,11 @@ def build(
     the fused hot-path stage; (2, 8) keeps small runs light while letting
     the pool grow to the node.  Size to cluster CPUs minus I/O headroom at
     scale — the pool is the only CPU-heavy operator, so it can take nearly
-    the whole node."""
-    ds = pages.map_batches(decode_extract_batch, batch_format="pyarrow")
-    return ds.map_batches(
+    the whole node.  Decode/extract is fused INTO the pool stage (see
+    QualityFilterStage.__call__) — as a task stage it could only use the
+    non-reserved CPUs and bottlenecked the stream at pool widths near the
+    node size."""
+    return pages.map_batches(
         QualityFilterStage,
         batch_format="pyarrow",
         batch_size=batch_size,

@@ -69,4 +69,6 @@ def decode_extract_batch(batch: pa.Table) -> pa.Table:
     # store only carries extracted text through the rest of the pipeline
     if "html" in result.schema.names:
         result = result.drop_columns(["html"])
+    if "n_bytes" in result.schema.names:  # idempotent re-decode (fused path)
+        result = result.drop_columns(["n_bytes"])
     return result.append_column("n_bytes", n_bytes)

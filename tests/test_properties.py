@@ -182,3 +182,54 @@ def test_loglik_batch_bit_identical_to_score_doc(texts):
     ll = det.loglik_batch(texts, rows)
     for d, t in enumerate(texts):
         assert np.array_equal(ll[d], det._score_doc(t[:SCORE_MAX_CHARS]))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(max_size=150), max_size=5))
+def test_lm_prep_arrays_match_per_doc_path(texts):
+    """The batch-level LM score-array builder must produce EXACTLY the
+    (w0, w1, w2, doc) arrays the per-document lm_sentences + padding loop
+    yields, in the same order (the bincount fold then matches bit-for-bit)."""
+    import numpy as np
+
+    from language_identification_ray.functions.kneser_ney import BOS, EOS, lm_sentences
+    from language_identification_ray.stages.perplexity import PerplexityScorer
+
+    model = PerplexityScorer().model
+    model._build_index()
+    tid = model._idx["tid"]
+    bos, eos = tid[BOS], tid[EOS]
+
+    ids, doc_of, valid = [], [], []
+    for d, text in enumerate(texts):
+        for toks in lm_sentences(text or ""):
+            seq = [bos, bos] + [tid.get(t, 0) for t in toks] + [eos]
+            ids.extend(seq)
+            doc_of.extend([d] * len(seq))
+            valid.extend([False, False] + [True] * (len(seq) - 2))
+    I = np.asarray(ids, np.int64)
+    D = np.asarray(doc_of, np.int64)
+    pos = np.flatnonzero(np.asarray(valid, bool))
+    expected = (
+        (I[pos - 2], I[pos - 1], I[pos], D[pos])
+        if len(ids)
+        else tuple(np.empty(0, np.int64) for _ in range(4))
+    )
+    got = model._prep_score_arrays(texts, tid, bos, eos)
+    assert got is not None
+    for a, b in zip(expected, got):
+        assert np.array_equal(a, b)
+
+
+def test_lm_prep_surrogate_fallback():
+    """Lone surrogates (surrogateescape-decoded bytes) must route to the
+    per-doc path, not crash or silently change tokenization."""
+    from language_identification_ray.functions.kneser_ney import BOS, EOS
+    from language_identification_ray.stages.perplexity import PerplexityScorer
+
+    model = PerplexityScorer().model
+    model._build_index()
+    tid = model._idx["tid"]
+    assert model._prep_score_arrays(["caf\udce9"], tid, tid[BOS], tid[EOS]) is None
+    ppl = model.perplexity_batch(["caf\udce9 test. ok", "plain text here."])
+    assert all(p == p for p in ppl)  # scored, not NaN
