@@ -372,6 +372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_features": video_frames_q,
         "audio_features": audio_features_q,
         "detector_agreement": detector_agreement_q,
+        "source_vocab_overlap": analysis.source_vocab_overlap,
     }
 
 
@@ -1038,5 +1039,27 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) >= 0.4
+        """,
+        "source_vocab_overlap": """
+            WITH sw AS (
+                SELECT DISTINCT source,
+                       unnest(string_split(coalesce(text, ''), ' ')) AS word
+                FROM documents
+                WHERE source IS NOT NULL
+            ),
+            sizes AS (SELECT source, count(*) AS n FROM sw GROUP BY source),
+            inter AS (
+                SELECT a.source AS s1, b.source AS s2, count(*) AS n_common
+                FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+                GROUP BY 1, 2
+            )
+            SELECT i.s1, i.s2, i.n_common,
+                   x.n + y.n - i.n_common AS n_union,
+                   CAST(i.n_common AS DOUBLE)
+                     / CAST(x.n + y.n - i.n_common AS DOUBLE) AS jaccard
+            FROM inter i
+            JOIN sizes x ON x.source = i.s1
+            JOIN sizes y ON y.source = i.s2
+            ORDER BY s1, s2
         """,
     }

@@ -2554,3 +2554,120 @@ def word_cooccurrence_top100(sf_dir: str, k: int = 100) -> "rd.Dataset":
         .sort(["n_docs", "w1", "w2"], descending=[True, False, False])
         .limit(k)
     )
+
+
+def source_vocab_overlap(sf_dir: str) -> pa.Table:
+    """Per-source-pair vocabulary Jaccard — the cross-source contamination /
+    redundancy analytic of corpus curation (how much of two crawls'/dumps'
+    vocabularies coincide before mixing them).  One row per unordered source
+    pair (``s1 < s2``, binary collation) with a non-empty intersection:
+    ``(s1, s2, n_common, n_union, jaccard)``, a source's vocabulary being
+    the DISTINCT whitespace words across its documents (NULL-source rows
+    excluded, matching the SQL inner joins).
+
+    Scale shape: the keyed exchanges carry only DISTINCT (word, source-bit)
+    rows — per-batch dedup via one ``np.unique`` over packed codes, a
+    groupby dedup, then ``Sum`` folds per-source BITS into a per-word int64
+    source bitmask (each (word, bit) row is unique after the dedup, so Sum
+    == OR).  A per-batch mask histogram + tiny mask groupby shrink the
+    vocabulary to ≤ min(|vocab|, 2**n_sources) rows before the only
+    ``take_all`` (bounded: the histogram).  ``n_sources ≤ 63`` is the
+    int64-bitmask bound and matches the domain — a source catalog is dozens
+    of crawls/dumps, not data-scaled; the catalog groupby itself is tiny."""
+    cat = (
+        _docs(sf_dir, ["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="_n"))
+        .take_all()
+    )
+    names = sorted(r["source"] for r in cat if r["source"] is not None)
+    if len(names) > 63:
+        raise ValueError(
+            f"source_vocab_overlap supports at most 63 sources per run "
+            f"(int64 bitmask); got {len(names)} — chunk the catalog"
+        )
+    out_schema = pa.schema(
+        [
+            ("s1", pa.string()),
+            ("s2", pa.string()),
+            ("n_common", pa.int64()),
+            ("n_union", pa.int64()),
+            ("jaccard", pa.float64()),
+        ]
+    )
+    if len(names) < 2:
+        return out_schema.empty_table()
+    src_arr = pa.array(names, pa.string())
+
+    def bit_partial(batch: pa.Table) -> pa.Table:
+        if batch["source"].null_count:
+            batch = batch.filter(pc.is_valid(batch["source"]))
+        words = pc.split_pattern(pc.fill_null(batch["text"], ""), " ").combine_chunks()
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        gd = words.values.dictionary_encode()
+        if len(gd) == 0:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "bit": pa.array([], pa.int64())}
+            )
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        sidx = (
+            pc.index_in(batch["source"], value_set=src_arr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        K = len(gd.dictionary)
+        ukey = np.unique(np.repeat(sidx, lens) * K + codes)
+        return pa.table(
+            {
+                "word": gd.dictionary.take(pa.array(ukey % K)),
+                "bit": pa.array(np.int64(1) << (ukey // K), pa.int64()),
+            }
+        )
+
+    def mask_hist(batch: pa.Table) -> pa.Table:
+        masks, cnt = np.unique(
+            batch["mask"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "mask": pa.array(masks.astype(np.int64), pa.int64()),
+                "n_words": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        _docs(sf_dir, ["text", "source"])
+        .map_batches(bit_partial, batch_format="pyarrow")
+        .groupby(["word", "bit"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("word")
+        .aggregate(Sum("bit", alias_name="mask"))
+        .map_batches(mask_hist, batch_format="pyarrow")
+        .groupby("mask")
+        .aggregate(Sum("n_words", alias_name="n_words"))
+        .take_all()  # bounded: <= min(|vocab|, 2**n_sources) rows
+    )
+    if not hist:
+        return out_schema.empty_table()
+    masks = np.array([r["mask"] for r in hist], dtype=np.int64)
+    cnt = np.array([r["n_words"] for r in hist], dtype=np.int64)
+    S = len(names)
+    bits = ((masks[:, None] >> np.arange(S, dtype=np.int64)) & 1).astype(np.int64)
+    sizes = bits.T @ cnt  # |V_s| per source
+    inter = (bits.T * cnt) @ bits  # inter[i, j] = |V_i ∩ V_j|
+    iu = np.triu_indices(S, k=1)
+    n_common = inter[iu]
+    keep = n_common > 0
+    i, j, n_common = iu[0][keep], iu[1][keep], n_common[keep]
+    n_union = sizes[i] + sizes[j] - n_common
+    return pa.table(
+        {
+            "s1": src_arr.take(pa.array(i)),
+            "s2": src_arr.take(pa.array(j)),
+            "n_common": pa.array(n_common, pa.int64()),
+            "n_union": pa.array(n_union, pa.int64()),
+            "jaccard": pa.array(n_common / n_union, pa.float64()),
+        },
+        schema=out_schema,
+    )
