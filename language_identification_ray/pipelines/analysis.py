@@ -2671,3 +2671,153 @@ def source_vocab_overlap(sf_dir: str) -> pa.Table:
         },
         schema=out_schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style per-document quality rule flags (quality_filter tier core)
+
+
+def gopher_quality_flags(sf_dir: str) -> "rd.Dataset":
+    """Per-document Gopher rule flags (Rae et al. 2021, table A1 subset —
+    the word-count window, the 3–10 mean-word-length band, and a
+    top-word-repetition cap standing in for the duplicate-line family):
+    each document reports its integer evidence (``n_words``,
+    ``sum_word_len``, ``max_word_rep``) plus one boolean per rule and the
+    conjunctive ``keep`` — the rule-flag table a quality-filter audit joins
+    against, with every threshold INTEGER-EXACT (``3·n ≤ Σlen``, never a
+    float mean) so the oracle compare is bit-stable.
+
+    Scale shape: strictly MAP-ONLY — one pass, no shuffle, no state; the
+    100 TB corpus streams through at read bandwidth.  All kernels are
+    vectorized per batch: one Arrow ``split_pattern`` (NULL text → '' → a
+    single empty token, same as the SQL's ``string_split(coalesce(text,''))``),
+    ``utf8_length`` + ``bincount`` folds for the length sums, and the
+    per-(doc, word) repetition counts via ONE ``np.unique`` over packed
+    ``(doc << 32 | word_code)`` keys — the same encoding
+    :func:`_unique_doc_grams` uses, no per-row Python."""
+
+    def flags(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        words = pc.split_pattern(pc.fill_null(batch["text"], ""), " ").combine_chunks()
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.values
+        nw = np.diff(offs)
+        n_docs = len(nw)
+        wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), nw)
+        sum_len = np.bincount(doc_idx, weights=wl, minlength=n_docs).astype(np.int64)
+        codes = (
+            flat.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        ukey, cnt = np.unique((doc_idx << 32) | codes, return_counts=True)
+        max_rep = np.zeros(n_docs, np.int64)
+        np.maximum.at(max_rep, ukey >> 32, cnt)
+        f_wc = (nw >= 50) & (nw <= 100_000)
+        f_mwl = (3 * nw <= sum_len) & (sum_len <= 10 * nw)
+        f_top = 5 * max_rep <= nw
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_words": pa.array(nw, pa.int64()),
+                "sum_word_len": pa.array(sum_len, pa.int64()),
+                "max_word_rep": pa.array(max_rep, pa.int64()),
+                "flag_word_count": pa.array(f_wc, pa.bool_()),
+                "flag_mean_word_len": pa.array(f_mwl, pa.bool_()),
+                "flag_top_word": pa.array(f_top, pa.bool_()),
+                "keep": pa.array(f_wc & f_mwl & f_top, pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(flags, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail terciles (per-language quality banding)
+
+
+def ccnet_tercile_buckets(sf_dir: str) -> "rd.Dataset":
+    """CCNet-style per-language head/middle/tail banding (Wenzek et al.
+    2020 split their corpus into thirds by per-language quality rank; here
+    the rank key is ``(n_chars ASC, doc_id ASC)`` so the oracle is pure
+    SQL): every document gets its language's tercile — ``head`` for the
+    lowest third of ranks, then ``middle``, then ``tail`` — with the
+    boundary INTEGER-EXACT (``3·rank ≤ n`` / ``3·rank ≤ 2n``), matching the
+    SQL ``row_number``/``count`` window pair, remainder rows falling to the
+    later buckets exactly as the inequalities dictate.
+
+    Scale shape: the per-language histogram-rank primitive of
+    :func:`global_length_rank`, partitioned by language — pass 1 is a
+    ``groupby(lang, n_chars)`` COUNT whose driver collect is bounded by
+    DISTINCT (language, length) pairs (≤ langs × the 10 MiB cap), never
+    corpus size; the cumulative histogram gives every (lang, length) its
+    in-language offset and every language its total, both broadcast in the
+    map_groups closure; pass 2 ranks within each equal-length tie group by
+    doc_id and banks the offset.  Partitioning assumption: one (lang,
+    length) TIE GROUP fits a reducer — if one length dominates a language,
+    the same histogram composes recursively on a doc_id range key."""
+    hist = (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .groupby(["lang", "n_chars"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()  # bounded by distinct (lang, length) pairs
+        .sort_values(["lang", "n_chars"], ascending=[True, True])
+    )
+    offsets: dict = {}
+    totals: dict = {}
+    for lang, sub in hist.groupby("lang", sort=False):
+        c = sub["n"].to_numpy(dtype=np.int64)
+        offs = np.cumsum(c) - c
+        for nch, o in zip(sub["n_chars"].tolist(), offs.tolist()):
+            offsets[(lang, nch)] = o
+        totals[lang] = int(c.sum())
+
+    def rank_group(group: pa.Table) -> pa.Table:
+        lang = group["lang"][0].as_py()
+        nch = int(group["n_chars"][0].as_py())
+        order = pa.array(
+            np.argsort(group["doc_id"].to_numpy(zero_copy_only=False), kind="stable")
+        )
+        n = totals[lang]
+        rnk = np.arange(1, group.num_rows + 1, dtype=np.int64) + offsets[(lang, nch)]
+        bucket = np.where(3 * rnk <= n, "head", np.where(3 * rnk <= 2 * n, "middle", "tail"))
+        return pa.table(
+            {
+                "doc_id": group["doc_id"].take(order),
+                "lang": group["lang"],
+                "n_chars": group["n_chars"],
+                "bucket": pa.array(bucket, pa.string()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+        .groupby(["lang", "n_chars"])
+        .map_groups(rank_group, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# end-to-end fuzzy dedup: cluster → keep-one-representative
+
+
+def fuzzy_dedup_keep(sf_dir: str, threshold: float = 0.4) -> "rd.Dataset":
+    """The step real dedup pipelines END with: every document carries its
+    near-dup ``cluster_id`` (from :func:`dup_clusters`' min-label
+    propagation over the embedding near-dup graph) plus the ``keep``
+    decision — the cluster REPRESENTATIVE (smallest doc_id, i.e. the doc
+    whose id equals its cluster label) is kept, every other member drops.
+    Composing this over :func:`dup_clusters` closes the pairs → components
+    → keep-one chain as one pipeline, the MinHash/SemDeDup production
+    shape.
+
+    Scale shape: inherits :func:`dup_clusters`' edge-subgraph propagation
+    (O(dup nodes) per round, one union-tag corpus groupby) and adds only a
+    map-only equality — no extra shuffle, no driver state."""
+    clusters = dup_clusters(sf_dir, threshold=threshold)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "keep", pc.equal(batch["doc_id"], batch["cluster_id"])
+        )
+
+    return clusters.map_batches(mark, batch_format="pyarrow")

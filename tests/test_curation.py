@@ -751,3 +751,77 @@ def test_word_cooccurrence_pairs_match_itertools(ray_session, tmp_path):
     out = analysis.word_cooccurrence_top100(str(d), k=10_000).to_pandas()
     got = {(r.w1, r.w2): r.n_docs for r in out.itertuples()}
     assert got == dict(expect)
+
+
+def _write_docs(d, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array(["s"] * len(rows), pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1] or "") for r in rows], pa.int64()
+                ),
+            }
+        ),
+        d / "documents.parquet",
+    )
+
+
+def test_gopher_flags_hand_computed(ray_session, tmp_path):
+    """Each rule trips on its designed offender; evidence columns are exact."""
+    d = tmp_path / "gopher"
+    d.mkdir()
+    good = " ".join(f"word{i % 25}" for i in range(60))  # 60 words, len 5-6, top rep 3/60
+    short = "only four tiny words"  # n_words 4 < 50
+    spam = " ".join(["spam"] * 60)  # top word 60/60 > 20%
+    longw = " ".join(["x" * 40] * 60)  # mean word len 40 > 10
+    rows = [(0, good, "en"), (1, short, "en"), (2, spam, "en"), (3, longw, "en"), (4, None, "en")]
+    _write_docs(d, rows)
+    out = analysis.gopher_quality_flags(str(d)).to_pandas().set_index("doc_id")
+    assert bool(out.loc[0, "keep"])
+    assert not out.loc[1, "flag_word_count"] and out.loc[1, "n_words"] == 4
+    assert not out.loc[2, "flag_top_word"] and out.loc[2, "max_word_rep"] == 60
+    assert not out.loc[3, "flag_mean_word_len"]
+    assert out.loc[3, "sum_word_len"] == 40 * 60
+    # NULL text: one empty token (split of ''), zero length sum, fails all
+    assert out.loc[4, "n_words"] == 1 and out.loc[4, "sum_word_len"] == 0
+    assert not out.loc[4, "keep"]
+
+
+def test_ccnet_terciles_remainder_to_tail(ray_session, tmp_path):
+    """7 docs in one lang: head gets ranks 3r<=7 (2 docs), middle 3r<=14
+    (2 docs), tail the remaining 3 — remainder rows fall to LATER buckets;
+    a second lang buckets independently."""
+    d = tmp_path / "ccnet"
+    d.mkdir()
+    rows = [(i, "w " * (i + 1), "en") for i in range(7)]
+    rows += [(10 + i, "w " * (i + 1), "fr") for i in range(3)]
+    _write_docs(d, rows)
+    out = analysis.ccnet_tercile_buckets(str(d)).to_pandas()
+    en = out[out["lang"] == "en"].sort_values("doc_id")["bucket"].tolist()
+    assert en == ["head", "head", "middle", "middle", "tail", "tail", "tail"]
+    fr = out[out["lang"] == "fr"].sort_values("doc_id")["bucket"].tolist()
+    assert fr == ["head", "middle", "tail"]
+
+
+def test_ccnet_tercile_ties_break_by_doc_id(ray_session, tmp_path):
+    """Equal-length docs are ranked by doc_id within the tie group."""
+    d = tmp_path / "ccnet_tie"
+    d.mkdir()
+    _write_docs(d, [(i, "same text", "en") for i in range(6)])
+    out = analysis.ccnet_tercile_buckets(str(d)).to_pandas()
+    got = out.sort_values("doc_id")["bucket"].tolist()
+    assert got == ["head", "head", "middle", "middle", "tail", "tail"]
+
+
+def test_fuzzy_dedup_keep_representative(ray_session, tiny_sf):
+    """The near-dup pair (0, 1) keeps only the smallest doc_id; singletons
+    keep themselves."""
+    out = analysis.fuzzy_dedup_keep(tiny_sf).to_pandas().set_index("doc_id")
+    assert bool(out.loc[0, "keep"]) and out.loc[0, "cluster_id"] == 0
+    assert not bool(out.loc[1, "keep"]) and out.loc[1, "cluster_id"] == 0
+    for i in (2, 13, 14):
+        assert bool(out.loc[i, "keep"]) and out.loc[i, "cluster_id"] == i
