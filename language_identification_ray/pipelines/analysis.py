@@ -2821,3 +2821,97 @@ def fuzzy_dedup_keep(sf_dir: str, threshold: float = 0.4) -> "rd.Dataset":
         )
 
     return clusters.map_batches(mark, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Zipf vocabulary-coverage analytic (heavy-hitter token mass)
+
+
+def vocab_coverage_90(sf_dir: str) -> pa.Table:
+    """Per-language vocabulary coverage: how many DISTINCT words (ordered
+    by frequency, descending) it takes to cover ≥ 90% of the language's
+    token mass — the Zipf heavy-hitter curve point tokenizer-budget and
+    vocabulary-pruning decisions read.  Thresholds are INTEGER-exact
+    (``10·prefix < 9·total``) and the answer is TIE-ORDER INDEPENDENT:
+    within an equal-count group the prefix masses enumerate ``base + i·v``
+    whichever words occupy the positions, so the SQL window's arbitrary
+    word-order tiebreak and the closed form below count identically.
+
+    Scale shape: one ``(lang, word)`` count groupby (map-side partial
+    counts, the shuffle moves |vocab| rows, never |tokens| — the
+    :func:`distinct_words_per_lang` contract) folded into a COUNTS-OF-
+    COUNTS histogram keyed ``(lang, count)`` — the driver collect is
+    bounded by distinct (language, frequency-value) pairs (Zipf: O(√tokens)
+    distinct counts), never vocabulary size; per-language prefix masses
+    then resolve in closed form per tie group, no per-type expansion."""
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(pc.fill_null(batch["text"], ""), " ").combine_chunks()
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.values
+        nw = np.diff(offs)
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        ul, linv = np.unique(langs, return_inverse=True)
+        wd = flat.dictionary_encode()
+        wcodes = wd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.repeat(linv.astype(np.int64), nw) * max(len(wd.dictionary), 1) + wcodes
+        ukey, cnt = np.unique(key, return_counts=True)
+        nv = max(len(wd.dictionary), 1)
+        return pa.table(
+            {
+                "lang": pa.array(ul[ukey // nv], pa.string()),
+                "word": wd.dictionary.take(pa.array(ukey % nv)),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        cnts = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ul, linv = np.unique(langs, return_inverse=True)
+        key = linv.astype(np.int64) << 40 | cnts  # counts < 2^40 by corpus bound
+        ukey, n_types = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "lang": pa.array(ul[ukey >> 40], pa.string()),
+                "cnt": pa.array(ukey & ((1 << 40) - 1), pa.int64()),
+                "n_types": pa.array(n_types.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        _docs(sf_dir, ["text", "lang"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["lang", "word"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["lang", "cnt"])
+        .aggregate(Sum("n_types", alias_name="n_types"))
+        .take_all()  # bounded by distinct (lang, frequency-value) pairs
+    )
+    by_lang: dict = {}
+    for r in hist:
+        by_lang.setdefault(r["lang"], []).append((int(r["cnt"]), int(r["n_types"])))
+    out = {"lang": [], "total_tokens": [], "n_types": [], "n_types_90": []}
+    for lang in sorted(by_lang):
+        groups = sorted(by_lang[lang], reverse=True)  # count desc
+        total = sum(v * m for v, m in groups)
+        base, k90 = 0, 0
+        for v, m in groups:
+            num = 9 * total - 10 * base
+            if num > 0:
+                # smallest i with 10*(base + i*v) >= 9*total, clamped to m
+                k90 += min(m, (num + 10 * v - 1) // (10 * v))
+            base += v * m
+        out["lang"].append(lang)
+        out["total_tokens"].append(total)
+        out["n_types"].append(sum(m for _, m in groups))
+        out["n_types_90"].append(k90)
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"], pa.string()),
+            "total_tokens": pa.array(out["total_tokens"], pa.int64()),
+            "n_types": pa.array(out["n_types"], pa.int64()),
+            "n_types_90": pa.array(out["n_types_90"], pa.int64()),
+        }
+    )

@@ -825,3 +825,27 @@ def test_fuzzy_dedup_keep_representative(ray_session, tiny_sf):
     assert not bool(out.loc[1, "keep"]) and out.loc[1, "cluster_id"] == 0
     for i in (2, 13, 14):
         assert bool(out.loc[i, "keep"]) and out.loc[i, "cluster_id"] == i
+
+
+def test_vocab_coverage_90_boundary_cases(ray_session, tmp_path):
+    """Exact-90% and mid-tie-group boundaries of the closed form: a word
+    covering exactly 90% of mass needs only itself; a tail of singletons is
+    counted up to (not past) the threshold."""
+    d = tmp_path / "vocab"
+    d.mkdir()
+    rows = [
+        # en: 'big' x9 + 9 singletons -> total 18; rows with prefix < 16.2:
+        # 'big' (prefix 0) + singletons at prefixes 9..16 -> 9 of 10 types
+        (0, "big big big big big big big big big u1 u2 u3 u4 u5 u6 u7 u8 u9", "en"),
+        # fr: 'top' x9 + one singleton -> total 10; 'top' alone reaches
+        # exactly 90% (prefix 9 is NOT < 9) -> 1 of 2 types
+        (1, "top top top top top top top top top rare", "fr"),
+    ]
+    _write_docs(d, rows)
+    out = analysis.vocab_coverage_90(str(d)).to_pandas().set_index("lang")
+    assert out.loc["en", "total_tokens"] == 18
+    assert out.loc["en", "n_types"] == 10
+    assert out.loc["en", "n_types_90"] == 9
+    assert out.loc["fr", "total_tokens"] == 10
+    assert out.loc["fr", "n_types"] == 2
+    assert out.loc["fr", "n_types_90"] == 1
