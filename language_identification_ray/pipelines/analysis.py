@@ -2754,36 +2754,53 @@ def ccnet_tercile_buckets(sf_dir: str) -> "rd.Dataset":
     map_groups closure; pass 2 ranks within each equal-length tie group by
     doc_id and banks the offset.  Partitioning assumption: one (lang,
     length) TIE GROUP fits a reducer — if one length dominates a language,
-    the same histogram composes recursively on a doc_id range key."""
+    the same histogram composes recursively on a doc_id range key.
+
+    NULL langs form their own partition (SQL ``PARTITION BY`` keeps one):
+    both groupbys shuffle on the repo's (filled-key, is-null) two-key
+    pattern — Ray 2.49's sort groupby cannot order NULL string keys."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cols = {
+            "lang_key": pc.fill_null(batch["lang"], ""),
+            "lang_null": pc.is_null(batch["lang"]),
+            "n_chars": batch["n_chars"],
+        }
+        if "doc_id" in batch.schema.names:
+            cols["doc_id"] = batch["doc_id"]
+        return pa.table(cols)
+
     hist = (
         _docs(sf_dir, ["lang", "n_chars"])
-        .groupby(["lang", "n_chars"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby(["lang_key", "lang_null", "n_chars"])
         .aggregate(Count(alias_name="n"))
         .to_pandas()  # bounded by distinct (lang, length) pairs
-        .sort_values(["lang", "n_chars"], ascending=[True, True])
+        .sort_values(["lang_key", "lang_null", "n_chars"], ascending=True)
     )
     offsets: dict = {}
     totals: dict = {}
-    for lang, sub in hist.groupby("lang", sort=False):
+    for (lk, ln), sub in hist.groupby(["lang_key", "lang_null"], sort=False):
         c = sub["n"].to_numpy(dtype=np.int64)
         offs = np.cumsum(c) - c
         for nch, o in zip(sub["n_chars"].tolist(), offs.tolist()):
-            offsets[(lang, nch)] = o
-        totals[lang] = int(c.sum())
+            offsets[(lk, bool(ln), nch)] = o
+        totals[(lk, bool(ln))] = int(c.sum())
 
     def rank_group(group: pa.Table) -> pa.Table:
-        lang = group["lang"][0].as_py()
+        lk = group["lang_key"][0].as_py()
+        ln = bool(group["lang_null"][0].as_py())
         nch = int(group["n_chars"][0].as_py())
         order = pa.array(
             np.argsort(group["doc_id"].to_numpy(zero_copy_only=False), kind="stable")
         )
-        n = totals[lang]
-        rnk = np.arange(1, group.num_rows + 1, dtype=np.int64) + offsets[(lang, nch)]
+        n = totals[(lk, ln)]
+        rnk = np.arange(1, group.num_rows + 1, dtype=np.int64) + offsets[(lk, ln, nch)]
         bucket = np.where(3 * rnk <= n, "head", np.where(3 * rnk <= 2 * n, "middle", "tail"))
         return pa.table(
             {
                 "doc_id": group["doc_id"].take(order),
-                "lang": group["lang"],
+                "lang": pa.array([None if ln else lk] * group.num_rows, pa.string()),
                 "n_chars": group["n_chars"],
                 "bucket": pa.array(bucket, pa.string()),
             }
@@ -2791,7 +2808,8 @@ def ccnet_tercile_buckets(sf_dir: str) -> "rd.Dataset":
 
     return (
         _docs(sf_dir, ["doc_id", "lang", "n_chars"])
-        .groupby(["lang", "n_chars"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby(["lang_key", "lang_null", "n_chars"])
         .map_groups(rank_group, batch_format="pyarrow")
     )
 
@@ -2843,37 +2861,58 @@ def vocab_coverage_90(sf_dir: str) -> pa.Table:
     COUNTS histogram keyed ``(lang, count)`` — the driver collect is
     bounded by distinct (language, frequency-value) pairs (Zipf: O(√tokens)
     distinct counts), never vocabulary size; per-language prefix masses
-    then resolve in closed form per tie group, no per-type expansion."""
+    then resolve in closed form per tie group, no per-type expansion.
+
+    NULL langs keep their own group (SQL GROUP BY keeps one): batch
+    partials dictionary-encode the lang with a None slot, and both
+    groupbys shuffle on the (filled-key, is-null) two-key pattern — Ray
+    2.49's sort groupby cannot order NULL string keys."""
+
+    def _lang_codes(arr) -> tuple:
+        """(codes, dictionary-with-None-slot) for a possibly-NULL string
+        column — the memory-documented replacement for to_pylist+np.unique,
+        which raises str-vs-None TypeError."""
+        ld = arr.combine_chunks().dictionary_encode()
+        codes = ld.indices
+        if codes.null_count:
+            codes = pc.fill_null(codes, len(ld.dictionary))
+        return (
+            codes.to_numpy(zero_copy_only=False).astype(np.int64),
+            ld.dictionary.to_pylist() + [None],
+        )
 
     def pair_partial(batch: pa.Table) -> pa.Table:
         words = pc.split_pattern(pc.fill_null(batch["text"], ""), " ").combine_chunks()
         offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         flat = words.values
         nw = np.diff(offs)
-        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
-        ul, linv = np.unique(langs, return_inverse=True)
+        lcodes, ldict = _lang_codes(batch["lang"])
         wd = flat.dictionary_encode()
         wcodes = wd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        key = np.repeat(linv.astype(np.int64), nw) * max(len(wd.dictionary), 1) + wcodes
-        ukey, cnt = np.unique(key, return_counts=True)
         nv = max(len(wd.dictionary), 1)
+        ukey, cnt = np.unique(np.repeat(lcodes, nw) * nv + wcodes, return_counts=True)
+        langs = [ldict[i] for i in ukey // nv]
         return pa.table(
             {
-                "lang": pa.array(ul[ukey // nv], pa.string()),
+                "lang_key": pa.array([x or "" for x in langs], pa.string()),
+                "lang_null": pa.array([x is None for x in langs], pa.bool_()),
                 "word": wd.dictionary.take(pa.array(ukey % nv)),
                 "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
             }
         )
 
     def hist_partial(batch: pa.Table) -> pa.Table:
-        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        lk = np.asarray(batch["lang_key"].to_pylist(), dtype=object)
+        ln = batch["lang_null"].to_numpy(zero_copy_only=False)
         cnts = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ul, linv = np.unique(langs, return_inverse=True)
-        key = linv.astype(np.int64) << 40 | cnts  # counts < 2^40 by corpus bound
+        ul, linv = np.unique(lk, return_inverse=True)
+        key = (linv.astype(np.int64) * 2 + ln) << 40 | cnts  # counts < 2^40 by corpus bound
         ukey, n_types = np.unique(key, return_counts=True)
+        gid = ukey >> 40
         return pa.table(
             {
-                "lang": pa.array(ul[ukey >> 40], pa.string()),
+                "lang_key": pa.array(ul[gid // 2], pa.string()),
+                "lang_null": pa.array((gid % 2).astype(bool), pa.bool_()),
                 "cnt": pa.array(ukey & ((1 << 40) - 1), pa.int64()),
                 "n_types": pa.array(n_types.astype(np.int64), pa.int64()),
             }
@@ -2882,18 +2921,19 @@ def vocab_coverage_90(sf_dir: str) -> pa.Table:
     hist = (
         _docs(sf_dir, ["text", "lang"])
         .map_batches(pair_partial, batch_format="pyarrow")
-        .groupby(["lang", "word"])
+        .groupby(["lang_key", "lang_null", "word"])
         .aggregate(Sum("cnt", alias_name="cnt"))
         .map_batches(hist_partial, batch_format="pyarrow")
-        .groupby(["lang", "cnt"])
+        .groupby(["lang_key", "lang_null", "cnt"])
         .aggregate(Sum("n_types", alias_name="n_types"))
         .take_all()  # bounded by distinct (lang, frequency-value) pairs
     )
     by_lang: dict = {}
     for r in hist:
-        by_lang.setdefault(r["lang"], []).append((int(r["cnt"]), int(r["n_types"])))
+        lang = None if r["lang_null"] else r["lang_key"]
+        by_lang.setdefault(lang, []).append((int(r["cnt"]), int(r["n_types"])))
     out = {"lang": [], "total_tokens": [], "n_types": [], "n_types_90": []}
-    for lang in sorted(by_lang):
+    for lang in sorted(by_lang, key=lambda x: (x is None, x or "")):
         groups = sorted(by_lang[lang], reverse=True)  # count desc
         total = sum(v * m for v, m in groups)
         base, k90 = 0, 0

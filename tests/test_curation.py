@@ -849,3 +849,41 @@ def test_vocab_coverage_90_boundary_cases(ray_session, tmp_path):
     assert out.loc["fr", "total_tokens"] == 10
     assert out.loc["fr", "n_types"] == 2
     assert out.loc["fr", "n_types_90"] == 1
+
+
+def test_per_lang_kernels_keep_null_lang_group(ray_session, tmp_path):
+    """NULL lang is its own partition/group (SQL keeps one), not a crash:
+    the Ray 2.49 sort groupby cannot order NULL string keys, so both
+    per-language kernels shuffle on the (filled-key, is-null) pattern."""
+    import pyarrow.parquet as pq2
+
+    d = tmp_path / "nulllang"
+    d.mkdir()
+    pq2.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+                "text": pa.array(["a b", "c d e", "f", "g h", "i j k l", "m"], pa.string()),
+                "lang": pa.array(["en", None, "en", "", None, "en"], pa.string()),
+                "source": pa.array(["s"] * 6, pa.string()),
+                "n_chars": pa.array([3, 5, 1, 3, 7, 1], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    terc = analysis.ccnet_tercile_buckets(str(d)).to_pandas()
+    assert len(terc) == 6
+    nul = terc[terc["lang"].isna()].sort_values("doc_id")
+    # NULL partition has docs 1 (5 chars) and 4 (7 chars): ranks 1, 2 of
+    # n=2 -> 3*1 <= 2 false -> 'middle' is 3*1 <= 4 true; doc 4 'tail'
+    assert nul["doc_id"].tolist() == [1, 4]
+    assert nul["bucket"].tolist() == ["middle", "tail"]
+    # "" lang is distinct from NULL lang
+    assert terc[terc["lang"] == ""]["doc_id"].tolist() == [3]
+
+    cov = analysis.vocab_coverage_90(str(d)).to_pandas()
+    rows = {(None if pd.isna(r["lang"]) else r["lang"]): r for _, r in cov.iterrows()}
+    assert set(rows) == {"en", "", None}
+    assert rows[None]["total_tokens"] == 7 and rows[None]["n_types"] == 7
+    assert rows[""]["total_tokens"] == 2
+    assert rows["en"]["total_tokens"] == 4  # 'a b' + 'f' + 'm'
