@@ -2955,3 +2955,94 @@ def vocab_coverage_90(sf_dir: str) -> pa.Table:
             "n_types_90": pa.array(out["n_types_90"], pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source novelty attribution (marginal diversity contribution)
+
+
+def source_novelty(sf_dir: str, n: int = 2) -> "rd.Dataset":
+    """Per-source count of word ``n``-grams the source INTRODUCED — each
+    distinct gram is attributed to the document with the smallest doc_id
+    containing it, and that document's source gets the credit.  The
+    marginal-diversity measure source-selection decisions read: a source
+    whose grams were all seen earlier adds no vocabulary, however large it
+    is.  All integers, deterministic (min doc_id owns ties) — the oracle
+    compare is exact.
+
+    Scale shape: the distinct sources are collected FIRST (one tiny
+    groupby, bounded by source cardinality) and broadcast as a code table
+    in the closure, so the arg-min "which source owns this gram" rides a
+    single int64 ``Min`` aggregate over packed ``doc_id·S + source_code``
+    keys — no join, no struct aggregate, no second pass over text.  Map
+    side emits DISTINCT (gram, packed) pairs per batch (one row per gram
+    per batch, the :func:`boilerplate_ngram_stats` combiner contract), the
+    only keyed exchange is the gram-keyed Min, and the per-source fold is
+    map-side partials into a source-cardinality groupby.  NULL sources
+    take the None slot of the code table (SQL GROUP BY keeps one)."""
+    src_rows = (
+        _docs(sf_dir, ["source"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "src_key": pc.fill_null(t["source"], ""),
+                    "src_null": pc.is_null(t["source"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby(["src_key", "src_null"])
+        .aggregate(Count(alias_name="_n"))
+        .take_all()  # bounded by source cardinality
+    )
+    sources = sorted(
+        [None if r["src_null"] else r["src_key"] for r in src_rows],
+        key=lambda x: (x is None, x or ""),
+    )
+    code_of = {s: i for i, s in enumerate(sources)}
+    S = max(len(sources), 1)
+
+    def gram_owner(batch: pa.Table) -> pa.Table:
+        ndocs, udoc, ucode, gdict = _unique_doc_grams(batch, n)
+        if not len(udoc):
+            return pa.table(
+                {"gram": pa.array([], pa.string()), "packed": pa.array([], pa.int64())}
+            )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        scodes = np.array(
+            [code_of[s] for s in batch["source"].to_pylist()], dtype=np.int64
+        )
+        packed = ids[udoc] * S + scodes[udoc]
+        return pa.table({"gram": gdict.take(pa.array(ucode)), "packed": pa.array(packed, pa.int64())})
+
+    def src_partial(batch: pa.Table) -> pa.Table:
+        codes = (
+            batch["packed"].to_numpy(zero_copy_only=False).astype(np.int64) % S
+        )
+        uk, cnt = np.unique(codes, return_counts=True)
+        return pa.table(
+            {
+                "src_code": pa.array(uk, pa.int64()),
+                "n_first_grams": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def decode(batch: pa.Table) -> pa.Table:
+        codes = batch["src_code"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": pa.array([sources[c] for c in codes], pa.string()),
+                "n_first_grams": batch["n_first_grams"],
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "source", "text"])
+        .map_batches(gram_owner, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Min("packed", alias_name="packed"))
+        .map_batches(src_partial, batch_format="pyarrow")
+        .groupby("src_code")
+        .aggregate(Sum("n_first_grams", alias_name="n_first_grams"))
+        .map_batches(decode, batch_format="pyarrow")
+    )

@@ -887,3 +887,34 @@ def test_per_lang_kernels_keep_null_lang_group(ray_session, tmp_path):
     assert rows[None]["total_tokens"] == 7 and rows[None]["n_types"] == 7
     assert rows[""]["total_tokens"] == 2
     assert rows["en"]["total_tokens"] == 4  # 'a b' + 'f' + 'm'
+
+
+def test_source_novelty_first_doc_attribution(ray_session, tmp_path):
+    """Each distinct bigram credits the SOURCE of the smallest doc_id
+    containing it; later repeats earn nothing; NULL source keeps a group."""
+    import pyarrow.parquet as pq3
+
+    d = tmp_path / "novelty"
+    d.mkdir()
+    pq3.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                # doc0 (src A): 'a b', 'b c'                  -> A introduces 2
+                # doc1 (src B): 'b c' (seen), 'c d' new       -> B introduces 1
+                # doc2 (NULL):  'd e' new                     -> NULL introduces 1
+                # doc3 (src A): 'a b' seen, 'b d' NEW, 'd e' seen -> A +1 = 3
+                "text": pa.array(["a b c", "b c d", "d e", "a b d e"], pa.string()),
+                "lang": pa.array(["en"] * 4, pa.string()),
+                "source": pa.array(["A", "B", None, "A"], pa.string()),
+                "n_chars": pa.array([5, 5, 3, 7], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = analysis.source_novelty(str(d)).to_pandas()
+    got = {
+        (None if pd.isna(r["source"]) else r["source"]): int(r["n_first_grams"])
+        for _, r in out.iterrows()
+    }
+    assert got == {"A": 3, "B": 1, None: 1}
