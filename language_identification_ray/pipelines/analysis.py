@@ -43,6 +43,14 @@ def _text_col(batch: pa.Table) -> pa.ChunkedArray:
     return pc.fill_null(batch["text"], "").combine_chunks()
 
 
+def _null_safe_key(arr) -> tuple:
+    """(filled, is-null) two-key pair for a possibly-NULL string groupby
+    key — Ray 2.49's sort groupby cannot order NULL strings against real
+    ones, so kernels shuffle on both and restore the NULL on the way out.
+    ("", false) and ("", true) stay distinct."""
+    return pc.fill_null(arr, ""), pc.is_null(arr)
+
+
 # ---------------------------------------------------------------------------
 # per-record maps / filters (SURVEY §2.2)
 
@@ -2761,11 +2769,8 @@ def ccnet_tercile_buckets(sf_dir: str) -> "rd.Dataset":
     pattern — Ray 2.49's sort groupby cannot order NULL string keys."""
 
     def tag(batch: pa.Table) -> pa.Table:
-        cols = {
-            "lang_key": pc.fill_null(batch["lang"], ""),
-            "lang_null": pc.is_null(batch["lang"]),
-            "n_chars": batch["n_chars"],
-        }
+        key, isnull = _null_safe_key(batch["lang"])
+        cols = {"lang_key": key, "lang_null": isnull, "n_chars": batch["n_chars"]}
         if "doc_id" in batch.schema.names:
             cols["doc_id"] = batch["doc_id"]
         return pa.table(cols)
@@ -2980,17 +2985,13 @@ def source_novelty(sf_dir: str, n: int = 2) -> "rd.Dataset":
     only keyed exchange is the gram-keyed Min, and the per-source fold is
     map-side partials into a source-cardinality groupby.  NULL sources
     take the None slot of the code table (SQL GROUP BY keeps one)."""
+    def tag_src(t: pa.Table) -> pa.Table:
+        key, isnull = _null_safe_key(t["source"])
+        return pa.table({"src_key": key, "src_null": isnull})
+
     src_rows = (
         _docs(sf_dir, ["source"])
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "src_key": pc.fill_null(t["source"], ""),
-                    "src_null": pc.is_null(t["source"]),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        .map_batches(tag_src, batch_format="pyarrow")
         .groupby(["src_key", "src_null"])
         .aggregate(Count(alias_name="_n"))
         .take_all()  # bounded by source cardinality
@@ -2999,7 +3000,9 @@ def source_novelty(sf_dir: str, n: int = 2) -> "rd.Dataset":
         [None if r["src_null"] else r["src_key"] for r in src_rows],
         key=lambda x: (x is None, x or ""),
     )
-    code_of = {s: i for i, s in enumerate(sources)}
+    # None (if present) sorts LAST, so its code is len(non_null) — exactly
+    # the fill value index_in's null result maps to below
+    non_null = pa.array([s for s in sources if s is not None], pa.string())
     S = max(len(sources), 1)
 
     def gram_owner(batch: pa.Table) -> pa.Table:
@@ -3009,8 +3012,10 @@ def source_novelty(sf_dir: str, n: int = 2) -> "rd.Dataset":
                 {"gram": pa.array([], pa.string()), "packed": pa.array([], pa.int64())}
             )
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        scodes = np.array(
-            [code_of[s] for s in batch["source"].to_pylist()], dtype=np.int64
+        scodes = (
+            pc.fill_null(pc.index_in(batch["source"], value_set=non_null), len(non_null))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
         packed = ids[udoc] * S + scodes[udoc]
         return pa.table({"gram": gdict.take(pa.array(ucode)), "packed": pa.array(packed, pa.int64())})

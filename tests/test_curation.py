@@ -892,11 +892,10 @@ def test_per_lang_kernels_keep_null_lang_group(ray_session, tmp_path):
 def test_source_novelty_first_doc_attribution(ray_session, tmp_path):
     """Each distinct bigram credits the SOURCE of the smallest doc_id
     containing it; later repeats earn nothing; NULL source keeps a group."""
-    import pyarrow.parquet as pq3
 
     d = tmp_path / "novelty"
     d.mkdir()
-    pq3.write_table(
+    pq.write_table(
         pa.table(
             {
                 "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
