@@ -917,3 +917,128 @@ def test_source_novelty_first_doc_attribution(ray_session, tmp_path):
         for _, r in out.iterrows()
     }
     assert got == {"A": 3, "B": 1, None: 1}
+
+
+def _random_docs(seed, n_docs, langs=("en", "fr", None), sources=("A", "B", None)):
+    """Seeded random corpus with empty/None text and NULL keys mixed in."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(12)] + ["x" * 15, "a"]
+    rows = []
+    for i in range(n_docs):
+        r = rng.random()
+        if r < 0.05:
+            text = None
+        elif r < 0.10:
+            text = ""
+        else:
+            text = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 60)))
+        rows.append(
+            (i, text, rng.choice(langs), rng.choice(sources), len(text or ""))
+        )
+    return rows
+
+
+def _write_full_docs(d, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+
+
+def test_gopher_flags_match_naive_on_random_docs(ray_session, tmp_path):
+    from collections import Counter
+
+    d = tmp_path / "gopher_rand"
+    d.mkdir()
+    rows = _random_docs(101, 200)
+    _write_full_docs(d, rows)
+    out = analysis.gopher_quality_flags(str(d)).to_pandas().set_index("doc_id")
+    for doc_id, text, _, _, _ in rows:
+        words = (text or "").split(" ")
+        c = Counter(words)
+        nw, sl, mr = len(words), sum(len(w) for w in words), max(c.values())
+        assert out.loc[doc_id, "n_words"] == nw
+        assert out.loc[doc_id, "sum_word_len"] == sl
+        assert out.loc[doc_id, "max_word_rep"] == mr
+        assert out.loc[doc_id, "keep"] == (
+            50 <= nw <= 100_000 and 3 * nw <= sl <= 10 * nw and 5 * mr <= nw
+        )
+
+
+def test_ccnet_terciles_match_naive_on_random_docs(ray_session, tmp_path):
+    d = tmp_path / "ccnet_rand"
+    d.mkdir()
+    rows = _random_docs(202, 300)
+    _write_full_docs(d, rows)
+    out = analysis.ccnet_tercile_buckets(str(d)).to_pandas()
+    # naive: per lang (None its own group), rank by (n_chars, doc_id)
+    by_lang = {}
+    for doc_id, _, lang, _, n_chars in rows:
+        by_lang.setdefault(lang, []).append((n_chars, doc_id))
+    expect = {}
+    for lang, docs in by_lang.items():
+        docs.sort()
+        n = len(docs)
+        for r, (_, doc_id) in enumerate(docs, start=1):
+            expect[doc_id] = "head" if 3 * r <= n else ("middle" if 3 * r <= 2 * n else "tail")
+    got = dict(zip(out["doc_id"], out["bucket"]))
+    assert got == expect
+
+
+def test_vocab_coverage_matches_naive_on_random_docs(ray_session, tmp_path):
+    from collections import Counter
+
+    d = tmp_path / "vocab_rand"
+    d.mkdir()
+    rows = _random_docs(303, 250)
+    _write_full_docs(d, rows)
+    out = analysis.vocab_coverage_90(str(d)).to_pandas()
+    got = {
+        (None if pd.isna(r["lang"]) else r["lang"]): (
+            int(r["total_tokens"]), int(r["n_types"]), int(r["n_types_90"])
+        )
+        for _, r in out.iterrows()
+    }
+    by_lang = {}
+    for _, text, lang, _, _ in rows:
+        by_lang.setdefault(lang, Counter()).update((text or "").split(" "))
+    for lang, c in by_lang.items():
+        total = sum(c.values())
+        counts = sorted(c.values(), reverse=True)
+        prev, k90 = 0, 0
+        for v in counts:
+            if 10 * prev < 9 * total:
+                k90 += 1
+            prev += v
+        assert got[lang] == (total, len(counts), k90), lang
+
+
+def test_source_novelty_matches_naive_on_random_docs(ray_session, tmp_path):
+    d = tmp_path / "novelty_rand"
+    d.mkdir()
+    rows = _random_docs(404, 250)
+    _write_full_docs(d, rows)
+    out = analysis.source_novelty(str(d)).to_pandas()
+    got = {
+        (None if pd.isna(r["source"]) else r["source"]): int(r["n_first_grams"])
+        for _, r in out.iterrows()
+    }
+    first = {}
+    for doc_id, text, _, source, _ in sorted(rows):
+        words = (text or "").split(" ")
+        for g in {tuple(words[i : i + 2]) for i in range(len(words) - 1)}:
+            first.setdefault(g, source)
+    expect = {}
+    for src in first.values():
+        expect[src] = expect.get(src, 0) + 1
+    assert got == expect
