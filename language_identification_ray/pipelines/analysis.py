@@ -2705,38 +2705,59 @@ def gopher_quality_flags(sf_dir: str) -> "rd.Dataset":
     :func:`_unique_doc_grams` uses, no per-row Python."""
 
     def flags(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        words = pc.split_pattern(pc.fill_null(batch["text"], ""), " ").combine_chunks()
-        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = words.values
-        nw = np.diff(offs)
-        n_docs = len(nw)
-        wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
-        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), nw)
-        sum_len = np.bincount(doc_idx, weights=wl, minlength=n_docs).astype(np.int64)
-        codes = (
-            flat.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        )
-        ukey, cnt = np.unique((doc_idx << 32) | codes, return_counts=True)
-        max_rep = np.zeros(n_docs, np.int64)
-        np.maximum.at(max_rep, ukey >> 32, cnt)
-        f_wc = (nw >= 50) & (nw <= 100_000)
-        f_mwl = (3 * nw <= sum_len) & (sum_len <= 10 * nw)
-        f_top = 5 * max_rep <= nw
+        f = _gopher_flag_arrays(batch)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "n_words": pa.array(nw, pa.int64()),
-                "sum_word_len": pa.array(sum_len, pa.int64()),
-                "max_word_rep": pa.array(max_rep, pa.int64()),
-                "flag_word_count": pa.array(f_wc, pa.bool_()),
-                "flag_mean_word_len": pa.array(f_mwl, pa.bool_()),
-                "flag_top_word": pa.array(f_top, pa.bool_()),
-                "keep": pa.array(f_wc & f_mwl & f_top, pa.bool_()),
+                "doc_id": pa.array(
+                    batch["doc_id"].to_numpy(zero_copy_only=False), pa.int64()
+                ),
+                "n_words": pa.array(f["n_words"], pa.int64()),
+                "sum_word_len": pa.array(f["sum_word_len"], pa.int64()),
+                "max_word_rep": pa.array(f["max_word_rep"], pa.int64()),
+                "flag_word_count": pa.array(f["flag_word_count"], pa.bool_()),
+                "flag_mean_word_len": pa.array(f["flag_mean_word_len"], pa.bool_()),
+                "flag_top_word": pa.array(f["flag_top_word"], pa.bool_()),
+                "keep": pa.array(f["keep"], pa.bool_()),
             }
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(flags, batch_format="pyarrow")
+
+
+def _gopher_flag_arrays(batch: pa.Table) -> dict:
+    """Vectorized per-batch Gopher evidence + rule flags as numpy arrays —
+    shared by :func:`gopher_quality_flags` (per-doc table) and
+    :func:`gopher_keep_rates` (per-language fold).  One Arrow
+    ``split_pattern`` (NULL text → '' → a single empty token, same as the
+    SQL ``string_split(coalesce(text,''))``), ``utf8_length`` + ``bincount``
+    folds, and per-(doc, word) repetition counts via ONE ``np.unique`` over
+    packed ``(doc << 32 | word_code)`` keys — no per-row Python."""
+    words = pc.split_pattern(pc.fill_null(batch["text"], ""), " ").combine_chunks()
+    offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = words.values
+    nw = np.diff(offs)
+    n_docs = len(nw)
+    wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), nw)
+    sum_len = np.bincount(doc_idx, weights=wl, minlength=n_docs).astype(np.int64)
+    codes = (
+        flat.dictionary_encode().indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    ukey, cnt = np.unique((doc_idx << 32) | codes, return_counts=True)
+    max_rep = np.zeros(n_docs, np.int64)
+    np.maximum.at(max_rep, ukey >> 32, cnt)
+    f_wc = (nw >= 50) & (nw <= 100_000)
+    f_mwl = (3 * nw <= sum_len) & (sum_len <= 10 * nw)
+    f_top = 5 * max_rep <= nw
+    return {
+        "n_words": nw.astype(np.int64),
+        "sum_word_len": sum_len,
+        "max_word_rep": max_rep,
+        "flag_word_count": f_wc,
+        "flag_mean_word_len": f_mwl,
+        "flag_top_word": f_top,
+        "keep": f_wc & f_mwl & f_top,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -3050,4 +3071,57 @@ def source_novelty(sf_dir: str, n: int = 2) -> "rd.Dataset":
         .groupby("src_code")
         .aggregate(Sum("n_first_grams", alias_name="n_first_grams"))
         .map_batches(decode, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-language keep-rate audit over the Gopher rules
+
+
+def gopher_keep_rates(sf_dir: str) -> "rd.Dataset":
+    """Keep-rate of the :func:`gopher_quality_flags` rules PER LANGUAGE —
+    the bias audit every production quality filter publishes (a rule set
+    tuned on English silently drops other languages; this table is how
+    that shows up).  Integer evidence only (``n_docs``, ``n_keep``) so the
+    oracle compare is exact.
+
+    Scale shape: ONE map pass (the same vectorized Gopher kernel, plus the
+    lang key) folded batch-locally to (lang, n_docs, n_keep) partials —
+    the groupby shuffles language-cardinality rows per batch, never
+    documents.  NULL langs keep their own audit row via the
+    (filled-key, is-null) two-key pattern."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flags = _gopher_flag_arrays(batch)
+        key, isnull = _null_safe_key(batch["lang"])
+        lk = np.asarray(key.to_pylist(), dtype=object)
+        ln = isnull.to_numpy(zero_copy_only=False)
+        ul, linv = np.unique(lk, return_inverse=True)
+        gid = linv.astype(np.int64) * 2 + ln
+        ug, inv = np.unique(gid, return_inverse=True)
+        n_docs = np.bincount(inv, minlength=len(ug)).astype(np.int64)
+        n_keep = np.bincount(inv, weights=flags["keep"], minlength=len(ug)).astype(np.int64)
+        return pa.table(
+            {
+                "lang_key": pa.array(ul[ug // 2], pa.string()),
+                "lang_null": pa.array((ug % 2).astype(bool), pa.bool_()),
+                "n_docs": pa.array(n_docs, pa.int64()),
+                "n_keep": pa.array(n_keep, pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        lang = pc.if_else(
+            batch["lang_null"], pa.scalar(None, pa.string()), batch["lang_key"]
+        )
+        return pa.table(
+            {"lang": lang, "n_docs": batch["n_docs"], "n_keep": batch["n_keep"]}
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang_key", "lang_null"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_keep", alias_name="n_keep"))
+        .map_batches(finalize, batch_format="pyarrow")
     )

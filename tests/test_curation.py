@@ -1042,3 +1042,28 @@ def test_source_novelty_matches_naive_on_random_docs(ray_session, tmp_path):
     for src in first.values():
         expect[src] = expect.get(src, 0) + 1
     assert got == expect
+
+
+def test_gopher_keep_rates_match_naive_on_random_docs(ray_session, tmp_path):
+    """Per-language fold of the Gopher rules agrees with the per-doc table
+    summed by hand, including the NULL-lang audit row."""
+    from collections import Counter
+
+    d = tmp_path / "keep_rates"
+    d.mkdir()
+    rows = _random_docs(505, 200)
+    _write_full_docs(d, rows)
+    out = analysis.gopher_keep_rates(str(d)).to_pandas()
+    got = {
+        (None if pd.isna(r["lang"]) else r["lang"]): (int(r["n_docs"]), int(r["n_keep"]))
+        for _, r in out.iterrows()
+    }
+    expect = {}
+    for _, text, lang, _, _ in rows:
+        words = (text or "").split(" ")
+        c = Counter(words)
+        nw, sl, mr = len(words), sum(len(w) for w in words), max(c.values())
+        keep = 50 <= nw <= 100_000 and 3 * nw <= sl <= 10 * nw and 5 * mr <= nw
+        n, k = expect.get(lang, (0, 0))
+        expect[lang] = (n + 1, k + int(keep))
+    assert got == expect
