@@ -2802,8 +2802,20 @@ def ccnet_tercile_buckets(sf_dir: str) -> "rd.Dataset":
         .groupby(["lang_key", "lang_null", "n_chars"])
         .aggregate(Count(alias_name="n"))
         .to_pandas()  # bounded by distinct (lang, length) pairs
-        .sort_values(["lang_key", "lang_null", "n_chars"], ascending=True)
     )
+    if hist.empty:  # empty corpus/partition: the aggregate's frame has no
+        # columns at all, so the sort below would KeyError
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "lang": pa.array([], pa.string()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.string()),
+                }
+            )
+        )
+    hist = hist.sort_values(["lang_key", "lang_null", "n_chars"], ascending=True)
     offsets: dict = {}
     totals: dict = {}
     for (lk, ln), sub in hist.groupby(["lang_key", "lang_null"], sort=False):

@@ -1067,3 +1067,30 @@ def test_gopher_keep_rates_match_naive_on_random_docs(ray_session, tmp_path):
         n, k = expect.get(lang, (0, 0))
         expect[lang] = (n + 1, k + int(keep))
     assert got == expect
+
+
+def test_new_kernels_survive_empty_corpus(ray_session, tmp_path):
+    """An empty documents/embeddings pair (the empty-partition corner of a
+    partitioned run) yields 0 rows from every new kernel, never a crash."""
+    d = tmp_path / "empty_sf"
+    d.mkdir()
+    _write_full_docs(d, [])
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+                "label": pa.array([], pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    import ray.data as rd
+
+    for name in [
+        "gopher_quality_flags", "ccnet_tercile_buckets", "fuzzy_dedup_keep",
+        "vocab_coverage_90", "source_novelty", "gopher_keep_rates",
+    ]:
+        res = getattr(analysis, name)(str(d))
+        n = res.count() if isinstance(res, rd.Dataset) else res.num_rows
+        assert n == 0, name
