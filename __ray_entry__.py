@@ -146,17 +146,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return detector_agreement(sf_dir)
 
-    def knn_ivf_q(sf_dir: str):
-        """Approximate top-10 cosine ANN through an IVF coarse quantizer (n_probe cells scanned); recall gated in pytest, no SQL oracle by design."""
+    def _smallest_vec(sf_dir: str, with_label: bool = False):
+        """(q, label) for the smallest vec_id, or None when the embeddings
+        table is empty — the ANN wrappers then return an empty top-k instead
+        of crashing on argmin (the empty-partition corner)."""
         import numpy as np
         import pyarrow.parquet as pq
+
+        cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
+        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=cols)
+        if tbl.num_rows == 0:
+            return None
+        i = int(np.argmin(tbl["vec_id"].to_numpy()))
+        q = np.array(tbl["embedding"].to_pylist()[i], dtype=np.float64)
+        return q, (tbl["label"][i].as_py() if with_label else None)
+
+    def _empty_topk(score_col: str | None = None):
+        import pyarrow as pa
+        import ray.data as rd
+
+        cols = {"vec_id": pa.array([], pa.int64())}
+        if score_col:
+            cols[score_col] = pa.array([], pa.float64())
+        return rd.from_arrow(pa.table(cols))
+
+    def knn_ivf_q(sf_dir: str):
+        """Approximate top-10 cosine ANN through an IVF coarse quantizer (n_probe cells scanned); recall gated in pytest, no SQL oracle by design."""
         import ray.data as rd
         from language_identification_ray.stages.knn import ivf_topk
 
-        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        ids = tbl["vec_id"].to_numpy()
-        q = np.array(tbl["embedding"].to_pylist()[int(np.argmin(ids))], dtype=np.float64)
-        return ivf_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=10)
+        got = _smallest_vec(sf_dir)
+        if got is None:
+            return _empty_topk("cos_sim")
+        return ivf_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), got[0], k=10)
 
     def knn_batch_q(sf_dir: str):
         """Batched ANN: exact cosine top-5 for a broadcast 8-query matrix —
@@ -174,43 +196,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def knn_lsh_q(sf_dir: str):
         """Approximate top-10 cosine ANN via multi-probe hyperplane LSH bucket pruning; recall gated in pytest, no SQL oracle by design."""
-        import numpy as np
-        import pyarrow.parquet as pq
         import ray.data as rd
         from language_identification_ray.stages.knn import lsh_topk
 
-        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        ids = tbl["vec_id"].to_numpy()
-        q = np.array(tbl["embedding"].to_pylist()[int(np.argmin(ids))], dtype=np.float64)
-        return lsh_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=10)
+        got = _smallest_vec(sf_dir)
+        if got is None:
+            return _empty_topk("cos_sim")
+        return lsh_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), got[0], k=10)
 
     def knn_label_q(sf_dir: str):
         """Metadata-filtered exact ANN: predicate pushed into the parquet
         read, exact cosine on the pruned partition — SQL-checkable."""
-        import numpy as np
-        import pyarrow.parquet as pq
         from language_identification_ray.stages.knn import label_filtered_topk
 
-        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
-        i = int(np.argmin(tbl["vec_id"].to_numpy()))
-        q = np.array(tbl["embedding"].to_pylist()[i], dtype=np.float64)
-        label = tbl["label"][i].as_py()
-        return label_filtered_topk(f"{sf_dir}/embeddings.parquet", q, label, k=5)
+        got = _smallest_vec(sf_dir, with_label=True)
+        if got is None:
+            return _empty_topk()
+        return label_filtered_topk(f"{sf_dir}/embeddings.parquet", got[0], got[1], k=5)
 
     def knn_pq_q(sf_dir: str):
         """Product-quantization ANN (Jégou et al. 2011): vectors stored as m
         uint8 codes (16× smaller than float32 — the memory path for 100 TB
         embedding stores), scanned with per-query ADC lookup tables; recall
         gated in pytest, no SQL oracle by design (approximate)."""
-        import numpy as np
-        import pyarrow.parquet as pq
         import ray.data as rd
         from language_identification_ray.stages.knn import pq_topk_over_embeddings
 
-        tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-        ids = tbl["vec_id"].to_numpy()
-        q = np.array(tbl["embedding"].to_pylist()[int(np.argmin(ids))], dtype=np.float64)
-        return pq_topk_over_embeddings(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), q, k=10)
+        got = _smallest_vec(sf_dir)
+        if got is None:
+            return _empty_topk("adc_sim")
+        return pq_topk_over_embeddings(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), got[0], k=10)
 
     def knn_ivf_pruned_q(sf_dir: str):
         """IVF layout materialized as hive-partitioned parquet (one dir per
@@ -232,9 +247,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
         src = f"{sf_dir}/embeddings.parquet"
-        tbl = pq.read_table(src, columns=["vec_id", "embedding"])
-        ids = tbl["vec_id"].to_numpy()
-        q = np.array(tbl["embedding"].to_pylist()[int(np.argmin(ids))], dtype=np.float64)
+        got = _smallest_vec(sf_dir)
+        if got is None:
+            return _empty_topk("cos_sim")
+        q = got[0]
         key = hashlib.md5(
             f"{os.path.realpath(src)}|{os.path.getmtime(src)}|{os.path.getsize(src)}".encode()
         ).hexdigest()[:12]

@@ -704,6 +704,8 @@ def knn_cosine_top10(sf_dir: str) -> "rd.Dataset":
 
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ids = tbl["vec_id"].to_numpy()
+    if len(ids) == 0:  # empty table/partition: no query vector -> empty top-k
+        return rd.from_arrow(pa.table({"vec_id": pa.array([], pa.int64())}))
     q = np.array(tbl["embedding"].to_pylist()[int(np.argmin(ids))], dtype=np.float64)
     qn = q / np.linalg.norm(q)
 
@@ -935,7 +937,8 @@ def length_outlier_filter(sf_dir: str, q: float = 0.99) -> "rd.Dataset":
         .map_groups(cut, batch_format="pyarrow")
         .to_pandas()  # bounded: one row per language
     )
-    cutoff = dict(zip(cuts["lang"], cuts["cutoff"]))
+    # empty corpus: the map_groups frame has no columns; no cutoffs exist
+    cutoff = {} if cuts.empty else dict(zip(cuts["lang"], cuts["cutoff"]))
 
     def keep(batch: pa.Table) -> pa.Table:
         lim = np.array(
@@ -987,12 +990,18 @@ def documents_profile(sf_dir: str) -> "pd.DataFrame":
     )
     n_langs = _docs(sf_dir, ["lang"]).groupby("lang").count().count()
     n_sources = _docs(sf_dir, ["source"]).groupby("source").count().count()
+
+    def _iv(x) -> int:
+        # empty corpus: the aggregate yields None scalars; profile as zeros
+        return 0 if x is None else int(x)
+
+    agg = agg or {}
     return pd.DataFrame(
         {
-            "n_docs": [int(agg["n_docs"])],
-            "null_text": [int(agg["null_text"])],
-            "min_chars": [int(agg["min_chars"])],
-            "max_chars": [int(agg["max_chars"])],
+            "n_docs": [_iv(agg.get("n_docs"))],
+            "null_text": [_iv(agg.get("null_text"))],
+            "min_chars": [_iv(agg.get("min_chars"))],
+            "max_chars": [_iv(agg.get("max_chars"))],
             "n_langs": [int(n_langs)],
             "n_sources": [int(n_sources)],
         }
@@ -1056,8 +1065,18 @@ def global_length_rank(sf_dir: str) -> "rd.Dataset":
         .groupby("n_chars")
         .aggregate(Count(alias_name="n"))
         .to_pandas()  # bounded by distinct lengths
-        .sort_values("n_chars", ascending=False)
     )
+    if hist.empty:  # empty corpus: the aggregate frame has no columns
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_chars": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    hist = hist.sort_values("n_chars", ascending=False)
     counts = hist["n"].to_numpy(dtype=np.int64)
     offsets = dict(
         zip(hist["n_chars"].tolist(), (np.cumsum(counts) - counts).tolist())
@@ -2351,8 +2370,20 @@ def sequence_pack_offsets(
         toks.groupby("bucket")
         .aggregate(Sum("n_tokens", alias_name="bucket_tokens"))
         .to_pandas()  # bounded by bucket count (= docs / 2^20), not corpus size
-        .sort_values("bucket")
     )
+    if per_bucket.empty:  # empty corpus: the aggregate frame has no columns
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "start_offset": pa.array([], pa.int64()),
+                    "pack_id": pa.array([], pa.int64()),
+                    "spans_boundary": pa.array([], pa.bool_()),
+                }
+            )
+        )
+    per_bucket = per_bucket.sort_values("bucket")
     sums = per_bucket["bucket_tokens"].to_numpy(dtype=np.int64)
     bases = dict(
         zip(per_bucket["bucket"].tolist(), (np.cumsum(sums) - sums).tolist())

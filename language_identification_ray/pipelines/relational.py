@@ -115,6 +115,19 @@ def customers_per_region(sf_dir: str) -> "rd.Dataset":
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
     region = pq.read_table(f"{sf_dir}/region.parquet")
+    if nation.num_rows == 0 or region.num_rows == 0:
+        # empty dimension table: the inner join yields nothing (and the
+        # dense-LUT build below would crash on a zero-size max)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "region": pa.array([], pa.string()),
+                    "n_customers": pa.array([], pa.int64()),
+                    "total_acctbal": pa.array([], pa.float64()),
+                    "avg_acctbal": pa.array([], pa.float64()),
+                }
+            )
+        )
     rnames = dict(
         zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
     )
@@ -529,6 +542,19 @@ def revenue_by_supplier_nation(sf_dir: str) -> "rd.Dataset":
     sup = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
     nat = pq.read_table(f"{sf_dir}/nation.parquet")
     reg = pq.read_table(f"{sf_dir}/region.parquet")
+    if sup.num_rows == 0 or nat.num_rows == 0 or reg.num_rows == 0:
+        # empty dimension table: the star join yields nothing (and the
+        # dense-LUT build below would crash on a zero-size max)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "region": pa.array([], pa.string()),
+                    "nation": pa.array([], pa.string()),
+                    "revenue": pa.array([], pa.float64()),
+                    "n_items": pa.array([], pa.int64()),
+                }
+            )
+        )
     n_key = nat["n_nationkey"].to_numpy()
     n_name = np.asarray(nat["n_name"].to_pylist(), dtype=object)
     n_region = nat["n_regionkey"].to_numpy()

@@ -1094,3 +1094,37 @@ def test_new_kernels_survive_empty_corpus(ray_session, tmp_path):
         res = getattr(analysis, name)(str(d))
         n = res.count() if isinstance(res, rd.Dataset) else res.num_rows
         assert n == 0, name
+
+
+def test_previously_crashing_queries_survive_empty_tables(ray_session, tmp_path):
+    """Empty-input contract for the 12 queries() entries that crashed on a
+    fully-empty scale-factor directory (argmin-of-empty query vectors,
+    column-less empty aggregate frames, zero-size dense-LUT max): each now
+    returns 0 rows.  documents_profile is the exception by design — its
+    one-row profile reports zeros on an empty corpus."""
+    import pyarrow.parquet as pqm
+    import ray.data as rd
+    import __ray_entry__ as entrymod
+
+    src = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    d = tmp_path / "empty_all"
+    d.mkdir()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        pqm.write_table(
+            pqm.read_schema(f"{sf}/{t}.parquet").empty_table(), d / f"{t}.parquet"
+        )
+    qs = entrymod.queries()
+    zero_row = [
+        "knn_cosine_top10", "knn_label_filtered", "knn_lsh_top10",
+        "knn_ivf_top10", "knn_ivf_pruned", "knn_pq_top10",
+        "global_length_rank", "length_outlier_filter", "sequence_pack_offsets",
+        "customers_per_region", "revenue_by_supplier_nation",
+    ]
+    for name in zero_row:
+        res = qs[name](str(d))
+        n = res.count() if isinstance(res, rd.Dataset) else len(res)
+        assert n == 0, name
+    prof = qs["documents_profile"](str(d))
+    assert len(prof) == 1 and int(prof["n_docs"].iloc[0]) == 0
