@@ -139,8 +139,15 @@ def customers_per_region(sf_dir: str) -> "rd.Dataset":
 
     def partial(batch: pa.Table) -> pa.Table:
         table = ray.get(lut_ref)  # local-cache hit after first batch
-        regions = np.take(table, batch["c_nationkey"].to_numpy(zero_copy_only=False))
-        cents = _cents(batch["c_acctbal"])
+        keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        # inner-join semantics for dangling FKs (same contract as
+        # revenue_by_supplier_nation): nationkeys outside the dense LUT or
+        # hitting an unfilled (None) slot are DROPPED like the SQL join
+        in_range = (keys >= 0) & (keys < len(table))
+        regions = np.take(table, np.clip(keys, 0, max(len(table) - 1, 0)))
+        ok = in_range & np.not_equal(regions, None)
+        regions = regions[ok]
+        cents = _cents(batch["c_acctbal"])[ok]
         out: dict[str, list] = {"region": [], "n_customers": [], "acctbal_cents": []}
         for r in np.unique(regions.astype(str)):
             m = regions == r

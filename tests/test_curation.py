@@ -1128,3 +1128,36 @@ def test_previously_crashing_queries_survive_empty_tables(ray_session, tmp_path)
         assert n == 0, name
     prof = qs["documents_profile"](str(d))
     assert len(prof) == 1 and int(prof["n_docs"].iloc[0]) == 0
+
+
+def test_customers_per_region_drops_dangling_nationkeys(ray_session, tmp_path):
+    """Inner-join semantics: customers whose c_nationkey is outside the
+    nation LUT (or hits an unfilled slot) are dropped, not crashed on or
+    credited to an arbitrary region."""
+    from language_identification_ray.pipelines import relational
+
+    d = tmp_path / "dangling"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"r_regionkey": pa.array([0], pa.int64()),
+                  "r_name": pa.array(["R0"], pa.string())}),
+        d / "region.parquet",
+    )
+    pq.write_table(
+        pa.table({"n_nationkey": pa.array([0, 5], pa.int64()),
+                  "n_regionkey": pa.array([0, 0], pa.int64()),
+                  "n_name": pa.array(["N0", "N5"], pa.string())}),
+        d / "nation.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            # nationkey 3 is an unfilled LUT slot; 99 is out of range
+            "c_nationkey": pa.array([0, 5, 3, 99], pa.int64()),
+            "c_acctbal": pa.array([10.0, 20.0, 30.0, 40.0], pa.float64()),
+        }),
+        d / "customer.parquet",
+    )
+    out = relational.customers_per_region(str(d)).to_pandas()
+    assert out["region"].tolist() == ["R0"]
+    assert int(out["n_customers"].iloc[0]) == 2  # docs 0 and 5 only
+    assert abs(float(out["total_acctbal"].iloc[0]) - 30.0) < 1e-9
