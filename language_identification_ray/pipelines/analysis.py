@@ -1024,6 +1024,10 @@ def mixture_sample(sf_dir: str) -> "rd.Dataset":
     previous sample, never a reshuffle."""
 
     def thresh(src: str) -> str:
+        if src is None:
+            # oracle parity: CASE CAST(substr(NULL, 4) AS INT) % 4 matches no
+            # WHEN arm, so the ELSE 'ffff' keeps every NULL-source doc
+            return "ffff"
         if not src[3:].isdigit():
             # same data contract as the oracle's CAST(substr(source,4) AS INT):
             # fail loudly on a source that isn't 'src<N>', don't silently sample
@@ -1341,9 +1345,11 @@ def lang_stats_salted(sf_dir: str, n_salts: int = 8) -> "rd.Dataset":
     def salt(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_pylist()
         s = [int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % n_salts for d in ids]
+        key, isnull = _null_safe_key(batch["lang"])
         return pa.table(
             {
-                "lang": batch["lang"],
+                "lang_key": key,
+                "lang_null": isnull,
                 "salt": pa.array(s, pa.int32()),
                 "n_chars": batch["n_chars"],
             }
@@ -1352,7 +1358,7 @@ def lang_stats_salted(sf_dir: str, n_salts: int = 8) -> "rd.Dataset":
     partials = (
         _docs(sf_dir, ["doc_id", "lang", "n_chars"])
         .map_batches(salt, batch_format="pyarrow")
-        .groupby(["lang", "salt"])
+        .groupby(["lang_key", "lang_null", "salt"])
         .aggregate(
             Count(alias_name="n_docs"),
             Sum("n_chars", alias_name="total_chars"),
@@ -1362,9 +1368,12 @@ def lang_stats_salted(sf_dir: str, n_salts: int = 8) -> "rd.Dataset":
     def finalize(batch: pa.Table) -> pa.Table:
         n = batch["n_docs"].to_numpy()
         tot = batch["total_chars"].to_numpy()
+        lang = pc.if_else(
+            batch["lang_null"], pa.scalar(None, pa.string()), batch["lang_key"]
+        )
         return pa.table(
             {
-                "lang": batch["lang"],
+                "lang": lang,
                 "n_docs": batch["n_docs"],
                 "total_chars": batch["total_chars"],
                 "avg_chars": pa.array(tot / n, pa.float64()),
@@ -1372,7 +1381,7 @@ def lang_stats_salted(sf_dir: str, n_salts: int = 8) -> "rd.Dataset":
         )
 
     return (
-        partials.groupby("lang")
+        partials.groupby(["lang_key", "lang_null"])
         .aggregate(
             Sum("n_docs", alias_name="n_docs"),
             Sum("total_chars", alias_name="total_chars"),
@@ -1598,15 +1607,24 @@ def label_centroids(sf_dir: str) -> "rd.Dataset":
 
     def partials(batch: pa.Table) -> pa.Table:
         mat = _as_matrix(batch["embedding"])
-        labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-        uk, inv = np.unique(labels, return_inverse=True)
+        # NULL labels keep their own centroid group (SQL GROUP BY keeps
+        # one); a NULL int32 would otherwise astype to garbage via NaN
+        lnull = pc.is_null(batch["label"]).to_numpy(zero_copy_only=False)
+        labels = (
+            pc.fill_null(batch["label"], 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        packed = (labels << 1) | lnull  # labels < 2^62 by the int32 input type
+        uk, inv = np.unique(packed, return_inverse=True)
         dim = mat.shape[1]
         sums = np.zeros((len(uk), dim), dtype=np.float64)
         np.add.at(sums, inv, mat)
         counts = np.bincount(inv, minlength=len(uk)).astype(np.int64)
         return pa.table(
             {
-                "label": pa.array(np.repeat(uk, dim), pa.int64()),
+                "label_key": pa.array(np.repeat(uk >> 1, dim), pa.int64()),
+                "label_null": pa.array(np.repeat((uk & 1).astype(bool), dim), pa.bool_()),
                 "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), len(uk)), pa.int64()),
                 "psum": pa.array(sums.ravel(), pa.float64()),
                 "pcount": pa.array(np.repeat(counts, dim), pa.int64()),
@@ -1617,9 +1635,14 @@ def label_centroids(sf_dir: str) -> "rd.Dataset":
         c = batch["sum(psum)"].to_numpy(zero_copy_only=False)
         n = batch["sum(pcount)"].to_numpy(zero_copy_only=False)
         cent = np.round(c / n, 5)
+        label = pc.if_else(
+            batch["label_null"],
+            pa.scalar(None, pa.int32()),
+            batch["label_key"].cast(pa.int32()),
+        )
         return pa.table(
             {
-                "label": batch["label"].cast(pa.int32()),
+                "label": label,
                 "dim": batch["dim"],
                 "centroid": pa.array(cent, pa.float64()),
             }
@@ -1628,7 +1651,7 @@ def label_centroids(sf_dir: str) -> "rd.Dataset":
     return (
         rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"])
         .map_batches(partials, batch_format="pyarrow")
-        .groupby(["label", "dim"])
+        .groupby(["label_key", "label_null", "dim"])
         .aggregate(Sum("psum"), Sum("pcount"))
         .map_batches(finalize, batch_format="pyarrow")
     )
@@ -1684,34 +1707,42 @@ def tfidf_top5_per_lang(sf_dir: str, k: int = 5) -> "rd.Dataset":
     def tf_partial(batch: pa.Table) -> pa.Table:
         """Per-batch (lang, word) counts, all-Arrow/numpy: split → flatten
         with lang repeated per token → dictionary-encode both columns →
-        bincount the packed code pairs.  No per-row Python."""
+        bincount the packed code pairs.  No per-row Python.  NULL langs
+        take the dictionary's None slot and keep their own group through
+        the (filled-key, is-null) two-key shuffle (SQL GROUP BY keeps
+        one)."""
         words = pc.split_pattern(_text_col(batch), " ")
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()
         n_tok = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
         lang_codes = batch["lang"].combine_chunks().dictionary_encode()
-        lang_ids = np.repeat(
-            lang_codes.indices.to_numpy(zero_copy_only=False).astype(np.int64), n_tok
-        )
+        lidx = lang_codes.indices
+        if lidx.null_count:
+            lidx = pc.fill_null(lidx, len(lang_codes.dictionary))
+        lang_ids = np.repeat(lidx.to_numpy(zero_copy_only=False).astype(np.int64), n_tok)
+        ldict = lang_codes.dictionary.to_pylist() + [None]
         flat = words.flatten().dictionary_encode()
         word_ids = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         n_words = len(flat.dictionary)
         if n_words == 0:
             return pa.table(
                 {
-                    "lang": pa.array([], pa.string()),
+                    "lang_key": pa.array([], pa.string()),
+                    "lang_null": pa.array([], pa.bool_()),
                     "word": pa.array([], pa.string()),
                     "tf_part": pa.array([], pa.int64()),
                 }
             )
         # int32 packing while it can't wrap (64-bit multiplies are emulated
         # ~250x slower on this host)
-        kdt = np.int32 if len(lang_codes.dictionary) * n_words < 2**31 else np.int64
+        kdt = np.int32 if len(ldict) * n_words < 2**31 else np.int64
         packed = lang_ids.astype(kdt) * kdt(n_words) + word_ids.astype(kdt)
         uniq, counts = np.unique(packed, return_counts=True)
+        lang_vals = [ldict[i] for i in uniq // n_words]  # bounded: batch-unique pairs
         return pa.table(
             {
-                "lang": lang_codes.dictionary.take(pa.array(uniq // n_words)),
+                "lang_key": pa.array([v or "" for v in lang_vals], pa.string()),
+                "lang_null": pa.array([v is None for v in lang_vals], pa.bool_()),
                 "word": flat.dictionary.take(pa.array(uniq % n_words)),
                 "tf_part": pa.array(counts.astype(np.int64), pa.int64()),
             }
@@ -1720,20 +1751,26 @@ def tfidf_top5_per_lang(sf_dir: str, k: int = 5) -> "rd.Dataset":
     partials = docs.map_batches(tf_partial, batch_format="pyarrow").materialize()
     # total distinct languages: lang-keyed count of the partials — one tiny
     # shuffle whose output is bounded by the language count at any scale
-    n_langs = len(partials.groupby("lang").aggregate(Count()).take_all())
+    n_langs = len(
+        partials.groupby(["lang_key", "lang_null"]).aggregate(Count()).take_all()
+    )
 
     def word_group(group: pa.Table) -> pa.Table:
         """All partials for one word: per-lang tf sums (segmented bincount)
         AND the word's language-df in a single pass — no join needed."""
-        langs = group["lang"].combine_chunks().dictionary_encode()
+        langs = group["lang_key"].combine_chunks().dictionary_encode()
         lidx = langs.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lnull = group["lang_null"].to_numpy(zero_copy_only=False)
+        comb = lidx * 2 + lnull
+        uk, inv = np.unique(comb, return_inverse=True)
         tf_p = group["tf_part"].to_numpy(zero_copy_only=False).astype(np.float64)
-        sums = np.bincount(lidx, weights=tf_p, minlength=len(langs.dictionary))
-        n_with = len(langs.dictionary)
+        sums = np.bincount(inv, weights=tf_p, minlength=len(uk))
+        n_with = len(uk)
         s = np.round(sums * np.log(float(n_langs) / float(n_with)), 5)
         return pa.table(
             {
-                "lang": langs.dictionary,
+                "lang_key": langs.dictionary.take(pa.array(uk // 2)),
+                "lang_null": pa.array((uk % 2).astype(bool), pa.bool_()),
                 "word": pa.array([group["word"][0].as_py()] * n_with, pa.string()),
                 "tfidf": pa.array(s, pa.float64()),
             }
@@ -1743,12 +1780,18 @@ def tfidf_top5_per_lang(sf_dir: str, k: int = 5) -> "rd.Dataset":
         s = group["tfidf"].to_numpy(zero_copy_only=False)
         words = np.asarray(group["word"].to_pylist(), dtype=object)
         order = np.lexsort((words, -s))[:k]
-        return group.take(pa.array(order))
+        cut = group.take(pa.array(order))
+        lang = pc.if_else(
+            cut["lang_null"], pa.scalar(None, pa.string()), cut["lang_key"]
+        )
+        return pa.table(
+            {"lang": lang, "word": cut["word"], "tfidf": cut["tfidf"]}
+        )
 
     return (
         partials.groupby("word")
         .map_groups(word_group, batch_format="pyarrow")
-        .groupby("lang")
+        .groupby(["lang_key", "lang_null"])
         .map_groups(topk, batch_format="pyarrow")
     )
 
@@ -1944,18 +1987,27 @@ class _BloomScan:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         new = ids % 2 == 1
         texts = np.asarray(batch["text"].to_pylist(), dtype=object)[new]
-        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)[new]
+        # NULL langs keep their own count row (np.unique over a None-bearing
+        # object array raises str-vs-None TypeError; two-key shuffle below)
+        lang_arr = batch["lang"].combine_chunks()
+        lnull = pc.is_null(lang_arr).to_numpy(zero_copy_only=False)[new]
+        langs = np.asarray(
+            pc.fill_null(lang_arr, "").to_pylist(), dtype=object
+        )[new]
         h = np.array(
             [int(hashlib.md5((t or "").encode("utf-8")).hexdigest()[:8], 16) for t in texts],
             np.uint32,
         )
         seen = sk.bloom_contains_hashes(self.bits, h, self.k)
-        ul, inv = np.unique(langs, return_inverse=True)
-        n_seen = np.bincount(inv, weights=seen, minlength=len(ul)).astype(np.int64)
-        n_new = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        us, sinv = np.unique(langs, return_inverse=True)
+        comb = sinv.astype(np.int64) * 2 + lnull
+        uk, inv = np.unique(comb, return_inverse=True)
+        n_seen = np.bincount(inv, weights=seen, minlength=len(uk)).astype(np.int64)
+        n_new = np.bincount(inv, minlength=len(uk)).astype(np.int64)
         return pa.table(
             {
-                "lang": pa.array(list(ul), pa.string()),
+                "lang_key": pa.array(list(us[uk // 2]), pa.string()),
+                "lang_null": pa.array((uk % 2).astype(bool), pa.bool_()),
                 "n_new_docs": pa.array(n_new, pa.int64()),
                 "n_seen_docs": pa.array(n_seen, pa.int64()),
             }
@@ -2000,6 +2052,18 @@ def incremental_dedup_bloom(sf_dir: str, m_bits: int = 1 << 17, k: int = 7) -> "
             merged = sk.bloom_merge(merged, np.frombuffer(blob.as_py(), dtype=np.uint8))
     bloom_ref = ray.put(merged.tobytes())
 
+    def restore_lang(batch: pa.Table) -> pa.Table:
+        lang = pc.if_else(
+            batch["lang_null"], pa.scalar(None, pa.string()), batch["lang_key"]
+        )
+        return pa.table(
+            {
+                "lang": lang,
+                "n_new_docs": batch["n_new_docs"],
+                "n_seen_docs": batch["n_seen_docs"],
+            }
+        )
+
     return (
         _docs(sf_dir, ["doc_id", "text", "lang"])
         .map_batches(
@@ -2009,8 +2073,9 @@ def incremental_dedup_bloom(sf_dir: str, m_bits: int = 1 << 17, k: int = 7) -> "
             batch_size=1024,
             concurrency=(2, 8),
         )
-        .groupby("lang")
+        .groupby(["lang_key", "lang_null"])
         .aggregate(Sum("n_new_docs", alias_name="n_new_docs"), Sum("n_seen_docs", alias_name="n_seen_docs"))
+        .map_batches(restore_lang, batch_format="pyarrow")
     )
 
 

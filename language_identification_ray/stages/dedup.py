@@ -1101,6 +1101,13 @@ def embedding_dup_pairs(
     n_tiles per row)."""
 
     def fan_out(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        # NULL blocking keys never pair: the SQL oracle joins ON
+        # a.label = b.label, and NULL = NULL is not true — drop the rows
+        # here (a NULL tile_key would also crash the reducer's key parse)
+        if batch[block_column].null_count:
+            batch = batch.filter(_pc.is_valid(batch[block_column]))
         ids = batch[id_column].to_numpy(zero_copy_only=False)
         # stable per-id tile: low bits of the pandas siphash (engine-stable)
         tiles = (pd.util.hash_array(ids.astype(np.int64)) % n_tiles).astype(np.int64)

@@ -1161,3 +1161,45 @@ def test_customers_per_region_drops_dangling_nationkeys(ray_session, tmp_path):
     assert out["region"].tolist() == ["R0"]
     assert int(out["n_customers"].iloc[0]) == 2  # docs 0 and 5 only
     assert abs(float(out["total_acctbal"].iloc[0]) - 30.0) < 1e-9
+
+
+def test_previously_crashing_queries_survive_all_null_columns(ray_session, tmp_path):
+    """All-NULL nullable columns (text/lang/source, events ts/props/value,
+    embeddings label): the 9 queries that crashed on this corpus now run.
+    Semantics pinned where cheap: NULL labels never pair (SQL inner join),
+    NULL-source docs sample at the oracle's ELSE rate (kept), NULL
+    lang/label form their own groups."""
+    import pyarrow.parquet as pqm
+    import ray.data as rd
+    import __ray_entry__ as entrymod
+
+    sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    nullable = {"documents": ["text", "lang", "source"],
+                "events": ["ts", "props", "value"],
+                "embeddings": ["label"]}
+    d = tmp_path / "null_all"
+    d.mkdir()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        tbl = pqm.read_table(f"{sf}/{t}.parquet").slice(0, 50)
+        for col in nullable.get(t, []):
+            i = tbl.schema.get_field_index(col)
+            tbl = tbl.set_column(i, tbl.schema.field(i),
+                                 pa.nulls(tbl.num_rows, tbl.schema.field(i).type))
+        pqm.write_table(tbl, d / f"{t}.parquet")
+    qs = entrymod.queries()
+
+    def rows(name):
+        res = qs[name](str(d))
+        if isinstance(res, rd.Dataset):
+            return res.count()
+        return res.num_rows if hasattr(res, "num_rows") else len(res)
+
+    assert rows("embedding_dup_pairs") == 0   # NULL = NULL is not true
+    assert rows("semantic_dedup_docs") == 50  # no pairs -> nothing dropped
+    assert rows("mixture_sample") == 50       # ELSE 'ffff' keeps all
+    assert rows("lang_stats_salted") == 1     # one NULL-lang group
+    assert rows("label_centroids") > 0        # one NULL-label centroid set
+    for name in ["dup_clusters", "fuzzy_dedup_keep", "tfidf_top5_per_lang",
+                 "incremental_dedup_bloom"]:
+        rows(name)  # crash-free is the contract
