@@ -292,7 +292,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # source_stats, train_val_test_split, longest_docs_top100, exact_dedup,
     # winnow_fingerprints and label_centroids ceded their slots to new
     # kernels on this basis, each verified function-body- and
-    # oracle-string-identical against the r2 commit) or
+    # oracle-string-identical against the r2 commit at cede time; a subset
+    # — source_stats, label_centroids, lang_stats_salted, mixture_sample,
+    # the hll/sketch variants and the bloom scan — was later touched ONLY
+    # by the end-of-round NULL-key hardening sweep, with every oracle
+    # re-verified hash-exact at sf0.01 afterwards, see
+    # ORACLE_SELFCHECK_r03.json and the pytest oracle gate) or
     # (b) a trivial variant with an in-window sibling exercising the same
     # machinery (lang_stats_salted/lang_stats share one oracle;
     # knn_batch_top5 shares brute_force_topk with the checked

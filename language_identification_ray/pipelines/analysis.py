@@ -51,6 +51,30 @@ def _null_safe_key(arr) -> tuple:
     return pc.fill_null(arr, ""), pc.is_null(arr)
 
 
+def _tag_key(batch: pa.Table, col: str, passthrough: tuple) -> pa.Table:
+    """Replace string group key ``col`` with its (filled, is-null) pair,
+    carrying ``passthrough`` columns along — the map side of the two-key
+    NULL-safe groupby pattern."""
+    key, isnull = _null_safe_key(batch[col])
+    cols = {f"{col}_key": key, f"{col}_null": isnull}
+    for c in passthrough:
+        cols[c] = batch[c]
+    return pa.table(cols)
+
+
+def _restore_key(batch: pa.Table, col: str, value_cols: tuple) -> pa.Table:
+    """Reduce side of the two-key pattern: fold (filled, is-null) back into
+    one nullable ``col`` ahead of ``value_cols``."""
+    out = {
+        col: pc.if_else(
+            batch[f"{col}_null"], pa.scalar(None, pa.string()), batch[f"{col}_key"]
+        )
+    }
+    for c in value_cols:
+        out[c] = batch[c]
+    return pa.table(out)
+
+
 # ---------------------------------------------------------------------------
 # per-record maps / filters (SURVEY §2.2)
 
@@ -169,28 +193,40 @@ def repetition_stats(sf_dir: str) -> "rd.Dataset":
 
 
 def lang_stats(sf_dir: str) -> "rd.Dataset":
-    """G4-style grouped aggregate.  One small shuffle over 5 keys."""
+    """G4-style grouped aggregate.  One small shuffle over 5 keys; NULL
+    langs keep their own group via the two-key pattern."""
     return (
         _docs(sf_dir, ["lang", "n_chars"])
-        .groupby("lang")
+        .map_batches(lambda b: _tag_key(b, "lang", ("n_chars",)), batch_format="pyarrow")
+        .groupby(["lang_key", "lang_null"])
         .aggregate(
             Count(alias_name="n_docs"),
             Sum("n_chars", alias_name="total_chars"),
             Mean("n_chars", alias_name="avg_chars"),
+        )
+        .map_batches(
+            lambda b: _restore_key(b, "lang", ("n_docs", "total_chars", "avg_chars")),
+            batch_format="pyarrow",
         )
     )
 
 
 def source_stats(sf_dir: str) -> "rd.Dataset":
     """Doc count + min/max length per source (grouped aggregate over ~20
-    keys; column-pruned read, one small shuffle)."""
+    keys; column-pruned read, one small shuffle; NULL sources keep their
+    own group via the two-key pattern)."""
     return (
         _docs(sf_dir, ["source", "n_chars"])
-        .groupby("source")
+        .map_batches(lambda b: _tag_key(b, "source", ("n_chars",)), batch_format="pyarrow")
+        .groupby(["source_key", "source_null"])
         .aggregate(
             Count(alias_name="n_docs"),
             Min("n_chars", alias_name="min_chars"),
             Max("n_chars", alias_name="max_chars"),
+        )
+        .map_batches(
+            lambda b: _restore_key(b, "source", ("n_docs", "min_chars", "max_chars")),
+            batch_format="pyarrow",
         )
     )
 
@@ -834,11 +870,14 @@ def top_docs_per_lang(sf_dir: str, k: int = 3) -> "rd.Dataset":
         n = group["n_chars"].to_numpy(zero_copy_only=False)
         ids = group["doc_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, -n))[:k]
-        return group.take(pa.array(order)).select(["lang", "doc_id", "n_chars"])
+        return _restore_key(group.take(pa.array(order)), "lang", ("doc_id", "n_chars"))
 
     return (
         _docs(sf_dir, ["doc_id", "lang", "n_chars"])
-        .groupby("lang")
+        .map_batches(
+            lambda b: _tag_key(b, "lang", ("doc_id", "n_chars")), batch_format="pyarrow"
+        )
+        .groupby(["lang_key", "lang_null"])
         .map_groups(topk, batch_format="pyarrow")
     )
 
@@ -888,9 +927,10 @@ def lang_percentiles(sf_dir: str) -> "rd.Dataset":
 
     def pcts(group: pa.Table) -> pa.Table:
         v = np.sort(group["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64))
+        lang = None if group["lang_null"][0].as_py() else group["lang_key"][0].as_py()
         return pa.table(
             {
-                "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+                "lang": pa.array([lang], pa.string()),
                 "p50_chars": pa.array([_quantile_cont(v, 0.5)], pa.float64()),
                 "p90_chars": pa.array([_quantile_cont(v, 0.9)], pa.float64()),
             }
@@ -898,7 +938,8 @@ def lang_percentiles(sf_dir: str) -> "rd.Dataset":
 
     return (
         _docs(sf_dir, ["lang", "n_chars"])
-        .groupby("lang")
+        .map_batches(lambda b: _tag_key(b, "lang", ("n_chars",)), batch_format="pyarrow")
+        .groupby(["lang_key", "lang_null"])
         .map_groups(pcts, batch_format="pyarrow")
     )
 
@@ -924,21 +965,30 @@ def length_outlier_filter(sf_dir: str, q: float = 0.99) -> "rd.Dataset":
 
     def cut(group: pa.Table) -> pa.Table:
         v = np.sort(group["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64))
+        lang = None if group["lang_null"][0].as_py() else group["lang_key"][0].as_py()
         return pa.table(
             {
-                "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+                "lang": pa.array([lang], pa.string()),
                 "cutoff": pa.array([_quantile_cont(v, q)], pa.float64()),
             }
         )
 
     cuts = (
         _docs(sf_dir, ["lang", "n_chars"])
-        .groupby("lang")
+        .map_batches(lambda b: _tag_key(b, "lang", ("n_chars",)), batch_format="pyarrow")
+        .groupby(["lang_key", "lang_null"])
         .map_groups(cut, batch_format="pyarrow")
         .to_pandas()  # bounded: one row per language
     )
     # empty corpus: the map_groups frame has no columns; no cutoffs exist
-    cutoff = {} if cuts.empty else dict(zip(cuts["lang"], cuts["cutoff"]))
+    # (pandas reads the NULL-lang row's key back as NaN; normalize to None)
+    cutoff = (
+        {}
+        if cuts.empty
+        else {
+            (None if pd.isna(l) else l): c for l, c in zip(cuts["lang"], cuts["cutoff"])
+        }
+    )
 
     def keep(batch: pa.Table) -> pa.Table:
         lim = np.array(
@@ -988,8 +1038,21 @@ def documents_profile(sf_dir: str) -> "pd.DataFrame":
             Max("max_chars", alias_name="max_chars"),
         )
     )
-    n_langs = _docs(sf_dir, ["lang"]).groupby("lang").count().count()
-    n_sources = _docs(sf_dir, ["source"]).groupby("source").count().count()
+    # COUNT(DISTINCT col) in SQL ignores NULLs — drop them BEFORE the keyed
+    # count (this also sidesteps Ray's NULL-string groupby crash)
+    def _n_distinct(col: str) -> int:
+        return (
+            _docs(sf_dir, [col])
+            .map_batches(
+                lambda b: b.filter(pc.is_valid(b[col])), batch_format="pyarrow"
+            )
+            .groupby(col)
+            .count()
+            .count()
+        )
+
+    n_langs = _n_distinct("lang")
+    n_sources = _n_distinct("source")
 
     def _iv(x) -> int:
         # empty corpus: the aggregate yields None scalars; profile as zeros
@@ -1136,33 +1199,56 @@ def distinct_words_per_lang(sf_dir: str) -> "rd.Dataset":
     shuffle therefore moves |vocab| rows, never |tokens|."""
 
     def pairs(batch: pa.Table) -> pa.Table:
+        # NULL lang keeps its own group ((filled, is-null) two-key); NULL
+        # text yields NO words — the oracle's string_split(NULL) unnests to
+        # zero rows, unlike the ''-one-empty-token convention elsewhere
         seen = set()
         for t, lang in zip(batch["text"].to_pylist(), batch["lang"].to_pylist()):
-            for w in set((t or "").split(" ")):
-                seen.add((lang, w))
+            if t is None:
+                continue
+            for w in set(t.split(" ")):
+                seen.add((lang or "", lang is None, w))
         if not seen:
-            return pa.table({"lang": pa.array([], pa.string()), "word": pa.array([], pa.string())})
-        langs, words = zip(*sorted(seen))
-        return pa.table({"lang": pa.array(langs, pa.string()), "word": pa.array(words, pa.string())})
+            e = pa.array([], pa.string())
+            return pa.table(
+                {"lang_key": e, "lang_null": pa.array([], pa.bool_()), "word": e}
+            )
+        lk, ln, words = zip(*sorted(seen))
+        return pa.table(
+            {
+                "lang_key": pa.array(lk, pa.string()),
+                "lang_null": pa.array(ln, pa.bool_()),
+                "word": pa.array(words, pa.string()),
+            }
+        )
 
     distinct_pairs = (
         _docs(sf_dir, ["text", "lang"])
         .map_batches(pairs, batch_format="pyarrow")
-        .groupby(["lang", "word"])
+        .groupby(["lang_key", "lang_null", "word"])
         .aggregate(Count(alias_name="_n"))
     )
 
     def lang_partial(batch: pa.Table) -> pa.Table:
-        langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
-        uk, counts = np.unique(langs, return_counts=True)
+        langs = np.asarray(batch["lang_key"].to_pylist(), dtype=object)
+        lnull = batch["lang_null"].to_numpy(zero_copy_only=False)
+        us, sinv = np.unique(langs, return_inverse=True)
+        uk, counts = np.unique(sinv.astype(np.int64) * 2 + lnull, return_counts=True)
         return pa.table(
-            {"lang": pa.array(uk, pa.string()), "n_words": pa.array(counts.astype(np.int64), pa.int64())}
+            {
+                "lang_key": pa.array(list(us[uk // 2]), pa.string()),
+                "lang_null": pa.array((uk % 2).astype(bool), pa.bool_()),
+                "n_words": pa.array(counts.astype(np.int64), pa.int64()),
+            }
         )
 
     return (
         distinct_pairs.map_batches(lang_partial, batch_format="pyarrow")
-        .groupby("lang")
+        .groupby(["lang_key", "lang_null"])
         .aggregate(Sum("n_words", alias_name="n_words"))
+        .map_batches(
+            lambda b: _restore_key(b, "lang", ("n_words",)), batch_format="pyarrow"
+        )
     )
 
 
@@ -1217,17 +1303,19 @@ def distinct_words_per_lang_hll(sf_dir: str, p: int = 12) -> "rd.Dataset":
     from language_identification_ray.stages.dedup import _hash_words32
 
     def partial(batch: pa.Table) -> pa.Table:
-        by_lang: dict = {}
+        by_lang: dict = {}  # keyed (filled, is-null) — NULL lang is a group
         for t, lang in zip(batch["text"].to_pylist(), batch["lang"].to_pylist()):
             words = list(set((t or "").split(" ")))
-            regs = by_lang.get(lang)
+            key = (lang or "", lang is None)
+            regs = by_lang.get(key)
             if regs is None:
-                regs = by_lang[lang] = sk.hll_empty(p)
+                regs = by_lang[key] = sk.hll_empty(p)
             sk.hll_add_hashes(regs, _hash_words32(words), p)
         langs = sorted(by_lang)
         return pa.table(
             {
-                "lang": pa.array(langs, pa.string()),
+                "lang_key": pa.array([k for k, _ in langs], pa.string()),
+                "lang_null": pa.array([n for _, n in langs], pa.bool_()),
                 "regs": pa.array([by_lang[l].tobytes() for l in langs], pa.binary()),
             }
         )
@@ -1236,9 +1324,10 @@ def distinct_words_per_lang_hll(sf_dir: str, p: int = 12) -> "rd.Dataset":
         regs = sk.hll_empty(p)
         for b in group["regs"].to_pylist():
             regs = sk.hll_merge(regs, np.frombuffer(b, dtype=np.uint8))
+        lang = None if group["lang_null"][0].as_py() else group["lang_key"][0].as_py()
         return pa.table(
             {
-                "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+                "lang": pa.array([lang], pa.string()),
                 "n_words_approx": pa.array([sk.hll_estimate(regs)], pa.float64()),
             }
         )
@@ -1246,7 +1335,7 @@ def distinct_words_per_lang_hll(sf_dir: str, p: int = 12) -> "rd.Dataset":
     return (
         _docs(sf_dir, ["text", "lang"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("lang")
+        .groupby(["lang_key", "lang_null"])
         .map_groups(merge, batch_format="pyarrow")
     )
 
@@ -1259,17 +1348,22 @@ def lang_percentiles_sketch(sf_dir: str, k: int = 256) -> "rd.Dataset":
     from language_identification_ray.functions import sketches as sk
 
     def partial(batch: pa.Table) -> pa.Table:
-        langs_np = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        langs_raw = batch["lang"].to_pylist()
+        keys = [(l or "", l is None) for l in langs_raw]  # NULL lang is a group
+        keys_np = np.asarray([f"{n}|{k}" for k, n in keys], dtype=object)
         vals_np = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
-        out_lang, out_vals, out_wts = [], [], []
-        for lang in sorted(set(langs_np.tolist())):
-            v, w = sk.qsketch_from_values(vals_np[langs_np == lang], k)
-            out_lang.append(lang)
+        out_key, out_null, out_vals, out_wts = [], [], [], []
+        for key, isnull in sorted(set(keys)):
+            mask = keys_np == f"{isnull}|{key}"
+            v, w = sk.qsketch_from_values(vals_np[mask], k)
+            out_key.append(key)
+            out_null.append(isnull)
             out_vals.append(v.tolist())
             out_wts.append(w.tolist())
         return pa.table(
             {
-                "lang": pa.array(out_lang, pa.string()),
+                "lang_key": pa.array(out_key, pa.string()),
+                "lang_null": pa.array(out_null, pa.bool_()),
                 "qs_vals": pa.array(out_vals, pa.list_(pa.float64())),
                 "qs_wts": pa.array(out_wts, pa.list_(pa.float64())),
             }
@@ -1280,9 +1374,10 @@ def lang_percentiles_sketch(sf_dir: str, k: int = 256) -> "rd.Dataset":
         wts = np.empty(0, dtype=np.float64)
         for v, w in zip(group["qs_vals"].to_pylist(), group["qs_wts"].to_pylist()):
             vals, wts = sk.qsketch_merge(vals, wts, np.asarray(v), np.asarray(w), k)
+        lang = None if group["lang_null"][0].as_py() else group["lang_key"][0].as_py()
         return pa.table(
             {
-                "lang": pa.array([group["lang"][0].as_py()], pa.string()),
+                "lang": pa.array([lang], pa.string()),
                 "p50_chars": pa.array([sk.qsketch_quantile(vals, wts, 0.5)], pa.float64()),
                 "p90_chars": pa.array([sk.qsketch_quantile(vals, wts, 0.9)], pa.float64()),
             }
@@ -1291,7 +1386,7 @@ def lang_percentiles_sketch(sf_dir: str, k: int = 256) -> "rd.Dataset":
     return (
         _docs(sf_dir, ["lang", "n_chars"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("lang")
+        .groupby(["lang_key", "lang_null"])
         .map_groups(merge, batch_format="pyarrow")
     )
 
@@ -2680,6 +2775,11 @@ def source_vocab_overlap(sf_dir: str) -> pa.Table:
     of crawls/dumps, not data-scaled; the catalog groupby itself is tiny."""
     cat = (
         _docs(sf_dir, ["source"])
+        # the oracle's WHERE source IS NOT NULL; also sidesteps Ray's
+        # NULL-string groupby crash on mixed-null catalogs
+        .map_batches(
+            lambda b: b.filter(pc.is_valid(b["source"])), batch_format="pyarrow"
+        )
         .groupby("source")
         .aggregate(Count(alias_name="_n"))
         .take_all()

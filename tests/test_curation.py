@@ -1203,3 +1203,49 @@ def test_previously_crashing_queries_survive_all_null_columns(ray_session, tmp_p
     for name in ["dup_clusters", "fuzzy_dedup_keep", "tfidf_top5_per_lang",
                  "incremental_dedup_bloom"]:
         rows(name)  # crash-free is the contract
+
+
+def test_lang_source_groupbys_survive_mixed_null_keys(ray_session, tmp_path):
+    """50%-NULL lang/source/label: every kernel that groups on a nullable
+    string key now shuffles on the (filled-key, is-null) pair, so mixed
+    NULL and real keys no longer hit Ray 2.49's sort-groupby TypeError.
+    NULL keys form their own group (SQL GROUP BY), except COUNT(DISTINCT)
+    and the NOT NULL-filtered overlap, which exclude them like their
+    oracles."""
+    import pyarrow.compute as pcm
+    import pyarrow.parquet as pqm
+    import ray.data as rd
+    import __ray_entry__ as entrymod
+
+    sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    nullable = {"documents": ["text", "lang", "source"], "embeddings": ["label"]}
+    d = tmp_path / "mixed_null"
+    d.mkdir()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        tbl = pqm.read_table(f"{sf}/{t}.parquet").slice(0, 100)
+        for col in nullable.get(t, []):
+            i = tbl.schema.get_field_index(col)
+            mask = pa.array([(j % 2) == 0 for j in range(tbl.num_rows)])
+            tbl = tbl.set_column(
+                i, tbl.schema.field(i),
+                pcm.if_else(mask, pa.nulls(tbl.num_rows, tbl.schema.field(i).type),
+                            tbl.column(i).combine_chunks()),
+            )
+        pqm.write_table(tbl, d / f"{t}.parquet")
+    qs = entrymod.queries()
+
+    stats = qs["lang_stats"](str(d)).to_pandas()
+    assert stats["lang"].isna().sum() == 1  # the NULL-lang group row
+    assert int(stats["n_docs"].sum()) == 100
+    src = qs["source_stats"](str(d)).to_pandas()
+    assert src["source"].isna().sum() == 1
+    prof = qs["documents_profile"](str(d))
+    # COUNT(DISTINCT) ignores NULLs: only the real langs/sources count
+    assert int(prof["n_langs"].iloc[0]) == stats["lang"].notna().sum()
+    for name in ["top_docs_per_lang", "lang_percentiles", "length_outlier_filter",
+                 "distinct_words_per_lang", "distinct_words_per_lang_hll",
+                 "lang_percentiles_sketch", "source_vocab_overlap"]:
+        res = qs[name](str(d))
+        if isinstance(res, rd.Dataset):
+            res.count()  # crash-free execution is the contract
