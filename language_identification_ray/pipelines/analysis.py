@@ -991,8 +991,14 @@ def length_outlier_filter(sf_dir: str, q: float = 0.99) -> "rd.Dataset":
     )
 
     def keep(batch: pa.Table) -> pa.Table:
+        # NULL-lang docs are DROPPED, not kept: the oracle's JOIN cut USING
+        # (lang) never matches a NULL key (NULL = NULL is not true)
         lim = np.array(
-            [cutoff.get(l, np.inf) for l in batch["lang"].to_pylist()], dtype=np.float64
+            [
+                -np.inf if l is None else cutoff.get(l, np.inf)
+                for l in batch["lang"].to_pylist()
+            ],
+            dtype=np.float64,
         )
         mask = batch["n_chars"].to_numpy(zero_copy_only=False) <= lim
         return batch.filter(pa.array(mask)).select(["doc_id", "lang", "n_chars"])
@@ -1348,16 +1354,21 @@ def lang_percentiles_sketch(sf_dir: str, k: int = 256) -> "rd.Dataset":
     from language_identification_ray.functions import sketches as sk
 
     def partial(batch: pa.Table) -> pa.Table:
-        langs_raw = batch["lang"].to_pylist()
-        keys = [(l or "", l is None) for l in langs_raw]  # NULL lang is a group
-        keys_np = np.asarray([f"{n}|{k}" for k, n in keys], dtype=object)
+        # packed-int (filled-code*2 + is-null) segmentation, same pattern
+        # as the other two-key partials — NULL lang is its own group
+        lnull = pc.is_null(batch["lang"]).to_numpy(zero_copy_only=False)
+        langs_np = np.asarray(
+            pc.fill_null(batch["lang"], "").to_pylist(), dtype=object
+        )
+        us, sinv = np.unique(langs_np, return_inverse=True)
+        comb = sinv.astype(np.int64) * 2 + lnull
+        uk = np.unique(comb)
         vals_np = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
         out_key, out_null, out_vals, out_wts = [], [], [], []
-        for key, isnull in sorted(set(keys)):
-            mask = keys_np == f"{isnull}|{key}"
-            v, w = sk.qsketch_from_values(vals_np[mask], k)
-            out_key.append(key)
-            out_null.append(isnull)
+        for g in uk:
+            v, w = sk.qsketch_from_values(vals_np[comb == g], k)
+            out_key.append(us[g // 2])
+            out_null.append(bool(g % 2))
             out_vals.append(v.tolist())
             out_wts.append(w.tolist())
         return pa.table(
@@ -1845,9 +1856,14 @@ def tfidf_top5_per_lang(sf_dir: str, k: int = 5) -> "rd.Dataset":
 
     partials = docs.map_batches(tf_partial, batch_format="pyarrow").materialize()
     # total distinct languages: lang-keyed count of the partials — one tiny
-    # shuffle whose output is bounded by the language count at any scale
-    n_langs = len(
-        partials.groupby(["lang_key", "lang_null"]).aggregate(Count()).take_all()
+    # shuffle whose output is bounded by the language count at any scale.
+    # COUNT(DISTINCT lang) in the oracle's nl CTE EXCLUDES the NULL lang,
+    # while its per-word df CTE counts the NULL group like any other — so
+    # n_langs skips the null group but word_group's n_with keeps it
+    n_langs = sum(
+        1
+        for r in partials.groupby(["lang_key", "lang_null"]).aggregate(Count()).take_all()
+        if not r["lang_null"]
     )
 
     def word_group(group: pa.Table) -> pa.Table:
@@ -2147,18 +2163,6 @@ def incremental_dedup_bloom(sf_dir: str, m_bits: int = 1 << 17, k: int = 7) -> "
             merged = sk.bloom_merge(merged, np.frombuffer(blob.as_py(), dtype=np.uint8))
     bloom_ref = ray.put(merged.tobytes())
 
-    def restore_lang(batch: pa.Table) -> pa.Table:
-        lang = pc.if_else(
-            batch["lang_null"], pa.scalar(None, pa.string()), batch["lang_key"]
-        )
-        return pa.table(
-            {
-                "lang": lang,
-                "n_new_docs": batch["n_new_docs"],
-                "n_seen_docs": batch["n_seen_docs"],
-            }
-        )
-
     return (
         _docs(sf_dir, ["doc_id", "text", "lang"])
         .map_batches(
@@ -2170,7 +2174,10 @@ def incremental_dedup_bloom(sf_dir: str, m_bits: int = 1 << 17, k: int = 7) -> "
         )
         .groupby(["lang_key", "lang_null"])
         .aggregate(Sum("n_new_docs", alias_name="n_new_docs"), Sum("n_seen_docs", alias_name="n_seen_docs"))
-        .map_batches(restore_lang, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _restore_key(b, "lang", ("n_new_docs", "n_seen_docs")),
+            batch_format="pyarrow",
+        )
     )
 
 
@@ -3318,18 +3325,13 @@ def gopher_keep_rates(sf_dir: str) -> "rd.Dataset":
             }
         )
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        lang = pc.if_else(
-            batch["lang_null"], pa.scalar(None, pa.string()), batch["lang_key"]
-        )
-        return pa.table(
-            {"lang": lang, "n_docs": batch["n_docs"], "n_keep": batch["n_keep"]}
-        )
-
     return (
         _docs(sf_dir, ["doc_id", "text", "lang"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["lang_key", "lang_null"])
         .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_keep", alias_name="n_keep"))
-        .map_batches(finalize, batch_format="pyarrow")
+        .map_batches(
+            lambda b: _restore_key(b, "lang", ("n_docs", "n_keep")),
+            batch_format="pyarrow",
+        )
     )

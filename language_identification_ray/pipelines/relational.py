@@ -134,12 +134,21 @@ def customers_per_region(sf_dir: str) -> "rd.Dataset":
     nkeys = nation["n_nationkey"].to_numpy()
     lut = np.empty(int(nkeys.max()) + 1, dtype=object)
     for nk, rk in zip(nkeys, nation["n_regionkey"].to_numpy()):
-        lut[int(nk)] = rnames[int(rk)]
+        # a nation whose regionkey is missing from region leaves a None
+        # slot — the SQL inner join drops it, so must the gather below
+        lut[int(nk)] = rnames.get(int(rk))
     lut_ref = ray.put(lut)
 
     def partial(batch: pa.Table) -> pa.Table:
         table = ray.get(lut_ref)  # local-cache hit after first batch
-        keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        # NULL c_nationkey joins nothing (fill to -1 -> in_range drop); a
+        # nullable column would otherwise to_numpy as float NaN and crash
+        # the integer gather
+        keys = (
+            _pc.fill_null(batch["c_nationkey"], -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         # inner-join semantics for dangling FKs (same contract as
         # revenue_by_supplier_nation): nationkeys outside the dense LUT or
         # hitting an unfilled (None) slot are DROPPED like the SQL join
@@ -571,17 +580,28 @@ def revenue_by_supplier_nation(sf_dir: str) -> "rd.Dataset":
     nation_name = np.empty(max_n, dtype=object)
     region_name = np.empty(max_n, dtype=object)
     nation_name[n_key] = n_name
-    region_name[n_key] = [r_name_by_key[int(r)] for r in n_region]
-    # dense suppkey → nationkey
+    # a nation whose regionkey is missing from region is DROPPED by the SQL
+    # inner join — exclude it from the valid-nation set below
+    region_name[n_key] = [r_name_by_key.get(int(r)) for r in n_region]
+    valid_nations = n_key[np.array([r_name_by_key.get(int(r)) is not None for r in n_region])]
+    # dense suppkey → nationkey; suppliers pointing at an invalid nation
+    # keep the -1 sentinel so their lineitems drop like the SQL join
     s_key = sup["s_suppkey"].to_numpy()
     s_nat = sup["s_nationkey"].to_numpy()
     supp_nation = np.full(int(s_key.max()) + 1, -1, dtype=np.int64)
-    supp_nation[s_key] = s_nat
+    ok_sup = np.isin(s_nat, valid_nations)
+    supp_nation[s_key[ok_sup]] = s_nat[ok_sup]
     lookup_ref = ray.put((supp_nation, nation_name, region_name))
 
     def partial(batch: pa.Table) -> pa.Table:
         supp_nation, nation_name, region_name = ray.get(lookup_ref)
-        keys = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        # NULL l_suppkey joins nothing (fill to -1 -> dropped); a nullable
+        # column would to_numpy as float NaN and crash the integer gather
+        keys = (
+            _pc.fill_null(batch["l_suppkey"], -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         # inner-join semantics for dangling FKs (the docstring's skewed web
         # data): keys outside the dense table or hitting the -1 sentinel are
         # DROPPED like the SQL join drops them — negative fancy indexing

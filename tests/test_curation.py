@@ -1106,7 +1106,6 @@ def test_previously_crashing_queries_survive_empty_tables(ray_session, tmp_path)
     import ray.data as rd
     import __ray_entry__ as entrymod
 
-    src = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     sf = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.001")
     d = tmp_path / "empty_all"
     d.mkdir()
@@ -1249,3 +1248,33 @@ def test_lang_source_groupbys_survive_mixed_null_keys(ray_session, tmp_path):
         res = qs[name](str(d))
         if isinstance(res, rd.Dataset):
             res.count()  # crash-free execution is the contract
+
+
+def test_tfidf_and_outlier_match_oracle_with_null_langs(ray_session, tmp_path):
+    """The two confirmed NULL-lang oracle divergences, pinned: tfidf's
+    n_langs excludes the NULL group (COUNT(DISTINCT lang)) while its
+    per-word df counts it, and length_outlier_filter DROPS NULL-lang docs
+    (JOIN USING (lang) never matches NULL)."""
+    import duckdb
+
+    d = tmp_path / "null_lang_oracle"
+    d.mkdir()
+    rows = [
+        (0, "a b c d", "en"), (1, "a b x y", "en"),
+        (2, "a q r s", "fr"), (3, "q r s t", "fr"),
+        (4, "a m n o", None), (5, "m n o p q", None),
+    ]
+    _write_full_docs(d, [(i, t, l, "s", len(t)) for i, t, l in rows])
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    import __ray_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()
+    for name in ["tfidf_top5_per_lang", "length_outlier_filter"]:
+        ray_df = entrymod.queries()[name](str(d)).to_pandas()
+        sql_df = con.sql(oracles[name]).df()
+        cols = sorted(ray_df.columns)
+        assert cols == sorted(sql_df.columns), name
+        a = ray_df.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+        b = sql_df.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False), name
