@@ -233,3 +233,29 @@ def test_lm_prep_surrogate_fallback():
     assert model._prep_score_arrays(["caf\udce9"], tid, tid[BOS], tid[EOS]) is None
     ppl = model.perplexity_batch(["caf\udce9 test. ok", "plain text here."])
     assert all(p == p for p in ppl)  # scored, not NaN
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(max_size=20)), min_size=0, max_size=50
+    )
+)
+def test_null_safe_key_roundtrip(values):
+    """tag → restore is the identity for ANY nullable string key column —
+    including the collision pair None vs '' — so every two-key groupby
+    preserves SQL GROUP BY key semantics."""
+    import pyarrow as pa
+
+    from language_identification_ray.pipelines.analysis import (
+        _restore_key,
+        _tag_key,
+    )
+
+    batch = pa.table({"lang": pa.array(values, pa.string())})
+    tagged = _tag_key(batch, "lang", ())
+    # ("", False) and ("", True) must stay distinct group keys
+    keys = list(zip(tagged["lang_key"].to_pylist(), tagged["lang_null"].to_pylist()))
+    assert len({(k, n) for k, n in keys}) == len(set(values))
+    restored = _restore_key(tagged, "lang", ())
+    assert restored["lang"].to_pylist() == values
