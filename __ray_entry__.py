@@ -286,13 +286,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # events_hopping_window / word_cooccurrence_top100 /
     # gopher_quality_flags / ccnet_tercile_buckets / fuzzy_dedup_keep /
     # vocab_coverage_90 / source_novelty / gopher_keep_rates).
-    # With 73 backed entries and a 20+-kernel end-of-round NULL-hardening
+    # With 76 backed entries and a 20+-kernel end-of-round NULL-hardening
     # sweep, the rule is applied by REGRESSION RISK: every substantively
     # rewritten kernel is inside (label_centroids' NULL-label bit-packing
     # and lang_stats_salted's two-key rewrite were swapped IN after the
     # sweep, ceding knn_cosine_top10 / knn_label_filtered whose only r3
     # change is an early-return empty-input guard that cannot affect a
     # non-empty result — their scan/sort kernels are byte-identical).
+    # The three session-2 kernels (events_user_interarrival /
+    # cross_source_dup_stats / kmeans_assign) hold slots ceded by entries
+    # whose machinery an in-window sibling still exercises end-to-end:
+    # lang_stats (lang_stats_salted composes the identical aggregate plus
+    # the salted two-stage exchange) and audio_metadata / video_metadata
+    # (media_metadata drives the same actor-pool payload-header round-trip
+    # decode; the ceded pair differ only in which header fields the
+    # synthesizer wrote).
     # Every entry past slot 50 is (a) UNCHANGED since its hash-green
     # CORRECTNESS_r02 row (same code, same oracle — sentence_stats,
     # bigram_top50, events_hourly, embedding_quantize, and later
@@ -324,11 +332,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": analysis.decontaminate_docs,
         "semantic_dedup_docs": analysis.semantic_dedup_docs,
         "media_metadata": media_metadata_q,
-        "audio_metadata": audio_metadata_q,
-        "video_metadata": video_metadata_q,
+        # --- NEW session-2 kernels: hold window slots (ordering NOTE) -----
+        "events_user_interarrival": analysis.events_user_interarrival,
+        "cross_source_dup_stats": analysis.cross_source_dup_stats,
+        "kmeans_assign": analysis.kmeans_assign,
         # --- SQL-checkable operators -------------------------------------
         "stopword_stats": analysis.stopword_stats,
-        "lang_stats": analysis.lang_stats,
         "token_count": analysis.token_count,
         "per_source_cap": analysis.per_source_cap,
         "global_length_rank": analysis.global_length_rank,
@@ -372,6 +381,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- oracle-backed but outside the driver's 50-entry window -------
         # (each unchanged since its r2-green row, or a trivial variant with
         # a checked in-window sibling — see the ordering NOTE above)
+        "lang_stats": analysis.lang_stats,
+        "audio_metadata": audio_metadata_q,
+        "video_metadata": video_metadata_q,
         "sentence_stats": analysis.sentence_stats,
         "knn_cosine_top10": analysis.knn_cosine_top10,
         "knn_label_filtered": knn_label_q,
@@ -1193,6 +1205,53 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) >= 0.4
+        """,
+        "events_user_interarrival": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+                FROM events
+            ),
+            g AS (
+                SELECT user_id, date_diff('microsecond', pts, ts) AS gap
+                FROM e WHERE pts IS NOT NULL AND ts IS NOT NULL
+            )
+            SELECT user_id, count(*) AS n_gaps,
+                   quantile_cont(gap, 0.5) AS median_gap_us,
+                   max(gap) AS max_gap_us
+            FROM g GROUP BY user_id
+        """,
+        "cross_source_dup_stats": """
+            WITH f AS (
+                SELECT source, md5(substr(coalesce(text, ''), 1, 40)) AS fp
+                FROM documents
+            ),
+            s AS (
+                SELECT fp,
+                       count(DISTINCT source)
+                         + max(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS ns
+                FROM f GROUP BY fp
+            )
+            SELECT f.source, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN s.ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_docs
+            FROM f JOIN s USING (fp)
+            GROUP BY f.source
+        """,
+        "kmeans_assign": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+            d AS (
+                SELECT e.vec_id, c.cid, list_distance(e.v, c.cv) AS dist
+                FROM e CROSS JOIN c
+            ),
+            a AS (
+                SELECT vec_id, cid, dist,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                FROM d
+            )
+            SELECT vec_id, cid, round(dist, 4) AS dist FROM a WHERE rn = 1
         """,
         "source_vocab_overlap": """
             WITH sw AS (

@@ -3335,3 +3335,205 @@ def gopher_keep_rates(sf_dir: str) -> "rd.Dataset":
             batch_format="pyarrow",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions (session 2): stream lag/diff, cross-source contamination,
+# Lloyd assignment
+
+
+def events_user_interarrival(sf_dir: str) -> "rd.Dataset":
+    """Per-user inter-arrival statistics: gap count, median and max gap in
+    MICROSECONDS between consecutive events — the lag/diff window primitive
+    (burst detection, bot filtering, session-rate QA) the event family was
+    missing (sessionize/funnel/rolling cover gap-threshold, ordering and
+    trailing-mean shapes but not the diff distribution itself).
+
+    The gap multiset per user is invariant to tie order (consecutive
+    differences of a SORTED multiset), so the kernel sorts ts only — no
+    event_id tiebreak needed, and the oracle's ``ORDER BY ts, event_id``
+    lag produces the identical diff multiset.  NULL ts rows drop exactly as
+    the oracle's ``WHERE ... IS NOT NULL`` on the lag pair does (NaT sorts
+    last; any pair touching one is excluded); a user with < 2 real events
+    emits nothing (SQL GROUP BY over zero surviving rows).  Median follows
+    the ``quantile_cont`` interpolation exactly (`_quantile_cont`).
+
+    Scale shape: one shuffle on user_id (the same key the whole event
+    family reuses), one vectorized numpy pass per group; the exchange
+    carries (user_id, ts) only."""
+
+    def gaps(group: pa.Table) -> pa.Table:
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        ts = np.sort(ts[~np.isnat(ts)])
+        if len(ts) < 2:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "median_gap_us": pa.array([], pa.float64()),
+                    "max_gap_us": pa.array([], pa.int64()),
+                }
+            )
+        d = (ts[1:] - ts[:-1]).astype("timedelta64[us]").astype(np.int64)
+        d = np.sort(d)
+        return pa.table(
+            {
+                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+                "n_gaps": pa.array([len(d)], pa.int64()),
+                "median_gap_us": pa.array(
+                    [_quantile_cont(d.astype(np.float64), 0.5)], pa.float64()
+                ),
+                "max_gap_us": pa.array([int(d[-1])], pa.int64()),
+            }
+        )
+
+    from language_identification_ray.pipelines.relational import _group_spread
+
+    return (
+        _group_spread(rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
+        .groupby("user_id")
+        .map_groups(gaps, batch_format="pyarrow")
+    )
+
+
+def cross_source_dup_stats(sf_dir: str, prefix: int = 40) -> "rd.Dataset":
+    """Per-source cross-source contamination audit: of each source's
+    documents, how many share their content key (md5 of a 40-char prefix,
+    the :func:`exact_dedup` key) with a document from a DIFFERENT source —
+    the between-shard leakage table a multi-crawl merge publishes before
+    choosing dedup order (dropping dups source-by-source silently empties
+    whichever shard dedups last).
+
+    Two shuffles, both on small keys: (1) per-batch DISTINCT
+    (fp, source, cnt) partials groupby the 32-byte fp — each group holds a
+    handful of (source, cnt) rows; a vectorized check marks every row of a
+    group that has ≥ 2 distinct sources (NULL source is its own source via
+    the two-key pattern, matching the oracle's count(DISTINCT)+NULL-case
+    arithmetic); (2) the marked partials fold per source.  The text never
+    shuffles."""
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5((t or "")[:prefix].encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        skey, snull = _null_safe_key(batch["source"])
+        df = pd.DataFrame(
+            {
+                "fp": fps,
+                "source_key": skey.to_pandas(),
+                "source_null": snull.to_pandas(),
+            }
+        )
+        g = df.groupby(["fp", "source_key", "source_null"], sort=False).size()
+        out = g.reset_index(name="cnt")
+        return pa.table(
+            {
+                "fp": pa.array(out["fp"], pa.string()),
+                "source_key": pa.array(out["source_key"], pa.string()),
+                "source_null": pa.array(out["source_null"], pa.bool_()),
+                "cnt": pa.array(out["cnt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def mark(group: pa.Table) -> pa.Table:
+        # distinct sources in this fp group = distinct (key, null) pairs;
+        # partials from different batches may repeat a pair
+        sk = group["source_key"].to_pylist()
+        sn = group["source_null"].to_pylist()
+        n_sources = len(set(zip(sk, sn)))
+        cnt = group["cnt"].to_numpy(zero_copy_only=False)
+        cross = cnt if n_sources > 1 else np.zeros(len(cnt), dtype=np.int64)
+        return pa.table(
+            {
+                "source_key": group["source_key"],
+                "source_null": group["source_null"],
+                "n_docs": group["cnt"],
+                "n_cross": pa.array(cross, pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["text", "source"])
+        .map_batches(keyed, batch_format="pyarrow")
+        .groupby("fp")
+        .map_groups(mark, batch_format="pyarrow")
+        .groupby(["source_key", "source_null"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_cross", alias_name="n_cross_docs"))
+        .map_batches(
+            lambda b: _restore_key(b, "source", ("n_docs", "n_cross_docs")),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def kmeans_assign(sf_dir: str, k: int = 8) -> "rd.Dataset":
+    """One Lloyd assignment step: every embedding is assigned to its nearest
+    of ``k`` fixed centroids (the vectors of the ``k`` smallest vec_ids —
+    deterministic, so the oracle can reconstruct them), with the L2
+    distance reported.  The building block the IVF coarse quantizer trains
+    with (`stages/knn.py` bounds its training sample; this is the
+    full-corpus assignment pass that follows at scale).
+
+    Scale shape: the centroid matrix is tiny and read ONCE driver-side
+    (``vec_id < k`` row filter — at scale ``ray.put`` + per-actor get, the
+    knn_cosine_top10 pattern); the scan is map-only — one (n×k) distance
+    matrix per batch via the expanded-norms matmul identity, no shuffle at
+    all.  Ties (exactly equal distances) break to the smaller centroid id,
+    matching the oracle's ``ORDER BY dist, cid``.  Distances are float64
+    end-to-end (float32 inputs widen exactly); the reported distance is
+    rounded to 4 decimals so the last-ulp difference between numpy's
+    pairwise summation and the oracle's sequential ``list_distance`` sum
+    cannot flip the hash."""
+    import pyarrow.parquet as pq
+    from language_identification_ray.stages.knn import _as_matrix
+
+    tbl = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    )
+    if tbl.num_rows == 0:  # empty table: no centroids -> empty assignment
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cid": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.float64()),
+                }
+            )
+        )
+    order = np.argsort(tbl["vec_id"].to_numpy())
+    cids = tbl["vec_id"].to_numpy()[order].astype(np.int64)
+    C = _as_matrix(tbl["embedding"])[order]  # (k, d) float64
+    c_sq = (C * C).sum(axis=1)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        X = _as_matrix(batch["embedding"])
+        if X.shape[0] == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cid": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.float64()),
+                }
+            )
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 — one matmul per batch
+        d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
+        np.maximum(d2, 0.0, out=d2)  # clamp the identity's negative dust
+        best = np.argmin(d2, axis=1)  # first (= smallest cid) wins ties
+        # report the tie-safe distance: recompute the winner's distance the
+        # oracle's way (sequential diff-square-sum) so rounding agrees
+        diff = X - C[best]
+        dist = np.sqrt((diff * diff).sum(axis=1))
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "cid": pa.array(cids[best], pa.int64()),
+                "dist": pa.array(np.round(dist, 4), pa.float64()),
+            }
+        )
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).map_batches(
+        assign, batch_format="pyarrow"
+    )

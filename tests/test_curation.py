@@ -1278,3 +1278,182 @@ def test_tfidf_and_outlier_match_oracle_with_null_langs(ray_session, tmp_path):
         a = ray_df.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
         b = sql_df.reindex(cols, axis=1).sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b, check_dtype=False), name
+
+
+# ---------------------------------------------------------------------------
+# session-2 operators: interarrival, cross-source dup, Lloyd assignment
+
+
+def _write_events(d, rows):
+    """rows: (user_id, ts_or_None) tuples."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(len(rows)), pa.int64()),
+                "ts": pa.array([t for _, t in rows], pa.timestamp("us")),
+                "user_id": pa.array([u for u, _ in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+
+
+def test_interarrival_matches_naive_on_random_events(ray_session, tmp_path):
+    import datetime as dt
+    import random
+
+    rng = random.Random(404)
+    d = tmp_path / "gaps_rand"
+    d.mkdir()
+    base = dt.datetime(2026, 3, 1)
+    rows = []
+    for _ in range(400):
+        u = rng.randint(1, 12)
+        # NULL ts mixed in; duplicate timestamps too (tie order irrelevant)
+        t = None if rng.random() < 0.06 else base + dt.timedelta(
+            seconds=rng.randint(0, 80000)
+        )
+        rows.append((u, t))
+    _write_events(d, rows)
+    out = analysis.events_user_interarrival(str(d)).to_pandas().set_index("user_id")
+
+    per_user = {}
+    for u, t in rows:
+        if t is not None:
+            per_user.setdefault(u, []).append(t)
+    n_checked = 0
+    for u, ts in per_user.items():
+        ts.sort()
+        gaps = sorted(
+            int((b - a).total_seconds() * 1_000_000) for a, b in zip(ts, ts[1:])
+        )
+        if not gaps:
+            assert u not in out.index
+            continue
+        n_checked += 1
+        assert out.loc[u, "n_gaps"] == len(gaps)
+        assert out.loc[u, "max_gap_us"] == gaps[-1]
+        x = (len(gaps) - 1) * 0.5
+        lo, frac = int(x), x - int(x)
+        hi = min(lo + 1, len(gaps) - 1)
+        expect_med = float(gaps[lo]) * (1.0 - frac) + float(gaps[hi]) * frac
+        assert out.loc[u, "median_gap_us"] == expect_med
+    assert n_checked >= 10  # the corpus really exercised the kernel
+    assert len(out) == n_checked
+
+
+def test_interarrival_empty_and_single_event(ray_session, tmp_path):
+    import datetime as dt
+
+    d = tmp_path / "gaps_edge"
+    d.mkdir()
+    # user 1: one real event (no gaps); user 2: only NULL ts; user 3: two events
+    t0 = dt.datetime(2026, 3, 1)
+    _write_events(d, [(1, t0), (2, None), (3, t0), (3, t0 + dt.timedelta(seconds=5))])
+    out = analysis.events_user_interarrival(str(d)).to_pandas().set_index("user_id")
+    assert list(out.index) == [3]
+    assert out.loc[3, "n_gaps"] == 1 and out.loc[3, "max_gap_us"] == 5_000_000
+
+    e = tmp_path / "gaps_empty"
+    e.mkdir()
+    _write_events(e, [])
+    assert analysis.events_user_interarrival(str(e)).to_pandas().shape[0] == 0
+
+
+def test_cross_source_dup_matches_naive_on_random_docs(ray_session, tmp_path):
+    d = tmp_path / "xsrc_rand"
+    d.mkdir()
+    rows = _random_docs(505, 250)
+    # force known cross-source and same-source dup prefixes (short texts
+    # share their whole string as the 40-char prefix)
+    nxt = len(rows)
+    rows += [
+        (nxt, "shared prefix text", "en", "A", 18),
+        (nxt + 1, "shared prefix text", "fr", "B", 18),
+        (nxt + 2, "same source twin", "en", "A", 16),
+        (nxt + 3, "same source twin", "en", "A", 16),
+        (nxt + 4, "null source twin", "en", None, 16),
+        (nxt + 5, "null source twin", "en", "B", 16),
+    ]
+    _write_full_docs(d, rows)
+    out = analysis.cross_source_dup_stats(str(d)).to_pandas()
+    got = {
+        (None if pd.isna(r["source"]) else r["source"]): (
+            int(r["n_docs"]), int(r["n_cross_docs"])
+        )
+        for _, r in out.iterrows()
+    }
+
+    from collections import defaultdict
+
+    fp_sources = defaultdict(set)
+    per_doc = []
+    for _, text, _, source, _ in rows:
+        fp = (text or "")[:40]
+        fp_sources[fp].add(source)  # None is its own source
+        per_doc.append((fp, source))
+    expect = defaultdict(lambda: [0, 0])
+    for fp, source in per_doc:
+        expect[source][0] += 1
+        if len(fp_sources[fp]) > 1:
+            expect[source][1] += 1
+    assert got == {s: tuple(v) for s, v in expect.items()}
+    # the forced rows actually hit: cross for A/B/None, not for the A-twins
+    assert got["A"][1] >= 1 and got["B"][1] >= 2 and got[None][1] >= 1
+
+
+def test_cross_source_dup_empty(ray_session, tmp_path):
+    d = tmp_path / "xsrc_empty"
+    d.mkdir()
+    _write_full_docs(d, [])
+    assert analysis.cross_source_dup_stats(str(d)).to_pandas().shape[0] == 0
+
+
+def test_kmeans_assign_matches_naive(ray_session, tmp_path):
+    import numpy as np
+
+    rng = np.random.default_rng(606)
+    d = tmp_path / "kmeans_rand"
+    d.mkdir()
+    n, dim, k = 300, 16, 8
+    X = rng.normal(size=(n, dim)).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in X], pa.list_(pa.float32())),
+                "label": pa.array([0] * n, pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    out = analysis.kmeans_assign(str(d), k=k).to_pandas().set_index("vec_id")
+    C = X[:k].astype(np.float64)
+    Xd = X.astype(np.float64)
+    for i in range(n):
+        d2 = ((Xd[i][None, :] - C) ** 2).sum(axis=1)
+        cid = int(np.argmin(d2))  # first index wins ties = smallest cid
+        assert out.loc[i, "cid"] == cid
+        assert out.loc[i, "dist"] == round(float(np.sqrt(d2[cid])), 4)
+    # every centroid assigns to itself at distance 0
+    for c in range(k):
+        assert out.loc[c, "cid"] == c and out.loc[c, "dist"] == 0.0
+
+
+def test_kmeans_assign_empty(ray_session, tmp_path):
+    d = tmp_path / "kmeans_empty"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+                "label": pa.array([], pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    assert analysis.kmeans_assign(str(d)).to_pandas().shape[0] == 0
