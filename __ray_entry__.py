@@ -336,11 +336,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_interarrival": analysis.events_user_interarrival,
         "cross_source_dup_stats": analysis.cross_source_dup_stats,
         "kmeans_assign": analysis.kmeans_assign,
+        "source_unigram_kl": analysis.source_unigram_kl,
+        "stratified_sample": analysis.stratified_sample,
         # --- SQL-checkable operators -------------------------------------
         "stopword_stats": analysis.stopword_stats,
-        "token_count": analysis.token_count,
         "per_source_cap": analysis.per_source_cap,
-        "global_length_rank": analysis.global_length_rank,
         "word_lang_incidence": analysis.word_lang_incidence,
         "events_sessionize": analysis.events_sessionize,
         "events_json_kpi": analysis.events_json_kpi,
@@ -384,6 +384,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": analysis.lang_stats,
         "audio_metadata": audio_metadata_q,
         "video_metadata": video_metadata_q,
+        "token_count": analysis.token_count,
+        "global_length_rank": analysis.global_length_rank,
         "sentence_stats": analysis.sentence_stats,
         "knn_cosine_top10": analysis.knn_cosine_top10,
         "knn_label_filtered": knn_label_q,
@@ -1236,6 +1238,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN s.ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_docs
             FROM f JOIN s USING (fp)
             GROUP BY f.source
+        """,
+        "stratified_sample": """
+            WITH r AS (
+                SELECT doc_id, lang,
+                       CAST(ntile(10) OVER (
+                           PARTITION BY lang ORDER BY n_chars, doc_id
+                       ) AS BIGINT) AS bucket
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, lang, bucket,
+                       CAST(row_number() OVER (
+                           PARTITION BY lang, bucket
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS BIGINT) AS pick
+                FROM r
+            )
+            SELECT doc_id, lang, bucket, pick FROM s WHERE pick <= 5
+        """,
+        "source_unigram_kl": """
+            WITH w AS (
+                SELECT source, unnest(string_split(coalesce(text, ''), ' ')) AS word
+                FROM documents WHERE source IS NOT NULL
+            ),
+            c AS (SELECT source, word, count(*) AS cnt FROM w GROUP BY source, word),
+            n AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS nt FROM c GROUP BY source),
+            vv AS (SELECT count(DISTINCT word) AS vs FROM w),
+            vocab AS (SELECT DISTINCT word FROM w),
+            p AS (
+                SELECT nn.source, v.word,
+                       CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE) / (nn.nt + vv.vs) AS p
+                FROM n nn CROSS JOIN vocab v CROSS JOIN vv
+                LEFT JOIN c ON c.source = nn.source AND c.word = v.word
+            )
+            SELECT a.source AS s1, b.source AS s2,
+                   round(sum(a.p * ln(a.p / b.p)), 6) AS kl
+            FROM p a JOIN p b ON a.word = b.word AND a.source <> b.source
+            GROUP BY 1, 2
         """,
         "kmeans_assign": """
             WITH e AS (

@@ -3537,3 +3537,314 @@ def kmeans_assign(sf_dir: str, k: int = 8) -> "rd.Dataset":
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).map_batches(
         assign, batch_format="pyarrow"
     )
+
+
+def source_unigram_kl(sf_dir: str, n_buckets: int = 64) -> pa.Table:
+    """Pairwise KL divergence between per-source unigram distributions
+    (add-1 smoothed over the global vocabulary) — the corpus-drift /
+    shard-divergence analytic of data curation: which crawls/dumps are
+    interchangeable and which would shift the training distribution
+    (:func:`source_vocab_overlap` answers set overlap; this weighs the
+    overlap by probability mass).  One row per ORDERED source pair
+    (s1 ≠ s2, NULL-source docs excluded like the sibling op):
+    ``kl = Σ_w p_1(w)·ln(p_1(w)/p_2(w))``, ``p_s(w) = (c_sw+1)/(N_s+V)``.
+
+    Scale shape — the naive form is a dense V×S grid (the oracle builds
+    exactly that, fine at fixture scale, fatal at web scale).  The kernel
+    instead uses the algebraic split::
+
+        KL(a‖b) = [G_a − L_b − X_ab]/(N_a+V) − ln(N_a+V) + ln(N_b+V)
+        G_a = Σ_{w∈a}(c+1)ln(c+1),  L_a = Σ_{w∈a}ln(c+1),  N_a = Σ_{w∈a}c,
+        X_ab = Σ_{w∈a∩b} c_aw·ln(c_bw+1)
+
+    so only the SHARED-word term is pairwise: per-batch (word, source,
+    cnt) partials are co-partitioned by a word-hash BUCKET (one vectorized
+    ``map_groups`` call per bucket, not per word — the dup_clusters
+    pattern), each bucket fully combines counts per word, emits
+    per-(word, source) G/L/N partials plus ordered-pair X partials for
+    PRESENT sources only (Σ_w m_w(m_w−1) rows, the source_vocab_overlap
+    intersection scale — never V×S²), and one tiny (a, b) groupby folds
+    them.  The final assembly reads ≤ S²+S aggregate rows driver-side
+    (bounded by the source catalog, like the dimension collects in
+    relational.py); V rides the fold as a first-of-word counter.  The
+    regrouped float arithmetic differs from the oracle's direct
+    ``Σ p ln(p/q)`` at ~1e-15; rounding to 6 decimals absorbs it."""
+    cat = (
+        _docs(sf_dir, ["source"])
+        .map_batches(
+            lambda b: b.filter(pc.is_valid(b["source"])), batch_format="pyarrow"
+        )
+        .groupby("source")
+        .aggregate(Count(alias_name="_n"))
+        .take_all()
+    )
+    names = sorted(r["source"] for r in cat if r["source"] is not None)
+    S = len(names)
+    out_schema = pa.schema([("s1", pa.string()), ("s2", pa.string()), ("kl", pa.float64())])
+    if S < 2:
+        return out_schema.empty_table()
+    src_arr = pa.array(names, pa.string())
+
+    def _empty_partial() -> pa.Table:
+        e = pa.array([], pa.int64())
+        return pa.table(
+            {"bucket": e, "word": pa.array([], pa.string()), "sidx": e, "cnt": e}
+        )
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        if batch["source"].null_count:
+            batch = batch.filter(pc.is_valid(batch["source"]))
+        if batch.num_rows == 0:
+            return _empty_partial()
+        words = pc.split_pattern(pc.fill_null(batch["text"], ""), " ").combine_chunks()
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        gd = words.values.dictionary_encode()
+        K = len(gd.dictionary)
+        if K == 0:
+            return _empty_partial()
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        sidx = (
+            pc.index_in(batch["source"], value_set=src_arr)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        key, cnt = np.unique(np.repeat(sidx, lens) * K + codes, return_counts=True)
+        wtbl = gd.dictionary.take(pa.array(key % K))
+        # word -> bucket must be a pure function of the word so every
+        # partial row for one word lands in one group (pandas siphash is
+        # process-stable; see stages/dedup._hash_words32)
+        wh = pd.util.hash_array(np.asarray(wtbl.to_pylist(), dtype=object))
+        return pa.table(
+            {
+                "bucket": pa.array((wh % n_buckets).astype(np.int64), pa.int64()),
+                "word": wtbl,
+                "sidx": pa.array(key // K, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def _empty_fold() -> pa.Table:
+        e = pa.array([], pa.int64())
+        f = pa.array([], pa.float64())
+        return pa.table({"a": e, "b": e, "c": e, "g": f, "l": f, "x": f, "w": e})
+
+    def bucket_fold(group: pa.Table) -> pa.Table:
+        wcode, winv = np.unique(
+            np.asarray(group["word"].to_pylist(), dtype=object), return_inverse=True
+        )
+        key = winv.astype(np.int64) * S + group["sidx"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(key, return_inverse=True)
+        c = np.bincount(
+            inv, weights=group["cnt"].to_numpy(zero_copy_only=False), minlength=len(uk)
+        ).astype(np.int64)
+        wc, si = uk // S, uk % S
+        ln_c1 = np.log(c + 1.0)
+        g = (c + 1.0) * ln_c1
+        first = np.r_[True, wc[1:] != wc[:-1]]
+        a_rows = [si]
+        b_rows = [np.full(len(si), -1, np.int64)]
+        c_rows = [c]
+        g_rows = [g]
+        l_rows = [ln_c1]
+        x_rows = [np.zeros(len(si))]
+        w_rows = [first.astype(np.int64)]
+        seg_start = np.flatnonzero(first)
+        v = np.diff(np.r_[seg_start, len(wc)])
+        m = v * (v - 1)  # ordered pairs per word among PRESENT sources
+        if int(m.sum()):
+            q = _segment_aranges(np.zeros(len(m), dtype=np.int64), m)
+            vv = np.repeat(v, m)
+            ss = np.repeat(seg_start, m)
+            i = q // (vv - 1)
+            r = q % (vv - 1)
+            j = r + (r >= i)
+            ai, bi = ss + i, ss + j
+            a_rows.append(si[ai])
+            b_rows.append(si[bi])
+            z = np.zeros(len(ai))
+            c_rows.append(np.zeros(len(ai), np.int64))
+            g_rows.append(z)
+            l_rows.append(z)
+            x_rows.append(c[ai] * ln_c1[bi])
+            w_rows.append(np.zeros(len(ai), np.int64))
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(a_rows), pa.int64()),
+                "b": pa.array(np.concatenate(b_rows), pa.int64()),
+                "c": pa.array(np.concatenate(c_rows), pa.int64()),
+                "g": pa.array(np.concatenate(g_rows), pa.float64()),
+                "l": pa.array(np.concatenate(l_rows), pa.float64()),
+                "x": pa.array(np.concatenate(x_rows), pa.float64()),
+                "w": pa.array(np.concatenate(w_rows), pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir, ["text", "source"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_fold, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(
+            Sum("c", alias_name="c"),
+            Sum("g", alias_name="g"),
+            Sum("l", alias_name="l"),
+            Sum("x", alias_name="x"),
+            Sum("w", alias_name="w"),
+        )
+        .to_pandas()  # bounded: <= S^2 + S rows (source catalog squared)
+    )
+    if agg.empty:  # sources exist but every text is empty -> no words at all
+        # (unreachable in practice: '' splits to one '' token; keep the guard)
+        return out_schema.empty_table()
+    stat = agg[agg["b"] == -1].set_index("a")
+    N = np.zeros(S)
+    G = np.zeros(S)
+    L = np.zeros(S)
+    for a in stat.index:
+        N[a], G[a], L[a] = stat.at[a, "c"], stat.at[a, "g"], stat.at[a, "l"]
+    V = float(stat["w"].sum())
+    X = {
+        (int(r["a"]), int(r["b"])): float(r["x"])
+        for _, r in agg[agg["b"] >= 0].iterrows()
+    }
+    s1, s2, kl = [], [], []
+    for a in range(S):
+        for b in range(S):
+            if a == b:
+                continue
+            s1.append(names[a])
+            s2.append(names[b])
+            kl.append(
+                round(
+                    (G[a] - L[b] - X.get((a, b), 0.0)) / (N[a] + V)
+                    - np.log(N[a] + V)
+                    + np.log(N[b] + V),
+                    6,
+                )
+            )
+    return pa.table(
+        {
+            "s1": pa.array(s1, pa.string()),
+            "s2": pa.array(s2, pa.string()),
+            "kl": pa.array(kl, pa.float64()),
+        }
+    )
+
+
+def stratified_sample(sf_dir: str, n_buckets: int = 10, k: int = 5) -> "rd.Dataset":
+    """Stratified deterministic sampling: every language is split into
+    ``n_buckets`` equal-size length bands (SQL ``ntile`` over
+    ``(n_chars ASC, doc_id ASC)``) and each (language, band) keeps its
+    ``k`` docs with the smallest ``md5(doc_id)`` — the eval-set /
+    human-audit carve-out every corpus release needs (a content-addressed
+    pick is reproducible across engines and stable under re-runs; a
+    uniform pick would oversample the short-doc mass).
+
+    Scale shape: the per-language histogram-rank primitive again
+    (:func:`ccnet_tercile_buckets` — pass 1 is a ``(lang, n_chars)``
+    COUNT whose driver collect is bounded by distinct (language, length)
+    pairs), with the ntile bucket computed CLOSED-FORM from the rank
+    (``q = n//B`` rows per bucket, the first ``n%B`` buckets one fatter —
+    exactly the SQL remainder rule, integer-exact).  Pass 2 ranks each
+    tie group, assigns bands, and pre-trims to a per-band top-k partial,
+    so the final ``(lang, band)`` exchange carries ≤ k rows per band per
+    tie group, never the corpus.  NULL langs form their own partition via
+    the two-key pattern."""
+    B = int(n_buckets)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        key, isnull = _null_safe_key(batch["lang"])
+        cols = {"lang_key": key, "lang_null": isnull, "n_chars": batch["n_chars"]}
+        if "doc_id" in batch.schema.names:
+            cols["doc_id"] = batch["doc_id"]
+        return pa.table(cols)
+
+    hist = (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby(["lang_key", "lang_null", "n_chars"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()  # bounded by distinct (lang, length) pairs
+    )
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "bucket": pa.array([], pa.int64()),
+            "pick": pa.array([], pa.int64()),
+        }
+    )
+    if hist.empty:
+        return rd.from_arrow(empty)
+    hist = hist.sort_values(["lang_key", "lang_null", "n_chars"], ascending=True)
+    offsets: dict = {}
+    totals: dict = {}
+    for (lk, ln), sub in hist.groupby(["lang_key", "lang_null"], sort=False):
+        c = sub["n"].to_numpy(dtype=np.int64)
+        offs = np.cumsum(c) - c
+        for nch, o in zip(sub["n_chars"].tolist(), offs.tolist()):
+            offsets[(lk, bool(ln), nch)] = o
+        totals[(lk, bool(ln))] = int(c.sum())
+
+    def band_partial(group: pa.Table) -> pa.Table:
+        lk = group["lang_key"][0].as_py()
+        ln = bool(group["lang_null"][0].as_py())
+        nch = int(group["n_chars"][0].as_py())
+        ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
+        n = totals[(lk, ln)]
+        rnk = np.arange(1, len(ids) + 1, dtype=np.int64) + offsets[(lk, ln, nch)]
+        q, big = n // B, n % B
+        thresh = big * (q + 1)
+        # ntile remainder rule; q==0 keeps the first branch (rnk <= n = thresh)
+        bucket = np.where(
+            rnk <= thresh,
+            (rnk - 1) // (q + 1) + 1,
+            big + (rnk - thresh - 1) // max(q, 1) + 1,
+        )
+        df = pd.DataFrame(
+            {
+                "bucket": bucket,
+                "h": [hashlib.md5(str(int(i)).encode()).hexdigest() for i in ids],
+                "doc_id": ids,
+            }
+        )
+        df = df.sort_values(["bucket", "h", "doc_id"]).groupby("bucket").head(k)
+        return pa.table(
+            {
+                "lang_key": pa.array([lk] * len(df), pa.string()),
+                "lang_null": pa.array([ln] * len(df), pa.bool_()),
+                "bucket": pa.array(df["bucket"].to_numpy(), pa.int64()),
+                "h": pa.array(df["h"], pa.string()),
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def final_pick(group: pa.Table) -> pa.Table:
+        df = (
+            group.select(["h", "doc_id"])
+            .to_pandas()
+            .sort_values(["h", "doc_id"])
+            .head(k)
+        )
+        ln = bool(group["lang_null"][0].as_py())
+        lk = group["lang_key"][0].as_py()
+        m = len(df)
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "lang": pa.array([None if ln else lk] * m, pa.string()),
+                "bucket": pa.array([group["bucket"][0].as_py()] * m, pa.int64()),
+                "pick": pa.array(np.arange(1, m + 1, dtype=np.int64)),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby(["lang_key", "lang_null", "n_chars"])
+        .map_groups(band_partial, batch_format="pyarrow")
+        .groupby(["lang_key", "lang_null", "bucket"])
+        .map_groups(final_pick, batch_format="pyarrow")
+    )

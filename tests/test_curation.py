@@ -1457,3 +1457,118 @@ def test_kmeans_assign_empty(ray_session, tmp_path):
         d / "embeddings.parquet",
     )
     assert analysis.kmeans_assign(str(d)).to_pandas().shape[0] == 0
+
+
+def test_source_unigram_kl_matches_naive(ray_session, tmp_path):
+    import math
+    from collections import Counter, defaultdict
+
+    d = tmp_path / "kl_rand"
+    d.mkdir()
+    rows = _random_docs(707, 220)
+    _write_full_docs(d, rows)
+    out = analysis.source_unigram_kl(str(d)).to_pandas()
+    got = {(r["s1"], r["s2"]): r["kl"] for _, r in out.iterrows()}
+
+    counts = defaultdict(Counter)
+    vocab = set()
+    for _, text, _, source, _ in rows:
+        if source is None:
+            continue
+        words = (text or "").split(" ")
+        counts[source].update(words)
+        vocab.update(words)
+    V = len(vocab)
+    names = sorted(counts)
+    expect = {}
+    for a in names:
+        na = sum(counts[a].values())
+        for b in names:
+            if a == b:
+                continue
+            nb = sum(counts[b].values())
+            kl = 0.0
+            for w in vocab:
+                p = (counts[a][w] + 1) / (na + V)
+                q = (counts[b][w] + 1) / (nb + V)
+                kl += p * math.log(p / q)
+            expect[(a, b)] = kl
+    assert set(got) == set(expect)
+    for pair in expect:
+        # the kernel reports round(kl, 6); allow the half-step plus float dust
+        assert abs(got[pair] - expect[pair]) <= 5e-7 + 1e-12, pair
+    # sanity: the divergence is positive somewhere (sources really differ)
+    assert max(expect.values()) > 0
+
+
+def test_source_unigram_kl_degenerate_catalogs(ray_session, tmp_path):
+    d = tmp_path / "kl_one"
+    d.mkdir()
+    _write_full_docs(d, [(0, "a b c", "en", "A", 5), (1, "a b", "en", "A", 3)])
+    assert analysis.source_unigram_kl(str(d)).num_rows == 0  # one source
+
+    e = tmp_path / "kl_null"
+    e.mkdir()
+    _write_full_docs(e, [(0, "a b", "en", None, 3)])
+    assert analysis.source_unigram_kl(str(e)).num_rows == 0  # all-NULL sources
+
+    f = tmp_path / "kl_empty"
+    f.mkdir()
+    _write_full_docs(f, [])
+    assert analysis.source_unigram_kl(str(f)).num_rows == 0
+
+
+def test_stratified_sample_matches_naive(ray_session, tmp_path):
+    d = tmp_path / "strat_rand"
+    d.mkdir()
+    rows = _random_docs(808, 260)
+    _write_full_docs(d, rows)
+    B, K = 10, 5
+    out = analysis.stratified_sample(str(d), n_buckets=B, k=K).to_pandas()
+    got = {
+        int(r["doc_id"]): (
+            None if pd.isna(r["lang"]) else r["lang"],
+            int(r["bucket"]),
+            int(r["pick"]),
+        )
+        for _, r in out.iterrows()
+    }
+
+    from collections import defaultdict
+
+    by_lang = defaultdict(list)
+    for doc_id, _, lang, _, n_chars in rows:
+        by_lang[lang].append((n_chars, doc_id))
+    expect = {}
+    for lang, docs in by_lang.items():
+        docs.sort()
+        n = len(docs)
+        q, big = n // B, n % B
+        buckets = defaultdict(list)
+        for r, (_, doc_id) in enumerate(docs, start=1):
+            if r <= big * (q + 1):
+                b = (r - 1) // (q + 1) + 1
+            else:
+                b = big + (r - big * (q + 1) - 1) // max(q, 1) + 1
+            buckets[b].append(doc_id)
+        for b, ids in buckets.items():
+            ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+            for pick, doc_id in enumerate(ids[:K], start=1):
+                expect[doc_id] = (lang, b, pick)
+    assert got == expect
+    # every (lang, bucket) carved at most K and buckets span 1..B
+    assert out["pick"].max() <= K and out["bucket"].between(1, B).all()
+
+
+def test_stratified_sample_empty_and_tiny(ray_session, tmp_path):
+    d = tmp_path / "strat_empty"
+    d.mkdir()
+    _write_full_docs(d, [])
+    assert analysis.stratified_sample(str(d)).to_pandas().shape[0] == 0
+
+    e = tmp_path / "strat_tiny"
+    e.mkdir()
+    # 3 docs, 10 buckets: ntile gives each its own bucket 1..3, all picked
+    _write_full_docs(e, [(i, f"doc {i}", "en", "A", 10 + i) for i in range(3)])
+    out = analysis.stratified_sample(str(e)).to_pandas()
+    assert sorted(out["bucket"]) == [1, 2, 3] and (out["pick"] == 1).all()
