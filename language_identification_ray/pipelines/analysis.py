@@ -3405,30 +3405,41 @@ def cross_source_dup_stats(sf_dir: str, prefix: int = 40) -> "rd.Dataset":
     whichever shard dedups last).
 
     Two shuffles, both on small keys: (1) per-batch DISTINCT
-    (fp, source, cnt) partials groupby the 32-byte fp — each group holds a
-    handful of (source, cnt) rows; a vectorized check marks every row of a
-    group that has ≥ 2 distinct sources (NULL source is its own source via
-    the two-key pattern, matching the oracle's count(DISTINCT)+NULL-case
-    arithmetic); (2) the marked partials fold per source.  The text never
-    shuffles."""
+    (fp, source, cnt) partials co-partitioned by a fingerprint-hash BUCKET
+    — one vectorized ``map_groups`` call per bucket (the dup_clusters /
+    source_unigram_kl pattern; a groupby on the raw fp would be one Python
+    call per DISTINCT DOCUMENT), combining counts per (fp, source) with
+    one ``np.unique`` and marking every row whose fp segment spans ≥ 2
+    distinct sources (NULL source is its own source via the two-key
+    pattern, matching the oracle's count(DISTINCT)+NULL-case arithmetic);
+    each bucket pre-folds to per-source partials, so (2) the final
+    exchange carries S rows per bucket.  The text never shuffles."""
+    n_buckets = 256
 
     def keyed(batch: pa.Table) -> pa.Table:
-        fps = [
-            hashlib.md5((t or "")[:prefix].encode("utf-8")).hexdigest()
+        raw = [
+            hashlib.md5((t or "")[:prefix].encode("utf-8")).digest()
             for t in batch["text"].to_pylist()
         ]
         skey, snull = _null_safe_key(batch["source"])
         df = pd.DataFrame(
             {
-                "fp": fps,
+                "fp": [d.hex() for d in raw],
+                "bucket": np.frombuffer(b"".join(raw), dtype="<u2")[::8]
+                % n_buckets
+                if raw
+                else np.empty(0, np.int64),
                 "source_key": skey.to_pandas(),
                 "source_null": snull.to_pandas(),
             }
         )
-        g = df.groupby(["fp", "source_key", "source_null"], sort=False).size()
+        g = df.groupby(
+            ["bucket", "fp", "source_key", "source_null"], sort=False
+        ).size()
         out = g.reset_index(name="cnt")
         return pa.table(
             {
+                "bucket": pa.array(out["bucket"].to_numpy().astype(np.int64), pa.int64()),
                 "fp": pa.array(out["fp"], pa.string()),
                 "source_key": pa.array(out["source_key"], pa.string()),
                 "source_null": pa.array(out["source_null"], pa.bool_()),
@@ -3436,28 +3447,48 @@ def cross_source_dup_stats(sf_dir: str, prefix: int = 40) -> "rd.Dataset":
             }
         )
 
-    def mark(group: pa.Table) -> pa.Table:
-        # distinct sources in this fp group = distinct (key, null) pairs;
-        # partials from different batches may repeat a pair
-        sk = group["source_key"].to_pylist()
-        sn = group["source_null"].to_pylist()
-        n_sources = len(set(zip(sk, sn)))
-        cnt = group["cnt"].to_numpy(zero_copy_only=False)
-        cross = cnt if n_sources > 1 else np.zeros(len(cnt), dtype=np.int64)
+    def mark_bucket(group: pa.Table) -> pa.Table:
+        # combine per (fp, source): partials from different batches may
+        # repeat a pair; codes keep everything in numpy
+        fpc, fpinv = np.unique(
+            np.asarray(group["fp"].to_pylist(), dtype=object), return_inverse=True
+        )
+        sk = np.asarray(group["source_key"].to_pylist(), dtype=object)
+        sn = group["source_null"].to_numpy(zero_copy_only=False)
+        sinv, upairs = pd.MultiIndex.from_arrays([sk, sn]).factorize()
+        usk = np.asarray(upairs.get_level_values(0), dtype=object)
+        usn = np.asarray(upairs.get_level_values(1), dtype=bool)
+        nsrc = max(len(usk), 1)
+        key = fpinv.astype(np.int64) * nsrc + sinv
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.bincount(
+            inv, weights=group["cnt"].to_numpy(zero_copy_only=False), minlength=len(uk)
+        ).astype(np.int64)
+        fpi, si = uk // nsrc, uk % nsrc
+        # fp segment length = distinct sources for that fp
+        seg_first = np.r_[True, fpi[1:] != fpi[:-1]]
+        seg_start = np.flatnonzero(seg_first)
+        seg_len = np.diff(np.r_[seg_start, len(fpi)])
+        cross_mask = np.repeat(seg_len > 1, seg_len)
+        cross = np.where(cross_mask, cnt, 0)
+        # pre-fold to per-source partials (S rows out per bucket)
+        out_docs = np.bincount(si, weights=cnt, minlength=nsrc).astype(np.int64)
+        out_cross = np.bincount(si, weights=cross, minlength=nsrc).astype(np.int64)
+        keep = out_docs > 0
         return pa.table(
             {
-                "source_key": group["source_key"],
-                "source_null": group["source_null"],
-                "n_docs": group["cnt"],
-                "n_cross": pa.array(cross, pa.int64()),
+                "source_key": pa.array(usk[keep], pa.string()),
+                "source_null": pa.array(usn[keep], pa.bool_()),
+                "n_docs": pa.array(out_docs[keep], pa.int64()),
+                "n_cross": pa.array(out_cross[keep], pa.int64()),
             }
         )
 
     return (
         _docs(sf_dir, ["text", "source"])
         .map_batches(keyed, batch_format="pyarrow")
-        .groupby("fp")
-        .map_groups(mark, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(mark_bucket, batch_format="pyarrow")
         .groupby(["source_key", "source_null"])
         .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("n_cross", alias_name="n_cross_docs"))
         .map_batches(
