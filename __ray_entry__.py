@@ -325,7 +325,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # the suite even though the driver would not see it.
     return {
         # --- round-2-unchecked oracle-backed operators first ---------------
-        "jaccard_pairs": jaccard_pairs_q,
         "minhash_lsh_pairs": minhash_pairs_q,
         "embedding_dup_pairs": embedding_dup_pairs_q,
         "dup_clusters": analysis.dup_clusters,
@@ -338,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": analysis.kmeans_assign,
         "source_unigram_kl": analysis.source_unigram_kl,
         "stratified_sample": analysis.stratified_sample,
+        "word_entropy": analysis.word_entropy,
         # --- SQL-checkable operators -------------------------------------
         "stopword_stats": analysis.stopword_stats,
         "per_source_cap": analysis.per_source_cap,
@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (each unchanged since its r2-green row, or a trivial variant with
         # a checked in-window sibling — see the ordering NOTE above)
         "lang_stats": analysis.lang_stats,
+        "jaccard_pairs": jaccard_pairs_q,
         "audio_metadata": audio_metadata_q,
         "video_metadata": video_metadata_q,
         "token_count": analysis.token_count,
@@ -1238,6 +1239,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN s.ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_docs
             FROM f JOIN s USING (fp)
             GROUP BY f.source
+        """,
+        "word_entropy": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
+                FROM documents
+            ),
+            c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word),
+            d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words FROM c GROUP BY doc_id)
+            SELECT c.doc_id, d.n_words, CAST(count(*) AS BIGINT) AS n_types,
+                   round(-sum((c.cnt / CAST(d.n_words AS DOUBLE))
+                              * ln(c.cnt / CAST(d.n_words AS DOUBLE))), 6) + 0.0
+                       AS entropy
+            FROM c JOIN d USING (doc_id)
+            GROUP BY c.doc_id, d.n_words
         """,
         "stratified_sample": """
             WITH r AS (

@@ -3879,3 +3879,43 @@ def stratified_sample(sf_dir: str, n_buckets: int = 10, k: int = 5) -> "rd.Datas
         .groupby(["lang_key", "lang_null", "bucket"])
         .map_groups(final_pick, batch_format="pyarrow")
     )
+
+
+def word_entropy(sf_dir: str) -> "rd.Dataset":
+    """Per-document Shannon entropy of the word distribution (nats) plus
+    type/token counts — the gibberish/template signal quality filters pair
+    with the repetition fraction (a spam page repeating one token has
+    H ≈ 0; a natural page tracks its vocabulary's log-size; Gopher's
+    top-word-repetition cap is the one-word special case of this).
+
+    Map-only and fully vectorized: one ``np.unique`` over packed
+    (doc, word-code) keys per batch gives per-doc type counts and the
+    probability terms in a single pass — no shuffle, no per-doc Python.
+    NULL/empty text behaves like the engine's split convention (one ''
+    token, entropy 0).  ``+ 0.0`` normalizes IEEE −0.0 (single-type docs
+    produce ``-(1·ln 1)``) so both engines hash the same zero."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        words = pc.split_pattern(_text_col(batch), " ")
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        gd = words.values.dictionary_encode()
+        codes = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        K = max(len(gd.dictionary), 1)
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+        uk, ucnt = np.unique(doc_of * K + codes, return_counts=True)
+        udoc = uk // K
+        n_types = np.bincount(udoc, minlength=n).astype(np.int64)
+        p = ucnt / lens[udoc].astype(np.float64)
+        h = np.bincount(udoc, weights=-p * np.log(p), minlength=n)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(lens, pa.int64()),
+                "n_types": pa.array(n_types, pa.int64()),
+                "entropy": pa.array(np.round(h, 6) + 0.0, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")

@@ -1572,3 +1572,33 @@ def test_stratified_sample_empty_and_tiny(ray_session, tmp_path):
     _write_full_docs(e, [(i, f"doc {i}", "en", "A", 10 + i) for i in range(3)])
     out = analysis.stratified_sample(str(e)).to_pandas()
     assert sorted(out["bucket"]) == [1, 2, 3] and (out["pick"] == 1).all()
+
+
+def test_word_entropy_matches_naive(ray_session, tmp_path):
+    import math
+    from collections import Counter
+
+    d = tmp_path / "entropy_rand"
+    d.mkdir()
+    rows = _random_docs(909, 200)
+    _write_full_docs(d, rows)
+    out = analysis.word_entropy(str(d)).to_pandas().set_index("doc_id")
+    for doc_id, text, _, _, _ in rows:
+        words = (text or "").split(" ")
+        c = Counter(words)
+        n = len(words)
+        h = -sum((v / n) * math.log(v / n) for v in c.values())
+        assert out.loc[doc_id, "n_words"] == n
+        assert out.loc[doc_id, "n_types"] == len(c)
+        got = out.loc[doc_id, "entropy"]
+        assert abs(got - h) <= 5e-7 + 1e-12, doc_id
+        # single-type docs (incl. empty/None text) are exactly +0.0
+        if len(c) == 1:
+            assert got == 0.0 and not str(got).startswith("-")
+
+
+def test_word_entropy_empty_table(ray_session, tmp_path):
+    d = tmp_path / "entropy_empty"
+    d.mkdir()
+    _write_full_docs(d, [])
+    assert analysis.word_entropy(str(d)).to_pandas().shape[0] == 0
