@@ -326,7 +326,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- round-2-unchecked oracle-backed operators first ---------------
         "minhash_lsh_pairs": minhash_pairs_q,
-        "embedding_dup_pairs": embedding_dup_pairs_q,
         "dup_clusters": analysis.dup_clusters,
         "decontaminate_docs": analysis.decontaminate_docs,
         "semantic_dedup_docs": analysis.semantic_dedup_docs,
@@ -336,6 +335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_dup_stats": analysis.cross_source_dup_stats,
         "kmeans_assign": analysis.kmeans_assign,
         "source_unigram_kl": analysis.source_unigram_kl,
+        "dsir_importance_weights": analysis.dsir_importance_weights,
         "stratified_sample": analysis.stratified_sample,
         "word_entropy": analysis.word_entropy,
         # --- SQL-checkable operators -------------------------------------
@@ -383,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # a checked in-window sibling — see the ordering NOTE above)
         "lang_stats": analysis.lang_stats,
         "jaccard_pairs": jaccard_pairs_q,
+        "embedding_dup_pairs": embedding_dup_pairs_q,
         "audio_metadata": audio_metadata_q,
         "video_metadata": video_metadata_q,
         "token_count": analysis.token_count,
@@ -1239,6 +1240,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN s.ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_docs
             FROM f JOIN s USING (fp)
             GROUP BY f.source
+        """,
+        "dsir_importance_weights": """
+            WITH tok AS (
+                SELECT doc_id, source,
+                       unnest(string_split(coalesce(text, ''), ' ')) AS word
+                FROM documents
+            ),
+            w AS (
+                SELECT doc_id, source,
+                       CAST(md5_number_lower(word) % 4096 AS BIGINT) AS b
+                FROM tok
+            ),
+            tsrc AS (SELECT min(source) AS s FROM documents),
+            t AS (
+                SELECT b, count(*) AS c FROM w, tsrc WHERE w.source = tsrc.s
+                GROUP BY b
+            ),
+            r AS (SELECT b, count(*) AS c FROM w GROUP BY b),
+            nt AS (
+                SELECT count(*) AS n FROM w, tsrc WHERE w.source = tsrc.s
+            ),
+            nr AS (SELECT count(*) AS n FROM w)
+            SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                   round(sum(ln(coalesce(t.c, 0) + 1.0) - ln(r.c + 1.0))
+                         + count(*) * (ln(nr.n + 4096.0) - ln(nt.n + 4096.0)),
+                         6) + 0.0 AS logw
+            FROM w LEFT JOIN t USING (b) JOIN r USING (b)
+            CROSS JOIN nt CROSS JOIN nr
+            GROUP BY w.doc_id, nt.n, nr.n
         """,
         "word_entropy": """
             WITH w AS (

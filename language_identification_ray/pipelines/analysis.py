@@ -3919,3 +3919,125 @@ def word_entropy(sf_dir: str) -> "rd.Dataset":
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def dsir_importance_weights(sf_dir: str, n_buckets: int = 4096) -> "rd.Dataset":
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): every document scores
+    ``logw = Σ_tokens [ln p_target(b(w)) − ln p_raw(b(w))]`` under two
+    HASHED-unigram bag-of-buckets models — the scalable stand-in for "how
+    much does this web page look like the target domain", sampled with
+    Gumbel noise downstream.  The target here is the lexicographically
+    first source (deterministic, so the oracle can reconstruct it); raw is
+    the whole corpus; both use add-1 smoothing over the ``n_buckets``
+    hash buckets.
+
+    Scale shape — hashing is the POINT of DSIR: the two distributions are
+    fixed ``n_buckets``-long arrays no matter the corpus (this is why the
+    paper hashes instead of using a vocabulary), so pass 1 is per-batch
+    bucket-count partials folded through one tiny groupby (exchange ≤
+    n_buckets rows per batch, driver collect bounded by n_buckets), and
+    pass 2 is MAP-ONLY with the two log-prob arrays closed over (at scale:
+    ``ray.put`` once, gathered per batch with one ``np.take`` +
+    ``np.bincount``).  The bucket is DuckDB-reproducible:
+    ``md5_number_lower(word) % n_buckets`` == the md5 digest's last 8
+    bytes little-endian — verified byte-exact against the oracle."""
+    B = int(n_buckets)
+
+    def _bucket(words: list) -> np.ndarray:
+        """md5 bucket per token, hashing each DISTINCT word once per batch
+        (web text repeats words heavily; the md5 loop runs over the batch
+        vocabulary, not the token stream)."""
+        if not words:
+            return np.empty(0, np.int64)
+        uw, inv = np.unique(np.asarray(words, dtype=object), return_inverse=True)
+        ub = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[8:], "little") % B
+                for w in uw
+            ),
+            dtype=np.int64,
+            count=len(uw),
+        )
+        return ub[inv]
+
+    # the deterministic target domain: lexicographically first source
+    tgt = (
+        _docs(sf_dir, ["source"])
+        .map_batches(
+            lambda b: pa.table(
+                {"m": pa.array([pc.min(b["source"]).as_py()], pa.string())}
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()  # bounded: one row per batch
+    )
+    # an empty corpus yields a column-less frame (no batch ever ran)
+    tgt = tgt["m"].dropna() if "m" in tgt.columns else tgt.squeeze(axis=1)
+    target_source = tgt.min() if len(tgt) else None
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        is_t = (
+            pc.equal(pc.fill_null(batch["source"], ""), target_source or "")
+            .to_numpy(zero_copy_only=False)
+            if target_source is not None
+            else np.zeros(len(texts), dtype=bool)
+        )
+        if target_source is not None and batch["source"].null_count:
+            is_t &= pc.is_valid(batch["source"]).to_numpy(zero_copy_only=False)
+        words_per_doc = [(t or "").split(" ") for t in texts]
+        lens = np.fromiter((len(w) for w in words_per_doc), np.int64, count=len(texts))
+        import itertools
+
+        bk = _bucket(list(itertools.chain.from_iterable(words_per_doc)))
+        t_mask = np.repeat(is_t, lens)
+        c_r = np.bincount(bk, minlength=B)
+        c_t = np.bincount(bk[t_mask], minlength=B)
+        nz = np.flatnonzero(c_r)
+        return pa.table(
+            {
+                "b": pa.array(nz, pa.int64()),
+                "c_t": pa.array(c_t[nz], pa.int64()),
+                "c_r": pa.array(c_r[nz], pa.int64()),
+            }
+        )
+
+    folded = (
+        _docs(sf_dir, ["text", "source"])
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("b")
+        .aggregate(Sum("c_t", alias_name="c_t"), Sum("c_r", alias_name="c_r"))
+        .to_pandas()  # bounded: <= n_buckets rows (DSIR's fixed model size)
+    )
+    c_t = np.zeros(B, np.int64)
+    c_r = np.zeros(B, np.int64)
+    if not folded.empty:
+        c_t[folded["b"].to_numpy()] = folded["c_t"].to_numpy()
+        c_r[folded["b"].to_numpy()] = folded["c_r"].to_numpy()
+    n_t, n_r = int(c_t.sum()), int(c_r.sum())
+    # per-bucket log ratio; the ln(N+B) normalizers fold into one constant
+    log_ratio = np.log(c_t + 1.0) - np.log(c_r + 1.0)
+    const = np.log(n_r + float(B)) - np.log(n_t + float(B))
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        words_per_doc = [(t or "").split(" ") for t in texts]
+        lens = np.fromiter((len(w) for w in words_per_doc), np.int64, count=len(texts))
+        import itertools
+
+        bk = _bucket(list(itertools.chain.from_iterable(words_per_doc)))
+        doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        s = np.bincount(doc_of, weights=log_ratio[bk], minlength=len(texts))
+        logw = s + lens * const
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(lens, pa.int64()),
+                "logw": pa.array(np.round(logw, 6) + 0.0, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
+        score, batch_format="pyarrow"
+    )

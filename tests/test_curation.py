@@ -1602,3 +1602,73 @@ def test_word_entropy_empty_table(ray_session, tmp_path):
     d.mkdir()
     _write_full_docs(d, [])
     assert analysis.word_entropy(str(d)).to_pandas().shape[0] == 0
+
+
+def test_dsir_weights_match_naive(ray_session, tmp_path):
+    import math
+    from collections import Counter
+
+    d = tmp_path / "dsir_rand"
+    d.mkdir()
+    rows = _random_docs(1010, 200)
+    _write_full_docs(d, rows)
+    B = 4096
+    out = analysis.dsir_importance_weights(str(d), n_buckets=B).to_pandas().set_index(
+        "doc_id"
+    )
+
+    def bucket(w):
+        return int.from_bytes(hashlib.md5(w.encode()).digest()[8:], "little") % B
+
+    sources = [s for _, _, _, s, _ in rows if s is not None]
+    target = min(sources)
+    c_t, c_r = Counter(), Counter()
+    for _, text, _, source, _ in rows:
+        for w in (text or "").split(" "):
+            b = bucket(w)
+            c_r[b] += 1
+            if source == target:
+                c_t[b] += 1
+    n_t, n_r = sum(c_t.values()), sum(c_r.values())
+    for doc_id, text, _, _, _ in rows:
+        words = (text or "").split(" ")
+        logw = sum(
+            math.log((c_t[bucket(w)] + 1) / (n_t + B))
+            - math.log((c_r[bucket(w)] + 1) / (n_r + B))
+            for w in words
+        )
+        assert out.loc[doc_id, "n_tokens"] == len(words)
+        assert abs(out.loc[doc_id, "logw"] - logw) <= 5e-7 + 1e-12, doc_id
+
+
+def test_dsir_weights_rank_target_like_docs_higher(ray_session, tmp_path):
+    # a corpus where the target source ('A', lexicographically first) has a
+    # DISTINCTIVE vocabulary: a doc written in that vocabulary must outscore
+    # an equal-length doc written in the background vocabulary
+    d = tmp_path / "dsir_rank"
+    d.mkdir()
+    rows = []
+    i = 0
+    for _ in range(20):
+        rows.append((i, "gene protein enzyme rna dna fold", "en", "A", 30)); i += 1
+    for _ in range(60):
+        rows.append((i, "game score team player goal win", "en", "B", 30)); i += 1
+    rows.append((i, "gene protein enzyme rna dna fold", "en", "B", 30)); probe_t = i; i += 1
+    rows.append((i, "game score team player goal win", "en", "B", 30)); probe_b = i; i += 1
+    _write_full_docs(d, rows)
+    out = analysis.dsir_importance_weights(str(d)).to_pandas().set_index("doc_id")
+    assert out.loc[probe_t, "logw"] > out.loc[probe_b, "logw"]
+
+
+def test_dsir_weights_degenerate(ray_session, tmp_path):
+    d = tmp_path / "dsir_null"
+    d.mkdir()
+    # all-NULL sources: target is undefined -> n_t = 0, weights still finite
+    _write_full_docs(d, [(0, "a b c", "en", None, 5), (1, "a b", "en", None, 3)])
+    out = analysis.dsir_importance_weights(str(d)).to_pandas()
+    assert len(out) == 2 and out["logw"].notna().all()
+
+    e = tmp_path / "dsir_empty"
+    e.mkdir()
+    _write_full_docs(e, [])
+    assert analysis.dsir_importance_weights(str(e)).to_pandas().shape[0] == 0
