@@ -286,21 +286,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # events_hopping_window / word_cooccurrence_top100 /
     # gopher_quality_flags / ccnet_tercile_buckets / fuzzy_dedup_keep /
     # vocab_coverage_90 / source_novelty / gopher_keep_rates).
-    # With 76 backed entries and a 20+-kernel end-of-round NULL-hardening
+    # With 80 backed entries and a 20+-kernel end-of-round NULL-hardening
     # sweep, the rule is applied by REGRESSION RISK: every substantively
     # rewritten kernel is inside (label_centroids' NULL-label bit-packing
     # and lang_stats_salted's two-key rewrite were swapped IN after the
     # sweep, ceding knn_cosine_top10 / knn_label_filtered whose only r3
     # change is an early-return empty-input guard that cannot affect a
     # non-empty result — their scan/sort kernels are byte-identical).
-    # The three session-2 kernels (events_user_interarrival /
-    # cross_source_dup_stats / kmeans_assign) hold slots ceded by entries
-    # whose machinery an in-window sibling still exercises end-to-end:
-    # lang_stats (lang_stats_salted composes the identical aggregate plus
-    # the salted two-stage exchange) and audio_metadata / video_metadata
-    # (media_metadata drives the same actor-pool payload-header round-trip
-    # decode; the ceded pair differ only in which header fields the
-    # synthesizer wrote).
+    # The seven session-2 kernels (events_user_interarrival /
+    # cross_source_dup_stats / kmeans_assign / source_unigram_kl /
+    # stratified_sample / word_entropy / dsir_importance_weights) hold
+    # slots ceded by entries whose machinery an in-window sibling still
+    # exercises end-to-end: lang_stats (lang_stats_salted composes the
+    # identical aggregate plus the salted two-stage exchange),
+    # audio_metadata / video_metadata (media_metadata drives the same
+    # actor-pool payload-header round-trip decode), token_count (its
+    # r3 change — the shared _text_col null-fill — also runs inside
+    # in-window stopword_stats / repetition_stats / tfidf), global_length_rank
+    # (ccnet_tercile_buckets and stratified_sample ARE its histogram-rank
+    # primitive, per-language), jaccard_pairs (ngram_jaccard_pairs and
+    # minhash_lsh_pairs drive the same LSH-prefiltered shard_pairs exact
+    # verify), and embedding_dup_pairs (dup_clusters / semantic_dedup_docs /
+    # fuzzy_dedup_keep compose the same pair kernel in-window).
     # Every entry past slot 50 is (a) UNCHANGED since its hash-green
     # CORRECTNESS_r02 row (same code, same oracle — sentence_stats,
     # bigram_top50, events_hourly, embedding_quantize, and later

@@ -259,3 +259,59 @@ def test_null_safe_key_roundtrip(values):
     assert len({(k, n) for k, n in keys}) == len(set(values))
     restored = _restore_key(tagged, "lang", ())
     assert restored["lang"].to_pylist() == values
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=0, max_value=500), st.integers(min_value=1, max_value=40))
+def test_ntile_closed_form_matches_remainder_rule(n, B):
+    """stratified_sample's closed-form bucket must equal the SQL ntile
+    definition for every (n, B): the first n%B buckets hold n//B+1 rows,
+    the rest n//B; every rank lands in exactly one bucket, sizes ordered."""
+    import numpy as np
+
+    if n == 0:
+        return
+    rnk = np.arange(1, n + 1, dtype=np.int64)
+    q, big = n // B, n % B
+    thresh = big * (q + 1)
+    bucket = np.where(
+        rnk <= thresh,
+        (rnk - 1) // (q + 1) + 1,
+        big + (rnk - thresh - 1) // max(q, 1) + 1,
+    )
+    # naive ntile: deal ranks into buckets of size q+1 (first `big`) then q
+    sizes = [q + 1] * big + [q] * (B - big)
+    sizes = [s for s in sizes if s > 0]
+    naive = np.repeat(np.arange(1, len(sizes) + 1, dtype=np.int64), sizes)
+    assert np.array_equal(bucket, naive)
+    assert bucket.min() == 1 and bucket.max() == min(B, n)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=9), min_size=1, max_size=8))
+def test_ordered_pair_expansion_covers_all_pairs(seg_sizes):
+    """source_unigram_kl's vectorized ordered-pair expansion must produce
+    exactly the a≠b pairs of each segment, no dupes, no cross-segment."""
+    import numpy as np
+
+    from language_identification_ray.pipelines.analysis import _segment_aranges
+
+    v = np.asarray(seg_sizes, dtype=np.int64)
+    seg_start = np.concatenate([[0], np.cumsum(v)[:-1]])
+    m = v * (v - 1)
+    if int(m.sum()) == 0:
+        return
+    q = _segment_aranges(np.zeros(len(m), dtype=np.int64), m)
+    vv = np.repeat(v, m)
+    ss = np.repeat(seg_start, m)
+    i = q // (vv - 1)
+    r = q % (vv - 1)
+    j = r + (r >= i)
+    got = set(zip((ss + i).tolist(), (ss + j).tolist()))
+    expect = set()
+    for s, size in zip(seg_start.tolist(), v.tolist()):
+        for a in range(s, s + size):
+            for b in range(s, s + size):
+                if a != b:
+                    expect.add((a, b))
+    assert got == expect and len(got) == int(m.sum())
