@@ -293,9 +293,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sweep, ceding knn_cosine_top10 / knn_label_filtered whose only r3
     # change is an early-return empty-input guard that cannot affect a
     # non-empty result — their scan/sort kernels are byte-identical).
-    # The seven session-2 kernels (events_user_interarrival /
+    # The eight session-2 kernels (events_user_interarrival /
     # cross_source_dup_stats / kmeans_assign / source_unigram_kl /
-    # stratified_sample / word_entropy / dsir_importance_weights) hold
+    # stratified_sample / word_entropy / dsir_importance_weights /
+    # events_retention_cohorts) hold
     # slots ceded by entries whose machinery an in-window sibling still
     # exercises end-to-end: lang_stats (lang_stats_salted composes the
     # identical aggregate plus the salted two-stage exchange),
@@ -306,8 +307,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # (ccnet_tercile_buckets and stratified_sample ARE its histogram-rank
     # primitive, per-language), jaccard_pairs (ngram_jaccard_pairs and
     # minhash_lsh_pairs drive the same LSH-prefiltered shard_pairs exact
-    # verify), and embedding_dup_pairs (dup_clusters / semantic_dedup_docs /
-    # fuzzy_dedup_keep compose the same pair kernel in-window).
+    # verify), embedding_dup_pairs (dup_clusters / semantic_dedup_docs /
+    # fuzzy_dedup_keep compose the same pair kernel in-window), and
+    # events_sessionize (events_funnel / user_rolling_avg /
+    # events_user_interarrival drive the same groupby-user ordered-numpy
+    # machinery and NULL-ts conventions in-window).
     # Every entry past slot 50 is (a) UNCHANGED since its hash-green
     # CORRECTNESS_r02 row (same code, same oracle — sentence_stats,
     # bigram_top50, events_hourly, embedding_quantize, and later
@@ -343,13 +347,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": analysis.kmeans_assign,
         "source_unigram_kl": analysis.source_unigram_kl,
         "dsir_importance_weights": analysis.dsir_importance_weights,
+        "events_retention_cohorts": analysis.events_retention_cohorts,
         "stratified_sample": analysis.stratified_sample,
         "word_entropy": analysis.word_entropy,
         # --- SQL-checkable operators -------------------------------------
         "stopword_stats": analysis.stopword_stats,
         "per_source_cap": analysis.per_source_cap,
         "word_lang_incidence": analysis.word_lang_incidence,
-        "events_sessionize": analysis.events_sessionize,
         "events_json_kpi": analysis.events_json_kpi,
         "events_funnel": analysis.events_funnel,
         "repetition_stats": analysis.repetition_stats,
@@ -391,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": analysis.lang_stats,
         "jaccard_pairs": jaccard_pairs_q,
         "embedding_dup_pairs": embedding_dup_pairs_q,
+        "events_sessionize": analysis.events_sessionize,
         "audio_metadata": audio_metadata_q,
         "video_metadata": video_metadata_q,
         "token_count": analysis.token_count,
@@ -1247,6 +1252,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN s.ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_docs
             FROM f JOIN s USING (fp)
             GROUP BY f.source
+        """,
+        "events_retention_cohorts": """
+            WITH uw AS (
+                SELECT DISTINCT user_id, date_trunc('week', ts) AS w
+                FROM events WHERE ts IS NOT NULL
+            ),
+            c AS (SELECT user_id, min(w) AS cw FROM uw GROUP BY user_id)
+            SELECT c.cw AS cohort_week,
+                   CAST(date_diff('day', c.cw, uw.w) // 7 AS BIGINT) AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM uw JOIN c USING (user_id)
+            GROUP BY 1, 2
         """,
         "dsir_importance_weights": """
             WITH tok AS (

@@ -4041,3 +4041,89 @@ def dsir_importance_weights(sf_dir: str, n_buckets: int = 4096) -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "text", "source"]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+def events_retention_cohorts(sf_dir: str, n_buckets: int = 64) -> "rd.Dataset":
+    """Weekly cohort retention matrix: users are cohorted by the ISO week
+    (Monday floor, = SQL ``date_trunc('week')``) of their FIRST event, and
+    each (cohort_week, week_offset) cell counts the cohort's users active
+    that many weeks later — the standard product-analytics retention
+    triangle, here as the streaming-shaped Ray op.
+
+    Scale shape: per-batch DISTINCT (user, week) partials (vectorized
+    Monday floor on int64 days), co-partitioned by ``user % n_buckets`` —
+    one vectorized ``map_groups`` call per bucket resolves every user's
+    cohort (= segment min) and emits per-(cohort, offset) COUNT partials,
+    each user counted once per distinct week (a per-user groupby would be
+    one Python call per user — millions at scale).  The final exchange
+    folds cell partials: O(cohorts × offsets) rows.  NULL-ts events drop,
+    matching the oracle's WHERE."""
+
+    def week_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False)
+        ok = ~np.isnat(ts)
+        ts, uid = ts[ok], uid[ok]
+        d = ts.astype("datetime64[D]").astype(np.int64)
+        # epoch day 0 = Thursday; Monday-aligned floor (floor-div handles
+        # pre-epoch correctly)
+        wk = ((d - 4) // 7) * 7 + 4
+        key = np.unique(uid * np.int64(1 << 20) + (wk + np.int64(1 << 19)))
+        u, w = key >> 20, (key & ((1 << 20) - 1)) - (1 << 19)
+        return pa.table(
+            {
+                "bucket": pa.array(u % n_buckets, pa.int64()),
+                "user_id": pa.array(u, pa.int64()),
+                "week": pa.array(w, pa.int64()),
+            }
+        )
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        u = group["user_id"].to_numpy(zero_copy_only=False)
+        w = group["week"].to_numpy(zero_copy_only=False)
+        # combine cross-batch dupes, then per-user segments (sorted by user)
+        key = np.unique(u * np.int64(1 << 20) + (w + np.int64(1 << 19)))
+        u, w = key >> 20, (key & ((1 << 20) - 1)) - (1 << 19)
+        first = np.r_[True, u[1:] != u[:-1]]
+        cohort = np.repeat(w[first], np.diff(np.r_[np.flatnonzero(first), len(u)]))
+        off = (w - cohort) // 7
+        cell, cnt = np.unique(cohort * np.int64(1 << 20) + off, return_counts=True)
+        return pa.table(
+            {
+                "cohort_day": pa.array(cell >> 20, pa.int64()),
+                "week_offset": pa.array(cell & ((1 << 20) - 1), pa.int64()),
+                "n_users": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "cohort_day" not in batch.schema.names:
+            # empty corpus: the aggregate emits a column-less frame
+            return pa.table(
+                {
+                    "cohort_week": pa.array([], pa.timestamp("us")),
+                    "week_offset": pa.array([], pa.int64()),
+                    "n_users": pa.array([], pa.int64()),
+                }
+            )
+        days = batch["cohort_day"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cohort_week": pa.array(
+                    days.astype("datetime64[D]").astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                ),
+                "week_offset": batch["week_offset"],
+                "n_users": batch["n_users"],
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+        .map_batches(week_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pyarrow")
+        .groupby(["cohort_day", "week_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

@@ -1672,3 +1672,55 @@ def test_dsir_weights_degenerate(ray_session, tmp_path):
     e.mkdir()
     _write_full_docs(e, [])
     assert analysis.dsir_importance_weights(str(e)).to_pandas().shape[0] == 0
+
+
+def test_retention_cohorts_match_naive(ray_session, tmp_path):
+    import datetime as dt
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(1111)
+    d = tmp_path / "cohort_rand"
+    d.mkdir()
+    base = dt.datetime(2026, 2, 2)  # a Monday
+    rows = []
+    for _ in range(500):
+        u = rng.randint(1, 25)
+        t = None if rng.random() < 0.05 else base + dt.timedelta(
+            days=rng.randint(0, 70), seconds=rng.randint(0, 86399)
+        )
+        rows.append((u, t))
+    _write_events(d, rows)
+    out = analysis.events_retention_cohorts(str(d)).to_pandas()
+    got = {
+        (r["cohort_week"].to_pydatetime(), int(r["week_offset"])): int(r["n_users"])
+        for _, r in out.iterrows()
+    }
+
+    def monday(t):
+        return dt.datetime(t.year, t.month, t.day) - dt.timedelta(days=t.weekday())
+
+    weeks = defaultdict(set)
+    for u, t in rows:
+        if t is not None:
+            weeks[u].add(monday(t))
+    expect = defaultdict(int)
+    for u, ws in weeks.items():
+        cw = min(ws)
+        for w in ws:
+            expect[(cw, (w - cw).days // 7)] += 1
+    assert got == dict(expect)
+    # cohort diagonal: offset 0 exists for every cohort
+    assert all((cw, 0) in got for cw, _ in got)
+
+
+def test_retention_cohorts_empty_and_all_null_ts(ray_session, tmp_path):
+    d = tmp_path / "cohort_empty"
+    d.mkdir()
+    _write_events(d, [])
+    assert analysis.events_retention_cohorts(str(d)).to_pandas().shape[0] == 0
+
+    e = tmp_path / "cohort_nullts"
+    e.mkdir()
+    _write_events(e, [(1, None), (2, None)])
+    assert analysis.events_retention_cohorts(str(e)).to_pandas().shape[0] == 0
