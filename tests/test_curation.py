@@ -1724,3 +1724,54 @@ def test_retention_cohorts_empty_and_all_null_ts(ray_session, tmp_path):
     e.mkdir()
     _write_events(e, [(1, None), (2, None)])
     assert analysis.events_retention_cohorts(str(e)).to_pandas().shape[0] == 0
+
+
+def test_session2_kernels_survive_adversarial_shapes(ray_session, tmp_path):
+    """The engine-wide hardening contract, applied to the eight restart-
+    session kernels: empty tables, one-row tables, all-NULL nullable
+    columns, and mixed-NULL keys must produce rows, never raise."""
+    import datetime as dt
+
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    new = [
+        "events_user_interarrival", "cross_source_dup_stats", "kmeans_assign",
+        "source_unigram_kl", "stratified_sample", "word_entropy",
+        "dsir_importance_weights", "events_retention_cohorts",
+    ]
+    t0 = dt.datetime(2026, 1, 5)
+    shapes = {
+        "empty": ([], [], []),
+        "one_row": ([(0, "a b", "en", "A", 3)], [(0, [1.0, 0.0], 0)], [(1, t0)]),
+        "all_null": (
+            [(0, None, None, None, 0), (1, None, None, None, 0)],
+            [(0, [0.0, 0.0], 0)],
+            [(1, None), (2, None)],
+        ),
+        "mixed_null": (
+            [(0, "a b", None, "A", 3), (1, "", "en", None, 0),
+             (2, None, "fr", "B", 0), (3, "a a", "en", "A", 3)],
+            [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 0)],
+            [(1, t0), (1, None), (2, t0), (2, t0 + dt.timedelta(hours=1))],
+        ),
+    }
+    for sh, (dr, er, vr) in shapes.items():
+        d = tmp_path / f"sweep_{sh}"
+        d.mkdir()
+        _write_full_docs(d, dr)
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([r[0] for r in er], pa.int64()),
+                    "embedding": pa.array([r[1] for r in er], pa.list_(pa.float32())),
+                    "label": pa.array([r[2] for r in er], pa.int32()),
+                }
+            ),
+            d / "embeddings.parquet",
+        )
+        _write_events(d, vr)
+        for name in new:
+            r = qs[name](str(d))
+            n = len(r) if isinstance(r, (pd.DataFrame, pa.Table)) else r.count()
+            assert n >= 0, (sh, name)
