@@ -293,10 +293,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sweep, ceding knn_cosine_top10 / knn_label_filtered whose only r3
     # change is an early-return empty-input guard that cannot affect a
     # non-empty result — their scan/sort kernels are byte-identical).
-    # The eight session-2 kernels (events_user_interarrival /
+    # The nine session-2 kernels (events_user_interarrival /
     # cross_source_dup_stats / kmeans_assign / source_unigram_kl /
     # stratified_sample / word_entropy / dsir_importance_weights /
-    # events_retention_cohorts) hold
+    # events_retention_cohorts / substring_dup_pairs) hold
     # slots ceded by entries whose machinery an in-window sibling still
     # exercises end-to-end: lang_stats (lang_stats_salted composes the
     # identical aggregate plus the salted two-stage exchange),
@@ -311,7 +311,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # fuzzy_dedup_keep compose the same pair kernel in-window), and
     # events_sessionize (events_funnel / user_rolling_avg /
     # events_user_interarrival drive the same groupby-user ordered-numpy
-    # machinery and NULL-ts conventions in-window).
+    # machinery and NULL-ts conventions in-window), and
+    # word_cooccurrence_top100 (its condensed-triangular pair decode runs
+    # inside in-window substring_dup_pairs and is property-tested, and its
+    # _unique_doc_grams front half inside in-window boilerplate_ngram_stats).
     # Every entry past slot 50 is (a) UNCHANGED since its hash-green
     # CORRECTNESS_r02 row (same code, same oracle — sentence_stats,
     # bigram_top50, events_hourly, embedding_quantize, and later
@@ -348,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_unigram_kl": analysis.source_unigram_kl,
         "dsir_importance_weights": analysis.dsir_importance_weights,
         "events_retention_cohorts": analysis.events_retention_cohorts,
+        "substring_dup_pairs": analysis.substring_dup_pairs,
         "stratified_sample": analysis.stratified_sample,
         "word_entropy": analysis.word_entropy,
         # --- SQL-checkable operators -------------------------------------
@@ -382,7 +386,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_ngram_stats": analysis.boilerplate_ngram_stats,
         "sequence_pack_offsets": analysis.sequence_pack_offsets,
         "events_hopping_window": analysis.events_hopping_window,
-        "word_cooccurrence_top100": analysis.word_cooccurrence_top100,
         "gopher_quality_flags": analysis.gopher_quality_flags,
         "ccnet_tercile_buckets": analysis.ccnet_tercile_buckets,
         "fuzzy_dedup_keep": analysis.fuzzy_dedup_keep,
@@ -396,6 +399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": jaccard_pairs_q,
         "embedding_dup_pairs": embedding_dup_pairs_q,
         "events_sessionize": analysis.events_sessionize,
+        "word_cooccurrence_top100": analysis.word_cooccurrence_top100,
         "audio_metadata": audio_metadata_q,
         "video_metadata": video_metadata_q,
         "token_count": analysis.token_count,
@@ -1252,6 +1256,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN s.ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_docs
             FROM f JOIN s USING (fp)
             GROUP BY f.source
+        """,
+        "substring_dup_pairs": """
+            WITH g AS (
+                SELECT DISTINCT doc_id, md5(substr(text, i, 40)) AS h
+                FROM documents, UNNEST(range(1, length(text) - 38)) t(i)
+                WHERE length(text) >= 40
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
         """,
         "events_retention_cohorts": """
             WITH uw AS (

@@ -1775,3 +1775,59 @@ def test_session2_kernels_survive_adversarial_shapes(ray_session, tmp_path):
             r = qs[name](str(d))
             n = len(r) if isinstance(r, (pd.DataFrame, pa.Table)) else r.count()
             assert n >= 0, (sh, name)
+
+
+def test_substring_dup_pairs_matches_naive(ray_session, tmp_path):
+    import random
+    from collections import defaultdict
+
+    rng = random.Random(1212)
+    d = tmp_path / "substr_rand"
+    d.mkdir()
+    L = 40
+    vocab = [f"w{i}" for i in range(30)]
+    quote = "the quick brown fox jumps over the lazy dog again and again tonight"
+    rows = []
+    for i in range(60):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40)))
+        if i % 7 == 0:  # plant a shared passage inside otherwise-unique docs
+            body = body + " " + quote + " " + " ".join(
+                rng.choice(vocab) for _ in range(5)
+            )
+        rows.append((i, body, "en", "A", len(body)))
+    rows.append((60, None, "en", "A", 0))
+    rows.append((61, "short", "en", "A", 5))
+    _write_full_docs(d, rows)
+    out = analysis.substring_dup_pairs(str(d), L=L).to_pandas()
+    got = {
+        (int(r["doc_a"]), int(r["doc_b"])): int(r["n_shared"])
+        for _, r in out.iterrows()
+    }
+
+    gram_docs = defaultdict(set)
+    for doc_id, text, _, _, _ in rows:
+        t = text or ""
+        for g in {t[i : i + L] for i in range(len(t) - L + 1)}:
+            gram_docs[g].add(doc_id)
+    expect = defaultdict(int)
+    for g, ds in gram_docs.items():
+        ds = sorted(ds)
+        for x in range(len(ds)):
+            for y in range(x + 1, len(ds)):
+                expect[(ds[x], ds[y])] += 1
+    assert got == dict(expect)
+    # the planted passage really connects the quote-carrying docs
+    quote_docs = [i for i in range(60) if i % 7 == 0]
+    assert got[(quote_docs[0], quote_docs[1])] >= len(quote) - L + 1
+
+
+def test_substring_dup_pairs_empty_and_short(ray_session, tmp_path):
+    d = tmp_path / "substr_empty"
+    d.mkdir()
+    _write_full_docs(d, [])
+    assert analysis.substring_dup_pairs(str(d)).to_pandas().shape[0] == 0
+
+    e = tmp_path / "substr_short"
+    e.mkdir()
+    _write_full_docs(e, [(0, "too short", "en", "A", 9), (1, None, None, None, 0)])
+    assert analysis.substring_dup_pairs(str(e)).to_pandas().shape[0] == 0
