@@ -293,10 +293,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # sweep, ceding knn_cosine_top10 / knn_label_filtered whose only r3
     # change is an early-return empty-input guard that cannot affect a
     # non-empty result — their scan/sort kernels are byte-identical).
-    # The nine session-2 kernels (events_user_interarrival /
+    # The ten session-2 kernels (events_user_interarrival /
     # cross_source_dup_stats / kmeans_assign / source_unigram_kl /
     # stratified_sample / word_entropy / dsir_importance_weights /
-    # events_retention_cohorts / substring_dup_pairs) hold
+    # events_retention_cohorts / substring_dup_pairs / bm25_topk) hold
     # slots ceded by entries whose machinery an in-window sibling still
     # exercises end-to-end: lang_stats (lang_stats_salted composes the
     # identical aggregate plus the salted two-stage exchange),
@@ -314,7 +314,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # machinery and NULL-ts conventions in-window), and
     # word_cooccurrence_top100 (its condensed-triangular pair decode runs
     # inside in-window substring_dup_pairs and is property-tested, and its
-    # _unique_doc_grams front half inside in-window boilerplate_ngram_stats).
+    # _unique_doc_grams front half inside in-window boilerplate_ngram_stats),
+    # and user_rolling_avg (same groupby-user ordered-numpy machinery as the
+    # in-window events_funnel / events_user_interarrival).
     # Every entry past slot 50 is (a) UNCHANGED since its hash-green
     # CORRECTNESS_r02 row (same code, same oracle — sentence_stats,
     # bigram_top50, events_hourly, embedding_quantize, and later
@@ -352,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_importance_weights": analysis.dsir_importance_weights,
         "events_retention_cohorts": analysis.events_retention_cohorts,
         "substring_dup_pairs": analysis.substring_dup_pairs,
+        "bm25_topk": analysis.bm25_topk,
         "stratified_sample": analysis.stratified_sample,
         "word_entropy": analysis.word_entropy,
         # --- SQL-checkable operators -------------------------------------
@@ -375,7 +378,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_purchases_within_hour": relational.events_purchases_within_hour,
         "inactive_customers": relational.inactive_customers,
         "distinct_words_per_lang": analysis.distinct_words_per_lang,
-        "user_rolling_avg": analysis.user_rolling_avg,
         "token_count_bpe": analysis.token_count_bpe,
         "revenue_filter": relational.revenue_filter,
         "late_shipment_priority": relational.late_shipment_priority,
@@ -400,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": embedding_dup_pairs_q,
         "events_sessionize": analysis.events_sessionize,
         "word_cooccurrence_top100": analysis.word_cooccurrence_top100,
+        "user_rolling_avg": analysis.user_rolling_avg,
         "audio_metadata": audio_metadata_q,
         "video_metadata": video_metadata_q,
         "token_count": analysis.token_count,
@@ -1256,6 +1259,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN s.ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_docs
             FROM f JOIN s USING (fp)
             GROUP BY f.source
+        """,
+        "bm25_topk": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
+                FROM documents
+            ),
+            len AS (SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id),
+            s AS (
+                SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+                FROM len
+            ),
+            q(term) AS (VALUES ('spark'), ('table'), ('value')),
+            df AS (
+                SELECT word AS term, count(DISTINCT doc_id) AS df
+                FROM w JOIN q ON w.word = q.term GROUP BY word
+            ),
+            tf AS (
+                SELECT doc_id, word AS term, count(*) AS tf
+                FROM w JOIN q ON w.word = q.term GROUP BY doc_id, word
+            ),
+            sc AS (
+                SELECT tf.doc_id,
+                       sum(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                           * tf.tf * 2.2
+                           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * len.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df USING (term) JOIN len USING (doc_id) CROSS JOIN s
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, round(score, 6) + 0.0 AS score
+            FROM sc ORDER BY round(score, 6) DESC, doc_id LIMIT 100
         """,
         "substring_dup_pairs": """
             WITH g AS (

@@ -4245,3 +4245,107 @@ def substring_dup_pairs(sf_dir: str, L: int = 40, n_buckets: int = 256) -> "rd.D
         .groupby(["doc_a", "doc_b"])
         .aggregate(Sum("n_shared", alias_name="n_shared"))
     )
+
+
+def bm25_topk(sf_dir: str, query: str = "table spark value", k: int = 100) -> "rd.Dataset":
+    """Distributed BM25 retrieval (Robertson/Lucene form, k1=1.2, b=0.75):
+    top-``k`` documents for a bag-of-words query — the classic sparse
+    retrieval primitive (and the first stage of every hybrid RAG corpus
+    pipeline).  ``idf = ln((N−df+0.5)/(df+0.5)+1)``; per-doc term score
+    ``idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))``.
+
+    Scale shape: BM25 needs only QUERY-term statistics, never the full
+    inverted index — pass 1 folds per-batch partials (doc count, token
+    count, per-term document frequency: |terms| + 2 numbers per batch)
+    through one tiny groupby and the collect is bounded by the query
+    length; pass 2 is MAP-ONLY scoring with those constants closed over
+    (``ray.put`` at scale) + per-batch top-k pre-trim, so the final sort
+    sees ≤ k rows per batch.  Docs containing no query term score nothing
+    and never leave their batch.  The sort key is the ROUNDED score (ties
+    to doc_id asc) so both engines order identically."""
+    K1, B_ = 1.2, 0.75
+    terms = sorted(set(query.split()))
+    term_arr = pa.array(terms, pa.string())
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(_text_col(batch), " ")
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        tcode = (
+            pc.fill_null(pc.index_in(words.values, value_set=term_arr), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+        # df partial: distinct (doc, term) hits in this batch (docs are
+        # unique per batch, so partial dfs sum exactly)
+        key = np.unique(doc_of[tcode >= 0] * len(terms) + tcode[tcode >= 0])
+        dfp = np.bincount((key % len(terms)).astype(np.int64), minlength=len(terms))
+        return pa.table(
+            {
+                "term_id": pa.array(np.arange(len(terms) + 1, dtype=np.int64)),
+                # slot len(terms) carries the (n_docs, n_tokens) totals
+                "df": pa.array(np.r_[dfp, 0].astype(np.int64), pa.int64()),
+                "n_docs": pa.array(
+                    np.r_[np.zeros(len(terms), np.int64), batch.num_rows], pa.int64()
+                ),
+                "n_tokens": pa.array(
+                    np.r_[np.zeros(len(terms), np.int64), int(lens.sum())], pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir, ["text"])
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("term_id")
+        .aggregate(
+            Sum("df", alias_name="df"),
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+        .to_pandas()  # bounded: |query terms| + 1 rows
+    )
+    out_schema = pa.schema([("doc_id", pa.int64()), ("score", pa.float64())])
+    if agg.empty:
+        return rd.from_arrow(out_schema.empty_table())
+    agg = agg.set_index("term_id")
+    N = int(agg["n_docs"].sum())
+    total_tokens = int(agg["n_tokens"].sum())
+    if N == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    avgdl = float(total_tokens) / N
+    df = np.array([int(agg["df"].get(i, 0)) for i in range(len(terms))], np.float64)
+    idf = np.log((N - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(_text_col(batch), " ")
+        offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        tcode = (
+            pc.fill_null(pc.index_in(words.values, value_set=term_arr), -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        doc_of = np.repeat(np.arange(batch.num_rows, dtype=np.int64), lens)
+        m = tcode >= 0
+        tf = np.zeros((batch.num_rows, len(terms)))
+        np.add.at(tf, (doc_of[m], tcode[m]), 1.0)
+        denom = tf + K1 * (1.0 - B_ + B_ * (lens / avgdl))[:, None]
+        s = ((idf[None, :] * tf * (K1 + 1.0)) / denom).sum(axis=1)
+        srz = np.round(s, 6) + 0.0
+        keep = np.flatnonzero(tf.sum(axis=1) > 0)
+        order = keep[np.lexsort((batch["doc_id"].to_numpy()[keep], -srz[keep]))][:k]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(pa.array(order)),
+                "score": pa.array(srz[order], pa.float64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(score, batch_format="pyarrow")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )

@@ -1831,3 +1831,46 @@ def test_substring_dup_pairs_empty_and_short(ray_session, tmp_path):
     e.mkdir()
     _write_full_docs(e, [(0, "too short", "en", "A", 9), (1, None, None, None, 0)])
     assert analysis.substring_dup_pairs(str(e)).to_pandas().shape[0] == 0
+
+
+def test_bm25_matches_naive(ray_session, tmp_path):
+    import math
+    from collections import Counter
+
+    d = tmp_path / "bm25_rand"
+    d.mkdir()
+    rows = _random_docs(1313, 220)
+    _write_full_docs(d, rows)
+    Q = ["w1", "w3", "a"]
+    out = analysis.bm25_topk(str(d), query=" ".join(Q), k=50).to_pandas()
+
+    docs = {i: (t or "").split(" ") for i, t, _, _, _ in rows}
+    N = len(docs)
+    avgdl = sum(len(w) for w in docs.values()) / N
+    df = {q: sum(1 for w in docs.values() if q in w) for q in Q}
+    idf = {q: math.log((N - df[q] + 0.5) / (df[q] + 0.5) + 1.0) for q in Q}
+    scores = {}
+    for i, w in docs.items():
+        c = Counter(w)
+        s = sum(
+            idf[q] * c[q] * 2.2 / (c[q] + 1.2 * (1 - 0.75 + 0.75 * len(w) / avgdl))
+            for q in Q
+            if c[q]
+        )
+        if s > 0:
+            scores[i] = round(s, 6)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    got = list(zip(out["doc_id"].astype(int), out["score"]))
+    assert got == expect
+
+
+def test_bm25_no_hits_and_empty(ray_session, tmp_path):
+    d = tmp_path / "bm25_nohit"
+    d.mkdir()
+    _write_full_docs(d, [(0, "a b c", "en", "A", 5), (1, None, None, None, 0)])
+    assert analysis.bm25_topk(str(d), query="zzz qqq").to_pandas().shape[0] == 0
+
+    e = tmp_path / "bm25_empty"
+    e.mkdir()
+    _write_full_docs(e, [])
+    assert analysis.bm25_topk(str(e)).to_pandas().shape[0] == 0
