@@ -1296,10 +1296,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT doc_id, md5(substr(text, i, 40)) AS h
                 FROM documents, UNNEST(range(1, length(text) - 38)) t(i)
                 WHERE length(text) >= 40
-            )
+            ),
+            -- contract: grams in > 64 docs are boilerplate, not duplication
+            -- (mirrors the engine's max_gram_docs flood guard exactly)
+            keep AS (SELECT h FROM g GROUP BY h HAVING count(*) <= 64)
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(count(*) AS BIGINT) AS n_shared
             FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+            JOIN keep k ON k.h = a.h
             GROUP BY 1, 2
         """,
         "events_retention_cohorts": """

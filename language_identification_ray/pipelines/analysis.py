@@ -75,6 +75,18 @@ def _restore_key(batch: pa.Table, col: str, value_cols: tuple) -> pa.Table:
     return pa.table(out)
 
 
+def _unique_pairs(a: np.ndarray, b: np.ndarray):
+    """Distinct (a, b) int64 rows, lexsorted by (a, b).  Lexsort-based —
+    safe for the FULL int64 range (unlike ``a * 2**k + b`` bit-packing,
+    which silently wraps for |a| >= 2**(63-k))."""
+    o = np.lexsort((b, a))
+    a, b = a[o], b[o]
+    if len(a) == 0:
+        return a, b
+    keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    return a[keep], b[keep]
+
+
 # ---------------------------------------------------------------------------
 # per-record maps / filters (SURVEY §2.2)
 
@@ -2993,11 +3005,10 @@ def ccnet_tercile_buckets(sf_dir: str) -> "rd.Dataset":
     pattern — Ray 2.49's sort groupby cannot order NULL string keys."""
 
     def tag(batch: pa.Table) -> pa.Table:
-        key, isnull = _null_safe_key(batch["lang"])
-        cols = {"lang_key": key, "lang_null": isnull, "n_chars": batch["n_chars"]}
-        if "doc_id" in batch.schema.names:
-            cols["doc_id"] = batch["doc_id"]
-        return pa.table(cols)
+        # shared two-key NULL-safe helper; doc_id rides along only on the
+        # pass that reads it (the histogram pass prunes it at the read)
+        extra = ("doc_id",) if "doc_id" in batch.schema.names else ()
+        return _tag_key(batch, "lang", ("n_chars",) + extra)
 
     hist = (
         _docs(sf_dir, ["lang", "n_chars"])
@@ -3553,8 +3564,22 @@ def kmeans_assign(sf_dir: str, k: int = 8) -> "rd.Dataset":
         d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
         np.maximum(d2, 0.0, out=d2)  # clamp the identity's negative dust
         best = np.argmin(d2, axis=1)  # first (= smallest cid) wins ties
-        # report the tie-safe distance: recompute the winner's distance the
-        # oracle's way (sequential diff-square-sum) so rounding agrees
+        if C.shape[0] > 1:
+            # near-tie refinement: the expanded identity loses ~1e-12
+            # relative precision to cancellation, which can argmin to a
+            # different centroid than the oracle's exact list_distance on
+            # near-duplicate centroids.  For rows whose two best d2 are
+            # within tolerance, recompute EXACT diff-square distances to
+            # every centroid and re-argmin (exact ties then fall to the
+            # first = smallest cid, the oracle's ORDER BY dist, cid).
+            part = np.partition(d2, 1, axis=1)
+            near = part[:, 1] - part[:, 0] <= 1e-9 * (1.0 + part[:, 1])
+            if near.any():
+                idx = np.flatnonzero(near)
+                d2x = ((X[idx][:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                best[idx] = np.argmin(d2x, axis=1)
+        # report the winner's distance recomputed the direct way (exact
+        # diff-square-sum) so rounding agrees with the oracle
         diff = X - C[best]
         dist = np.sqrt((diff * diff).sum(axis=1))
         return pa.table(
@@ -3786,11 +3811,10 @@ def stratified_sample(sf_dir: str, n_buckets: int = 10, k: int = 5) -> "rd.Datas
     B = int(n_buckets)
 
     def tag(batch: pa.Table) -> pa.Table:
-        key, isnull = _null_safe_key(batch["lang"])
-        cols = {"lang_key": key, "lang_null": isnull, "n_chars": batch["n_chars"]}
-        if "doc_id" in batch.schema.names:
-            cols["doc_id"] = batch["doc_id"]
-        return pa.table(cols)
+        # shared two-key NULL-safe helper; doc_id rides along only on the
+        # pass that reads it (the histogram pass prunes it at the read)
+        extra = ("doc_id",) if "doc_id" in batch.schema.names else ()
+        return _tag_key(batch, "lang", ("n_chars",) + extra)
 
     hist = (
         _docs(sf_dir, ["lang", "n_chars"])
@@ -4057,19 +4081,26 @@ def events_retention_cohorts(sf_dir: str, n_buckets: int = 64) -> "rd.Dataset":
     each user counted once per distinct week (a per-user groupby would be
     one Python call per user — millions at scale).  The final exchange
     folds cell partials: O(cohorts × offsets) rows.  NULL-ts events drop,
-    matching the oracle's WHERE."""
+    matching the oracle's WHERE; NULL-user events drop too, matching the
+    oracle's ``JOIN ... USING (user_id)`` (NULL never equals NULL).  The
+    (user, week) distinct uses the lexsort helper, not bit-packing, so a
+    64-bit-hash user_id cannot overflow."""
 
     def week_partial(batch: pa.Table) -> pa.Table:
+        uid_col = batch["user_id"]
         ts = batch["ts"].to_numpy(zero_copy_only=False)
-        uid = batch["user_id"].to_numpy(zero_copy_only=False)
         ok = ~np.isnat(ts)
+        if uid_col.null_count:
+            ok &= ~np.asarray(pc.is_null(uid_col))
+        uid = np.asarray(
+            pc.fill_null(uid_col, 0).to_numpy(zero_copy_only=False), dtype=np.int64
+        )
         ts, uid = ts[ok], uid[ok]
         d = ts.astype("datetime64[D]").astype(np.int64)
         # epoch day 0 = Thursday; Monday-aligned floor (floor-div handles
         # pre-epoch correctly)
         wk = ((d - 4) // 7) * 7 + 4
-        key = np.unique(uid * np.int64(1 << 20) + (wk + np.int64(1 << 19)))
-        u, w = key >> 20, (key & ((1 << 20) - 1)) - (1 << 19)
+        u, w = _unique_pairs(uid, wk)
         return pa.table(
             {
                 "bucket": pa.array(u % n_buckets, pa.int64()),
@@ -4082,8 +4113,7 @@ def events_retention_cohorts(sf_dir: str, n_buckets: int = 64) -> "rd.Dataset":
         u = group["user_id"].to_numpy(zero_copy_only=False)
         w = group["week"].to_numpy(zero_copy_only=False)
         # combine cross-batch dupes, then per-user segments (sorted by user)
-        key = np.unique(u * np.int64(1 << 20) + (w + np.int64(1 << 19)))
-        u, w = key >> 20, (key & ((1 << 20) - 1)) - (1 << 19)
+        u, w = _unique_pairs(u, w)
         first = np.r_[True, u[1:] != u[:-1]]
         cohort = np.repeat(w[first], np.diff(np.r_[np.flatnonzero(first), len(u)]))
         off = (w - cohort) // 7
@@ -4145,13 +4175,16 @@ def substring_dup_pairs(sf_dir: str, L: int = 40, n_buckets: int = 256) -> "rd.D
     leading bytes — one vectorized call per bucket expands each gram's
     doc list to condensed-triangular (a < b) pairs and pre-folds them to
     per-pair counts, so the final exchange carries folded pair rows, not
-    gram rows.  Flood guard: a gram present in > ``max_gram_docs``
-    documents is boilerplate, not duplication (the boilerplate op owns
-    that signal) and would emit O(m²) pairs — it is dropped, loudly, via
-    the returned count column semantics documented here (fixture corpora
-    never hit the cap).  The per-position md5 loop is the SQL-parity
-    choice; the 100 TB path swaps in a vectorized rolling polynomial hash
-    under the same hash-based contract."""
+    gram rows.  Flood guard — PART OF THE DECLARED CONTRACT: a gram
+    present in > ``max_gram_docs`` documents is boilerplate, not
+    duplication (the boilerplate op owns that signal) and would emit
+    O(m²) pairs; both the engine AND the oracle SQL exclude such grams
+    (`HAVING count(*) <= 64` in the oracle), so the two sides stay
+    hash-exact on flood-heavy corpora, and the engine logs a warning
+    with the dropped-gram count whenever the cap fires.  The
+    per-position md5 loop is the SQL-parity choice; the 100 TB path
+    swaps in a vectorized rolling polynomial hash under the same
+    hash-based contract."""
     max_gram_docs = 64
 
     def grams(batch: pa.Table) -> pa.Table:
@@ -4205,6 +4238,16 @@ def substring_dup_pairs(sf_dir: str, L: int = 40, n_buckets: int = 256) -> "rd.D
         v = np.diff(np.r_[seg_start, len(hi)])
         flood = v > max_gram_docs
         if flood.any():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "substring_dup_pairs: %d gram(s) exceeded max_gram_docs=%d "
+                "(max doc-list %d) — dropped per the boilerplate contract "
+                "(mirrored in the oracle SQL)",
+                int(flood.sum()),
+                max_gram_docs,
+                int(v.max()),
+            )
             v = np.where(flood, 0, v)  # boilerplate-grade grams: dropped
         m = v * (v - 1) // 2
         total = int(m.sum())

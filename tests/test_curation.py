@@ -1874,3 +1874,97 @@ def test_bm25_no_hits_and_empty(ray_session, tmp_path):
     e.mkdir()
     _write_full_docs(e, [])
     assert analysis.bm25_topk(str(e)).to_pandas().shape[0] == 0
+
+
+def test_substring_dup_pairs_flood_cap_matches_oracle(ray_session, tmp_path):
+    """The max_gram_docs=64 flood guard is part of the declared contract:
+    on a corpus where a 40-char passage appears in >64 documents, BOTH the
+    engine and the committed oracle SQL must drop that gram's pairs (the
+    round-3 review found the oracle previously emitted 2415 pairs where
+    the engine emitted 210)."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    d = tmp_path / "substr_flood"
+    d.mkdir()
+    shared = "X" * 45  # one 45-char passage -> six distinct 40-grams, all flooded
+    rows = []
+    for i in range(70):  # 70 > max_gram_docs=64
+        rows.append((i, f"doc{i:03d} {shared}", "en", "A", 50))
+    # a small pair that must SURVIVE the cap
+    rows.append((100, "Y" * 45 + " unique tail one", "en", "A", 60))
+    rows.append((101, "Y" * 45 + " unique tail two", "en", "A", 60))
+    _write_full_docs(d, rows)
+
+    out = analysis.substring_dup_pairs(str(d)).to_pandas()
+    got = {
+        (int(r["doc_a"]), int(r["doc_b"])): int(r["n_shared"])
+        for _, r in out.iterrows()
+    }
+    # docs 100/101 share the Y-passage plus " unique tail " prefix region:
+    # one pure Y*40 gram + 13 grams straddling into the common tail = 14
+    assert got[(100, 101)] == 14
+    # the X-passage grams (70 docs each) are flooded and dropped on BOTH
+    # engines; what survives among docs 0..69 is only the one "d " + X*38
+    # gram per last-digit group (7 docs each, n_shared=1): C(7,2)*10 pairs.
+    # Without the cap this corpus would emit all C(70,2)=2415 passage pairs.
+    assert len(got) == 10 * 21 + 1
+    assert all(n == 1 for p, n in got.items() if p != (100, 101))
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    sql = con.sql(entrymod.oracle_sql()["substring_dup_pairs"]).df()
+    oracle = {
+        (int(r["doc_a"]), int(r["doc_b"])): int(r["n_shared"])
+        for _, r in sql.iterrows()
+    }
+    assert oracle == got
+
+
+def test_retention_cohorts_extreme_user_ids(ray_session, tmp_path):
+    """64-bit-hash user ids (>= 2**43), negative ids, and NULL ids must not
+    corrupt cohorts: the (user, week) distinct is lexsort-based, not
+    bit-packed, and NULL users drop like the oracle's JOIN USING."""
+    import datetime as dt
+
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    d = tmp_path / "cohort_extreme"
+    d.mkdir()
+    t0 = dt.datetime(2026, 1, 5)  # a Monday
+    w = dt.timedelta(days=7)
+    big1, big2 = (1 << 62) + 12345, (1 << 62) + 12346  # adjacent huge ids
+    rows = [
+        (big1, t0), (big1, t0 + w), (big1, t0 + 3 * w),
+        (big2, t0 + w), (big2, t0 + 2 * w),
+        (-77, t0), (-77, t0 + w),
+        (None, t0), (None, t0 + w),  # NULL user: dropped on both engines
+        (3, t0 + 2 * w),
+    ]
+    _write_events(d, rows)
+    out = analysis.events_retention_cohorts(str(d)).to_pandas()
+    got = {
+        (r["cohort_week"].to_pydatetime(), int(r["week_offset"])): int(r["n_users"])
+        for _, r in out.iterrows()
+    }
+    expect = {
+        (t0, 0): 2,           # big1 and -77 cohort at t0
+        (t0, 1): 2,           # both active the next week
+        (t0, 3): 1,           # big1 three weeks later
+        (t0 + w, 0): 1,       # big2 cohort
+        (t0 + w, 1): 1,
+        (t0 + 2 * w, 0): 1,   # user 3
+    }
+    assert got == expect
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    sql = con.sql(entrymod.oracle_sql()["events_retention_cohorts"]).df()
+    oracle = {
+        (r["cohort_week"].to_pydatetime(), int(r["week_offset"])): int(r["n_users"])
+        for _, r in sql.iterrows()
+    }
+    assert oracle == got
