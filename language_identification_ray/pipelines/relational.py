@@ -1292,3 +1292,452 @@ def _top_revenue_orders_join(
         .limit(k)
         .map_batches(_finalize_top_revenue, batch_format="pyarrow")
     )
+
+
+def returned_item_revenue(sf_dir: str, k: int = 20) -> "rd.Dataset":
+    """TPC-H-Q10-shaped returned-item report: the ``k`` customers who
+    generated the most revenue from RETURNED items (``l_returnflag='R'``)
+    among orders placed in 1996Q1, with the customer's nation — the
+    classic "who is returning what we sold them" rollup.
+
+    Scale shape — two UNION-TAG groupbys, zero ``Dataset.join`` and zero
+    driver-side key sets (the ``inactive_customers`` idiom, chained):
+
+    1. lineitem is read with the returnflag filter PUSHED DOWN and
+       pre-aggregated per batch to (orderkey, revenue-cents, n_items)
+       partials; orders are read with the date window pushed down.  One
+       groupby on orderkey fuses them: ``Max(custkey)`` (orders carry it,
+       lineitem partials carry the -1 sentinel) resolves each order's
+       customer; orderless lineitems and itemless orders drop like the
+       SQL inner join.
+    2. The per-order rows re-key to custkey and union with customer rows
+       (name + nationkey); one groupby on custkey resolves the name.
+       Dangling custkeys drop (Max(name) stays NULL), matching the join.
+
+    Nation names ARE broadcast (25 rows at any scale — the star-join
+    dimension rule from ``revenue_by_supplier_nation``); customers whose
+    nationkey misses nation drop like the SQL inner join.  Top-k: per-batch
+    partial top-k, then a bounded sort over ≤ k×n_batches rows (the
+    ``top_revenue_orders`` shape).  Ties at the boundary break by custkey
+    — deterministic on both engines.
+    """
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Max
+
+    lo = datetime.datetime(1996, 1, 1)
+    hi = datetime.datetime(1996, 4, 1)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    if nat.num_rows == 0:
+        return rd.from_arrow(_empty_returned_item_table())
+    n_key = nat["n_nationkey"].to_numpy()
+    nation_name = np.empty(int(n_key.max()) + 1, dtype=object)  # gaps stay None
+    nation_name[n_key] = np.asarray(nat["n_name"].to_pylist(), dtype=object)
+    nation_valid = np.array([x is not None for x in nation_name])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_returnflag") == "R"),
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        keys = (
+            _pc.fill_null(batch["l_orderkey"], -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = keys >= 0  # NULL orderkey joins nothing
+        keys = keys[ok]
+        rev = _cents_np(price[ok] * (1.0 - disc[ok]))
+        uk, inv = np.unique(keys, return_inverse=True)
+        tot = np.bincount(inv, weights=rev, minlength=len(uk)).astype(np.int64)
+        cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {
+                "okey": pa.array(uk, pa.int64()),
+                "custkey": pa.array(np.full(len(uk), -1, np.int64)),
+                "rev_cents": pa.array(tot, pa.int64()),
+                "n_items": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    def ord_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "okey": batch["o_orderkey"].cast(pa.int64()),
+                # NULL custkey -> -1 sentinel: drops below like the SQL join
+                "custkey": _pc.fill_null(batch["o_custkey"], -1).cast(pa.int64()),
+                "rev_cents": pa.array(np.zeros(n, np.int64)),
+                "n_items": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    per_order = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .union(orders.map_batches(ord_rows, batch_format="pyarrow"))
+        .groupby("okey")
+        .aggregate(
+            Max("custkey", alias_name="custkey"),
+            Sum("rev_cents", alias_name="rev_cents"),
+            Sum("n_items", alias_name="n_items"),
+        )
+    )
+
+    def order_to_cust(batch: pa.Table) -> pa.Table:
+        # keep orders that matched BOTH sides: a window order with >= 1
+        # returned item (rev may be 0 cents only if every item rounds to 0,
+        # which n_items>0 still keeps — SQL emits those too)
+        m = _pc.and_(_pc.greater_equal(batch["custkey"], 0), _pc.greater(batch["n_items"], 0))
+        t = batch.filter(m)
+        n = t.num_rows
+        return pa.table(
+            {
+                "custkey": t["custkey"],
+                "rev_cents": t["rev_cents"],
+                "n_items": t["n_items"],
+                "c_name": pa.nulls(n, pa.string()),
+                "nationkey": pa.array(np.full(n, -1, np.int64)),
+            }
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "custkey": batch["c_custkey"].cast(pa.int64()),
+                "rev_cents": pa.array(np.zeros(n, np.int64)),
+                "n_items": pa.array(np.zeros(n, np.int64)),
+                "c_name": batch["c_name"],
+                "nationkey": _pc.fill_null(batch["c_nationkey"], -1).cast(pa.int64()),
+            }
+        )
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    per_cust = (
+        per_order.map_batches(order_to_cust, batch_format="pyarrow")
+        .union(cust.map_batches(cust_rows, batch_format="pyarrow"))
+        .groupby("custkey")
+        .aggregate(
+            Sum("rev_cents", alias_name="rev_cents"),
+            Sum("n_items", alias_name="n_items"),
+            Max("c_name", alias_name="c_name"),
+            Max("nationkey", alias_name="nationkey"),
+        )
+    )
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        # customers with revenue AND a real customer row AND a valid nation
+        nk = _pc.fill_null(batch["nationkey"], -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        valid_nat = (nk >= 0) & (nk < len(nation_name))
+        valid_nat &= nation_valid[np.clip(nk, 0, len(nation_name) - 1)]
+        m = (
+            np.asarray(_pc.is_valid(batch["c_name"]))
+            & (batch["n_items"].to_numpy(zero_copy_only=False) > 0)
+            & valid_nat
+        )
+        t = batch.filter(pa.array(m))
+        rev = t["rev_cents"].to_numpy(zero_copy_only=False)
+        keys = t["custkey"].to_numpy(zero_copy_only=False)
+        return t.take(pa.array(_topk_order(rev, keys, k)))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nk = batch["nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "custkey": batch["custkey"],
+                "name": batch["c_name"],
+                "nation": pa.array(nation_name[nk], pa.string()),
+                "revenue": pa.array(
+                    batch["rev_cents"].to_numpy(zero_copy_only=False) / 100.0,
+                    pa.float64(),
+                ),
+                "n_items": batch["n_items"],
+            }
+        )
+
+    return (
+        per_cust.map_batches(topk_partial, batch_format="pyarrow")
+        .sort(["rev_cents", "custkey"], descending=[True, False])
+        .limit(k)
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def _empty_returned_item_table() -> pa.Table:
+    return pa.table(
+        {
+            "custkey": pa.array([], pa.int64()),
+            "name": pa.array([], pa.string()),
+            "nation": pa.array([], pa.string()),
+            "revenue": pa.array([], pa.float64()),
+            "n_items": pa.array([], pa.int64()),
+        }
+    )
+
+
+def large_order_customers(
+    sf_dir: str, min_qty: float = 300.0, k: int = 100
+) -> "rd.Dataset":
+    """TPC-H-Q18-shaped large-volume-order report: orders whose total line
+    quantity exceeds ``min_qty``, with customer name, order date, total
+    price, and the quantity — top ``k`` by total price (ties break by
+    orderkey; both engines order identically).
+
+    Scale shape: lineitem pre-aggregates per batch to (orderkey,
+    qty-partial) rows — the HAVING side shuffles one row per order seen,
+    not one per lineitem — fused with orders attribute rows in ONE
+    union-tag groupby on orderkey.  The qualifying set (HAVING
+    sum > min_qty) is then DRIVER-BOUNDED: Q18's threshold makes it a
+    vanishing fraction of orders (46 of 150k at sf0.01; the TPC spec
+    targets ~1 in 10⁴), so the per-order rows are collected with a LOUD
+    cap (``max_result_rows``) and the customer names resolved with one
+    pushed-down point-list read of customer — the same bounded-collect
+    contract as ``length_outlier_filter``'s p99 pass.  Quantities use the
+    Q1 integer convention (``floor(q+0.5)``) so int64 sums are exact."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Max
+
+    max_result_rows = 1_000_000  # loud bound on the HAVING survivors
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        keys = (
+            _pc.fill_null(batch["l_orderkey"], -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = keys >= 0
+        keys = keys[ok]
+        q_int = np.floor(qty[ok] + 0.5).astype(np.int64)
+        uk, inv = np.unique(keys, return_inverse=True)
+        tot = np.bincount(inv, weights=q_int, minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {
+                "okey": pa.array(uk, pa.int64()),
+                "total_qty": pa.array(tot, pa.int64()),
+                "custkey": pa.array(np.full(len(uk), -1, np.int64)),
+                "odate": pa.nulls(len(uk), pa.timestamp("us")),
+                "price_cents": pa.array(np.zeros(len(uk), np.int64)),
+                "is_ord": pa.array(np.zeros(len(uk), np.int64)),
+            }
+        )
+
+    def ord_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "okey": batch["o_orderkey"].cast(pa.int64()),
+                "total_qty": pa.array(np.zeros(n, np.int64)),
+                "custkey": _pc.fill_null(batch["o_custkey"], -1).cast(pa.int64()),
+                "odate": batch["o_orderdate"],
+                "price_cents": pa.array(_cents_np(price), pa.int64()),
+                "is_ord": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
+    per_order = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .union(orders.map_batches(ord_rows, batch_format="pyarrow"))
+        .groupby("okey")
+        .aggregate(
+            Sum("total_qty", alias_name="total_qty"),
+            Max("custkey", alias_name="custkey"),
+            Max("odate", alias_name="odate"),
+            Max("price_cents", alias_name="price_cents"),
+            Sum("is_ord", alias_name="is_ord"),
+        )
+    )
+
+    def keep_big(batch: pa.Table) -> pa.Table:
+        m = (
+            _pc.greater(batch["total_qty"], int(min_qty))
+            if float(min_qty).is_integer()
+            else _pc.greater(batch["total_qty"], min_qty)
+        )
+        m = _pc.and_(m, _pc.greater(batch["is_ord"], 0))
+        m = _pc.and_(m, _pc.greater_equal(batch["custkey"], 0))
+        return batch.filter(m).select(
+            ["okey", "custkey", "odate", "price_cents", "total_qty"]
+        )
+
+    big = per_order.map_batches(keep_big, batch_format="pyarrow").to_arrow_refs()
+    tables = [t for t in ray.get(big) if t.num_rows]
+    if not tables:
+        return rd.from_arrow(_empty_large_order_table())
+    survivors = pa.concat_tables(tables)
+    if survivors.num_rows > max_result_rows:
+        raise ValueError(
+            f"large_order_customers: {survivors.num_rows} orders exceed "
+            f"min_qty={min_qty} (> bound {max_result_rows}); raise min_qty "
+            "or the bound — refusing an unbounded driver collect"
+        )
+    # resolve names with one pushed-down point-list read (bounded key list)
+    custkeys = np.unique(survivors["custkey"].to_numpy())
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"],
+        filters=[("c_custkey", "in", custkeys.tolist())],
+    )
+    name_by_key = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
+    names = [name_by_key.get(int(ck)) for ck in survivors["custkey"].to_pylist()]
+    out = pa.table(
+        {
+            "custkey": survivors["custkey"],
+            "name": pa.array(names, pa.string()),
+            "orderkey": survivors["okey"],
+            # Ray's Max aggregate lands timestamps at 's' precision via its
+            # numpy path; restore the table's native us so hashes line up
+            "orderdate": survivors["odate"].cast(pa.timestamp("us")),
+            "totalprice": pa.array(
+                survivors["price_cents"].to_numpy() / 100.0, pa.float64()
+            ),
+            "total_qty": survivors["total_qty"],
+        }
+    ).filter(_pc.is_valid(pa.array(names, pa.string())))  # inner join: dangling custkey drops
+    idx = np.lexsort(
+        (out["orderkey"].to_numpy(), -out["totalprice"].to_numpy())
+    )[:k]
+    return rd.from_arrow(out.take(pa.array(idx)))
+
+
+def _empty_large_order_table() -> pa.Table:
+    return pa.table(
+        {
+            "custkey": pa.array([], pa.int64()),
+            "name": pa.array([], pa.string()),
+            "orderkey": pa.array([], pa.int64()),
+            "orderdate": pa.array([], pa.timestamp("us")),
+            "totalprice": pa.array([], pa.float64()),
+            "total_qty": pa.array([], pa.int64()),
+        }
+    )
+
+
+def promo_revenue(sf_dir: str) -> "rd.Dataset":
+    """TPC-H-Q14-shaped promotion-effect metric: the share of March-1996
+    revenue that came from parts of type ``PROMO`` — one output row
+    (promo_revenue, total_revenue, promo_pct).
+
+    Scale shape: ONE union-tag groupby on partkey, no broadcast of the
+    part table (part grows with scale, unlike nation/region — the
+    dimension-size rule from ``revenue_by_supplier_nation`` does NOT
+    apply): lineitem is read with the ship-month window pushed down and
+    pre-aggregated per batch to (partkey, revenue-cents) partials; part
+    contributes (partkey, is_promo) flag rows; the groupby resolves each
+    partkey's flag, dangling partkeys drop like the SQL inner join, and
+    the surviving rows fold to ≤ 2 (is_promo ∈ {0,1}) partials before a
+    single-row finalize.  ``promo_pct`` is rounded to 6 decimals on both
+    engines."""
+    from ray.data.aggregate import Max
+
+    lo = datetime.datetime(1996, 3, 1)
+    hi = datetime.datetime(1996, 4, 1)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        keys = (
+            _pc.fill_null(batch["l_partkey"], -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = keys >= 0
+        keys = keys[ok]
+        rev = _cents_np(price[ok] * (1.0 - disc[ok]))
+        uk, inv = np.unique(keys, return_inverse=True)
+        tot = np.bincount(inv, weights=rev, minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {
+                "pkey": pa.array(uk, pa.int64()),
+                "rev_cents": pa.array(tot, pa.int64()),
+                "is_promo": pa.array(np.full(len(uk), -1, np.int64)),
+            }
+        )
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        promo = _pc.equal(_pc.fill_null(batch["p_type"], ""), "PROMO")
+        return pa.table(
+            {
+                "pkey": batch["p_partkey"].cast(pa.int64()),
+                "rev_cents": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "is_promo": promo.cast(pa.int64()),
+            }
+        )
+
+    per_part = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .union(part.map_batches(part_rows, batch_format="pyarrow"))
+        .groupby("pkey")
+        .aggregate(
+            Sum("rev_cents", alias_name="rev_cents"),
+            Max("is_promo", alias_name="is_promo"),
+        )
+    )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        # is_promo == -1 means no part row joined: dangling partkey, drop.
+        # n_rows tracks whether ANY joined row exists so the empty window
+        # finalizes to SQL's NULL sums, not 0.0
+        flag = batch["is_promo"].to_numpy(zero_copy_only=False)
+        rev = batch["rev_cents"].to_numpy(zero_copy_only=False)
+        ok = flag >= 0
+        return pa.table(
+            {
+                "promo_cents": pa.array([int(rev[ok & (flag == 1)].sum())], pa.int64()),
+                "total_cents": pa.array([int(rev[ok].sum())], pa.int64()),
+                "n_rows": pa.array([int(ok.sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        per_part.map_batches(fold, batch_format="pyarrow")
+        .aggregate(Sum("promo_cents"), Sum("total_cents"), Sum("n_rows"))
+    ) or {}  # fully-empty input: aggregate yields no row at all
+    n = int(agg.get("sum(n_rows)") or 0)
+    if n == 0:  # SQL: sum() over zero joined rows is NULL
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "promo_revenue": pa.array([None], pa.float64()),
+                    "total_revenue": pa.array([None], pa.float64()),
+                    "promo_pct": pa.array([None], pa.float64()),
+                }
+            )
+        )
+    pc_cents = int(agg.get("sum(promo_cents)") or 0)
+    tc_cents = int(agg.get("sum(total_cents)") or 0)
+    pct = round(100.0 * pc_cents / tc_cents, 6) if tc_cents else None
+    return rd.from_arrow(
+        pa.table(
+            {
+                "promo_revenue": pa.array([pc_cents / 100.0], pa.float64()),
+                "total_revenue": pa.array([tc_cents / 100.0], pa.float64()),
+                "promo_pct": pa.array([pct], pa.float64()),
+            }
+        )
+    )

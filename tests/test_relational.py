@@ -268,3 +268,144 @@ def test_late_shipment_join_multi_partition_parity(monkeypatch, ray_session, sf_
         .reset_index(drop=True)
     )
     assert fast.equals(slow), (fast, slow)
+
+
+def _mini_tpch(tmp_path, empty=False):
+    """Handcrafted TPC-H micro-tables with NULL keys and dangling FKs, so
+    the inner-join drop semantics of the Q10/Q14/Q18 kernels are exercised
+    beyond the well-formed driver fixtures."""
+    d = tmp_path / ("tpch_empty" if empty else "tpch_mini")
+    d.mkdir()
+    t96 = datetime.datetime(1996, 2, 1)
+
+    def w(name, cols):
+        pq.write_table(pa.table(cols), d / f"{name}.parquet")
+
+    if empty:
+        w("lineitem", {"l_orderkey": pa.array([], pa.int64()),
+                       "l_partkey": pa.array([], pa.int64()),
+                       "l_quantity": pa.array([], pa.float64()),
+                       "l_extendedprice": pa.array([], pa.float64()),
+                       "l_discount": pa.array([], pa.float64()),
+                       "l_returnflag": pa.array([], pa.string()),
+                       "l_shipdate": pa.array([], pa.timestamp("us"))})
+        w("orders", {"o_orderkey": pa.array([], pa.int64()),
+                     "o_custkey": pa.array([], pa.int64()),
+                     "o_orderdate": pa.array([], pa.timestamp("us")),
+                     "o_totalprice": pa.array([], pa.float64())})
+        w("customer", {"c_custkey": pa.array([], pa.int64()),
+                       "c_name": pa.array([], pa.string()),
+                       "c_nationkey": pa.array([], pa.int64())})
+        w("nation", {"n_nationkey": pa.array([], pa.int64()),
+                     "n_name": pa.array([], pa.string())})
+        w("part", {"p_partkey": pa.array([], pa.int64()),
+                   "p_type": pa.array([], pa.string())})
+        return str(d)
+
+    # lineitem: order 1 has R items; order 2 N only; order 3 dangles (no
+    # order row); one NULL orderkey row; one NULL partkey row
+    w("lineitem", {
+        "l_orderkey": pa.array([1, 1, 2, 3, None, 1], pa.int64()),
+        "l_partkey": pa.array([10, 11, 10, 12, 10, None], pa.int64()),
+        "l_quantity": pa.array([200.0, 150.0, 40.0, 30.0, 5.0, 1.0], pa.float64()),
+        "l_extendedprice": pa.array([100.005, 55.55, 20.0, 30.0, 40.0, 7.77], pa.float64()),
+        "l_discount": pa.array([0.1, 0.0, 0.5, 0.0, 0.25, 0.0], pa.float64()),
+        "l_returnflag": pa.array(["R", "R", "N", "R", "R", "R"], pa.string()),
+        "l_shipdate": pa.array([t96 + datetime.timedelta(days=30)] * 6, pa.timestamp("us")),
+    })
+    # orders: 1 in-window (cust 7), 2 in-window (cust 8 -> dangling customer),
+    # 4 out-of-window, 5 NULL custkey
+    w("orders", {
+        "o_orderkey": pa.array([1, 2, 4, 5], pa.int64()),
+        "o_custkey": pa.array([7, 8, 7, None], pa.int64()),
+        "o_orderdate": pa.array(
+            [t96, t96, datetime.datetime(1997, 1, 1), t96], pa.timestamp("us")
+        ),
+        "o_totalprice": pa.array([1000.125, 2000.0, 3000.0, 4000.0], pa.float64()),
+    })
+    # customer 7 valid nation; customer 9 dangling nation
+    w("customer", {
+        "c_custkey": pa.array([7, 9], pa.int64()),
+        "c_name": pa.array(["Cust7", "Cust9"], pa.string()),
+        "c_nationkey": pa.array([0, 99], pa.int64()),
+    })
+    w("nation", {"n_nationkey": pa.array([0], pa.int64()),
+                 "n_name": pa.array(["FRANCE"], pa.string())})
+    w("part", {"p_partkey": pa.array([10, 11], pa.int64()),
+               "p_type": pa.array(["PROMO", "MEDIUM"], pa.string())})
+    return str(d)
+
+
+def _oracle_con(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ["lineitem", "orders", "customer", "nation", "part"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _canon(df):
+    return (
+        df.reindex(sorted(df.columns), axis=1)
+        .sort_values(sorted(df.columns))
+        .reset_index(drop=True)
+    )
+
+
+def test_returned_item_revenue_mini_matches_oracle(ray_session, tmp_path):
+    import __ray_entry__ as entrymod
+    from language_identification_ray.pipelines.relational import returned_item_revenue
+
+    d = _mini_tpch(tmp_path)
+    got = _canon(returned_item_revenue(d).to_pandas())
+    con = _oracle_con(d)
+    want = _canon(con.sql(entrymod.oracle_sql()["returned_item_revenue"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # only order 1 (in-window, cust 7, valid nation) contributes; its NULL
+    # partkey R item still counts (partkey is irrelevant to Q10)
+    assert got["custkey"].tolist() == [7]
+    assert got["n_items"].tolist() == [3]
+
+
+def test_large_order_customers_mini_matches_oracle(ray_session, tmp_path):
+    import __ray_entry__ as entrymod
+    from language_identification_ray.pipelines.relational import large_order_customers
+
+    d = _mini_tpch(tmp_path)
+    got = _canon(large_order_customers(d, min_qty=300.0).to_pandas())
+    con = _oracle_con(d)
+    want = _canon(con.sql(entrymod.oracle_sql()["large_order_customers"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # order 1: qty 200+150+40? no — R+N both count in Q18: 200+150+1=351
+    # (order 1's items), passes >300; order 3 dangles; NULL orderkey drops
+    assert got["orderkey"].tolist() == [1]
+    assert got["total_qty"].tolist() == [351]
+
+
+def test_promo_revenue_mini_matches_oracle(ray_session, tmp_path):
+    import __ray_entry__ as entrymod
+    from language_identification_ray.pipelines.relational import promo_revenue
+
+    d = _mini_tpch(tmp_path)
+    got = promo_revenue(d).to_pandas()
+    con = _oracle_con(d)
+    want = con.sql(entrymod.oracle_sql()["promo_revenue"]).df()
+    for c in ["promo_revenue", "total_revenue", "promo_pct"]:
+        assert got[c].iloc[0] == pytest.approx(want[c].iloc[0]), c
+    # NULL-partkey line drops (dangling); part 10 is PROMO, part 11 is not
+    assert got["promo_pct"].iloc[0] < 100.0
+
+
+def test_q10_q14_q18_survive_empty_tables(ray_session, tmp_path):
+    from language_identification_ray.pipelines.relational import (
+        large_order_customers,
+        promo_revenue,
+        returned_item_revenue,
+    )
+
+    d = _mini_tpch(tmp_path, empty=True)
+    assert returned_item_revenue(d).to_pandas().shape[0] == 0
+    assert large_order_customers(d).to_pandas().shape[0] == 0
+    pr = promo_revenue(d).to_pandas()
+    assert pr.shape[0] == 1 and pd.isna(pr["promo_pct"].iloc[0])
