@@ -4392,3 +4392,344 @@ def bm25_topk(sf_dir: str, query: str = "table spark value", k: int = 100) -> "r
         .sort(["score", "doc_id"], descending=[True, False])
         .limit(k)
     )
+
+
+def user_cumulative_spend(sf_dir: str, n_buckets: int = 64) -> "rd.Dataset":
+    """Per-event running total of event value per user (ROWS UNBOUNDED
+    PRECEDING ordered by (ts NULLS LAST, event_id)) — the unbounded-prefix
+    window aggregate that pairs with :func:`user_rolling_avg`'s bounded
+    window (SURVEY §2.9 streaming shapes).
+
+    Scale shape: co-partitioned by ``user % n_buckets`` — ONE vectorized
+    ``map_groups`` call per bucket (not per user: segment-keyed cumsums
+    over the lexsorted bucket, the retention-cohort pattern), so Python
+    cost is O(buckets).  Exactness: values become integer cents before
+    the cumsum (order-independent int math, the ``user_rolling_avg``
+    contract).  NULL semantics match the SQL window exactly: NULL users
+    form ONE partition (their own bucket), NULL timestamps sort LAST
+    within their user, NULL values don't advance the sum and a prefix of
+    only-NULL values yields a NULL running total (SQL ``sum`` over an
+    all-NULL frame)."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"]
+        filled = pc.fill_null(uid, 0).cast(pa.int64())
+        isnull = pc.is_null(uid)
+        u_np = filled.to_numpy(zero_copy_only=False).astype(np.int64)
+        # numpy % with a positive modulus is non-negative for negative ids;
+        # NULL users take the extra bucket n_buckets (their own partition)
+        bkt = pa.array(
+            np.where(
+                np.asarray(isnull.combine_chunks() if isinstance(isnull, pa.ChunkedArray) else isnull),
+                n_buckets,
+                u_np % n_buckets,
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "bkt": bkt,
+                "uid_key": filled,
+                "uid_null": isnull,
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "value": batch["value"],
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        u = group["uid_key"].to_numpy(zero_copy_only=False)
+        nl = np.asarray(group["uid_null"].to_pylist(), dtype=bool)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        # NULLS LAST: NaT is INT64_MIN in the raw view, so lexsort would put
+        # it FIRST — remap to INT64_MAX explicitly
+        ts_i = ts.view("i8").copy()
+        ts_i[np.isnat(ts)] = np.iinfo(np.int64).max
+        order = np.lexsort((eid, ts_i, u, nl))
+        g = group.take(pa.array(order))
+        u, nl = u[order], nl[order]
+        vals = g["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        vnull = np.isnan(vals)
+        cents = np.where(vnull, 0.0, np.floor(vals * 100.0 + 0.5)).astype(np.int64)
+        first = np.r_[True, (u[1:] != u[:-1]) | (nl[1:] != nl[:-1])]
+        seg = np.cumsum(first) - 1
+        csum = np.cumsum(cents)
+        ncnt = np.cumsum(~vnull)
+        starts = np.flatnonzero(first)
+        base_c = (csum[starts] - cents[starts])[seg]
+        base_n = (ncnt[starts] - (~vnull[starts]).astype(np.int64))[seg]
+        cum = csum - base_c
+        nn = ncnt - base_n
+        spend = pa.array(
+            np.where(nn > 0, cum / 100.0, np.nan), pa.float64(), mask=(nn == 0)
+        )
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "user_id": pc.if_else(
+                    g["uid_null"], pa.scalar(None, pa.int64()), g["uid_key"]
+                ),
+                "ts": g["ts"],
+                "cum_spend": spend,
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+        )
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def pmi_top100(
+    sf_dir: str, min_count: int = 5, k: int = 100, n_buckets: int = 64
+) -> "rd.Dataset":
+    """Top-``k`` adjacent-word collocations by pointwise mutual information:
+    ``pmi(w1,w2) = ln( (c2/B) / ((c1[w1]/T)·(c1[w2]/T)) )`` with bigram
+    count ``c2``, unigram counts ``c1``, total tokens ``T``, total bigrams
+    ``B`` — the classic collocation-mining analytic (Church & Hanks 1990),
+    with a ``min_count`` support floor so rare accidents don't dominate.
+
+    Scale shape: ONE text scan emits batch-local unigram AND bigram count
+    partials (all-Arrow/numpy: dictionary-encoded codes, packed-int pair
+    bincount — the ``tfidf_top5_per_lang`` kernel family); one groupby
+    folds them into exact counts, materialized once (vocabulary-sized,
+    never the token stream).  T and B are aggregates OF THOSE COUNTS
+    (driver scalars, no second scan).  The two unigram lookups attach via
+    word-hash bucket co-partition (the ``source_unigram_kl`` pattern):
+    frequent bigrams + unigram rows share a bucket key, one vectorized
+    pandas merge per bucket — never a driver-side vocabulary dict.  NULL
+    text contributes nothing (the oracle's ``unnest`` of a NULL split);
+    empty text contributes one '' token on both engines.  ``pmi`` rounds
+    to 6 decimals before the (pmi DESC, w1, w2) cut so the boundary is
+    engine-deterministic."""
+    from language_identification_ray.stages.dedup import _hash_words32
+
+    def parts(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "kind": pa.array([], pa.int64()),
+                "w1": pa.array([], pa.string()),
+                "w2": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        t = batch["text"]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        batch = batch.filter(pc.is_valid(t))  # NULL text: zero tokens in SQL
+        if batch.num_rows == 0:
+            return empty
+        words = pc.split_pattern(batch["text"].combine_chunks(), " ")
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.flatten().dictionary_encode()
+        codes = flat.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nw = len(flat.dictionary)
+        if nw == 0:
+            return empty
+        uc, ucnt = np.unique(codes, return_counts=True)
+        out = [
+            pa.table(
+                {
+                    "kind": pa.array(np.zeros(len(uc), np.int64)),
+                    "w1": flat.dictionary.take(pa.array(uc)),
+                    "w2": pa.array([""] * len(uc), pa.string()),
+                    "cnt": pa.array(ucnt.astype(np.int64), pa.int64()),
+                }
+            )
+        ]
+        if len(codes) > 1:
+            offs = np.cumsum(lens)
+            valid = np.ones(len(codes) - 1, dtype=bool)
+            ends = offs[:-1] - 1  # last token of every doc except the final
+            valid[ends[ends < len(valid)]] = False
+            a, b = codes[:-1][valid], codes[1:][valid]
+            if len(a):
+                kdt = np.int32 if nw * nw < 2**31 else np.int64
+                packed = a.astype(kdt) * kdt(nw) + b.astype(kdt)
+                up, pcnt = np.unique(packed, return_counts=True)
+                out.append(
+                    pa.table(
+                        {
+                            "kind": pa.array(np.ones(len(up), np.int64)),
+                            "w1": flat.dictionary.take(pa.array(up // nw)),
+                            "w2": flat.dictionary.take(pa.array(up % nw)),
+                            "cnt": pa.array(pcnt.astype(np.int64), pa.int64()),
+                        }
+                    )
+                )
+        return pa.concat_tables(out)
+
+    counts = (
+        _docs(sf_dir, ["text"])
+        .map_batches(parts, batch_format="pyarrow")
+        .groupby(["kind", "w1", "w2"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()  # vocabulary-sized: distinct unigrams + bigrams
+    )
+    totals = {"T": 0, "B": 0}
+    for row in counts.map_batches(
+        lambda b: pa.table(
+            {
+                "T": pa.array(
+                    [
+                        int(
+                            b["cnt"]
+                            .to_numpy(zero_copy_only=False)[
+                                b["kind"].to_numpy(zero_copy_only=False) == 0
+                            ]
+                            .sum()
+                        )
+                    ],
+                    pa.int64(),
+                ),
+                "B": pa.array(
+                    [
+                        int(
+                            b["cnt"]
+                            .to_numpy(zero_copy_only=False)[
+                                b["kind"].to_numpy(zero_copy_only=False) == 1
+                            ]
+                            .sum()
+                        )
+                    ],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        totals["T"] += int(row["T"].to_numpy().sum())
+        totals["B"] += int(row["B"].to_numpy().sum())
+    T, B = float(totals["T"]), float(totals["B"])
+    empty_out = pa.table(
+        {
+            "w1": pa.array([], pa.string()),
+            "w2": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()),
+            "pmi": pa.array([], pa.float64()),
+        }
+    )
+    if B == 0:
+        return rd.from_arrow(empty_out)
+
+    def bg_rows(batch: pa.Table, key: str) -> pa.Table:
+        t = batch.filter(
+            pc.and_(pc.equal(batch["kind"], 1), pc.greater_equal(batch["cnt"], min_count))
+        )
+        kw = t[key].to_pylist()
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_hash_words32(kw) % np.uint32(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "key_w": t[key],
+                "w1": t["w1"],
+                "w2": t["w2"],
+                "c2": t["cnt"],
+                "c1": pa.nulls(t.num_rows, pa.int64()),
+            }
+        )
+
+    def uni_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["kind"], 0))
+        kw = t["w1"].to_pylist()
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_hash_words32(kw) % np.uint32(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "key_w": t["w1"],
+                "w1": pa.nulls(t.num_rows, pa.string()),
+                "w2": pa.nulls(t.num_rows, pa.string()),
+                "c2": pa.nulls(t.num_rows, pa.int64()),
+                "c1": t["cnt"],
+            }
+        )
+
+    def attach(group: pa.Table, out_col: str) -> pa.Table:
+        df = group.to_pandas()
+        uni = df[df["c2"].isna()][["key_w", "c1"]].rename(columns={"c1": out_col})
+        bg = df[~df["c2"].isna()].drop(columns=["c1"])
+        merged = bg.merge(uni, on="key_w", how="inner")  # missing unigram impossible
+        return pa.Table.from_pandas(
+            merged.drop(columns=["bkt", "key_w"]), preserve_index=False
+        )
+
+    uni_src = counts.map_batches(uni_rows, batch_format="pyarrow")
+    pass1 = (
+        counts.map_batches(lambda b: bg_rows(b, "w1"), batch_format="pyarrow")
+        .union(uni_src)
+        .groupby("bkt")
+        .map_groups(lambda g: attach(g, "c1a"), batch_format="pyarrow")
+    )
+
+    def rekey2(batch: pa.Table) -> pa.Table:
+        kw = batch["w2"].to_pylist()
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    (_hash_words32(kw) % np.uint32(n_buckets)).astype(np.int64), pa.int64()
+                ),
+                "key_w": batch["w2"],
+                "w1": batch["w1"],
+                "w2": batch["w2"],
+                "c2": batch["c2"],
+                "c1a": batch["c1a"],
+                "c1": pa.nulls(batch.num_rows, pa.int64()),
+            }
+        )
+
+    def uni_rows2(batch: pa.Table) -> pa.Table:
+        t = uni_rows(batch)
+        return t.append_column("c1a", pa.nulls(t.num_rows, pa.int64())).select(
+            ["bkt", "key_w", "w1", "w2", "c2", "c1a", "c1"]
+        )
+
+    def attach2(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        uni = df[df["c2"].isna()][["key_w", "c1"]].rename(columns={"c1": "c1b"})
+        bg = df[~df["c2"].isna()].drop(columns=["c1"])
+        merged = bg.merge(uni, on="key_w", how="inner")
+        return pa.Table.from_pandas(
+            merged.drop(columns=["bkt", "key_w"]), preserve_index=False
+        )
+
+    pass2 = (
+        pass1.map_batches(rekey2, batch_format="pyarrow")
+        .union(counts.map_batches(uni_rows2, batch_format="pyarrow"))
+        .groupby("bkt")
+        .map_groups(attach2, batch_format="pyarrow")
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return empty_out
+        c2 = batch["c2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1a = batch["c1a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1b = batch["c1b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # association order mirrors the oracle: ((c2*T)*T) / ((B*c1a)*c1b)
+        pmi = np.round(np.log(c2 * T * T / (B * c1a * c1b)), 6)
+        t = pa.table(
+            {
+                "w1": batch["w1"],
+                "w2": batch["w2"],
+                "cnt": batch["c2"].cast(pa.int64()),
+                "pmi": pa.array(pmi, pa.float64()),
+            }
+        )
+        # partial top-k cut: order by (pmi desc, w1, w2)
+        dfx = t.to_pandas().sort_values(
+            ["pmi", "w1", "w2"], ascending=[False, True, True]
+        ).head(k)
+        return pa.Table.from_pandas(dfx, preserve_index=False)
+
+    return (
+        pass2.map_batches(score, batch_format="pyarrow")
+        .sort(["pmi", "w1", "w2"], descending=[True, False, False])
+        .limit(k)
+    )

@@ -1968,3 +1968,131 @@ def test_retention_cohorts_extreme_user_ids(ray_session, tmp_path):
         for _, r in sql.iterrows()
     }
     assert oracle == got
+
+
+def test_user_cumulative_spend_null_semantics(ray_session, tmp_path):
+    """NULL users form one partition, NULL timestamps sort LAST, NULL
+    values don't advance the sum and an all-NULL prefix is NULL — all
+    compared against the committed window-function oracle, plus extreme
+    (negative / 2**62) user ids through the lexsort bucket path."""
+    import datetime as dt
+
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    d = tmp_path / "cum_spend"
+    d.mkdir()
+    t0 = dt.datetime(2026, 3, 2)
+    h = dt.timedelta(hours=1)
+    rows = [
+        # (event_id, user_id, ts, value)
+        (1, 5, t0, 1.005),          # 1.005*100 = 100.4999... -> 100 cents
+                                    # (binary 1.005 is slightly below; both
+                                    # engines share the float, so both floor
+                                    # to 1.00 — the cents contract is about
+                                    # cross-engine identity, not decimals)
+        (2, 5, t0 + h, None),       # NULL value: sum stays 1.01
+        (3, 5, None, 2.0),          # NULL ts: sorts LAST for user 5
+        (4, 5, t0 + 2 * h, 0.99),
+        (5, None, t0, 3.0),         # NULL users: one partition
+        (6, None, t0 + h, 4.0),
+        (7, -9, t0, None),          # all-NULL prefix -> NULL cum
+        (8, -9, t0 + h, 1.0),
+        (9, (1 << 62) + 7, t0, 2.5),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = (
+        analysis.user_cumulative_spend(str(d))
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    by_eid = dict(zip(out["event_id"], out["cum_spend"]))
+    assert by_eid[1] == pytest.approx(1.00)
+    assert by_eid[2] == pytest.approx(1.00)   # NULL value: no advance
+    assert by_eid[4] == pytest.approx(1.99)   # 1.00 + 0.99 (ts order)
+    assert by_eid[3] == pytest.approx(3.99)   # NULL ts LAST: + 2.0
+    assert by_eid[5] == pytest.approx(3.0) and by_eid[6] == pytest.approx(7.0)
+    assert pd.isna(by_eid[7]) and by_eid[8] == pytest.approx(1.0)
+    assert by_eid[9] == pytest.approx(2.5)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    want = (
+        con.sql(entrymod.oracle_sql()["user_cumulative_spend"])
+        .df()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out[["event_id", "cum_spend"]],
+        want[["event_id", "cum_spend"]],
+        check_dtype=False,
+    )
+
+
+def test_pmi_top100_matches_naive(ray_session, tmp_path):
+    """Random small-vocab corpus (plus NULL and empty docs): the engine's
+    bucket-join PMI must equal a from-scratch Counter computation."""
+    import math
+    import random
+    from collections import Counter
+
+    rng = random.Random(4242)
+    d = tmp_path / "pmi_rand"
+    d.mkdir()
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(120):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+        rows.append((i, body, "en", "A", len(body)))
+    rows.append((200, None, None, None, 0))
+    rows.append((201, "", "en", "A", 0))
+    _write_full_docs(d, rows)
+
+    out = analysis.pmi_top100(str(d), min_count=5, k=100).to_pandas()
+
+    uni: Counter = Counter()
+    bg: Counter = Counter()
+    for _, t, _, _, _ in rows:
+        if t is None:
+            continue
+        ws = t.split(" ")
+        uni.update(ws)
+        bg.update(zip(ws, ws[1:]))
+    T = float(sum(uni.values()))
+    B = float(sum(bg.values()))
+    scored = {}
+    for (a, b), c2 in bg.items():
+        if c2 >= 5:
+            scored[(a, b)] = round(math.log(c2 * T * T / (B * uni[a] * uni[b])), 6)
+    expect = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    got = [
+        ((r["w1"], r["w2"]), r["pmi"])
+        for _, r in out.iterrows()
+    ]
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    for (pair_g, v_g), (_, v_e) in zip(got, expect):
+        assert v_g == pytest.approx(v_e, abs=1e-9), pair_g
+
+
+def test_pmi_and_cum_spend_survive_empty(ray_session, tmp_path):
+    d = tmp_path / "pmi_empty"
+    d.mkdir()
+    _write_full_docs(d, [])
+    _write_events(d, [])
+    assert analysis.pmi_top100(str(d)).to_pandas().shape[0] == 0
+    assert analysis.user_cumulative_spend(str(d)).to_pandas().shape[0] == 0
