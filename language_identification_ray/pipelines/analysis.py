@@ -4733,3 +4733,157 @@ def pmi_top100(
         .sort(["pmi", "w1", "w2"], descending=[True, False, False])
         .limit(k)
     )
+
+
+def containment_dup_pairs(
+    sf_dir: str, n: int = 5, tau: float = 0.5, n_buckets: int = 256
+) -> "rd.Dataset":
+    """One-sided containment near-dup pairs over word ``n``-gram shingle
+    sets: ``containment(A,B) = |A∩B| / min(|A|,|B|)`` ≥ ``tau`` — the
+    asymmetric signal that catches SUBSET duplicates (a doc quoted whole
+    inside a longer one) which symmetric Jaccard dilutes below threshold
+    (Broder 1997 distinguishes resemblance from containment for exactly
+    this case).
+
+    Scale shape: the :func:`boilerplate_ngram_stats` distinct-(doc, gram)
+    front half feeds gram-hash bucket co-partitioned pair expansion (the
+    :func:`substring_dup_pairs` condensed-triangular kernel).  Each gram
+    row CARRIES its document's shingle-set size, so the pair fold emits
+    (doc_a, doc_b, shared-partial, |A|, |B|) and the sizes ride the same
+    exchange — no second corpus scan and no doc-keyed size join.  Flood
+    guard — PART OF THE DECLARED CONTRACT, mirrored as ``HAVING
+    count(*) <= 64`` in the oracle: a shingle in > ``max_gram_docs`` docs
+    is boilerplate (that op owns the signal), logged when dropped.  The
+    ``tau`` filter applies to the UNROUNDED ratio (the oracle's WHERE);
+    only the reported column rounds to 6 decimals."""
+    from language_identification_ray.stages.dedup import _hash_words32
+
+    max_gram_docs = 64
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        ndocs, udoc, ucode, gdict = _unique_doc_grams(batch, n)
+        empty = pa.table(
+            {
+                "bucket": pa.array([], pa.int64()),
+                "gram": pa.array([], pa.string()),
+                "doc_id": pa.array([], pa.int64()),
+                "c_doc": pa.array([], pa.int64()),
+            }
+        )
+        if len(udoc) == 0:
+            return empty
+        counts = np.bincount(udoc, minlength=ndocs)
+        ids = (
+            pc.fill_null(batch["doc_id"], -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        grams = gdict.take(pa.array(ucode))
+        bkt = (_hash_words32(grams.to_pylist()) % np.uint32(n_buckets)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(bkt, pa.int64()),
+                "gram": grams,
+                "doc_id": pa.array(ids[udoc], pa.int64()),
+                "c_doc": pa.array(counts[udoc].astype(np.int64), pa.int64()),
+            }
+        )
+
+    def pair_fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "n_shared": pa.array([], pa.int64()),
+                "c_a": pa.array([], pa.int64()),
+                "c_b": pa.array([], pa.int64()),
+            }
+        )
+        gd = group["gram"].combine_chunks().dictionary_encode()
+        hinv = gd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        docs = group["doc_id"].to_numpy(zero_copy_only=False)
+        cdoc = group["c_doc"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((docs, hinv))
+        hi, di, ci = hinv[o], docs[o], cdoc[o]
+        first = np.r_[True, hi[1:] != hi[:-1]]
+        seg_start = np.flatnonzero(first)
+        v = np.diff(np.r_[seg_start, len(hi)])
+        flood = v > max_gram_docs
+        if flood.any():
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "containment_dup_pairs: %d shingle(s) exceeded "
+                "max_gram_docs=%d — dropped per the boilerplate contract "
+                "(mirrored in the oracle SQL)",
+                int(flood.sum()),
+                max_gram_docs,
+            )
+            v = np.where(flood, 0, v)
+        m = v * (v - 1) // 2
+        if int(m.sum()) == 0:
+            return empty
+        q = _segment_aranges(np.zeros(len(m), dtype=np.int64), m)
+        vv = np.repeat(v, m)
+        ss = np.repeat(seg_start, m)
+        i = (
+            vv
+            - 2
+            - np.floor(
+                np.sqrt(-8.0 * q + 4.0 * vv * (vv - 1) - 7.0) / 2.0 - 0.5
+            ).astype(np.int64)
+        )
+        j = q + i + 1 - (vv * (vv - 1)) // 2 + ((vv - i) * (vv - i - 1)) // 2
+        a, b = di[ss + i], di[ss + j]
+        ca, cb = ci[ss + i], ci[ss + j]
+        swap = a > b
+        lo = np.where(swap, b, a)
+        hiid = np.where(swap, a, b)
+        clo = np.where(swap, cb, ca)
+        chi = np.where(swap, ca, cb)
+        pairs = np.ascontiguousarray(np.stack([lo, hiid], axis=1))
+        upairs, uidx, cnt = np.unique(
+            pairs.view("V16"), return_index=True, return_counts=True
+        )
+        up = upairs.view(np.int64).reshape(-1, 2)
+        return pa.table(
+            {
+                "doc_a": pa.array(up[:, 0], pa.int64()),
+                "doc_b": pa.array(up[:, 1], pa.int64()),
+                "n_shared": pa.array(cnt.astype(np.int64), pa.int64()),
+                "c_a": pa.array(clo[uidx], pa.int64()),
+                "c_b": pa.array(chi[uidx], pa.int64()),
+            }
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ns = batch["n_shared"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ca = batch["c_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cb = batch["c_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ratio = ns / np.minimum(ca, cb)
+        keep = ratio >= tau  # unrounded, like the oracle's WHERE
+        t = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "n_shared": t["n_shared"],
+                "c_a": t["c_a"],
+                "c_b": t["c_b"],
+                "containment": pa.array(np.round(ratio[keep], 6), pa.float64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(gram_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pair_fold, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(
+            Sum("n_shared", alias_name="n_shared"),
+            Max("c_a", alias_name="c_a"),
+            Max("c_b", alias_name="c_b"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
+    )

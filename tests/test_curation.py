@@ -2096,3 +2096,91 @@ def test_pmi_and_cum_spend_survive_empty(ray_session, tmp_path):
     _write_events(d, [])
     assert analysis.pmi_top100(str(d)).to_pandas().shape[0] == 0
     assert analysis.user_cumulative_spend(str(d)).to_pandas().shape[0] == 0
+
+
+def test_containment_dup_pairs_matches_naive(ray_session, tmp_path):
+    """Planted subset-duplicate: a short doc quoted whole inside a much
+    longer one has containment 1.0 but low Jaccard — the case this op
+    exists for.  Engine vs from-scratch set computation on a random
+    corpus, plus the committed oracle."""
+    import random
+    from collections import defaultdict
+
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    rng = random.Random(777)
+    d = tmp_path / "containment"
+    d.mkdir()
+    vocab = [f"t{i}" for i in range(400)]
+    quote = " ".join(f"q{i}" for i in range(12))  # 12 tokens -> 8 5-grams
+    rows = []
+    for i in range(40):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 60)))
+        rows.append((i, body, "en", "A", len(body)))
+    rows.append((100, quote, "en", "A", len(quote)))           # the short doc
+    rows.append((101, rows[3][1] + " " + quote, "en", "A", 0))  # quote embedded
+    rows.append((102, None, None, None, 0))
+    _write_full_docs(d, rows)
+
+    out = analysis.containment_dup_pairs(str(d)).to_pandas()
+    got = {
+        (int(r["doc_a"]), int(r["doc_b"])): (
+            int(r["n_shared"]), int(r["c_a"]), int(r["c_b"]), float(r["containment"])
+        )
+        for _, r in out.iterrows()
+    }
+
+    # naive
+    shingles = {}
+    for doc_id, t, *_ in rows:
+        if t is None:
+            continue
+        ws = t.split(" ")
+        shingles[doc_id] = {
+            " ".join(ws[i : i + 5]) for i in range(len(ws) - 4)
+        }
+    gram_docs = defaultdict(set)
+    for doc_id, s in shingles.items():
+        for g in s:
+            gram_docs[g].add(doc_id)
+    shared = defaultdict(int)
+    for g, ds in gram_docs.items():
+        if len(ds) > 64:
+            continue
+        ds = sorted(ds)
+        for x in range(len(ds)):
+            for y in range(x + 1, len(ds)):
+                shared[(ds[x], ds[y])] += 1
+    expect = {}
+    for (a, b), ns in shared.items():
+        ca, cb = len(shingles[a]), len(shingles[b])
+        ratio = ns / min(ca, cb)
+        if ratio >= 0.5:
+            expect[(a, b)] = (ns, ca, cb, round(ratio, 6))
+    assert got == expect
+    # the planted subset-dup survives with containment 1.0
+    assert got[(100, 101)][3] == 1.0
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    sql = con.sql(entrymod.oracle_sql()["containment_dup_pairs"]).df()
+    oracle = {
+        (int(r["doc_a"]), int(r["doc_b"])): (
+            int(r["n_shared"]), int(r["c_a"]), int(r["c_b"]), float(r["containment"])
+        )
+        for _, r in sql.iterrows()
+    }
+    assert oracle == got
+
+
+def test_containment_dup_pairs_empty_and_short(ray_session, tmp_path):
+    d = tmp_path / "containment_empty"
+    d.mkdir()
+    _write_full_docs(d, [])
+    assert analysis.containment_dup_pairs(str(d)).to_pandas().shape[0] == 0
+    e = tmp_path / "containment_short"
+    e.mkdir()
+    _write_full_docs(e, [(0, "a b c", "en", "A", 5), (1, None, None, None, 0)])
+    assert analysis.containment_dup_pairs(str(e)).to_pandas().shape[0] == 0
