@@ -1294,35 +1294,53 @@ def _top_revenue_orders_join(
     )
 
 
-def returned_item_revenue(sf_dir: str, k: int = 20) -> "rd.Dataset":
+def returned_item_revenue(
+    sf_dir: str, k: int = 20, n_buckets: int = 64, force_buckets: bool = False
+) -> "rd.Dataset":
     """TPC-H-Q10-shaped returned-item report: the ``k`` customers who
     generated the most revenue from RETURNED items (``l_returnflag='R'``)
     among orders placed in 1996Q1, with the customer's nation — the
     classic "who is returning what we sold them" rollup.
 
-    Scale shape — two UNION-TAG groupbys, zero ``Dataset.join`` and zero
-    driver-side key sets (the ``inactive_customers`` idiom, chained):
+    TWO size-gated physical plans (the ``orders_by_mktsegment`` idiom,
+    parity-tested row-for-row):
 
-    1. lineitem is read with the returnflag filter PUSHED DOWN and
-       pre-aggregated per batch to (orderkey, revenue-cents, n_items)
-       partials; orders are read with the date window pushed down.  One
-       groupby on orderkey fuses them: ``Max(custkey)`` (orders carry it,
-       lineitem partials carry the -1 sentinel) resolves each order's
-       customer; orderless lineitems and itemless orders drop like the
-       SQL inner join.
-    2. The per-order rows re-key to custkey and union with customer rows
-       (name + nationkey); one groupby on custkey resolves the name.
-       Dangling custkeys drop (Max(name) stays NULL), matching the join.
+    **Sidecar plan** (default when the date-window order keys fit the
+    256 MB dimension budget — a 3-month window is a bounded fraction of
+    orders at any scale): the window's (orderkey → custkey) pairs are
+    read driver-side with the date filter pushed down, sorted once, and
+    broadcast via ``ray.put``; every lineitem batch probes them with
+    ``np.searchsorted`` and emits per-CUSTOMER partials directly, so the
+    only exchange is the custkey-bucket fuse with customer rows — the
+    fact table never shuffles on orderkey at all.
+
+    **Bucket plan** (fallback, ``force_buckets=True`` or oversized
+    window) — two bucket-co-partitioned exchanges, zero ``Dataset.join``
+    and zero driver-side key sets: Ray's sort-based
+    aggregate pays per (group, AggregateFn), so with ~1 group per order
+    the first version spent ~2.4 s per extra aggregate on this host;
+    hashing to ``key % n_buckets`` instead shuffles the same rows into 64
+    groups and resolves each group with ONE vectorized numpy call (the
+    ``events_retention_cohorts`` pattern — segment sums + sorted-key
+    ``np.searchsorted`` probes, no per-order Python):
+
+    1. lineitem, returnflag filter PUSHED DOWN, pre-aggregated per batch
+       to (orderkey, revenue-cents, n_items) partials; orders, date
+       window pushed down, contribute (orderkey, custkey) rows; one
+       okey-bucket exchange fuses them — per-order revenue probes the
+       bucket's sorted order keys, orderless lineitems and itemless
+       orders drop like the SQL inner join (assumes orderkey unique in
+       orders, the TPC-H key contract both engines share).
+    2. The per-order rows re-key to custkey buckets with customer rows
+       (name + nationkey); each bucket folds per-customer totals,
+       resolves names the same way, drops dangling custkeys/nationkeys
+       like the join, and emits ONLY its top-``k`` — the final exchange
+       sorts ≤ k × n_buckets rows.
 
     Nation names ARE broadcast (25 rows at any scale — the star-join
-    dimension rule from ``revenue_by_supplier_nation``); customers whose
-    nationkey misses nation drop like the SQL inner join.  Top-k: per-batch
-    partial top-k, then a bounded sort over ≤ k×n_batches rows (the
-    ``top_revenue_orders`` shape).  Ties at the boundary break by custkey
-    — deterministic on both engines.
-    """
+    dimension rule from ``revenue_by_supplier_nation``).  Ties at the
+    boundary break by custkey — deterministic on both engines."""
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Count, Max
 
     lo = datetime.datetime(1996, 1, 1)
     hi = datetime.datetime(1996, 4, 1)
@@ -1346,6 +1364,67 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> "rd.Dataset":
         filter=(pads.field("o_orderdate") >= lo) & (pads.field("o_orderdate") < hi),
     )
 
+    # ---- sidecar plan gate: window orders as a broadcast lookup ---------
+    use_sidecar = not force_buckets
+    side_ref = None
+    if use_sidecar:
+        win = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey"],
+            filters=[("o_orderdate", ">=", lo), ("o_orderdate", "<", hi)],
+        )
+        if win.nbytes > (256 << 20):  # dimension budget: fall back
+            use_sidecar = False
+        else:
+            wk = win["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            wc = (
+                _pc.fill_null(win["o_custkey"], -1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            wo = np.argsort(wk, kind="stable")
+            side_ref = ray.put((wk[wo], wc[wo]))
+
+    def li_partial_sidecar(batch: pa.Table) -> pa.Table:
+        o_keys, o_cust = ray.get(side_ref)
+        keys = (
+            _pc.fill_null(batch["l_orderkey"], -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pos, hit = _probe_sorted(o_keys, keys)
+        hit &= keys >= 0
+        if not hit.any():
+            return pa.table(
+                {
+                    "cbkt": pa.array([], pa.int64()),
+                    "custkey": pa.array([], pa.int64()),
+                    "rev_cents": pa.array([], pa.int64()),
+                    "n_items": pa.array([], pa.int64()),
+                    "c_name": pa.array([], pa.string()),
+                    "nationkey": pa.array([], pa.int64()),
+                }
+            )
+        cust = o_cust[pos[hit]]
+        rev = _cents_np(price[hit] * (1.0 - disc[hit]))
+        keep = cust >= 0  # NULL custkey orders drop like the customer join
+        cust, rev = cust[keep], rev[keep]
+        uc, inv = np.unique(cust, return_inverse=True)
+        tot = np.bincount(inv, weights=rev, minlength=len(uc)).astype(np.int64)
+        cnt = np.bincount(inv, minlength=len(uc)).astype(np.int64)
+        return pa.table(
+            {
+                "cbkt": pa.array(uc % n_buckets, pa.int64()),
+                "custkey": pa.array(uc, pa.int64()),
+                "rev_cents": pa.array(tot, pa.int64()),
+                "n_items": pa.array(cnt, pa.int64()),
+                "c_name": pa.nulls(len(uc), pa.string()),
+                "nationkey": pa.array(np.full(len(uc), -1, np.int64)),
+            }
+        )
+
     def li_partial(batch: pa.Table) -> pa.Table:
         keys = (
             _pc.fill_null(batch["l_orderkey"], -1)
@@ -1362,6 +1441,7 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> "rd.Dataset":
         cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
         return pa.table(
             {
+                "bkt": pa.array(uk % n_buckets, pa.int64()),
                 "okey": pa.array(uk, pa.int64()),
                 "custkey": pa.array(np.full(len(uk), -1, np.int64)),
                 "rev_cents": pa.array(tot, pa.int64()),
@@ -1371,9 +1451,11 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> "rd.Dataset":
 
     def ord_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        okey = batch["o_orderkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "okey": batch["o_orderkey"].cast(pa.int64()),
+                "bkt": pa.array(okey % n_buckets, pa.int64()),
+                "okey": pa.array(okey, pa.int64()),
                 # NULL custkey -> -1 sentinel: drops below like the SQL join
                 "custkey": _pc.fill_null(batch["o_custkey"], -1).cast(pa.int64()),
                 "rev_cents": pa.array(np.zeros(n, np.int64)),
@@ -1381,39 +1463,53 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> "rd.Dataset":
             }
         )
 
-    per_order = (
-        li.map_batches(li_partial, batch_format="pyarrow")
-        .union(orders.map_batches(ord_rows, batch_format="pyarrow"))
-        .groupby("okey")
-        .aggregate(
-            Max("custkey", alias_name="custkey"),
-            Sum("rev_cents", alias_name="rev_cents"),
-            Sum("n_items", alias_name="n_items"),
-        )
-    )
-
-    def order_to_cust(batch: pa.Table) -> pa.Table:
-        # keep orders that matched BOTH sides: a window order with >= 1
-        # returned item (rev may be 0 cents only if every item rounds to 0,
-        # which n_items>0 still keeps — SQL emits those too)
-        m = _pc.and_(_pc.greater_equal(batch["custkey"], 0), _pc.greater(batch["n_items"], 0))
-        t = batch.filter(m)
-        n = t.num_rows
+    def fuse_orders(group: pa.Table) -> pa.Table:
+        ck = group["custkey"].to_numpy(zero_copy_only=False)
+        okey = group["okey"].to_numpy(zero_copy_only=False)
+        is_ord = ck >= 0
+        o_keys, o_cust = okey[is_ord], ck[is_ord]
+        oo = np.argsort(o_keys, kind="stable")
+        o_keys, o_cust = o_keys[oo], o_cust[oo]
+        li_keys = okey[~is_ord]
+        rev = group["rev_cents"].to_numpy(zero_copy_only=False)[~is_ord]
+        cnt = group["n_items"].to_numpy(zero_copy_only=False)[~is_ord]
+        pos, hit = _probe_sorted(o_keys, li_keys)
+        if not hit.any():
+            return pa.table(
+                {
+                    "cbkt": pa.array([], pa.int64()),
+                    "custkey": pa.array([], pa.int64()),
+                    "rev_cents": pa.array([], pa.int64()),
+                    "n_items": pa.array([], pa.int64()),
+                    "c_name": pa.array([], pa.string()),
+                    "nationkey": pa.array([], pa.int64()),
+                }
+            )
+        cust = o_cust[pos[hit]]
+        rev, cnt = rev[hit], cnt[hit]
+        uc, inv = np.unique(cust, return_inverse=True)
+        tot = np.bincount(inv, weights=rev, minlength=len(uc)).astype(np.int64)
+        n_it = np.bincount(inv, weights=cnt, minlength=len(uc)).astype(np.int64)
+        keep = uc >= 0  # NULL custkey orders drop like the customer join
+        uc, tot, n_it = uc[keep], tot[keep], n_it[keep]
         return pa.table(
             {
-                "custkey": t["custkey"],
-                "rev_cents": t["rev_cents"],
-                "n_items": t["n_items"],
-                "c_name": pa.nulls(n, pa.string()),
-                "nationkey": pa.array(np.full(n, -1, np.int64)),
+                "cbkt": pa.array(uc % n_buckets, pa.int64()),
+                "custkey": pa.array(uc, pa.int64()),
+                "rev_cents": pa.array(tot, pa.int64()),
+                "n_items": pa.array(n_it, pa.int64()),
+                "c_name": pa.nulls(len(uc), pa.string()),
+                "nationkey": pa.array(np.full(len(uc), -1, np.int64)),
             }
         )
 
     def cust_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
+        ck = batch["c_custkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "custkey": batch["c_custkey"].cast(pa.int64()),
+                "cbkt": pa.array(ck % n_buckets, pa.int64()),
+                "custkey": pa.array(ck, pa.int64()),
                 "rev_cents": pa.array(np.zeros(n, np.int64)),
                 "n_items": pa.array(np.zeros(n, np.int64)),
                 "c_name": batch["c_name"],
@@ -1421,42 +1517,57 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> "rd.Dataset":
             }
         )
 
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
-    )
-    per_cust = (
-        per_order.map_batches(order_to_cust, batch_format="pyarrow")
-        .union(cust.map_batches(cust_rows, batch_format="pyarrow"))
-        .groupby("custkey")
-        .aggregate(
-            Sum("rev_cents", alias_name="rev_cents"),
-            Sum("n_items", alias_name="n_items"),
-            Max("c_name", alias_name="c_name"),
-            Max("nationkey", alias_name="nationkey"),
+    def fuse_customers(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "custkey": pa.array([], pa.int64()),
+                "rev_cents": pa.array([], pa.int64()),
+                "n_items": pa.array([], pa.int64()),
+                "name": pa.array([], pa.string()),
+                "nationkey": pa.array([], pa.int64()),
+            }
         )
-    )
-
-    def topk_partial(batch: pa.Table) -> pa.Table:
-        # customers with revenue AND a real customer row AND a valid nation
-        nk = _pc.fill_null(batch["nationkey"], -1).to_numpy(zero_copy_only=False).astype(np.int64)
-        valid_nat = (nk >= 0) & (nk < len(nation_name))
-        valid_nat &= nation_valid[np.clip(nk, 0, len(nation_name) - 1)]
-        m = (
-            np.asarray(_pc.is_valid(batch["c_name"]))
-            & (batch["n_items"].to_numpy(zero_copy_only=False) > 0)
-            & valid_nat
+        name_col = group["c_name"]
+        is_cust = np.asarray(_pc.is_valid(name_col))
+        ck = group["custkey"].to_numpy(zero_copy_only=False)
+        c_keys = ck[is_cust]
+        co = np.argsort(c_keys, kind="stable")
+        c_keys = c_keys[co]
+        c_nat = group["nationkey"].to_numpy(zero_copy_only=False)[is_cust][co]
+        names = np.asarray(name_col.to_pylist(), dtype=object)[is_cust][co]
+        p_keys = ck[~is_cust]
+        rev = group["rev_cents"].to_numpy(zero_copy_only=False)[~is_cust]
+        cnt = group["n_items"].to_numpy(zero_copy_only=False)[~is_cust]
+        if len(p_keys) == 0:
+            return empty
+        uc, inv = np.unique(p_keys, return_inverse=True)
+        tot = np.bincount(inv, weights=rev, minlength=len(uc)).astype(np.int64)
+        n_it = np.bincount(inv, weights=cnt, minlength=len(uc)).astype(np.int64)
+        pos, hit = _probe_sorted(c_keys, uc)
+        nk = np.where(hit, c_nat[np.clip(pos, 0, max(len(c_keys) - 1, 0))], -1)
+        valid = hit & (nk >= 0) & (nk < len(nation_name))
+        valid &= nation_valid[np.clip(nk, 0, len(nation_name) - 1)]
+        if not valid.any():
+            return empty
+        uc, tot, n_it, nk = uc[valid], tot[valid], n_it[valid], nk[valid]
+        nm = names[pos[valid]]
+        cut = _topk_order(tot, uc, k)  # bucket-local partial top-k
+        return pa.table(
+            {
+                "custkey": pa.array(uc[cut], pa.int64()),
+                "rev_cents": pa.array(tot[cut], pa.int64()),
+                "n_items": pa.array(n_it[cut], pa.int64()),
+                "name": pa.array(nm[cut], pa.string()),
+                "nationkey": pa.array(nk[cut], pa.int64()),
+            }
         )
-        t = batch.filter(pa.array(m))
-        rev = t["rev_cents"].to_numpy(zero_copy_only=False)
-        keys = t["custkey"].to_numpy(zero_copy_only=False)
-        return t.take(pa.array(_topk_order(rev, keys, k)))
 
     def finalize(batch: pa.Table) -> pa.Table:
         nk = batch["nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "custkey": batch["custkey"],
-                "name": batch["c_name"],
+                "name": batch["name"],
                 "nation": pa.array(nation_name[nk], pa.string()),
                 "revenue": pa.array(
                     batch["rev_cents"].to_numpy(zero_copy_only=False) / 100.0,
@@ -1466,8 +1577,26 @@ def returned_item_revenue(sf_dir: str, k: int = 20) -> "rd.Dataset":
             }
         )
 
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+    )
+    if use_sidecar:
+        per_cust = li.map_batches(li_partial_sidecar, batch_format="pyarrow")
+    else:
+        per_cust = (
+            li.map_batches(li_partial, batch_format="pyarrow")
+            .union(orders.map_batches(ord_rows, batch_format="pyarrow"))
+            .groupby("bkt")
+            .map_groups(fuse_orders, batch_format="pyarrow")
+        )
     return (
-        per_cust.map_batches(topk_partial, batch_format="pyarrow")
+        per_cust.union(cust.map_batches(cust_rows, batch_format="pyarrow"))
+        # the union is ~1 row per (window customer + customer) — tiny — but
+        # arrives as 128 near-empty blocks and Ray's sort shuffle pays per
+        # block: coalesce first (5.5 s -> sub-second on the sf0.1 profile)
+        .repartition(8)
+        .groupby("cbkt")
+        .map_groups(fuse_customers, batch_format="pyarrow")
         .sort(["rev_cents", "custkey"], descending=[True, False])
         .limit(k)
         .map_batches(finalize, batch_format="pyarrow")
@@ -1487,34 +1616,31 @@ def _empty_returned_item_table() -> pa.Table:
 
 
 def large_order_customers(
-    sf_dir: str, min_qty: float = 300.0, k: int = 100
+    sf_dir: str, min_qty: float = 300.0, k: int = 100, n_buckets: int = 64
 ) -> "rd.Dataset":
     """TPC-H-Q18-shaped large-volume-order report: orders whose total line
     quantity exceeds ``min_qty``, with customer name, order date, total
     price, and the quantity — top ``k`` by total price (ties break by
     orderkey; both engines order identically).
 
-    Scale shape: lineitem pre-aggregates per batch to (orderkey,
-    qty-partial) rows — the HAVING side shuffles one row per order seen,
-    not one per lineitem — fused with orders attribute rows in ONE
-    union-tag groupby on orderkey.  The qualifying set (HAVING
-    sum > min_qty) is then DRIVER-BOUNDED: Q18's threshold makes it a
-    vanishing fraction of orders (46 of 150k at sf0.01; the TPC spec
-    targets ~1 in 10⁴), so the per-order rows are collected with a LOUD
-    cap (``max_result_rows``) and the customer names resolved with one
-    pushed-down point-list read of customer — the same bounded-collect
-    contract as ``length_outlier_filter``'s p99 pass.  Quantities use the
-    Q1 integer convention (``floor(q+0.5)``) so int64 sums are exact."""
+    Scale shape: lineitem (okey, qty) partials are co-partitioned by
+    ``okey % n_buckets`` and each bucket resolves its per-order sums +
+    the HAVING filter in ONE vectorized numpy call — NOT a per-order
+    groupby: Ray's sort-based aggregate pays per (group, AggregateFn)
+    and the first version spent 15 s shipping order attributes through
+    five aggregates over ~150k groups; the bucket shape shuffles the
+    same rows into 64 groups and never ships the attributes at all.
+    The HAVING survivors (a vanishing fraction — 46 of 150k at sf0.01;
+    the TPC spec targets ~1 in 10^4) are collected under a LOUD bound
+    (``max_result_rows``, the ``length_outlier_filter`` bounded-collect
+    contract) and their order/customer attributes resolved with two
+    pushed-down point-list parquet reads.  Quantities use the Q1
+    integer convention (``floor(q+0.5)``) so int64 sums are exact."""
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Max
 
     max_result_rows = 1_000_000  # loud bound on the HAVING survivors
 
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet",
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
-    )
 
     def li_partial(batch: pa.Table) -> pa.Table:
         keys = (
@@ -1530,56 +1656,33 @@ def large_order_customers(
         tot = np.bincount(inv, weights=q_int, minlength=len(uk)).astype(np.int64)
         return pa.table(
             {
+                "bkt": pa.array(uk % n_buckets, pa.int64()),
                 "okey": pa.array(uk, pa.int64()),
                 "total_qty": pa.array(tot, pa.int64()),
-                "custkey": pa.array(np.full(len(uk), -1, np.int64)),
-                "odate": pa.nulls(len(uk), pa.timestamp("us")),
-                "price_cents": pa.array(np.zeros(len(uk), np.int64)),
-                "is_ord": pa.array(np.zeros(len(uk), np.int64)),
             }
         )
 
-    def ord_rows(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        price = batch["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+    thresh = int(min_qty) if float(min_qty).is_integer() else min_qty
+
+    def fold_bucket(group: pa.Table) -> pa.Table:
+        okey = group["okey"].to_numpy(zero_copy_only=False)
+        qty = group["total_qty"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(okey, return_inverse=True)
+        tot = np.bincount(inv, weights=qty, minlength=len(uk)).astype(np.int64)
+        big = tot > thresh
         return pa.table(
             {
-                "okey": batch["o_orderkey"].cast(pa.int64()),
-                "total_qty": pa.array(np.zeros(n, np.int64)),
-                "custkey": _pc.fill_null(batch["o_custkey"], -1).cast(pa.int64()),
-                "odate": batch["o_orderdate"],
-                "price_cents": pa.array(_cents_np(price), pa.int64()),
-                "is_ord": pa.array(np.ones(n, np.int64)),
+                "okey": pa.array(uk[big], pa.int64()),
+                "total_qty": pa.array(tot[big], pa.int64()),
             }
         )
 
-    per_order = (
+    survivors_ds = (
         li.map_batches(li_partial, batch_format="pyarrow")
-        .union(orders.map_batches(ord_rows, batch_format="pyarrow"))
-        .groupby("okey")
-        .aggregate(
-            Sum("total_qty", alias_name="total_qty"),
-            Max("custkey", alias_name="custkey"),
-            Max("odate", alias_name="odate"),
-            Max("price_cents", alias_name="price_cents"),
-            Sum("is_ord", alias_name="is_ord"),
-        )
+        .groupby("bkt")
+        .map_groups(fold_bucket, batch_format="pyarrow")
     )
-
-    def keep_big(batch: pa.Table) -> pa.Table:
-        m = (
-            _pc.greater(batch["total_qty"], int(min_qty))
-            if float(min_qty).is_integer()
-            else _pc.greater(batch["total_qty"], min_qty)
-        )
-        m = _pc.and_(m, _pc.greater(batch["is_ord"], 0))
-        m = _pc.and_(m, _pc.greater_equal(batch["custkey"], 0))
-        return batch.filter(m).select(
-            ["okey", "custkey", "odate", "price_cents", "total_qty"]
-        )
-
-    big = per_order.map_batches(keep_big, batch_format="pyarrow").to_arrow_refs()
-    tables = [t for t in ray.get(big) if t.num_rows]
+    tables = [t for t in ray.get(survivors_ds.to_arrow_refs()) if t.num_rows]
     if not tables:
         return rd.from_arrow(_empty_large_order_table())
     survivors = pa.concat_tables(tables)
@@ -1589,32 +1692,44 @@ def large_order_customers(
             f"min_qty={min_qty} (> bound {max_result_rows}); raise min_qty "
             "or the bound — refusing an unbounded driver collect"
         )
-    # resolve names with one pushed-down point-list read (bounded key list)
-    custkeys = np.unique(survivors["custkey"].to_numpy())
+    qty_by_okey = dict(
+        zip(survivors["okey"].to_pylist(), survivors["total_qty"].to_pylist())
+    )
+    # point-list reads: the key lists are bounded by the HAVING selectivity
+    ords = pq.read_table(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        filters=[("o_orderkey", "in", list(qty_by_okey))],
+    )
+    ock = _pc.fill_null(ords["o_custkey"], -1).to_numpy(zero_copy_only=False).astype(np.int64)
+    keep_ord = ock >= 0  # NULL custkey: the customer join drops it
+    ords = ords.filter(pa.array(keep_ord))
+    ock = ock[keep_ord]
+    if ords.num_rows == 0:
+        return rd.from_arrow(_empty_large_order_table())
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_name"],
-        filters=[("c_custkey", "in", custkeys.tolist())],
+        filters=[("c_custkey", "in", np.unique(ock).tolist())],
     )
     name_by_key = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
-    names = [name_by_key.get(int(ck)) for ck in survivors["custkey"].to_pylist()]
+    names = [name_by_key.get(int(c)) for c in ock]
+    name_arr = pa.array(names, pa.string())
+    price = ords["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
     out = pa.table(
         {
-            "custkey": survivors["custkey"],
-            "name": pa.array(names, pa.string()),
-            "orderkey": survivors["okey"],
-            # Ray's Max aggregate lands timestamps at 's' precision via its
-            # numpy path; restore the table's native us so hashes line up
-            "orderdate": survivors["odate"].cast(pa.timestamp("us")),
-            "totalprice": pa.array(
-                survivors["price_cents"].to_numpy() / 100.0, pa.float64()
+            "custkey": pa.array(ock, pa.int64()),
+            "name": name_arr,
+            "orderkey": ords["o_orderkey"].cast(pa.int64()),
+            "orderdate": ords["o_orderdate"].cast(pa.timestamp("us")),
+            "totalprice": pa.array(_cents_np(price) / 100.0, pa.float64()),
+            "total_qty": pa.array(
+                [qty_by_okey[int(o)] for o in ords["o_orderkey"].to_pylist()],
+                pa.int64(),
             ),
-            "total_qty": survivors["total_qty"],
         }
-    ).filter(_pc.is_valid(pa.array(names, pa.string())))  # inner join: dangling custkey drops
-    idx = np.lexsort(
-        (out["orderkey"].to_numpy(), -out["totalprice"].to_numpy())
-    )[:k]
+    ).filter(_pc.is_valid(name_arr))  # inner join: dangling custkey drops
+    idx = np.lexsort((out["orderkey"].to_numpy(), -out["totalprice"].to_numpy()))[:k]
     return rd.from_arrow(out.take(pa.array(idx)))
 
 

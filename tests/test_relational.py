@@ -409,3 +409,17 @@ def test_q10_q14_q18_survive_empty_tables(ray_session, tmp_path):
     assert large_order_customers(d).to_pandas().shape[0] == 0
     pr = promo_revenue(d).to_pandas()
     assert pr.shape[0] == 1 and pd.isna(pr["promo_pct"].iloc[0])
+
+
+def test_returned_item_revenue_plan_parity(ray_session, sf_dir):
+    """The sidecar and bucket physical plans must agree row-for-row on the
+    driver fixture (the orders_by_mktsegment two-plan contract)."""
+    from language_identification_ray.pipelines.relational import returned_item_revenue
+
+    a = returned_item_revenue(sf_dir).to_pandas().reset_index(drop=True)
+    b = (
+        returned_item_revenue(sf_dir, force_buckets=True)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
