@@ -4494,24 +4494,27 @@ def pmi_top100(
     ``B`` — the classic collocation-mining analytic (Church & Hanks 1990),
     with a ``min_count`` support floor so rare accidents don't dominate.
 
-    Scale shape: ONE text scan emits batch-local unigram AND bigram count
-    partials (all-Arrow/numpy: dictionary-encoded codes, packed-int pair
-    bincount — the ``tfidf_top5_per_lang`` kernel family); one groupby
-    folds them into exact counts, materialized once (vocabulary-sized,
-    never the token stream).  T and B are aggregates OF THOSE COUNTS
-    (driver scalars, no second scan).  The two unigram lookups attach via
-    word-hash bucket co-partition (the ``source_unigram_kl`` pattern):
-    frequent bigrams + unigram rows share a bucket key, one vectorized
-    pandas merge per bucket — never a driver-side vocabulary dict.  NULL
+    Scale shape — TWO int-keyed bucket exchanges total, no string-keyed
+    groupby anywhere (Ray's sort shuffle pays dearly for string keys):
+    one text scan emits batch-local unigram partials bucketed by
+    ``hash(word)`` and bigram partials bucketed by ``hash(w1)`` — the
+    SAME bucket, so exchange 1 folds exact unigram counts, exact bigram
+    counts, AND the left unigram attach in one vectorized pandas call
+    per bucket, emitting per-bucket T/B total rows besides (bounded by
+    ``n_buckets``, collected driver-side).  Exchange 2 re-buckets the
+    frequent bigrams by ``hash(w2)`` with the exchange-1 unigram rows
+    and attaches the right count.  The vocabulary-sized exchange-1
+    output is materialized once; the token stream shuffles never.  NULL
     text contributes nothing (the oracle's ``unnest`` of a NULL split);
-    empty text contributes one '' token on both engines.  ``pmi`` rounds
-    to 6 decimals before the (pmi DESC, w1, w2) cut so the boundary is
-    engine-deterministic."""
+    empty text contributes one '' token on both engines.  ``pmi``
+    rounds to 6 decimals before the (pmi DESC, w1, w2) cut so the
+    boundary is engine-deterministic."""
     from language_identification_ray.stages.dedup import _hash_words32
 
     def parts(batch: pa.Table) -> pa.Table:
         empty = pa.table(
             {
+                "bkt": pa.array([], pa.int64()),
                 "kind": pa.array([], pa.int64()),
                 "w1": pa.array([], pa.string()),
                 "w2": pa.array([], pa.string()),
@@ -4531,12 +4534,17 @@ def pmi_top100(
         nw = len(flat.dictionary)
         if nw == 0:
             return empty
+        dict_words = flat.dictionary
+        dict_hash = (_hash_words32(dict_words.to_pylist()) % np.uint32(n_buckets)).astype(
+            np.int64
+        )
         uc, ucnt = np.unique(codes, return_counts=True)
         out = [
             pa.table(
                 {
+                    "bkt": pa.array(dict_hash[uc], pa.int64()),
                     "kind": pa.array(np.zeros(len(uc), np.int64)),
-                    "w1": flat.dictionary.take(pa.array(uc)),
+                    "w1": dict_words.take(pa.array(uc)),
                     "w2": pa.array([""] * len(uc), pa.string()),
                     "cnt": pa.array(ucnt.astype(np.int64), pa.int64()),
                 }
@@ -4552,60 +4560,67 @@ def pmi_top100(
                 kdt = np.int32 if nw * nw < 2**31 else np.int64
                 packed = a.astype(kdt) * kdt(nw) + b.astype(kdt)
                 up, pcnt = np.unique(packed, return_counts=True)
+                w1c = (up // nw).astype(np.int64)
                 out.append(
                     pa.table(
                         {
+                            "bkt": pa.array(dict_hash[w1c], pa.int64()),
                             "kind": pa.array(np.ones(len(up), np.int64)),
-                            "w1": flat.dictionary.take(pa.array(up // nw)),
-                            "w2": flat.dictionary.take(pa.array(up % nw)),
+                            "w1": dict_words.take(pa.array(w1c)),
+                            "w2": dict_words.take(pa.array((up % nw).astype(np.int64))),
                             "cnt": pa.array(pcnt.astype(np.int64), pa.int64()),
                         }
                     )
                 )
         return pa.concat_tables(out)
 
-    counts = (
-        _docs(sf_dir, ["text"])
-        .map_batches(parts, batch_format="pyarrow")
-        .groupby(["kind", "w1", "w2"])
-        .aggregate(Sum("cnt", alias_name="cnt"))
-        .materialize()  # vocabulary-sized: distinct unigrams + bigrams
-    )
-    totals = {"T": 0, "B": 0}
-    for row in counts.map_batches(
-        lambda b: pa.table(
+    def fold1(group: pa.Table) -> pa.Table:
+        """Exact counts + left attach, one pandas call per bucket.  Emits
+        kind 0 = (word, c1) rows, kind 1 = frequent bigrams with c1a in
+        'cnt2', kind 2 = one (T_part, B_part) totals row."""
+        df = group.to_pandas()
+        uni = (
+            df[df["kind"] == 0].groupby("w1", sort=False)["cnt"].sum().reset_index()
+        )
+        bg = (
+            df[df["kind"] == 1]
+            .groupby(["w1", "w2"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        t_part, b_part = int(uni["cnt"].sum()), int(bg["cnt"].sum())
+        bg = bg[bg["cnt"] >= min_count]
+        bg = bg.merge(uni.rename(columns={"cnt": "c1a"}), on="w1", how="inner")
+        n_u, n_b = len(uni), len(bg)
+        return pa.table(
             {
-                "T": pa.array(
-                    [
-                        int(
-                            b["cnt"]
-                            .to_numpy(zero_copy_only=False)[
-                                b["kind"].to_numpy(zero_copy_only=False) == 0
-                            ]
-                            .sum()
-                        )
-                    ],
-                    pa.int64(),
+                "kind": pa.array([0] * n_u + [1] * n_b + [2], pa.int64()),
+                "w1": pa.array(
+                    list(uni["w1"]) + list(bg["w1"]) + [""], pa.string()
                 ),
-                "B": pa.array(
-                    [
-                        int(
-                            b["cnt"]
-                            .to_numpy(zero_copy_only=False)[
-                                b["kind"].to_numpy(zero_copy_only=False) == 1
-                            ]
-                            .sum()
-                        )
-                    ],
-                    pa.int64(),
+                "w2": pa.array([""] * n_u + list(bg["w2"]) + [""], pa.string()),
+                "cnt": pa.array(
+                    list(uni["cnt"]) + list(bg["cnt"]) + [t_part], pa.int64()
+                ),
+                "c1a": pa.array(
+                    [0] * n_u + list(bg["c1a"]) + [b_part], pa.int64()
                 ),
             }
-        ),
-        batch_format="pyarrow",
-    ).iter_batches(batch_format="pyarrow"):
-        totals["T"] += int(row["T"].to_numpy().sum())
-        totals["B"] += int(row["B"].to_numpy().sum())
-    T, B = float(totals["T"]), float(totals["B"])
+        )
+
+    ex1 = (
+        _docs(sf_dir, ["text"])
+        .map_batches(parts, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(fold1, batch_format="pyarrow")
+        .materialize()  # vocabulary-sized: distinct unigrams + frequent bigrams
+    )
+    tot = ex1.map_batches(
+        lambda b: b.filter(pc.equal(b["kind"], 2)), batch_format="pyarrow"
+    ).to_pandas()  # bounded by n_buckets
+    # empty corpus: the map produced zero rows and a column-less frame
+    T = float(tot["cnt"].sum()) if "cnt" in tot.columns else 0.0
+    B = float(tot["c1a"].sum()) if "c1a" in tot.columns else 0.0
     empty_out = pa.table(
         {
             "w1": pa.array([], pa.string()),
@@ -4617,122 +4632,65 @@ def pmi_top100(
     if B == 0:
         return rd.from_arrow(empty_out)
 
-    def bg_rows(batch: pa.Table, key: str) -> pa.Table:
-        t = batch.filter(
-            pc.and_(pc.equal(batch["kind"], 1), pc.greater_equal(batch["cnt"], min_count))
+    def rekey2(batch: pa.Table) -> pa.Table:
+        """Bucket kind-0 rows by hash(word) and kind-1 rows by hash(w2)
+        for the right-count attach; totals rows drop."""
+        df_kind = batch["kind"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(df_kind != 2))
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        key = np.where(
+            kind == 0,
+            np.asarray(t["w1"].to_pylist(), dtype=object),
+            np.asarray(t["w2"].to_pylist(), dtype=object),
         )
-        kw = t[key].to_pylist()
+        bkt = (_hash_words32(list(key)) % np.uint32(n_buckets)).astype(np.int64)
         return pa.table(
             {
-                "bkt": pa.array(
-                    (_hash_words32(kw) % np.uint32(n_buckets)).astype(np.int64), pa.int64()
-                ),
-                "key_w": t[key],
+                "bkt": pa.array(bkt, pa.int64()),
+                "kind": t["kind"],
                 "w1": t["w1"],
                 "w2": t["w2"],
-                "c2": t["cnt"],
-                "c1": pa.nulls(t.num_rows, pa.int64()),
+                "cnt": t["cnt"],
+                "c1a": t["c1a"],
             }
         )
 
-    def uni_rows(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.equal(batch["kind"], 0))
-        kw = t["w1"].to_pylist()
-        return pa.table(
-            {
-                "bkt": pa.array(
-                    (_hash_words32(kw) % np.uint32(n_buckets)).astype(np.int64), pa.int64()
-                ),
-                "key_w": t["w1"],
-                "w1": pa.nulls(t.num_rows, pa.string()),
-                "w2": pa.nulls(t.num_rows, pa.string()),
-                "c2": pa.nulls(t.num_rows, pa.int64()),
-                "c1": t["cnt"],
-            }
-        )
-
-    def attach(group: pa.Table, out_col: str) -> pa.Table:
+    def fold2(group: pa.Table) -> pa.Table:
         df = group.to_pandas()
-        uni = df[df["c2"].isna()][["key_w", "c1"]].rename(columns={"c1": out_col})
-        bg = df[~df["c2"].isna()].drop(columns=["c1"])
-        merged = bg.merge(uni, on="key_w", how="inner")  # missing unigram impossible
-        return pa.Table.from_pandas(
-            merged.drop(columns=["bkt", "key_w"]), preserve_index=False
+        uni = df[df["kind"] == 0][["w1", "cnt"]].rename(
+            columns={"w1": "w2", "cnt": "c1b"}
         )
-
-    uni_src = counts.map_batches(uni_rows, batch_format="pyarrow")
-    pass1 = (
-        counts.map_batches(lambda b: bg_rows(b, "w1"), batch_format="pyarrow")
-        .union(uni_src)
-        .groupby("bkt")
-        .map_groups(lambda g: attach(g, "c1a"), batch_format="pyarrow")
-    )
-
-    def rekey2(batch: pa.Table) -> pa.Table:
-        kw = batch["w2"].to_pylist()
-        return pa.table(
-            {
-                "bkt": pa.array(
-                    (_hash_words32(kw) % np.uint32(n_buckets)).astype(np.int64), pa.int64()
-                ),
-                "key_w": batch["w2"],
-                "w1": batch["w1"],
-                "w2": batch["w2"],
-                "c2": batch["c2"],
-                "c1a": batch["c1a"],
-                "c1": pa.nulls(batch.num_rows, pa.int64()),
-            }
-        )
-
-    def uni_rows2(batch: pa.Table) -> pa.Table:
-        t = uni_rows(batch)
-        return t.append_column("c1a", pa.nulls(t.num_rows, pa.int64())).select(
-            ["bkt", "key_w", "w1", "w2", "c2", "c1a", "c1"]
-        )
-
-    def attach2(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        uni = df[df["c2"].isna()][["key_w", "c1"]].rename(columns={"c1": "c1b"})
-        bg = df[~df["c2"].isna()].drop(columns=["c1"])
-        merged = bg.merge(uni, on="key_w", how="inner")
-        return pa.Table.from_pandas(
-            merged.drop(columns=["bkt", "key_w"]), preserve_index=False
-        )
-
-    pass2 = (
-        pass1.map_batches(rekey2, batch_format="pyarrow")
-        .union(counts.map_batches(uni_rows2, batch_format="pyarrow"))
-        .groupby("bkt")
-        .map_groups(attach2, batch_format="pyarrow")
-    )
-
-    def score(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
+        bg = df[df["kind"] == 1].drop(columns=["bkt", "kind"])
+        merged = bg.merge(uni, on="w2", how="inner")
+        if merged.empty:
             return empty_out
-        c2 = batch["c2"].to_numpy(zero_copy_only=False).astype(np.float64)
-        c1a = batch["c1a"].to_numpy(zero_copy_only=False).astype(np.float64)
-        c1b = batch["c1b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = merged["cnt"].to_numpy(dtype=np.float64)
+        c1a = merged["c1a"].to_numpy(dtype=np.float64)
+        c1b = merged["c1b"].to_numpy(dtype=np.float64)
         # association order mirrors the oracle: ((c2*T)*T) / ((B*c1a)*c1b)
         pmi = np.round(np.log(c2 * T * T / (B * c1a * c1b)), 6)
         t = pa.table(
             {
-                "w1": batch["w1"],
-                "w2": batch["w2"],
-                "cnt": batch["c2"].cast(pa.int64()),
+                "w1": pa.array(merged["w1"], pa.string()),
+                "w2": pa.array(merged["w2"], pa.string()),
+                "cnt": pa.array(merged["cnt"].to_numpy(dtype=np.int64), pa.int64()),
                 "pmi": pa.array(pmi, pa.float64()),
             }
         )
-        # partial top-k cut: order by (pmi desc, w1, w2)
-        dfx = t.to_pandas().sort_values(
+        # bucket-local partial top-k cut: order by (pmi desc, w1, w2)
+        cut = t.to_pandas().sort_values(
             ["pmi", "w1", "w2"], ascending=[False, True, True]
         ).head(k)
-        return pa.Table.from_pandas(dfx, preserve_index=False)
+        return pa.Table.from_pandas(cut, preserve_index=False)
 
     return (
-        pass2.map_batches(score, batch_format="pyarrow")
+        ex1.map_batches(rekey2, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(fold2, batch_format="pyarrow")
         .sort(["pmi", "w1", "w2"], descending=[True, False, False])
         .limit(k)
     )
+
 
 
 def containment_dup_pairs(
