@@ -1856,3 +1856,90 @@ def promo_revenue(sf_dir: str) -> "rd.Dataset":
             }
         )
     )
+
+
+def customer_order_histogram(sf_dir: str, n_buckets: int = 64) -> "rd.Dataset":
+    """TPC-H-Q13-shaped customer distribution: how many customers placed
+    exactly N orders, INCLUDING the zero-order customers the LEFT JOIN
+    keeps — the group-size-distribution analytic (the per-source/lang
+    variants of which drive corpus-balance decisions).
+
+    Scale shape: orders pre-aggregate per batch to (custkey, n) partials;
+    customer contributes marker rows; one custkey-hash bucket exchange
+    (64 groups, the Q18 rationale — a per-customer groupby would pay
+    Ray's per-(group, AggregateFn) sort cost over |customers| groups)
+    resolves each bucket's per-customer totals with one vectorized numpy
+    call and emits LOCAL histogram rows, so the final exchange carries
+    O(buckets × distinct counts).  NULL/dangling custkey orders drop
+    exactly like ``ON c_custkey = o_custkey`` (NULL matches nothing; an
+    order pointing at a missing customer is invisible from the customer
+    side)."""
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def ord_partial(batch: pa.Table) -> pa.Table:
+        keys = (
+            _pc.fill_null(batch["o_custkey"], -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        keys = keys[keys >= 0]  # NULL custkey matches no customer
+        uk, cnt = np.unique(keys, return_counts=True)
+        return pa.table(
+            {
+                "bkt": pa.array(uk % n_buckets, pa.int64()),
+                "custkey": pa.array(uk, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                "is_cust": pa.array(np.zeros(len(uk), np.int64)),
+            }
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        ck = batch["c_custkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ck)
+        return pa.table(
+            {
+                "bkt": pa.array(ck % n_buckets, pa.int64()),
+                "custkey": pa.array(ck, pa.int64()),
+                "n": pa.array(np.zeros(n, np.int64)),
+                "is_cust": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        ck = group["custkey"].to_numpy(zero_copy_only=False)
+        n = group["n"].to_numpy(zero_copy_only=False)
+        isc = group["is_cust"].to_numpy(zero_copy_only=False) > 0
+        c_keys = np.unique(ck[isc])
+        if len(c_keys) == 0:
+            return pa.table(
+                {
+                    "c_count": pa.array([], pa.int64()),
+                    "custdist": pa.array([], pa.int64()),
+                }
+            )
+        o_keys, o_n = ck[~isc], n[~isc]
+        uk, inv = np.unique(o_keys, return_inverse=True)
+        tot = np.bincount(inv, weights=o_n, minlength=len(uk)).astype(np.int64)
+        pos = np.searchsorted(c_keys, uk)
+        np.clip(pos, 0, len(c_keys) - 1, out=pos)
+        hit = c_keys[pos] == uk  # dangling custkeys drop (customer-side join)
+        per_cust = np.zeros(len(c_keys), dtype=np.int64)
+        per_cust[pos[hit]] = tot[hit]
+        counts, dist = np.unique(per_cust, return_counts=True)
+        return pa.table(
+            {
+                "c_count": pa.array(counts, pa.int64()),
+                "custdist": pa.array(dist.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        orders.map_batches(ord_partial, batch_format="pyarrow")
+        .union(cust.map_batches(cust_rows, batch_format="pyarrow"))
+        .groupby("bkt")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+    )

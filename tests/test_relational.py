@@ -397,6 +397,33 @@ def test_promo_revenue_mini_matches_oracle(ray_session, tmp_path):
     assert got["promo_pct"].iloc[0] < 100.0
 
 
+def test_customer_order_histogram_mini_matches_oracle(ray_session, tmp_path):
+    import __ray_entry__ as entrymod
+    from language_identification_ray.pipelines.relational import (
+        customer_order_histogram,
+    )
+
+    d = _mini_tpch(tmp_path)
+    got = _canon(customer_order_histogram(d).to_pandas())
+    con = _oracle_con(d)
+    want = _canon(con.sql(entrymod.oracle_sql()["customer_order_histogram"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # cust 7 placed orders 1 and 4 (Q13 has no date window); cust 9 placed
+    # none but the LEFT JOIN keeps it at c_count=0; order 2's dangling
+    # custkey 8 and order 5's NULL custkey are invisible from the customer
+    # side
+    assert sorted(zip(got["c_count"], got["custdist"])) == [(0, 1), (2, 1)]
+
+
+def test_customer_order_histogram_survives_empty_tables(ray_session, tmp_path):
+    from language_identification_ray.pipelines.relational import (
+        customer_order_histogram,
+    )
+
+    d = _mini_tpch(tmp_path, empty=True)
+    assert customer_order_histogram(d).to_pandas().shape[0] == 0
+
+
 def test_q10_q14_q18_survive_empty_tables(ray_session, tmp_path):
     from language_identification_ray.pipelines.relational import (
         large_order_customers,
