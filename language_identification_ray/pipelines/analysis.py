@@ -4845,3 +4845,231 @@ def containment_dup_pairs(
         )
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+def event_type_transitions(sf_dir: str, n_buckets: int = 64) -> "rd.Dataset":
+    """Markov transition counts over each user's time-ordered event stream:
+    how often event type A is immediately followed by type B — the
+    LAG-pair primitive behind funnel discovery, bot-signature mining and
+    next-action models (sessionize/funnel fix the pattern up front; this
+    op COUNTS every observed adjacent pair instead).
+
+    Ordering contract (shared with :func:`user_cumulative_spend`):
+    ``(ts NULLS LAST, event_id)`` within user; NULL users form ONE
+    partition, exactly like the SQL window's ``PARTITION BY user_id``.
+    First events contribute no pair (the oracle drops ``row_number() = 1``
+    rather than filtering ``prev IS NOT NULL``, so a genuinely-NULL
+    event_type stays a real Markov state on both sides).
+
+    Scale shape: one int-keyed exchange co-partitioned by
+    ``user % n_buckets`` — ONE vectorized call per bucket (lexsorted
+    segments, dictionary-encoded types, pair counting via one
+    ``np.unique`` over packed int codes), emitting per-bucket
+    (prev, next, n) partials; the final exchange carries
+    O(buckets x |types|^2) tiny rows into a NULL-safe two-key groupby."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"]
+        filled = pc.fill_null(uid, 0).cast(pa.int64())
+        isnull = pc.is_null(uid).combine_chunks()
+        u_np = filled.to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = pa.array(
+            np.where(np.asarray(isnull), n_buckets, u_np % n_buckets), pa.int64()
+        )
+        return pa.table(
+            {
+                "bkt": bkt,
+                "uid_key": filled,
+                "uid_null": isnull,
+                "event_id": batch["event_id"],
+                "ts": batch["ts"],
+                "event_type": batch["event_type"],
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        u = group["uid_key"].to_numpy(zero_copy_only=False)
+        nl = np.asarray(group["uid_null"].to_pylist(), dtype=bool)
+        ts = group["ts"].to_numpy(zero_copy_only=False)
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "prev_key": pa.array([], pa.string()),
+                "prev_null": pa.array([], pa.bool_()),
+                "next_key": pa.array([], pa.string()),
+                "next_null": pa.array([], pa.bool_()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if len(u) < 2:
+            return empty
+        ts_i = ts.view("i8").copy()
+        ts_i[np.isnat(ts)] = np.iinfo(np.int64).max  # NULLS LAST
+        order = np.lexsort((eid, ts_i, u, nl))
+        u, nl = u[order], nl[order]
+        enc = pc.dictionary_encode(
+            group["event_type"].combine_chunks().take(pa.array(order))
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.float64)
+        codes = np.where(np.isnan(codes), -1, codes).astype(np.int64)  # NULL type
+        types = enc.dictionary.to_pylist()
+        same = (u[1:] == u[:-1]) & (nl[1:] == nl[:-1])
+        prev, nxt = codes[:-1][same], codes[1:][same]
+        if len(prev) == 0:
+            return empty
+        k = len(types) + 1  # +1 for the NULL code -1
+        packed = (prev + 1) * k + (nxt + 1)
+        uniq, cnt = np.unique(packed, return_counts=True)
+        pc_, nc_ = uniq // k - 1, uniq % k - 1
+        pv = ["" if c < 0 else types[c] for c in pc_]
+        nv = ["" if c < 0 else types[c] for c in nc_]
+        return pa.table(
+            {
+                "prev_key": pa.array(pv, pa.string()),
+                "prev_null": pa.array(pc_ < 0),
+                "next_key": pa.array(nv, pa.string()),
+                "next_null": pa.array(nc_ < 0),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def restore(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "prev_type": pc.if_else(
+                    batch["prev_null"], pa.scalar(None, pa.string()), batch["prev_key"]
+                ),
+                "next_type": pc.if_else(
+                    batch["next_null"], pa.scalar(None, pa.string()), batch["next_key"]
+                ),
+                "n": batch["n"],
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby(["prev_key", "prev_null", "next_key", "next_null"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(restore, batch_format="pyarrow")
+    )
+
+
+def value_zscore_outliers(sf_dir: str, z: float = 3.0) -> "rd.Dataset":
+    """Events whose value is a per-type z-score outlier (|z| >= ``z`` against
+    the POPULATION mean/std of their event_type) — the broadcast-statistics
+    filter (anomaly triage, metric-spike review) that pairs a full-corpus
+    aggregate with a second map-only pass.
+
+    Exactness contract: values become integer cents first (the
+    ``user_rolling_avg`` int-math convention), per-type (n, Σc, Σc²)
+    partials are exact int64, and BOTH engines derive
+    ``z = (c - S1/n) / sqrt(S2/n - (S1/n)²)`` with the identical double
+    expression then round via ``floor(z·1e5 + 0.5)/1e5`` before the
+    threshold, so IEEE math agrees bit-for-bit.  NULL values drop; an
+    all-equal or singleton type (sd = 0) emits nothing (SQL NULLIF);
+    NULL event_type forms its own group (the oracle joins with
+    ``IS NOT DISTINCT FROM``).
+
+    Scale shape: pass 1 pre-aggregates (type, n, Σ, Σ²) per batch so the
+    exchange carries O(batches × types) rows into a tiny two-key groupby;
+    the stats table (|types| rows) is driver-collected (bounded) and
+    closure-broadcast into a map-only pass 2 — no join, no second
+    shuffle."""
+
+    src = f"{sf_dir}/events.parquet"
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ok = pc.is_valid(batch["value"])
+        t = batch.filter(ok)
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "type_key": pa.array([], pa.string()),
+                    "type_null": pa.array([], pa.bool_()),
+                    "n": pa.array([], pa.int64()),
+                    "s1": pa.array([], pa.int64()),
+                    "s2": pa.array([], pa.int64()),
+                }
+            )
+        key, isnull = _null_safe_key(t["event_type"])
+        joined = pc.binary_join_element_wise(
+            key.combine_chunks(), pc.cast(isnull, pa.string()), "\x00"
+        )
+        if isinstance(joined, pa.ChunkedArray):
+            joined = joined.combine_chunks()
+        enc = pc.dictionary_encode(joined)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(vals * 100.0 + 0.5).astype(np.int64)
+        k = len(enc.dictionary)
+        n = np.bincount(codes, minlength=k).astype(np.int64)
+        s1 = np.bincount(codes, weights=cents, minlength=k).astype(np.int64)
+        s2 = np.bincount(codes, weights=cents * cents, minlength=k).astype(np.int64)
+        pairs = [s.rsplit("\x00", 1) for s in enc.dictionary.to_pylist()]
+        return pa.table(
+            {
+                "type_key": pa.array([p[0] for p in pairs], pa.string()),
+                "type_null": pa.array([p[1] == "true" for p in pairs]),
+                "n": pa.array(n, pa.int64()),
+                "s1": pa.array(s1, pa.int64()),
+                "s2": pa.array(s2, pa.int64()),
+            }
+        )
+
+    stats = (
+        rd.read_parquet(src, columns=["event_type", "value"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["type_key", "type_null"])
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+        )
+        .to_pandas()  # bounded: one row per distinct event_type
+    )
+    by_type: dict = {}
+    for _, r in stats.iterrows():
+        key = None if r["type_null"] else r["type_key"]
+        n, s1, s2 = float(r["n"]), float(r["s1"]), float(r["s2"])
+        mean = s1 / n
+        var = s2 / n - mean * mean
+        if var > 0.0:
+            by_type[key] = (mean, np.sqrt(var))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ok = pc.is_valid(batch["value"])
+        t = batch.filter(ok)
+        vals = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cents = np.floor(vals * 100.0 + 0.5)
+        # vectorized stats gather: |dictionary| Python lookups, not |rows|
+        enc = pc.dictionary_encode(t["event_type"].combine_chunks())
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.float64)
+        codes = np.where(np.isnan(codes), len(enc.dictionary), codes).astype(np.int64)
+        lut = [by_type.get(ty, (np.nan, np.nan)) for ty in enc.dictionary.to_pylist()]
+        lut.append(by_type.get(None, (np.nan, np.nan)))  # NULL-type slot
+        lut_np = np.asarray(lut, dtype=np.float64).reshape(-1, 2)
+        mean, sd = lut_np[codes, 0], lut_np[codes, 1]
+        with np.errstate(invalid="ignore"):
+            zval = (cents - mean) / sd
+            zr = np.floor(zval * 1e5 + 0.5) / 1e5
+            keep = np.abs(zr) >= z
+        keep &= ~np.isnan(zr)
+        t = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "value": t["value"],
+                "z": pa.array(zr[keep], pa.float64()),
+            }
+        )
+
+    return rd.read_parquet(
+        src, columns=["event_id", "event_type", "value"]
+    ).map_batches(flag, batch_format="pyarrow")

@@ -2184,3 +2184,130 @@ def test_containment_dup_pairs_empty_and_short(ray_session, tmp_path):
     e.mkdir()
     _write_full_docs(e, [(0, "a b c", "en", "A", 5), (1, None, None, None, 0)])
     assert analysis.containment_dup_pairs(str(e)).to_pandas().shape[0] == 0
+
+
+def _write_events_full(d, rows):
+    """rows: (event_id, user_id_or_None, ts_or_None, type_or_None,
+    value_or_None) — the full adversarial surface for the event kernels."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+
+
+def test_event_transitions_match_oracle_on_adversarial_random(ray_session, tmp_path):
+    """Random events with NULL users / ts / types, duplicate timestamps —
+    the Ray kernel must stay hash-identical to the SQL window oracle."""
+    import datetime as dt
+    import random
+
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    rng = random.Random(777)
+    d = tmp_path / "trans_rand"
+    d.mkdir()
+    base = dt.datetime(2026, 4, 1)
+    types = ["view", "click", "buy", None]
+    rows = []
+    for i in range(600):
+        u = None if rng.random() < 0.06 else rng.randint(1, 15)
+        t = None if rng.random() < 0.06 else base + dt.timedelta(
+            seconds=rng.randint(0, 5000)  # dense: duplicate ts guaranteed
+        )
+        rows.append((i, u, t, rng.choice(types), rng.random() * 10))
+    _write_events_full(d, rows)
+    got = analysis.event_type_transitions(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    want = con.sql(entrymod.oracle_sql()["event_type_transitions"]).df()
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(sorted(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+    # NULL types are real Markov states, not dropped rows
+    assert got["prev_type"].isna().any() and got["next_type"].isna().any()
+    # every non-first event contributes exactly one pair; the set already
+    # counts the NULL-user partition (None is a member)
+    n_partitions = len({u for _, u, *_ in rows})
+    assert got["n"].sum() == 600 - n_partitions
+
+
+def test_zscore_outliers_match_oracle_on_adversarial_random(ray_session, tmp_path):
+    import datetime as dt
+    import random
+
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    rng = random.Random(778)
+    d = tmp_path / "z_rand"
+    d.mkdir()
+    base = dt.datetime(2026, 4, 1)
+    types = ["a", "b", None]
+    rows = []
+    for i in range(500):
+        v = None if rng.random() < 0.08 else (
+            rng.random() * 4 + (500.0 if rng.random() < 0.02 else 0.0)
+        )
+        rows.append((i, rng.randint(1, 9), base, rng.choice(types), v))
+    # a constant-value type: sd = 0 -> contributes nothing
+    for i in range(500, 520):
+        rows.append((i, 1, base, "flat", 7.5))
+    # a singleton type
+    rows.append((520, 1, base, "solo", 1.0))
+    _write_events_full(d, rows)
+    got = analysis.value_zscore_outliers(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    want = con.sql(entrymod.oracle_sql()["value_zscore_outliers"]).df()
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(sorted(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+    assert len(got) > 0  # the injected 500-range spikes must surface
+    assert not (got["event_type"] == "flat").any()
+    assert not (got["event_type"] == "solo").any()
+    # the NULL type formed its own population, not a crash or a drop
+    assert set(got["event_type"].dropna()) <= {"a", "b"}
+
+
+def test_event_transitions_and_zscore_survive_degenerate_shapes(
+    ray_session, tmp_path
+):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 5)
+    shapes = {
+        "empty": [],
+        "one_row": [(0, 1, t0, "view", 1.0)],
+        "all_null": [(0, None, None, None, None), (1, None, None, None, None)],
+    }
+    for sh, rows in shapes.items():
+        d = tmp_path / f"deg_{sh}"
+        d.mkdir()
+        _write_events_full(d, rows)
+        tr = analysis.event_type_transitions(str(d)).to_pandas()
+        zs = analysis.value_zscore_outliers(str(d)).to_pandas()
+        if sh == "all_null":
+            # two NULL-user events form one ordered partition -> one pair
+            assert len(tr) == 1 and tr["n"].iloc[0] == 1
+            assert tr["prev_type"].isna().all() and tr["next_type"].isna().all()
+        else:
+            assert len(tr) == 0, sh
+        assert len(zs) == 0, sh
