@@ -5073,3 +5073,126 @@ def value_zscore_outliers(sf_dir: str, z: float = 3.0) -> "rd.Dataset":
     return rd.read_parquet(
         src, columns=["event_id", "event_type", "value"]
     ).map_batches(flag, batch_format="pyarrow")
+
+
+def user_trailing_spend(
+    sf_dir: str, window_minutes: int = 60, n_buckets: int = 64
+) -> "rd.Dataset":
+    """Per-event trailing time-RANGE aggregate: for every event, the sum of
+    value and the row count over the SAME USER's events in
+    ``[ts - window, ts]`` — the RANGE-window primitive (velocity checks,
+    spend-rate caps) that differs from :func:`user_rolling_avg`'s ROWS
+    window in both frame semantics and peer handling: all rows sharing the
+    current timestamp are in-frame regardless of tie order, so the result
+    is tie-order invariant by construction.
+
+    NULL ts rows are excluded up front (both engines filter them before the
+    window; a RANGE frame over NULL ordering keys is undefined).  NULL
+    users form ONE partition; NULL values stay in-frame but add nothing,
+    and an all-NULL frame yields NULL spend (SQL ``sum``).  Values become
+    integer cents before summation (order-independent int math).
+
+    Scale shape: one exchange co-partitioned by ``user % n_buckets``.
+    Inside a bucket the fold is segment-vectorized: timestamps are
+    offset-compressed into a single monotonic int64 key space (each user's
+    span plus one window of padding), so BOTH frame bounds come from two
+    global ``np.searchsorted`` calls — no per-user Python loop.  When the
+    compressed key space would overflow int64 (pathological: ~2^62 µs of
+    summed spans), it falls back to an O(segments) slice loop, each slice
+    still vectorized."""
+
+    window_us = np.int64(window_minutes) * 60_000_000
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ok = pc.is_valid(batch["ts"])
+        t = batch.filter(ok)
+        uid = t["user_id"]
+        filled = pc.fill_null(uid, 0).cast(pa.int64())
+        isnull = pc.is_null(uid).combine_chunks()
+        u_np = filled.to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = pa.array(
+            np.where(np.asarray(isnull), n_buckets, u_np % n_buckets), pa.int64()
+        )
+        return pa.table(
+            {
+                "bkt": bkt,
+                "uid_key": filled,
+                "uid_null": isnull,
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "value": t["value"],
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        u = group["uid_key"].to_numpy(zero_copy_only=False)
+        n = len(u)
+        if n == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "user_id": pa.array([], pa.int64()),
+                    "ts": pa.array([], pa.timestamp("us")),
+                    "w_spend": pa.array([], pa.float64()),
+                    "w_events": pa.array([], pa.int64()),
+                }
+            )
+        nl = np.asarray(group["uid_null"].to_pylist(), dtype=bool)
+        ts = group["ts"].to_numpy(zero_copy_only=False).view("i8")
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u, nl))
+        g = group.take(pa.array(order))
+        u, nl, ts = u[order], nl[order], ts[order]
+        vals = g["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        vnull = np.isnan(vals)
+        cents = np.where(vnull, 0.0, np.floor(vals * 100.0 + 0.5)).astype(np.int64)
+        first = np.r_[True, (u[1:] != u[:-1]) | (nl[1:] != nl[:-1])]
+        seg = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        seg_min = ts[starts]  # per-segment first (min) timestamp
+        ends = np.r_[starts[1:], n] - 1
+        spans = ts[ends] - seg_min
+        slot = spans + window_us + 2  # padding so windows never cross segments
+        offs = np.cumsum(slot) - slot
+        total = int(offs[-1]) + int(slot[-1])
+        if total < (1 << 62):
+            key = offs[seg] + (ts - seg_min[seg]) + window_us + 1
+            lo = np.searchsorted(key, key - window_us, side="left")
+            hi = np.searchsorted(key, key, side="right")
+        else:  # overflow fallback: per-segment slices, still vectorized inside
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            for s, e in zip(starts, np.r_[starts[1:], n]):
+                t_seg = ts[s:e]
+                lo[s:e] = s + np.searchsorted(t_seg, t_seg - window_us, side="left")
+                hi[s:e] = s + np.searchsorted(t_seg, t_seg, side="right")
+        csum = np.r_[0, np.cumsum(cents)]
+        ccnt = np.r_[0, np.cumsum((~vnull).astype(np.int64))]
+        w_cents = csum[hi] - csum[lo]
+        w_nval = ccnt[hi] - ccnt[lo]
+        spend = pa.array(
+            np.where(w_nval > 0, w_cents / 100.0, np.nan),
+            pa.float64(),
+            mask=(w_nval == 0),
+        )
+        return pa.table(
+            {
+                "event_id": g["event_id"],
+                "user_id": pc.if_else(
+                    g["uid_null"], pa.scalar(None, pa.int64()), g["uid_key"]
+                ),
+                "ts": g["ts"],
+                "w_spend": spend,
+                "w_events": pa.array((hi - lo).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+        )
+        .map_batches(tag, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(fold, batch_format="pyarrow")
+    )
