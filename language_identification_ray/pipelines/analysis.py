@@ -5196,3 +5196,150 @@ def user_trailing_spend(
         .groupby("bkt")
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+def lang_centroids(sf_dir: str, n_buckets: int = 64) -> "rd.Dataset":
+    """Per-LANGUAGE mean embedding over the documents⋈embeddings FK join
+    (``doc_id = vec_id``), exploded to (lang, dim, centroid) rows — the
+    metadata-conditioned embedding analytic (per-language semantic drift,
+    cluster balance) that :func:`label_centroids` computes for the
+    embedding table's own label.
+
+    Join semantics are the SQL inner join's: NULL ids match nothing,
+    docs without a vector and vectors without a doc contribute nothing,
+    NULL lang keeps its own centroid group.
+
+    Scale shape: a two-sided union-tag bucket join on ``id % n_buckets``
+    (the pmi/Q10 attach pattern — no ``Dataset.join`` operator): the doc
+    side ships only (id, lang), the embedding side ships each vector
+    exactly once; inside a bucket the lang attach is one sorted
+    ``np.searchsorted`` gather, and per-(lang, dim) (sum, count) partials
+    leave the fold, so the second exchange carries O(langs × dim) tiny
+    rows, never vectors.  Centroids rounded to 5 decimals so float
+    summation order is engine-independent."""
+    from language_identification_ray.stages.knn import _as_matrix
+
+    vec_t = pa.list_(pa.float32())
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ok = pc.is_valid(batch["doc_id"])
+        t = batch.filter(ok)
+        ids = t["doc_id"].cast(pa.int64())
+        key, isnull = _null_safe_key(t["lang"])
+        bkt = pa.array(
+            ids.to_numpy(zero_copy_only=False) % n_buckets, pa.int64()
+        )
+        return pa.table(
+            {
+                "bkt": bkt,
+                "id": ids,
+                "lang_key": key,
+                "lang_null": isnull,
+                "embedding": pa.nulls(t.num_rows, vec_t),
+                "is_doc": pa.array(np.ones(t.num_rows, dtype=bool)),
+            }
+        )
+
+    def tag_embs(batch: pa.Table) -> pa.Table:
+        ok = pc.is_valid(batch["vec_id"])
+        t = batch.filter(ok)
+        ids = t["vec_id"].cast(pa.int64())
+        bkt = pa.array(
+            ids.to_numpy(zero_copy_only=False) % n_buckets, pa.int64()
+        )
+        n = t.num_rows
+        return pa.table(
+            {
+                "bkt": bkt,
+                "id": ids,
+                "lang_key": pa.array([""] * n, pa.string()),
+                "lang_null": pa.array(np.zeros(n, dtype=bool)),
+                "embedding": t["embedding"].cast(vec_t),
+                "is_doc": pa.array(np.zeros(n, dtype=bool)),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang_key": pa.array([], pa.string()),
+                "lang_null": pa.array([], pa.bool_()),
+                "dim": pa.array([], pa.int64()),
+                "psum": pa.array([], pa.float64()),
+                "pcount": pa.array([], pa.int64()),
+            }
+        )
+        isd = np.asarray(group["is_doc"].to_pylist(), dtype=bool)
+        if isd.all() or not isd.any():
+            return empty
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        docs = group.filter(pa.array(isd))
+        d_ids = ids[isd]
+        d_order = np.argsort(d_ids, kind="stable")
+        d_sorted = d_ids[d_order]
+        embs = group.filter(pa.array(~isd))
+        e_ids = ids[~isd]
+        pos = np.searchsorted(d_sorted, e_ids)
+        np.clip(pos, 0, len(d_sorted) - 1, out=pos)
+        hit = d_sorted[pos] == e_ids  # inner join: unmatched vectors drop
+        if not hit.any():
+            return empty
+        mat = _as_matrix(embs.filter(pa.array(hit))["embedding"])
+        src = d_order[pos[hit]]  # doc row index per matched vector
+        lk = docs["lang_key"].to_numpy(zero_copy_only=False)[src]
+        ln = np.asarray(docs["lang_null"].to_pylist(), dtype=bool)[src]
+        # group matched vectors by (lang_key, lang_null) via dict codes
+        enc = pc.dictionary_encode(
+            pc.binary_join_element_wise(
+                pa.array(lk, pa.string()),
+                pa.array(np.where(ln, "1", "0")),
+                "\x00",
+            )
+        )
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k, dim = len(enc.dictionary), mat.shape[1]
+        sums = np.zeros((k, dim), dtype=np.float64)
+        np.add.at(sums, codes, mat)
+        counts = np.bincount(codes, minlength=k).astype(np.int64)
+        pairs = [s.rsplit("\x00", 1) for s in enc.dictionary.to_pylist()]
+        return pa.table(
+            {
+                "lang_key": pa.array(
+                    np.repeat([p[0] for p in pairs], dim), pa.string()
+                ),
+                "lang_null": pa.array(
+                    np.repeat([p[1] == "1" for p in pairs], dim), pa.bool_()
+                ),
+                "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), k)),
+                "psum": pa.array(sums.ravel(), pa.float64()),
+                "pcount": pa.array(np.repeat(counts, dim), pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        c = batch["sum(psum)"].to_numpy(zero_copy_only=False)
+        n = batch["sum(pcount)"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lang": pc.if_else(
+                    batch["lang_null"], pa.scalar(None, pa.string()), batch["lang_key"]
+                ),
+                "dim": batch["dim"],
+                "centroid": pa.array(np.round(c / n, 5), pa.float64()),
+            }
+        )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(tag_docs, batch_format="pyarrow")
+    embs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(tag_embs, batch_format="pyarrow")
+    return (
+        docs.union(embs)
+        .groupby("bkt")
+        .map_groups(fold, batch_format="pyarrow")
+        .groupby(["lang_key", "lang_null", "dim"])
+        .aggregate(Sum("psum"), Sum("pcount"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )

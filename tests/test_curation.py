@@ -2395,3 +2395,82 @@ def test_trailing_spend_overflow_fallback_matches_vectorized(ray_session, tmp_pa
     last = out1.sort_values("event_id").groupby("user_id").tail(1)
     assert (last["w_events"] == 2).all()
     assert (last["w_spend"] == 3.5).all()
+
+
+def test_lang_centroids_match_oracle_on_adversarial_join(ray_session, tmp_path):
+    """Dangling ids on both sides, NULL ids, NULL langs — the union-tag
+    bucket join must reproduce the SQL inner join hash-exactly."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    d = tmp_path / "lc_rand"
+    d.mkdir()
+    # docs 0-9 (doc 3 NULL lang, doc 9 NULL id -> matches nothing)
+    docs = [(i, "t", ("en" if i % 2 else "fr"), "A", 1) for i in range(9)]
+    docs[3] = (3, "t", None, "A", 1)
+    _write_full_docs(d, docs + [(None, "t", "de", "A", 1)])
+    # vectors for ids 0-6 plus dangling 77 and a NULL id
+    import random
+
+    rng = random.Random(55)
+    ids = [0, 1, 2, 3, 4, 5, 6, 77, None]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [[rng.random() for _ in range(4)] for _ in ids],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * len(ids), pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    got = analysis.lang_centroids(str(d)).to_pandas()
+    con = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+    want = con.sql(entrymod.oracle_sql()["lang_centroids"]).df()
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(sorted(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+    # NULL lang formed its own centroid; dangling/NULL ids are invisible
+    assert got["lang"].isna().any()
+    assert set(got["lang"].dropna()) == {"en", "fr"}
+
+
+def test_lang_centroids_survive_empty_and_disjoint(ray_session, tmp_path):
+    d = tmp_path / "lc_empty"
+    d.mkdir()
+    _write_full_docs(d, [])
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+                "label": pa.array([], pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    assert analysis.lang_centroids(str(d)).to_pandas().shape[0] == 0
+
+    e = tmp_path / "lc_disjoint"
+    e.mkdir()
+    _write_full_docs(e, [(1, "t", "en", "A", 1)])
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([2], pa.int64()),
+                "embedding": pa.array([[1.0, 2.0]], pa.list_(pa.float32())),
+                "label": pa.array([0], pa.int32()),
+            }
+        ),
+        e / "embeddings.parquet",
+    )
+    assert analysis.lang_centroids(str(e)).to_pandas().shape[0] == 0
