@@ -5207,7 +5207,10 @@ def lang_centroids(sf_dir: str, n_buckets: int = 64) -> "rd.Dataset":
 
     Join semantics are the SQL inner join's: NULL ids match nothing,
     docs without a vector and vectors without a doc contribute nothing,
-    NULL lang keeps its own centroid group.
+    NULL lang keeps its own centroid group.  ``doc_id`` is assumed UNIQUE
+    (it is the documents PK): the sorted-gather attach takes the first
+    match, where SQL would fan a duplicated key out — the same PK contract
+    every FK-attach kernel in this file relies on.
 
     Scale shape: a two-sided union-tag bucket join on ``id % n_buckets``
     (the pmi/Q10 attach pattern — no ``Dataset.join`` operator): the doc

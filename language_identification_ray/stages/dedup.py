@@ -1023,25 +1023,24 @@ def lsh_exact_jaccard_pairs(
     # via ``counters``).  Dropping the two-key groupby here removed a 190 s
     # aggregate on the sf0.1 bench (965k pairs).
     #
-    # The groupby's sort inherits the upstream BLOCK count, and prep's
-    # batch_size bundles small inputs into ~10 blocks — which squeezed the
-    # verify (56 s of CPU at sf0.1) through 10 map_groups tasks, one 20 s
-    # straggler holding the wall.  Repartition to ~2 tasks per CPU (capped
-    # by the shard count — more than one block per shard buys nothing) so
-    # the 256 shard groups actually spread over the cluster: 33 s → 14-18 s
-    # wall at 32 CPUs.  256 output blocks measured WORSE (36 s: per-task
-    # fixed costs dominate tiny blocks) — parallelism ≈ 2×CPUs is the knee.
-    # Also measured and REJECTED: repartitioning the raw docs BEFORE prep
-    # (batch_size=None, one block per task) to avoid moving the banded table
-    # — 64 tiny prep tasks pay per-task cold-buffer faults that cost MORE
-    # than the post-prep repartition saves (minhash warm 17 s → 23 s).
-    import ray as _ray
-
-    cpus = int(_ray.cluster_resources().get("CPU", 32)) if _ray.is_initialized() else 32
-    n_blocks = min(n_shards, max(16, 2 * cpus))
+    # The banded table goes STRAIGHT into the shard groupby — no repartition
+    # in between.  History: an early verify kernel cost 56 s of CPU at
+    # sf0.1, so a post-prep repartition to 2×CPUs blocks was added to spread
+    # the ~10 map_groups tasks the sort otherwise inherited (33 s → 14-18 s
+    # then).  After the LUT-popcount/dense-code verify rewrites cut the
+    # verify to < 1 s of CPU, the repartition became pure overhead — a
+    # second all-to-all materialization of the banded table that re-measured
+    # strictly WORSE in round 3: fresh-session cold 8.6 s → 4.7 s (char-8
+    # ngram) and 6.9 s → 4.3 s (minhash), warm 3.2 s → 2.6 s and
+    # 2.9 s → 1.9 s, and under accumulated-session object-store pressure
+    # (the full-sweep regime, where the extra exchange spilled) 7.1 s →
+    # 3.9 s.  Also measured and REJECTED: repartitioning the raw docs
+    # BEFORE prep (batch_size=None, one block per task) — 64 tiny prep
+    # tasks pay per-task cold-buffer faults that cost MORE (minhash warm
+    # 17 s → 23 s); and prep batch_size 128 in place of 512 — within noise
+    # of 512 with no repartition (3.9 s vs 3.9 s pressured).
     return (
         ds.map_batches(prep, batch_format="pyarrow", batch_size=512)
-        .repartition(n_blocks)
         .groupby("shard")
         .map_groups(shard_pairs, batch_format="pyarrow")
     )
