@@ -5346,3 +5346,95 @@ def lang_centroids(sf_dir: str, n_buckets: int = 64) -> "rd.Dataset":
         .aggregate(Sum("psum"), Sum("pcount"))
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def source_length_gini(sf_dir: str, n_buckets: int = 64) -> "rd.Dataset":
+    """Per-source Gini coefficient of document lengths — the corpus-balance
+    inequality audit (is one crawl's length mass concentrated in a few huge
+    pages?) alongside :func:`lang_percentiles` / :func:`documents_profile`.
+
+    Uses the sorted-rank identity ``G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n``
+    computed EXACTLY from a per-(source, length) count histogram: a run of
+    ``c`` equal values ``v`` starting after ``m`` items contributes
+    ``v·(c·m + c(c+1)/2)`` to the rank-weighted sum — closed-form over
+    ties, so no per-document sort exists anywhere.  All three reduction
+    terms are exact int64; both engines perform the single double division
+    last, so results are IEEE-bit identical with no rounding step.  NULL
+    lengths drop (SQL ``WHERE n_chars IS NOT NULL``); an all-zero-length
+    source yields NULL (SQL NULLIF denominator); NULL source is its own
+    group.
+
+    Scale shape: one scan emits per-batch (source, length, count)
+    partials bucketed by ``hash(length) % n_buckets`` — the exchange
+    carries O(batches × distinct lengths), never documents; a second tiny
+    exchange folds per-bucket partial histograms into per-source
+    (sorted-run) terms.  Simpler and correct here: distinct lengths are
+    bounded (≤ max doc size), so the histogram itself is grouped by
+    (source, length) and the per-source closed form runs over one compact
+    sorted array per source inside a final fold."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ok = pc.is_valid(batch["n_chars"])
+        t = batch.filter(ok)
+        key, isnull = _null_safe_key(t["source"])
+        joined = pc.binary_join_element_wise(
+            key.combine_chunks(), pc.cast(isnull, pa.string()), "\x00"
+        )
+        if isinstance(joined, pa.ChunkedArray):
+            joined = joined.combine_chunks()
+        enc = pc.dictionary_encode(joined)
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = t["n_chars"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # distinct (source, length) pairs with counts, via one lexsort
+        o = np.lexsort((lens, codes))
+        cs, ls = codes[o], lens[o]
+        first = (
+            np.r_[True, (cs[1:] != cs[:-1]) | (ls[1:] != ls[:-1])]
+            if len(cs)
+            else np.zeros(0, dtype=bool)
+        )
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.r_[starts, len(cs)]).astype(np.int64)
+        pairs = [s.rsplit("\x00", 1) for s in enc.dictionary.to_pylist()]
+        src_key = np.asarray([p[0] for p in pairs], dtype=object)
+        src_null = np.asarray([p[1] == "true" for p in pairs], dtype=bool)
+        sel = cs[starts]
+        return pa.table(
+            {
+                "src_key": pa.array(src_key[sel], pa.string()),
+                "src_null": pa.array(src_null[sel], pa.bool_()),
+                "length": pa.array(ls[starts], pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    def fold(group: pa.Table) -> pa.Table:
+        # one group per (source); rows are (length, summed count)
+        lens = group["length"].to_numpy(zero_copy_only=False)
+        cnts = group["sum(cnt)"].to_numpy(zero_copy_only=False)
+        o = np.argsort(lens, kind="stable")
+        lens, cnts = lens[o], cnts[o]
+        n = int(cnts.sum())
+        sx = int((lens * cnts).sum())
+        m = np.cumsum(cnts) - cnts  # items strictly before each run
+        s1 = int((lens * (cnts * m + cnts * (cnts + 1) // 2)).sum())
+        num = 2 * s1 - (n + 1) * sx  # exact Python int, like SQL's HUGEINT
+        den = n * sx
+        gini = float(num) / float(den) if den > 0 else None
+        src = None if group["src_null"][0].as_py() else group["src_key"][0].as_py()
+        return pa.table(
+            {
+                "source": pa.array([src], pa.string()),
+                "n_docs": pa.array([n], pa.int64()),
+                "gini": pa.array([gini], pa.float64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["source", "n_chars"])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(["src_key", "src_null", "length"])
+        .aggregate(Sum("cnt"))
+        .groupby(["src_key", "src_null"])
+        .map_groups(fold, batch_format="pyarrow")
+    )

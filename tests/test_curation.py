@@ -2474,3 +2474,73 @@ def test_lang_centroids_survive_empty_and_disjoint(ray_session, tmp_path):
         e / "embeddings.parquet",
     )
     assert analysis.lang_centroids(str(e)).to_pandas().shape[0] == 0
+
+
+def test_source_length_gini_matches_oracle_and_naive(ray_session, tmp_path):
+    """Random lengths with NULL sources / NULL lengths, an all-zero-length
+    source (NULL gini) and a singleton source (gini 0) — hash-identical to
+    the SQL rank-formula oracle AND to a naive O(n²) Gini."""
+    import random
+
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    rng = random.Random(4242)
+    d = tmp_path / "gini_rand"
+    d.mkdir()
+    rows = []
+    i = 0
+    for _ in range(300):
+        src = rng.choice(["A", "B", "C", None])
+        nc = None if rng.random() < 0.05 else rng.randint(0, 500)
+        rows.append((i, "t", "en", src, nc))
+        i += 1
+    for _ in range(5):
+        rows.append((i, "t", "en", "ZERO", 0)); i += 1
+    rows.append((i, "t", "en", "SOLO", 42)); i += 1
+    _write_full_docs(d, rows)
+    got = analysis.source_length_gini(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    want = con.sql(entrymod.oracle_sql()["source_length_gini"]).df()
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(sorted(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+    by_src = got.set_index("source", drop=False)
+    assert pd.isna(by_src.loc["ZERO", "gini"])  # sum(x)=0 -> NULL
+    assert by_src.loc["SOLO", "gini"] == 0.0
+    assert pd.notna(by_src.loc["A", "gini"])
+    assert got["source"].isna().any()  # NULL source is its own group
+
+    # naive mean-absolute-difference Gini per source
+    import itertools
+
+    from collections import defaultdict
+
+    lens = defaultdict(list)
+    for _, _, _, src, nc in rows:
+        if nc is not None:
+            lens[src].append(nc)
+    for src, xs in lens.items():
+        n, sx = len(xs), sum(xs)
+        if n * sx == 0:
+            continue
+        mad = sum(abs(a - b) for a, b in itertools.product(xs, xs))
+        naive = mad / (2.0 * n * sx)
+        key = by_src.index.isna() if src is None else (by_src.index == src)
+        assert abs(float(got[key]["gini"].iloc[0]) - naive) < 1e-9, src
+
+
+def test_source_length_gini_survives_empty(ray_session, tmp_path):
+    d = tmp_path / "gini_empty"
+    d.mkdir()
+    _write_full_docs(d, [])
+    assert analysis.source_length_gini(str(d)).to_pandas().shape[0] == 0
+    e = tmp_path / "gini_allnull"
+    e.mkdir()
+    _write_full_docs(e, [(0, "t", "en", "A", None), (1, "t", "en", None, None)])
+    assert analysis.source_length_gini(str(e)).to_pandas().shape[0] == 0
