@@ -3812,14 +3812,21 @@ def stratified_sample(sf_dir: str, n_buckets: int = 10, k: int = 5) -> "rd.Datas
 
     def tag(batch: pa.Table) -> pa.Table:
         # shared two-key NULL-safe helper; doc_id rides along only on the
-        # pass that reads it (the histogram pass prunes it at the read)
+        # pass that reads it (the histogram pass prunes it at the read).
+        # n_chars gets the same two-key treatment so NULL lengths form a
+        # real group that sorts NULLS LAST like the oracle's ntile ORDER BY
         extra = ("doc_id",) if "doc_id" in batch.schema.names else ()
-        return _tag_key(batch, "lang", ("n_chars",) + extra)
+        out = _tag_key(batch, "lang", ("n_chars",) + extra)
+        nch = out["n_chars"]
+        out = out.drop_columns(["n_chars"])
+        out = out.append_column("nch_key", pc.fill_null(nch.cast(pa.int64()), 0))
+        out = out.append_column("nch_null", pc.is_null(nch))
+        return out
 
     hist = (
         _docs(sf_dir, ["lang", "n_chars"])
         .map_batches(tag, batch_format="pyarrow")
-        .groupby(["lang_key", "lang_null", "n_chars"])
+        .groupby(["lang_key", "lang_null", "nch_key", "nch_null"])
         .aggregate(Count(alias_name="n"))
         .to_pandas()  # bounded by distinct (lang, length) pairs
     )
@@ -3833,23 +3840,29 @@ def stratified_sample(sf_dir: str, n_buckets: int = 10, k: int = 5) -> "rd.Datas
     )
     if hist.empty:
         return rd.from_arrow(empty)
-    hist = hist.sort_values(["lang_key", "lang_null", "n_chars"], ascending=True)
+    # nch_null sorts after non-null within each lang: ntile's NULLS LAST
+    hist = hist.sort_values(
+        ["lang_key", "lang_null", "nch_null", "nch_key"], ascending=True
+    )
     offsets: dict = {}
     totals: dict = {}
     for (lk, ln), sub in hist.groupby(["lang_key", "lang_null"], sort=False):
         c = sub["n"].to_numpy(dtype=np.int64)
         offs = np.cumsum(c) - c
-        for nch, o in zip(sub["n_chars"].tolist(), offs.tolist()):
-            offsets[(lk, bool(ln), nch)] = o
+        for nch, nn, o in zip(
+            sub["nch_key"].tolist(), sub["nch_null"].tolist(), offs.tolist()
+        ):
+            offsets[(lk, bool(ln), int(nch), bool(nn))] = o
         totals[(lk, bool(ln))] = int(c.sum())
 
     def band_partial(group: pa.Table) -> pa.Table:
         lk = group["lang_key"][0].as_py()
         ln = bool(group["lang_null"][0].as_py())
-        nch = int(group["n_chars"][0].as_py())
+        nch = int(group["nch_key"][0].as_py())
+        nn = bool(group["nch_null"][0].as_py())
         ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
         n = totals[(lk, ln)]
-        rnk = np.arange(1, len(ids) + 1, dtype=np.int64) + offsets[(lk, ln, nch)]
+        rnk = np.arange(1, len(ids) + 1, dtype=np.int64) + offsets[(lk, ln, nch, nn)]
         q, big = n // B, n % B
         thresh = big * (q + 1)
         # ntile remainder rule; q==0 keeps the first branch (rnk <= n = thresh)
@@ -3898,7 +3911,7 @@ def stratified_sample(sf_dir: str, n_buckets: int = 10, k: int = 5) -> "rd.Datas
     return (
         _docs(sf_dir, ["doc_id", "lang", "n_chars"])
         .map_batches(tag, batch_format="pyarrow")
-        .groupby(["lang_key", "lang_null", "n_chars"])
+        .groupby(["lang_key", "lang_null", "nch_key", "nch_null"])
         .map_groups(band_partial, batch_format="pyarrow")
         .groupby(["lang_key", "lang_null", "bucket"])
         .map_groups(final_pick, batch_format="pyarrow")
@@ -5348,6 +5361,26 @@ def lang_centroids(sf_dir: str, n_buckets: int = 64) -> "rd.Dataset":
     )
 
 
+def _gini_from_length_histogram(lens: "np.ndarray", cnts: "np.ndarray"):
+    """Exact Gini of a multiset given its (value, count) histogram, via the
+    sorted-rank closed form with midpoint tie ranks.  Products run in object
+    dtype (arbitrary-precision Python ints): s1 ~ n^2 * len / 2 wraps int64
+    at corpus scale while SQL's HUGEINT does not, and the histogram is
+    compact (<= distinct lengths per source), so exactness is free.
+    Returns (n, gini-or-None)."""
+    o = np.argsort(lens, kind="stable")
+    lens, cnts = lens[o], cnts[o]
+    n = int(cnts.sum())
+    lens_o = lens.astype(object)
+    cnts_o = cnts.astype(object)
+    sx = int((lens_o * cnts_o).sum())
+    m = (np.cumsum(cnts) - cnts).astype(object)  # items strictly before each run
+    s1 = int((lens_o * (cnts_o * m + cnts_o * (cnts_o + 1) // 2)).sum())
+    num = 2 * s1 - (n + 1) * sx  # exact Python int, like SQL's HUGEINT
+    den = n * sx
+    return n, (float(num) / float(den) if den > 0 else None)
+
+
 def source_length_gini(sf_dir: str, n_buckets: int = 64) -> "rd.Dataset":
     """Per-source Gini coefficient of document lengths — the corpus-balance
     inequality audit (is one crawl's length mass concentrated in a few huge
@@ -5412,15 +5445,7 @@ def source_length_gini(sf_dir: str, n_buckets: int = 64) -> "rd.Dataset":
         # one group per (source); rows are (length, summed count)
         lens = group["length"].to_numpy(zero_copy_only=False)
         cnts = group["sum(cnt)"].to_numpy(zero_copy_only=False)
-        o = np.argsort(lens, kind="stable")
-        lens, cnts = lens[o], cnts[o]
-        n = int(cnts.sum())
-        sx = int((lens * cnts).sum())
-        m = np.cumsum(cnts) - cnts  # items strictly before each run
-        s1 = int((lens * (cnts * m + cnts * (cnts + 1) // 2)).sum())
-        num = 2 * s1 - (n + 1) * sx  # exact Python int, like SQL's HUGEINT
-        den = n * sx
-        gini = float(num) / float(den) if den > 0 else None
+        n, gini = _gini_from_length_histogram(lens, cnts)
         src = None if group["src_null"][0].as_py() else group["src_key"][0].as_py()
         return pa.table(
             {

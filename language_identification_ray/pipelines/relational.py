@@ -1791,6 +1791,7 @@ def promo_revenue(sf_dir: str) -> "rd.Dataset":
                 "pkey": pa.array(uk, pa.int64()),
                 "rev_cents": pa.array(tot, pa.int64()),
                 "is_promo": pa.array(np.full(len(uk), -1, np.int64)),
+                "n_li": pa.array(np.ones(len(uk), np.int64)),
             }
         )
 
@@ -1801,6 +1802,7 @@ def promo_revenue(sf_dir: str) -> "rd.Dataset":
                 "pkey": batch["p_partkey"].cast(pa.int64()),
                 "rev_cents": pa.array(np.zeros(batch.num_rows, np.int64)),
                 "is_promo": promo.cast(pa.int64()),
+                "n_li": pa.array(np.zeros(batch.num_rows, np.int64)),
             }
         )
 
@@ -1811,16 +1813,20 @@ def promo_revenue(sf_dir: str) -> "rd.Dataset":
         .aggregate(
             Sum("rev_cents", alias_name="rev_cents"),
             Max("is_promo", alias_name="is_promo"),
+            Sum("n_li", alias_name="n_li"),
         )
     )
 
     def fold(batch: pa.Table) -> pa.Table:
         # is_promo == -1 means no part row joined: dangling partkey, drop.
-        # n_rows tracks whether ANY joined row exists so the empty window
-        # finalizes to SQL's NULL sums, not 0.0
+        # A JOINED row needs both sides: a part flag (is_promo >= 0) AND at
+        # least one lineitem partial (n_li > 0) — part-only partkeys must
+        # not count toward n_rows, or an empty ship-date window with a
+        # non-empty part table would finalize to 0.0 instead of SQL's NULL.
         flag = batch["is_promo"].to_numpy(zero_copy_only=False)
         rev = batch["rev_cents"].to_numpy(zero_copy_only=False)
-        ok = flag >= 0
+        n_li = batch["n_li"].to_numpy(zero_copy_only=False)
+        ok = (flag >= 0) & (n_li > 0)
         return pa.table(
             {
                 "promo_cents": pa.array([int(rev[ok & (flag == 1)].sum())], pa.int64()),

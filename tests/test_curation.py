@@ -1574,6 +1574,37 @@ def test_stratified_sample_empty_and_tiny(ray_session, tmp_path):
     assert sorted(out["bucket"]) == [1, 2, 3] and (out["pick"] == 1).all()
 
 
+def test_stratified_sample_null_n_chars_matches_oracle(ray_session, tmp_path):
+    """NULL n_chars rows must not raise and must land where the oracle's
+    ntile ORDER BY n_chars puts them: last within their lang partition
+    (ADVICE r3: the histogram keyed raw n_chars and int(None) blew up)."""
+    import random
+
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    rng = random.Random(777)
+    d = tmp_path / "strat_nullnch"
+    d.mkdir()
+    rows = []
+    for i in range(120):
+        lang = rng.choice(["en", "de", None])
+        nc = None if rng.random() < 0.2 else rng.randint(0, 300)
+        rows.append((i, "t", lang, "A", nc))
+    _write_full_docs(d, rows)
+    got = analysis.stratified_sample(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    want = con.sql(entrymod.oracle_sql()["stratified_sample"]).df()
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(sorted(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+
+
 def test_word_entropy_matches_naive(ray_session, tmp_path):
     import math
     from collections import Counter
@@ -2533,6 +2564,39 @@ def test_source_length_gini_matches_oracle_and_naive(ray_session, tmp_path):
         naive = mad / (2.0 * n * sx)
         key = by_src.index.isna() if src is None else (by_src.index == src)
         assert abs(float(got[key]["gini"].iloc[0]) - naive) < 1e-9, src
+
+
+def test_gini_histogram_kernel_exact_beyond_int64():
+    """Corpus-scale counts (1e12 docs x 1e4 chars) push s1 ~ 5e30 — far past
+    int64 — and must still match an exact fractions-based rank formula
+    (ADVICE r3: the int64 reduction silently wrapped)."""
+    from fractions import Fraction
+
+    import numpy as np
+
+    from language_identification_ray.pipelines.analysis import (
+        _gini_from_length_histogram,
+    )
+
+    lens = np.array([100, 5_000, 10_000, 20_000], dtype=np.int64)
+    cnts = np.array([10**12, 5 * 10**11, 10**11, 7], dtype=np.int64)
+    n, gini = _gini_from_length_histogram(lens.copy(), cnts.copy())
+
+    # exact reference: sorted runs, midpoint tie ranks, arbitrary precision
+    o = np.argsort(lens)
+    ls, cs = [int(x) for x in lens[o]], [int(x) for x in cnts[o]]
+    N = sum(cs)
+    sx = sum(l * c for l, c in zip(ls, cs))
+    before = 0
+    s1 = 0
+    for l, c in zip(ls, cs):
+        s1 += l * (c * before + c * (c + 1) // 2)
+        before += c
+    want = Fraction(2 * s1 - (N + 1) * sx, N * sx)
+    assert n == N
+    assert abs(gini - float(want)) < 1e-15
+    # sanity: the naive int64 pipeline WOULD have wrapped here
+    assert s1 > np.iinfo(np.int64).max
 
 
 def test_source_length_gini_survives_empty(ray_session, tmp_path):

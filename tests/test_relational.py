@@ -438,6 +438,50 @@ def test_q10_q14_q18_survive_empty_tables(ray_session, tmp_path):
     assert pr.shape[0] == 1 and pd.isna(pr["promo_pct"].iloc[0])
 
 
+def test_promo_revenue_empty_window_nonempty_part(ray_session, tmp_path):
+    """An empty ship-date window with a NON-empty part table must finalize
+    to SQL's NULL/NULL/NULL, not 0.0 — part-only union rows carry rev 0 and
+    must not count as joined rows (ADVICE r3: n_rows needs n_li > 0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from language_identification_ray.pipelines.relational import promo_revenue
+
+    d = tmp_path / "tpch_window"
+    d.mkdir()
+    # every shipdate outside March 1996
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([1, 2], pa.int64()),
+                "l_partkey": pa.array([10, 11], pa.int64()),
+                "l_quantity": pa.array([1.0, 2.0], pa.float64()),
+                "l_extendedprice": pa.array([10.0, 20.0], pa.float64()),
+                "l_discount": pa.array([0.0, 0.1], pa.float64()),
+                "l_returnflag": pa.array(["R", "N"], pa.string()),
+                "l_shipdate": pa.array(
+                    [datetime.datetime(1995, 1, 1)] * 2, pa.timestamp("us")
+                ),
+            }
+        ),
+        d / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([10, 11], pa.int64()),
+                "p_type": pa.array(["PROMO", "MEDIUM"], pa.string()),
+            }
+        ),
+        d / "part.parquet",
+    )
+    pr = promo_revenue(str(d)).to_pandas()
+    assert pr.shape[0] == 1
+    assert pd.isna(pr["promo_revenue"].iloc[0])
+    assert pd.isna(pr["total_revenue"].iloc[0])
+    assert pd.isna(pr["promo_pct"].iloc[0])
+
+
 def test_returned_item_revenue_plan_parity(ray_session, sf_dir):
     """The sidecar and bucket physical plans must agree row-for-row on the
     driver fixture (the orders_by_mktsegment two-plan contract)."""
