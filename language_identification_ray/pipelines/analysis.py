@@ -2019,7 +2019,13 @@ def train_val_test_split(sf_dir: str) -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "lang"]).map_batches(f, batch_format="pyarrow")
 
 
-def semantic_dedup_docs(sf_dir: str, threshold: float = 0.4) -> "rd.Dataset":
+def semantic_dedup_docs(
+    sf_dir: str,
+    threshold: float = 0.4,
+    block: str = "label",
+    n_cells: int = 16,
+    probes: "int | None" = None,
+) -> "rd.Dataset":
     """SemDeDup-shaped cross-table dedup: embedding near-dup pairs (cosine
     ≥ t within a label block) vote out the HIGHER vec_id of each pair; the
     surviving documents are selected by doc_id ↔ vec_id.
@@ -2035,11 +2041,17 @@ def semantic_dedup_docs(sf_dir: str, threshold: float = 0.4) -> "rd.Dataset":
     shuffle builds schema-less empty tables for reducer partitions that
     receive no right-side rows, which pyarrow's join rejects — a sparse
     drop side, the NORMAL case for dedup, crashes it.  The union-tag
-    groupby has no such failure mode and costs the same single shuffle.)"""
+    groupby has no such failure mode and costs the same single shuffle.)
+
+    ``block="ivf"`` routes the pair source through cluster-first IVF cell
+    blocking (quadratic work bounded by cell size — SemDeDup's actual
+    recipe; lossless with ``probes=None``, see ``_ivf_cell_expand``)."""
     from language_identification_ray.stages.dedup import embedding_dup_pairs
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    pairs = embedding_dup_pairs(emb, threshold=threshold)
+    pairs = embedding_dup_pairs(
+        emb, threshold=threshold, block=block, n_cells=n_cells, probes=probes
+    )
 
     def drop_rows(batch: pa.Table) -> pa.Table:
         ids = (
@@ -2193,7 +2205,14 @@ def incremental_dedup_bloom(sf_dir: str, m_bits: int = 1 << 17, k: int = 7) -> "
     )
 
 
-def dup_clusters(sf_dir: str, threshold: float = 0.4, max_iters: int = 50) -> "rd.Dataset":
+def dup_clusters(
+    sf_dir: str,
+    threshold: float = 0.4,
+    max_iters: int = 50,
+    block: str = "label",
+    n_cells: int = 16,
+    probes: "int | None" = None,
+) -> "rd.Dataset":
     """Connected components over the embedding near-dup pair graph:
     every document gets ``cluster_id`` = the smallest doc_id reachable
     through dup edges (singletons point at themselves).  The step real
@@ -2216,11 +2235,17 @@ def dup_clusters(sf_dir: str, threshold: float = 0.4, max_iters: int = 50) -> "r
     vectorized union-tag groupby (docs as (doc_id, doc_id) ∪ propagated
     labels → Min) — the same single-shuffle shape as
     :func:`semantic_dedup_docs`, no driver-side label table.  The oracle
-    is a DuckDB recursive CTE (reachability → min ancestor)."""
+    is a DuckDB recursive CTE (reachability → min ancestor).
+
+    ``block="ivf"`` swaps the pair source to cluster-first IVF cell
+    blocking (the 100 TB path — quadratic work bounded by cell size;
+    lossless with ``probes=None``), leaving propagation unchanged."""
     from language_identification_ray.stages.dedup import embedding_dup_pairs
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    pairs = embedding_dup_pairs(emb, threshold=threshold)
+    pairs = embedding_dup_pairs(
+        emb, threshold=threshold, block=block, n_cells=n_cells, probes=probes
+    )
 
     def edge_rows(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "vec_a" not in batch.schema.names:
@@ -3070,7 +3095,13 @@ def ccnet_tercile_buckets(sf_dir: str) -> "rd.Dataset":
 # end-to-end fuzzy dedup: cluster → keep-one-representative
 
 
-def fuzzy_dedup_keep(sf_dir: str, threshold: float = 0.4) -> "rd.Dataset":
+def fuzzy_dedup_keep(
+    sf_dir: str,
+    threshold: float = 0.4,
+    block: str = "label",
+    n_cells: int = 16,
+    probes: "int | None" = None,
+) -> "rd.Dataset":
     """The step real dedup pipelines END with: every document carries its
     near-dup ``cluster_id`` (from :func:`dup_clusters`' min-label
     propagation over the embedding near-dup graph) plus the ``keep``
@@ -3082,8 +3113,11 @@ def fuzzy_dedup_keep(sf_dir: str, threshold: float = 0.4) -> "rd.Dataset":
 
     Scale shape: inherits :func:`dup_clusters`' edge-subgraph propagation
     (O(dup nodes) per round, one union-tag corpus groupby) and adds only a
-    map-only equality — no extra shuffle, no driver state."""
-    clusters = dup_clusters(sf_dir, threshold=threshold)
+    map-only equality — no extra shuffle, no driver state.  ``block="ivf"``
+    forwards to the cluster-first pair source."""
+    clusters = dup_clusters(
+        sf_dir, threshold=threshold, block=block, n_cells=n_cells, probes=probes
+    )
 
     def mark(batch: pa.Table) -> pa.Table:
         return batch.append_column(

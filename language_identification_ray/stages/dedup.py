@@ -1073,13 +1073,140 @@ def jaccard_pairs(
 # embedding cosine near-dup within a blocking key (oracle-checkable)
 
 
+def _ivf_cell_expand(
+    ds: "rd.Dataset",
+    id_column: str,
+    vec_column: str,
+    block_column: Optional[str],
+    threshold: float,
+    n_cells: int,
+    probes: "Optional[int]",
+    centroids: "Optional[np.ndarray]",
+) -> "rd.Dataset":
+    """SemDeDup-style cluster-first blocking: assign every vector to one or
+    more k-means/IVF cells in COSINE space and emit one replica per probed
+    cell, so the downstream all-pairs kernel runs within a cell instead of
+    within an unbounded label block (VERDICT r3 finding #2 — the scale fix
+    for ``embedding_dup_pairs``).
+
+    Centroids: ``centroids`` if given (the production path — train with
+    Lloyd on a bounded sample, ship via closure/``ray.put``), else the
+    vectors of the ``n_cells`` SMALLEST ids — deterministic and
+    oracle-reproducible (the ``kmeans_assign`` convention), gathered with a
+    per-batch partial top-k then one bounded driver-side merge, never a
+    full sort.  Cosine is scale-invariant, so the engine's normalized dot
+    against normalized centroids equals the oracle's
+    ``list_cosine_similarity`` against the raw centroid rows.
+
+    Probing:
+      * ``probes=p`` — each vector joins its p best-cosine cells (ties to
+        the smaller cell id, the oracle's ``ORDER BY cos DESC, cid``).
+        Approximate: a pair qualifying on cosine but sharing no probed
+        cell is missed; recall is gated in pytest on clustered fixtures.
+        ``probes=1`` is SQL-expressible → hash-exact driver row.
+      * ``probes=None`` — LOSSLESS cover-radius multi-probe: with unit
+        vectors, ``cos ≥ t ⟺ ‖x̂−ŷ‖ ≤ r = √(2−2t)``; probing every cell
+        within ``d_min + 2r`` guarantees any qualifying pair shares the
+        nearest cell of at least one member (triangle inequality:
+        ``‖x−c_y‖ ≤ d_y + r ≤ (d_x + r) + r``).  Exact at any threshold,
+        but prunes only when ``2r`` is small vs centroid spacing — i.e.
+        high thresholds on genuinely clustered data; at t=0.4 it
+        degenerates to every cell (correct, just unpruned).
+
+    Each replica carries its full sorted probe list (``__cells``) so the
+    pair reducer can emit a pair only in its MINIMUM common cell — exactly
+    once, no dedup shuffle.  A 1e-4 slack on t keeps the radius valid for
+    the round-to-5-decimals-before-threshold pair predicate."""
+    from language_identification_ray.stages.knn import _as_matrix
+
+    if centroids is None:
+        k = int(n_cells)
+
+        def part_topk(batch: pa.Table) -> pa.Table:
+            ids = batch[id_column].to_numpy(zero_copy_only=False)
+            order = np.argsort(ids, kind="stable")[:k]
+            return batch.select([id_column, vec_column]).take(pa.array(order))
+
+        rows = (
+            ds.map_batches(part_topk, batch_format="pyarrow")
+            .sort(id_column)
+            .limit(k)
+            .take_all()  # bounded: ≤ k rows
+        )
+        if not rows:
+            return ds.limit(0)
+        C = np.asarray(
+            [np.asarray(r[vec_column], dtype=np.float64) for r in rows]
+        )
+    else:
+        C = np.asarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+    Ch = C / cn[:, None]
+    n_k = Ch.shape[0]
+    t_eff = max(-1.0, float(threshold) - 1e-4)
+    two_r = 2.0 * np.sqrt(max(0.0, 2.0 - 2.0 * t_eff))
+
+    def fan(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        if block_column is not None and batch[block_column].null_count:
+            batch = batch.filter(_pc.is_valid(batch[block_column]))
+        n = batch.num_rows
+        X = _as_matrix(batch[vec_column])
+        if n == 0 or X.size == 0:
+            cos = np.zeros((n, n_k))
+        else:
+            norms = np.linalg.norm(X, axis=1)
+            norms[norms == 0] = 1.0
+            cos = (X / norms[:, None]) @ Ch.T
+        if probes is None:
+            d = np.sqrt(np.maximum(2.0 - 2.0 * cos, 0.0))
+            mask = d <= (d.min(axis=1) + two_r + 1e-12)[:, None]
+        else:
+            p = min(int(probes), n_k)
+            # stable argsort on -cos: exact ties fall to the smaller cell
+            best = np.argsort(-cos, axis=1, kind="stable")[:, :p]
+            mask = np.zeros((n, n_k), dtype=bool)
+            mask[np.repeat(np.arange(n), p), best.ravel()] = True
+        counts = mask.sum(axis=1).astype(np.int64)
+        rows_rep = np.repeat(np.arange(n, dtype=np.int64), counts)
+        cells_flat = np.nonzero(mask)[1].astype(np.int64)  # asc per row
+        offsets = np.r_[0, np.cumsum(counts)].astype(np.int32)
+        row_lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(cells_flat, pa.int64())
+        )
+        keep = [id_column, vec_column] + ([block_column] if block_column else [])
+        sub = batch.select(keep).take(pa.array(rows_rep))
+        cell_str = pa.array(cells_flat.astype(str), pa.string())
+        if block_column is not None:
+            import pyarrow.compute as pc2
+
+            ckey = pc2.binary_join_element_wise(
+                sub[block_column].cast(pa.string()), cell_str, "|"
+            )
+        else:
+            ckey = cell_str
+        return (
+            sub.append_column("__cell", pa.array(cells_flat, pa.int64()))
+            .append_column("__cells", row_lists.take(pa.array(rows_rep)))
+            .append_column("__ckey", ckey)
+        )
+
+    return ds.map_batches(fan, batch_format="pyarrow")
+
+
 def embedding_dup_pairs(
     ds: "rd.Dataset",
     id_column: str = "vec_id",
     vec_column: str = "embedding",
-    block_column: str = "label",
+    block_column: Optional[str] = "label",
     threshold: float = 0.4,
     n_tiles: int = 4,
+    block: str = "label",
+    n_cells: int = 16,
+    probes: "Optional[int]" = 1,
+    centroids: "Optional[np.ndarray]" = None,
 ) -> "rd.Dataset":
     """Pairs with cosine ≥ t inside each blocking group.
 
@@ -1090,14 +1217,34 @@ def embedding_dup_pairs(
     two of 86 pairs rounded differently until the oracle was cast (float64
     accumulation-order differences are ~1e-16, which cannot).
 
+    Blocking (``block``):
+      * ``"label"`` — pair within equal ``block_column`` values (the SQL
+        inner-join contract).  Exact, but a hot label at 100 TB is
+        O(n²)-within-block: use ``"ivf"`` there.
+      * ``"ivf"`` — cluster-first blocking (:func:`_ivf_cell_expand`,
+        SemDeDup's shape): vectors are assigned to ``n_cells`` cosine
+        cells (``probes`` best cells each, or lossless cover-radius
+        multi-probe with ``probes=None``) and pair only within a cell —
+        still refined by ``block_column`` when one is given
+        (cell-within-label), or corpus-global with ``block_column=None``.
+        Quadratic work is bounded by cell size instead of label size.
+
     Scale shape: the quadratic all-pairs work inside a blocking group is
     **triangle-sharded** — each group's rows are hashed into ``n_tiles``
     tiles and every unordered tile pair becomes its own reducer group, so a
     hot blocking key spreads over n_tiles*(n_tiles+1)/2 reducers instead of
     serializing on one, and per-reducer memory is bounded by 2·|group|/n_tiles
     rows.  Each vector pair lands in exactly one tile-pair group → no dedup
-    pass needed.  Raise ``n_tiles`` with group size (duplication factor is
-    n_tiles per row)."""
+    pass needed (in ivf multi-probe mode, the min-common-cell rule keeps
+    this exactly-once property).  Raise ``n_tiles`` with group size
+    (duplication factor is n_tiles per row)."""
+    if block == "ivf":
+        ds = _ivf_cell_expand(
+            ds, id_column, vec_column, block_column, threshold,
+            n_cells, probes, centroids,
+        )
+        block_column = "__ckey"
+    carry_cells = block == "ivf"
 
     def fan_out(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
@@ -1105,7 +1252,7 @@ def embedding_dup_pairs(
         # NULL blocking keys never pair: the SQL oracle joins ON
         # a.label = b.label, and NULL = NULL is not true — drop the rows
         # here (a NULL tile_key would also crash the reducer's key parse)
-        if batch[block_column].null_count:
+        if batch.num_rows and batch[block_column].null_count:
             batch = batch.filter(_pc.is_valid(batch[block_column]))
         ids = batch[id_column].to_numpy(zero_copy_only=False)
         # stable per-id tile: low bits of the pandas siphash (engine-stable)
@@ -1117,7 +1264,10 @@ def embedding_dup_pairs(
         keys = lo * n_tiles + hi
         sides = (t_rep == lo).astype(np.int8)
         idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), n_tiles))
-        sub = batch.select([id_column, vec_column, block_column]).take(idx)
+        cols = [id_column, vec_column, block_column] + (
+            ["__cells"] if carry_cells else []
+        )
+        sub = batch.select(cols).take(idx)
         import pyarrow.compute as pc
 
         tile_key = pc.binary_join_element_wise(
@@ -1147,13 +1297,31 @@ def embedding_dup_pairs(
             pi, pj = _triu32(len(ids))
             pair_sims = sims[pi, pj]
             mask = pair_sims >= threshold
-            a, b = ids[pi[mask]], ids[pj[mask]]
+            ra, rb = pi[mask], pj[mask]
+            a, b = ids[ra], ids[rb]
             s = pair_sims[mask]
         else:
             la, lb = np.flatnonzero(is_lo), np.flatnonzero(~is_lo)
             sims = np.round(mat[la] @ mat[lb].T, 5)
             ii, jj = np.nonzero(sims >= threshold)
-            a, b, s = ids[la[ii]], ids[lb[jj]], sims[ii, jj]
+            ra, rb = la[ii], lb[jj]
+            a, b, s = ids[ra], ids[rb], sims[ii, jj]
+        if carry_cells and len(a):
+            # ivf multi-probe: both members probed this cell, so the pair is
+            # visible from every SHARED cell — emit it only from the minimum
+            # shared cell (exactly-once without a dedup shuffle).  The loop
+            # runs over above-threshold pairs only (output-bounded).
+            cell = int(key.rsplit("|", 2)[-2])
+            cl = group["__cells"].combine_chunks()
+            keep = np.fromiter(
+                (
+                    min(set(cl[int(i)].as_py()) & set(cl[int(j)].as_py())) == cell
+                    for i, j in zip(ra, rb)
+                ),
+                dtype=bool,
+                count=len(a),
+            )
+            a, b, s = a[keep], b[keep], s[keep]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table(
             {

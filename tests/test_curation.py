@@ -131,6 +131,26 @@ def test_dup_clusters_transitive_chain(ray_session, tmp_path):
     assert out.loc[13, "cluster_id"] == 13  # singleton
 
 
+def test_dedup_pipelines_ivf_pair_source_parity(ray_session, sf_dir):
+    """VERDICT r3 #1 done-criterion: dup_clusters / semantic_dedup_docs /
+    fuzzy_dedup_keep re-verified EXACT through the cluster-first IVF pair
+    source (lossless probes=None) against the label-blocked default on the
+    driver fixture."""
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(sorted(df.columns)).reset_index(drop=True)
+
+    for fn in (
+        analysis.dup_clusters,
+        analysis.semantic_dedup_docs,
+        analysis.fuzzy_dedup_keep,
+    ):
+        base = canon(fn(sf_dir).to_pandas())
+        ivf = canon(fn(sf_dir, block="ivf", n_cells=8, probes=None).to_pandas())
+        pd.testing.assert_frame_equal(base, ivf, check_dtype=False)
+
+
 def test_events_json_kpi_null_and_missing_key(ray_session, tmp_path):
     """Rows whose props lack an integer k (malformed JSON, NULL, other keys)
     count toward n_events but are excluded from avg_k — DuckDB avg

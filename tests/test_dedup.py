@@ -107,3 +107,185 @@ def test_embedding_dup_pairs(ray_session):
     pairs = embedding_dup_pairs(rd.from_items(rows), threshold=0.95).to_pandas()
     found = {tuple(sorted(p)) for p in zip(pairs["vec_a"], pairs["vec_b"])}
     assert found == {(0, 1)}
+
+
+def _clustered_embeddings(seed=7, n_clusters=6, per_cluster=30, noise=80, dim=16):
+    """Tight clusters + noise: the regime IVF cell blocking exists for."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, dim))
+    parts = [centers[c] + 0.02 * rng.normal(size=(per_cluster, dim)) for c in range(n_clusters)]
+    parts.append(rng.normal(size=(noise, dim)))
+    X = np.vstack(parts)
+    n = len(X)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in X], pa.list_(pa.float32())
+            ),
+            "label": pa.array(rng.integers(0, 3, n), pa.int32()),
+        }
+    )
+    return tbl, X.astype(np.float64)
+
+
+def _brute_pairs(X, t, labels=None):
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    Xn = X / norms[:, None]
+    S = np.round(Xn @ Xn.T, 5)
+    iu, ju = np.triu_indices(len(X), 1)
+    m = S[iu, ju] >= t
+    if labels is not None:
+        m &= labels[iu] == labels[ju]
+    return sorted(zip(iu[m].tolist(), ju[m].tolist(), S[iu, ju][m].tolist()))
+
+
+def _canon_pairs(df):
+    return sorted(
+        (int(a), int(b), float(s))
+        for a, b, s in zip(df["vec_a"], df["vec_b"], df["cos_sim"])
+    )
+
+
+def test_embedding_dup_pairs_ivf_lossless_equals_label_mode(ray_session):
+    """Cover-radius multi-probe is LOSSLESS: within-label ivf blocking must
+    emit exactly the label-mode pair set (VERDICT r3 #1 — cluster-first
+    blocking must not change semantics where the radius guarantee holds)."""
+    tbl, X = _clustered_embeddings()
+    ds = rd.from_arrow(tbl)
+    lab = tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    for t in (0.9, 0.95):
+        base = _canon_pairs(embedding_dup_pairs(ds, threshold=t).to_pandas())
+        ivf = _canon_pairs(
+            embedding_dup_pairs(
+                ds, threshold=t, block="ivf", n_cells=8, probes=None, n_tiles=2
+            ).to_pandas()
+        )
+        assert ivf == base
+        assert base == _brute_pairs(X, t, labels=lab)
+        assert len(base) > 0  # the fixture must actually exercise pairing
+
+
+def test_embedding_dup_pairs_ivf_global_lossless(ray_session):
+    """block_column=None + lossless probing = corpus-global near-dup pairs,
+    exactly equal to the O(n²) brute force."""
+    tbl, X = _clustered_embeddings()
+    ds = rd.from_arrow(tbl.select(["vec_id", "embedding"]))
+    got = _canon_pairs(
+        embedding_dup_pairs(
+            ds, block_column=None, threshold=0.9, block="ivf",
+            n_cells=8, probes=None, n_tiles=2,
+        ).to_pandas()
+    )
+    assert got == _brute_pairs(X, 0.9)
+
+
+def _lloyd_cosine(X, k=8, iters=8):
+    """Tiny deterministic Lloyd in cosine space (test-side trainer for the
+    ``centroids`` production param)."""
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    Xn = X / norms[:, None]
+    C = Xn[:: max(1, len(Xn) // k)][:k].copy()
+    for _ in range(iters):
+        a = np.argmax(Xn @ C.T, axis=1)
+        for c in range(len(C)):
+            m = a == c
+            if m.any():
+                C[c] = Xn[m].mean(axis=0)
+    return C
+
+
+def test_embedding_dup_pairs_ivf_prunes_and_multiprobe_is_exactly_once(ray_session):
+    """With TRAINED centroids (cells ≈ clusters), the lossless probe sets
+    must actually PRUNE on clustered data at a high threshold (guards
+    against 'degenerate = trivially correct'), and multi-probe emission
+    must be exactly-once (min-common-cell rule)."""
+    from language_identification_ray.stages.dedup import _ivf_cell_expand
+
+    tbl, X = _clustered_embeddings()
+    ds = rd.from_arrow(tbl.select(["vec_id", "embedding"]))
+    C = _lloyd_cosine(X, k=8)
+    expanded = _ivf_cell_expand(
+        ds, "vec_id", "embedding", None, 0.95, 8, None, C
+    ).to_pandas()
+    n = tbl.num_rows
+    # replication factor strictly below the degenerate all-cells blowup
+    assert len(expanded) < 8 * n * 0.8
+    assert len(expanded) >= n
+    # lossless output through trained cells still equals brute force
+    got = _canon_pairs(
+        embedding_dup_pairs(
+            ds, block_column=None, threshold=0.95, block="ivf",
+            n_cells=8, probes=None, n_tiles=2, centroids=C,
+        ).to_pandas()
+    )
+    assert got == _brute_pairs(X, 0.95)
+    # multi-probe (probes=3): same pair never emitted twice
+    df = embedding_dup_pairs(
+        ds, block_column=None, threshold=0.9, block="ivf",
+        n_cells=8, probes=3, n_tiles=2,
+    ).to_pandas()
+    keys = list(zip(df["vec_a"], df["vec_b"]))
+    assert len(keys) == len(set(keys))
+    # and probes=3 is a superset of probes=1, subset of brute force
+    d1 = embedding_dup_pairs(
+        ds, block_column=None, threshold=0.9, block="ivf",
+        n_cells=8, probes=1, n_tiles=2,
+    ).to_pandas()
+    assert set(zip(d1["vec_a"], d1["vec_b"])) <= set(keys)
+    assert set(keys) <= {(a, b) for a, b, _ in _brute_pairs(X, 0.9)}
+
+
+def test_embedding_dup_pairs_ivf_trained_centroids_recall(ray_session):
+    """The production path: Lloyd-trained centroids shipped via the
+    ``centroids`` param.  probes=1 recall on clustered data must be high —
+    this is SemDeDup's actual operating point (cells ≈ clusters)."""
+    tbl, X = _clustered_embeddings()
+    ds = rd.from_arrow(tbl.select(["vec_id", "embedding"]))
+    C = _lloyd_cosine(X, k=8)
+    got = embedding_dup_pairs(
+        ds, block_column=None, threshold=0.9, block="ivf",
+        n_cells=8, probes=1, n_tiles=2, centroids=C,
+    ).to_pandas()
+    brute = _brute_pairs(X, 0.9)
+    found = set(zip(got["vec_a"], got["vec_b"]))
+    truth = {(a, b) for a, b, _ in brute}
+    assert found <= truth  # never a false pair
+    assert len(found) / len(truth) >= 0.95
+
+
+def test_embedding_dup_pairs_ivf_adversarial_shapes(ray_session):
+    """Zero vectors, NULL labels, and empty inputs must not raise."""
+    import pyarrow as pa
+
+    rows = [
+        {"vec_id": 0, "label": 0, "embedding": [0.0] * 8},
+        {"vec_id": 1, "label": None, "embedding": [1.0] + [0.0] * 7},
+        {"vec_id": 2, "label": 0, "embedding": [1.0] + [0.0] * 7},
+        {"vec_id": 3, "label": 0, "embedding": [1.0, 1e-8] + [0.0] * 6},
+    ]
+    out = embedding_dup_pairs(
+        rd.from_items(rows), threshold=0.9, block="ivf", n_cells=4,
+        probes=None, n_tiles=2,
+    ).to_pandas()
+    # NULL label never pairs; zero vector never pairs; 2-3 do
+    assert _canon_pairs(out) == [(2, 3, 1.0)]
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "label": pa.array([], pa.int32()),
+                "embedding": pa.array([], pa.list_(pa.float32())),
+            }
+        )
+    )
+    assert (
+        embedding_dup_pairs(
+            empty, threshold=0.9, block="ivf", n_cells=4, probes=1
+        ).to_pandas().shape[0]
+        == 0
+    )
