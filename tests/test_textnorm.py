@@ -35,6 +35,46 @@ def test_decode_hint_wins():
     assert decode_bytes(raw, ["shift-jis"]) == "日本語"
 
 
+def test_decode_detwingle_mixed_cp1252_inside_utf8():
+    """Golden byte fixtures for the detwingle path (reference utils.py:26-27,
+    VERDICT r3 missing #2): windows-1252 bytes interleaved INSIDE
+    otherwise-valid UTF-8 must be repaired byte-level BEFORE decoding —
+    neither wholesale interpretation gets this right."""
+    # UTF-8 ellipsis + raw cp1252 smart quotes in one string
+    raw = "he said ".encode("utf-8") + b"\x93" + "résumé…".encode("utf-8") + b"\x94"
+    assert decode_bytes(raw) == "he said “résumé…”"
+    # cp1252 en-dash between two UTF-8 CJK runs
+    raw2 = "日本".encode("utf-8") + b"\x96" + "語".encode("utf-8")
+    assert decode_bytes(raw2) == "日本–語"
+    # cp1252 hole bytes (undefined in windows-1252) fall back to C1 controls
+    raw3 = "ok…".encode("utf-8") + b"\x81"
+    assert decode_bytes(raw3) == "ok…\x81"
+    # truncated multibyte tail: lead byte degrades to its cp1252 char
+    raw4 = "fine…".encode("utf-8") + b"\xe2\x80"
+    assert decode_bytes(raw4) == "fine…â€"
+
+
+def test_detwingle_bytes_roundtrip():
+    from language_identification_ray.functions.textnorm import detwingle_bytes
+
+    # pure UTF-8 passes through unchanged
+    s = "déjà vu — 中文 … ok".encode("utf-8")
+    assert detwingle_bytes(s) == s
+    # twingled input becomes valid UTF-8 encoding the repaired text
+    raw = "a…".encode("utf-8") + b"\x92" + b"z"
+    out = detwingle_bytes(raw)
+    assert out.decode("utf-8") == "a…’z"
+
+
+def test_decode_pure_legacy_paths_unchanged():
+    """The detwingle branch must NOT capture pure-legacy documents: without
+    a complete UTF-8 multibyte sequence the cp1252/latin-1 fallbacks keep
+    their exact prior behavior (golden fixtures above pin the outputs)."""
+    raw = "curly ’quote’".encode("cp1252")
+    assert decode_bytes(raw) == "curly ’quote’"
+    assert decode_bytes("café".encode("latin-1")) == "café"
+
+
 def test_fix_mojibake():
     # UTF-8 bytes mis-decoded as cp1252: the classic â€™ case
     bad = "it’s fine".encode("utf-8").decode("cp1252")
