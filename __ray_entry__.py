@@ -322,15 +322,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- SQL-checkable operators -------------------------------------
         "per_source_cap": analysis.per_source_cap,
         "events_json_kpi": analysis.events_json_kpi,
-        # (event_type_transitions / value_zscore_outliers hold the slots
-        # ceded by events_funnel and documents_profile — both hash-green in
-        # CORRECTNESS_r02 with function body AND oracle string byte-identical
-        # to the r2 HEAD at cede time; funnel's groupby-user ordered-numpy
-        # machinery stays driven in-window by events_user_interarrival /
-        # events_purchases_within_hour / event_type_transitions, and
-        # documents_profile's full-scan single-row profile by the in-window
-        # stopword_stats / repetition_stats text partials)
-        "event_type_transitions": analysis.event_type_transitions,
+        # (documents_profile is back IN-window in r4: its kernel was
+        # rewritten this round — one fused scan instead of three executions
+        # — taking the slot ceded by event_type_transitions, r3-green and
+        # unchanged, whose LAG-pair groupby-user ordered-numpy machinery
+        # stays driven in-window by events_user_interarrival /
+        # events_purchases_within_hour)
+        "documents_profile": analysis.documents_profile,
         "value_zscore_outliers": analysis.value_zscore_outliers,
         # (user_trailing_spend holds the slot ceded by length_outlier_filter
         # — r2 hash-green, body and oracle byte-identical since; its
@@ -403,7 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_keep_rates": analysis.gopher_keep_rates,
         "lang_stats": analysis.lang_stats,
         "events_funnel": analysis.events_funnel,
-        "documents_profile": analysis.documents_profile,
+        "event_type_transitions": analysis.event_type_transitions,
         "length_outlier_filter": analysis.length_outlier_filter,
         "repetition_stats": analysis.repetition_stats,
         "stopword_stats": analysis.stopword_stats,

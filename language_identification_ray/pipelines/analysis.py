@@ -1026,63 +1026,77 @@ def documents_profile(sf_dir: str) -> "pd.DataFrame":
     pipeline stage boundary should emit before 100 TB flows into the next
     job.
 
-    Row-count/null/min/max fold per batch with Arrow kernels into one
-    partial row per batch, then a global aggregate (the shuffle carries one
-    row per batch).  Exact distinct counts reuse the groupby-count shape
-    with key-only shuffles (5 langs / 20 sources); at higher cardinality
-    swap for the HLL sketch (:func:`distinct_words_per_lang_hll` pattern).
-    Final assembly is three bounded driver-side scalars — no corpus
-    materialization."""
+    ONE scan, one bounded exchange (r4: this was previously three separate
+    Ray executions — a stats pass plus one full column scan per distinct
+    count — which tripled the per-query scheduling/scan cost): every batch
+    folds row-count/null/min/max into a single ``kind=0`` partial row with
+    Arrow kernels AND emits its batch-DISTINCT non-null langs (``kind=1``)
+    and sources (``kind=2``) as key rows (COUNT(DISTINCT) ignores NULLs,
+    and dropping them also sidesteps Ray's NULL-string groupby crash).
+    The (kind, key) groupby then carries ≤ batches + batches×(catalog)
+    rows, and the only ``take_all`` is bounded by 1 + n_langs + n_sources
+    rows; at open-vocabulary cardinality swap the key rows for the HLL
+    sketch (:func:`distinct_words_per_lang_hll` pattern).  No corpus
+    materialization anywhere."""
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch["text"]
         nc = batch["n_chars"]
+        kinds = [np.zeros(1, np.int64)]
+        keys = [[""]]
+        langs = pc.unique(batch["lang"].combine_chunks().drop_null())
+        srcs = pc.unique(batch["source"].combine_chunks().drop_null())
+        kinds += [np.ones(len(langs), np.int64), np.full(len(srcs), 2, np.int64)]
+        keys += [langs.to_pylist(), srcs.to_pylist()]
+        n_extra = len(langs) + len(srcs)
+        z = np.zeros(n_extra, np.int64)
         return pa.table(
             {
-                "n_docs": pa.array([len(batch)], pa.int64()),
-                "null_text": pa.array([int(t.null_count)], pa.int64()),
-                "min_chars": pa.array([pc.min(nc).as_py()], pa.int64()),
-                "max_chars": pa.array([pc.max(nc).as_py()], pa.int64()),
+                "kind": pa.array(np.concatenate(kinds), pa.int64()),
+                "key": pa.array(sum(keys, []), pa.string()),
+                "n_docs": pa.array(np.r_[len(batch), z], pa.int64()),
+                "null_text": pa.array(np.r_[int(t.null_count), z], pa.int64()),
+                "min_chars": pa.concat_arrays(
+                    [
+                        pa.array([pc.min(nc).as_py()], pa.int64()),
+                        pa.nulls(n_extra, pa.int64()),
+                    ]
+                ),
+                "max_chars": pa.concat_arrays(
+                    [
+                        pa.array([pc.max(nc).as_py()], pa.int64()),
+                        pa.nulls(n_extra, pa.int64()),
+                    ]
+                ),
             }
         )
 
-    agg = (
-        _docs(sf_dir, ["text", "n_chars"])
+    rows = (
+        _docs(sf_dir, ["text", "n_chars", "lang", "source"])
         .map_batches(partial, batch_format="pyarrow")
+        .groupby(["kind", "key"])
         .aggregate(
             Sum("n_docs", alias_name="n_docs"),
             Sum("null_text", alias_name="null_text"),
             Min("min_chars", alias_name="min_chars"),
             Max("max_chars", alias_name="max_chars"),
         )
+        .take_all()  # bounded: 1 + n_langs + n_sources rows
     )
-    # COUNT(DISTINCT col) in SQL ignores NULLs — drop them BEFORE the keyed
-    # count (this also sidesteps Ray's NULL-string groupby crash)
-    def _n_distinct(col: str) -> int:
-        return (
-            _docs(sf_dir, [col])
-            .map_batches(
-                lambda b: b.filter(pc.is_valid(b[col])), batch_format="pyarrow"
-            )
-            .groupby(col)
-            .count()
-            .count()
-        )
-
-    n_langs = _n_distinct("lang")
-    n_sources = _n_distinct("source")
 
     def _iv(x) -> int:
         # empty corpus: the aggregate yields None scalars; profile as zeros
         return 0 if x is None else int(x)
 
-    agg = agg or {}
+    stats = next((r for r in rows if r["kind"] == 0), {})
+    n_langs = sum(1 for r in rows if r["kind"] == 1)
+    n_sources = sum(1 for r in rows if r["kind"] == 2)
     return pd.DataFrame(
         {
-            "n_docs": [_iv(agg.get("n_docs"))],
-            "null_text": [_iv(agg.get("null_text"))],
-            "min_chars": [_iv(agg.get("min_chars"))],
-            "max_chars": [_iv(agg.get("max_chars"))],
+            "n_docs": [_iv(stats.get("n_docs"))],
+            "null_text": [_iv(stats.get("null_text"))],
+            "min_chars": [_iv(stats.get("min_chars"))],
+            "max_chars": [_iv(stats.get("max_chars"))],
             "n_langs": [int(n_langs)],
             "n_sources": [int(n_sources)],
         }

@@ -74,10 +74,14 @@ Historical cede decisions (why each out-of-window entry is safe):
   verified function-body- and oracle-string-identical against its last green
   commit at cede time, and NULL-hardening-sweep edits (mechanical
   tag/filter/guard only) re-verified hash-exact afterwards.
-- **r4 cede**: `gopher_keep_rates` (r3-green; in-window
+- **r4 cedes**: `gopher_keep_rates` (r3-green; in-window
   `gopher_quality_flags` IS its flag source) ceded its slot to the new
-  `embedding_dup_pairs_ivf` (cluster-first pair source, VERDICT r3 #1).
-  r4's modified kernels — `promo_revenue`, `source_length_gini`,
+  `embedding_dup_pairs_ivf` (cluster-first pair source, VERDICT r3 #1);
+  `event_type_transitions` (r3-green, unchanged; LAG-pair groupby-user
+  machinery driven in-window by `events_user_interarrival` /
+  `events_purchases_within_hour`) ceded its slot back to
+  `documents_profile`, whose kernel was rewritten in r4 (one fused scan).
+  r4's other modified kernels — `promo_revenue`, `source_length_gini`,
   `stratified_sample` — were already in-window.
 """
 
