@@ -52,19 +52,34 @@ class MediaDecoder:
 
     def __init__(self, payload_column: str = "payload", decoder: str = "fake"):
         self.payload_column = payload_column
+        self._pil = None
         if decoder == "pillow":
             try:
-                from PIL import Image  # noqa: F401
+                from PIL import Image  # once per actor, not per batch
             except ImportError as e:
                 raise NotImplementedError(
                     "Pillow is not available in this environment; use decoder='fake' "
-                    "(deterministic stand-in) or install a codec in the deployment image"
+                    "(deterministic stand-in) or install requirements-extras.txt "
+                    "in the deployment image"
                 ) from e
+            self._pil = Image
         elif decoder != "fake":
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
 
     def decode_one(self, payload: Optional[bytes]) -> tuple[int, int, bool]:
+        if self.decoder == "pillow":
+            # real codec lane (exercised by tests/test_multimodal_real_codecs.py
+            # wherever Pillow exists): actual PNG/JPEG/... bytes
+            if not payload:
+                return 0, 0, False
+            import io
+
+            try:
+                with self._pil.open(io.BytesIO(payload)) as im:
+                    return int(im.width), int(im.height), True
+            except Exception:
+                return 0, 0, False
         if not payload or not payload.startswith(MAGIC):
             return 0, 0, False
         w, h = struct.unpack("<II", payload[8:16])
@@ -118,23 +133,39 @@ class MediaResize:
     behind an import-try like :class:`MediaDecoder`."""
 
     def __init__(self, max_side: int = 64, payload_column: str = "payload", decoder: str = "fake"):
+        self._pil = None
         if decoder == "pillow":
             try:
-                from PIL import Image  # noqa: F401
+                from PIL import Image
             except ImportError as e:
                 raise NotImplementedError(
-                    "Pillow is not available in this environment; use decoder='fake'"
+                    "Pillow is not available in this environment; use decoder='fake' "
+                    "or install requirements-extras.txt in the deployment image"
                 ) from e
-            raise NotImplementedError(
-                "resize_one only implements the fake codec; a pillow resize "
-                "path must be added before requesting decoder='pillow'"
-            )
+            self._pil = Image
         elif decoder != "fake":  # same contract as MediaDecoder/FrameSampler
             raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
         self.max_side = max_side
         self.payload_column = payload_column
 
     def resize_one(self, payload: Optional[bytes]) -> Optional[bytes]:
+        if self.decoder == "pillow":
+            # real codec lane: Image.thumbnail + PNG re-encode
+            if not payload:
+                return payload
+            import io
+
+            try:
+                with self._pil.open(io.BytesIO(payload)) as im:
+                    if max(im.width, im.height) <= self.max_side:
+                        return payload
+                    im.thumbnail((self.max_side, self.max_side))
+                    buf = io.BytesIO()
+                    im.save(buf, format="PNG")
+                    return buf.getvalue()
+            except Exception:
+                return payload
         if not payload or not payload.startswith(MAGIC):
             return payload
         w, h = struct.unpack("<II", payload[len(MAGIC) : len(MAGIC) + 8])
@@ -178,20 +209,42 @@ class FrameSampler:
     other part of the stage — schema, fan-out, actor signature — real."""
 
     def __init__(self, every_n: int = 10, payload_column: str = "payload", decoder: str = "fake"):
+        self._av = None
         if decoder == "ffmpeg":
             try:
-                import av  # noqa: F401
+                import av
             except ImportError as e:
                 raise NotImplementedError(
-                    "no video codec in this environment; use decoder='fake'"
+                    "no video codec in this environment; use decoder='fake' or "
+                    "install requirements-extras.txt in the deployment image"
                 ) from e
+            self._av = av
         elif decoder != "fake":
             raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
         self.every_n = every_n
         self.payload_column = payload_column
 
     def _frames_of(self, payload: Optional[bytes]) -> list:
         """[(frame_idx, image_payload)] for the sampled frames."""
+        if self.decoder == "ffmpeg":
+            # real codec lane: demux with PyAV, every_n-th frame → PNG bytes
+            if not payload:
+                return []
+            import io
+
+            out = []
+            try:
+                with self._av.open(io.BytesIO(payload)) as container:
+                    for i, frame in enumerate(container.decode(video=0)):
+                        if i % self.every_n:
+                            continue
+                        buf = io.BytesIO()
+                        frame.to_image().save(buf, format="PNG")
+                        out.append((i, buf.getvalue()))
+            except Exception:
+                return []
+            return out
         if not payload or not payload.startswith(VIDEO_MAGIC):
             return []
         hdr = len(VIDEO_MAGIC)
