@@ -314,7 +314,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign": analysis.kmeans_assign,
         "source_unigram_kl": analysis.source_unigram_kl,
         "dsir_importance_weights": analysis.dsir_importance_weights,
-        "events_retention_cohorts": analysis.events_retention_cohorts,
+        # --- NEW r4 kernels: hold the slots ceded by events_retention_cohorts
+        # and user_trailing_spend (both r3-green, unchanged; their
+        # groupby-user ordered / RANGE-window machinery stays driven
+        # in-window by events_user_interarrival / events_purchases_within_hour
+        # / user_cumulative_spend) --------------------------------------
+        "events_latest_per_user": analysis.events_latest_per_user,
+        "mixture_plan": analysis.mixture_plan,
         "substring_dup_pairs": analysis.substring_dup_pairs,
         "bm25_topk": analysis.bm25_topk,
         "stratified_sample": analysis.stratified_sample,
@@ -330,11 +336,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # events_purchases_within_hour)
         "documents_profile": analysis.documents_profile,
         "value_zscore_outliers": analysis.value_zscore_outliers,
-        # (user_trailing_spend holds the slot ceded by length_outlier_filter
-        # — r2 hash-green, body and oracle byte-identical since; its
-        # broadcast-stats threshold-filter shape is driven in-window by
-        # value_zscore_outliers)
-        "user_trailing_spend": analysis.user_trailing_spend,
         # (lang_centroids holds the slot ceded by repetition_stats — r2
         # hash-green, body and oracle byte-identical since; its pure-Arrow
         # text-partial machinery stays driven in-window by stopword_stats)
@@ -402,6 +403,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_stats": analysis.lang_stats,
         "events_funnel": analysis.events_funnel,
         "event_type_transitions": analysis.event_type_transitions,
+        "events_retention_cohorts": analysis.events_retention_cohorts,
+        "user_trailing_spend": analysis.user_trailing_spend,
         "length_outlier_filter": analysis.length_outlier_filter,
         "repetition_stats": analysis.repetition_stats,
         "stopword_stats": analysis.stopword_stats,
@@ -1453,6 +1456,39 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(x.ev, y.ev), 5) AS cos_sim
             FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
             WHERE round(list_cosine_similarity(x.ev, y.ev), 5) >= 0.4
+        """,
+        "events_latest_per_user": """
+            WITH r AS (
+                SELECT event_id, ts, user_id, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST
+                       ) AS rn
+                FROM events
+            )
+            SELECT event_id, ts, user_id, event_type, value FROM r WHERE rn = 1
+        """,
+        "mixture_plan": """
+            WITH w AS (
+                SELECT source,
+                       CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS toks
+                FROM documents WHERE source IS NOT NULL
+            ),
+            s AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(toks) AS BIGINT) AS n_tokens
+                FROM w GROUP BY source
+            ),
+            t AS (
+                SELECT CAST(sum(n_tokens) AS DOUBLE) AS total,
+                       CAST(count(*) AS DOUBLE) AS ns
+                FROM s
+            )
+            SELECT source, n_docs, n_tokens,
+                   round(CASE WHEN n_tokens > 0
+                              THEN least(1.0, (t.total / t.ns) / n_tokens)
+                              ELSE 1.0 END, 6) AS rate
+            FROM s CROSS JOIN t
         """,
         "events_user_interarrival": """
             WITH e AS (

@@ -183,6 +183,49 @@ def run_headline() -> dict:
     }
 
 
+def _spin_worker(seconds: float) -> int:
+    t_end = time.perf_counter() + seconds
+    n = 0
+    while time.perf_counter() < t_end:
+        for _ in range(10_000):
+            n += 1
+    return n
+
+
+def _spin_probe(seconds: float = 1.0, nworkers: int = 32) -> float:
+    """Effective-parallelism probe: aggregate busy-loop rate of ``nworkers``
+    processes over the single-process rate.  ~25-30x on a calm 32-vCPU
+    host; hypervisor steal depresses the reading (the round-3 contended
+    windows read 21.9-24.3x).  Attached to every scaling pair so sub-bar
+    efficiencies are attributable (VERDICT r3 #7)."""
+    import multiprocessing as mp
+
+    single = _spin_worker(seconds) / seconds
+    with mp.Pool(nworkers) as pool:
+        counts = pool.map(_spin_worker, [seconds] * nworkers)
+    return round((sum(counts) / seconds) / single, 1)
+
+
+_CAMPAIGN_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "SCALING_CAMPAIGN.json"
+)
+
+
+def _append_campaign(row: dict) -> None:
+    """Append one {efficiency, probe_before/mid/after, legs} row to the
+    BASELINE.json-adjacent campaign artifact (a JSON array)."""
+    rows = []
+    if os.path.exists(_CAMPAIGN_FILE):
+        try:
+            with open(_CAMPAIGN_FILE) as f:
+                rows = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            rows = []
+    rows.append(row)
+    with open(_CAMPAIGN_FILE, "w") as f:
+        json.dump(rows, f, indent=1)
+
+
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         # 8x the default corpus for the scaling pair: strong scaling needs
@@ -205,9 +248,13 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    r_lo, r_hi = one(lo), one(hi)
+    p0 = _spin_probe()
+    r_lo = one(lo)
+    p1 = _spin_probe()
+    r_hi = one(hi)
+    p2 = _spin_probe()
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
-    return {
+    result = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
@@ -215,8 +262,14 @@ def run_scaling() -> dict:
         "sec_32": r_hi["value"],
         "docs_per_sec_8": r_lo["docs_per_sec"],
         "docs_per_sec_32": r_hi["docs_per_sec"],
+        "probe_before": p0,
+        "probe_mid": p1,
+        "probe_after": p2,
+        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "sf": SF_DIR,
     }
+    _append_campaign(result)
+    return result
 
 
 if __name__ == "__main__":

@@ -5550,3 +5550,139 @@ def source_length_gini(sf_dir: str, n_buckets: int = 64) -> "rd.Dataset":
         .groupby(["src_key", "src_null"])
         .map_groups(fold, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# keep-newest-snapshot per key (crawl-recency primitive) + mixture planning
+
+
+def events_latest_per_user(sf_dir: str) -> "rd.Dataset":
+    """Keep-newest-snapshot per key: each user's single most recent event
+    row — the crawl-recency dedup primitive (at 100 TB: the latest WARC
+    capture per URL across re-crawls; SQL ``row_number() = 1`` over
+    ``PARTITION BY user ORDER BY ts DESC NULLS LAST, event_id DESC NULLS
+    LAST``).
+
+    Scale shape: every batch first reduces to ONE candidate row per user
+    (one vectorized lexsort + take-last-of-run, no Python per row), so the
+    single user-keyed exchange carries ≤ users-per-batch rows, never the
+    event stream; the per-user finalize reuses the identical ordering.
+    The ascending ordering key is ``(ts IS NOT NULL, ts, event_id IS NOT
+    NULL, event_id)`` with "take the LAST row", which equals the SQL
+    DESC / NULLS LAST / rn=1 rule exactly (NULL user_id is its own
+    partition via the two-key pattern)."""
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+
+    def _latest_rows(t: pa.Table) -> pa.Table:
+        """One winner row per (uid_key, uid_null) under the SQL ordering."""
+        if t.num_rows == 0:
+            return t
+        uid = pc.fill_null(t["uid_key"], 0).to_numpy(zero_copy_only=False)
+        unull = t["uid_null"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64())
+        ts_ok = pc.is_valid(ts).to_numpy(zero_copy_only=False)
+        tsf = pc.fill_null(ts, 0).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].cast(pa.int64())
+        eid_ok = pc.is_valid(eid).to_numpy(zero_copy_only=False)
+        eidf = pc.fill_null(eid, 0).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eidf, eid_ok, tsf, ts_ok, unull, uid))
+        u_sorted = uid[order]
+        n_sorted = unull[order]
+        last = np.r_[
+            (u_sorted[1:] != u_sorted[:-1]) | (n_sorted[1:] != n_sorted[:-1]),
+            True,
+        ]
+        return t.take(pa.array(order[np.flatnonzero(last)]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.append_column(
+            "uid_key", pc.fill_null(batch["user_id"].cast(pa.int64()), 0)
+        ).append_column("uid_null", pc.is_null(batch["user_id"]))
+        return _latest_rows(batch)
+
+    def finalize(group: pa.Table) -> pa.Table:
+        win = _latest_rows(group)
+        out = win.select(cols)
+        return out.set_column(
+            out.schema.names.index("user_id"),
+            "user_id",
+            pc.if_else(
+                win["uid_null"], pa.nulls(win.num_rows, pa.int64()), win["uid_key"]
+            ),
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["uid_key", "uid_null"])
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+
+
+def mixture_plan(sf_dir: str) -> "rd.Dataset":
+    """Static training-mixture plan under a uniform per-source token cap —
+    the step between corpus stats and :func:`mixture_sample`'s fixed rates:
+    every source reports its doc/token mass and the sampling ``rate`` that
+    caps it at an equal 1/S share of the corpus' total tokens
+    (``rate = min(1, (total/S) / tokens_s)``, the temperature→0 limit of
+    the sampling-temperature family; oversized crawls downsample, small
+    ones keep everything).  ``rate`` is rounded to 6 decimals on both
+    engines; NULL-source docs are excluded (SQL WHERE).
+
+    Scale shape: one column-pruned scan folding per-batch (source, n_docs,
+    n_tokens) partials — token counts via the pure-Arrow split +
+    list_value_length kernel, no Python per row — into a catalog-sized
+    groupby; the plan math is a map over ≤ S aggregate rows.  No
+    materialization beyond the catalog."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = pc.is_valid(batch["source"])
+        t = batch.filter(ok)
+        toks = pc.list_value_length(
+            pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        ).cast(pa.int64())
+        enc = t["source"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_np = toks.to_numpy(zero_copy_only=False)
+        k = len(enc.dictionary)
+        return pa.table(
+            {
+                "source": enc.dictionary,
+                "n_docs": pa.array(np.bincount(codes, minlength=k), pa.int64()),
+                "n_tokens": pa.array(
+                    np.bincount(codes, weights=tok_np, minlength=k).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_tokens", alias_name="n_tokens"),
+        )
+    )
+
+    def plan(batch: pa.Table) -> pa.Table:
+        # catalog-sized input: the plan needs the GLOBAL total, so this one
+        # tiny table (≤ S rows) is folded in a single map over one block
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        total, s = nt.sum(), len(nt)
+        share = total / s if s else 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rate = np.where(nt > 0, np.minimum(1.0, share / nt), 1.0)
+        return pa.table(
+            {
+                "source": batch["source"],
+                "n_docs": batch["n_docs"],
+                "n_tokens": batch["n_tokens"],
+                "rate": pa.array(np.round(rate, 6), pa.float64()),
+            }
+        )
+
+    # repartition(1): the plan is a global computation over the catalog —
+    # S rows, one block, driver never materializes anything
+    return agg.repartition(1).map_batches(plan, batch_format="pyarrow")

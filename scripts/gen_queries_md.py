@@ -80,7 +80,12 @@ Historical cede decisions (why each out-of-window entry is safe):
   `event_type_transitions` (r3-green, unchanged; LAG-pair groupby-user
   machinery driven in-window by `events_user_interarrival` /
   `events_purchases_within_hour`) ceded its slot back to
-  `documents_profile`, whose kernel was rewritten in r4 (one fused scan).
+  `documents_profile`, whose kernel was rewritten in r4 (one fused scan);
+  `events_retention_cohorts` and `user_trailing_spend` (both r3-green,
+  unchanged; groupby-user ordered / RANGE-window machinery driven
+  in-window by `events_user_interarrival` / `events_purchases_within_hour`
+  / `user_cumulative_spend`) ceded their slots to the new r4 kernels
+  `events_latest_per_user` and `mixture_plan`.
   r4's other modified kernels — `promo_revenue`, `source_length_gini`,
   `stratified_sample` — were already in-window.
 """

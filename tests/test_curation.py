@@ -1017,6 +1017,81 @@ def test_source_vocab_overlap_100_sources_chunked_exact(ray_session, tmp_path):
     assert len(got_t) == len({(a, b) for a, b, *_ in got_t})
 
 
+def test_events_latest_per_user_null_shapes_match_oracle(ray_session, tmp_path):
+    """NULL ts / NULL event_id / NULL user_id rows must follow the oracle's
+    DESC NULLS LAST ordering and NULL-partition semantics exactly."""
+    import datetime
+
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    d = tmp_path / "latest_null"
+    d.mkdir()
+    t0 = datetime.datetime(2024, 1, 1)
+    dt = datetime.timedelta
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, None, 5, 6, 7], pa.int64()),
+                "ts": pa.array(
+                    [t0, t0 + dt(hours=1), None, t0 + dt(hours=1), None, t0, None],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([10, 10, 10, 10, 11, None, None], pa.int64()),
+                "event_type": pa.array(list("abcdefg"), pa.string()),
+                "value": pa.array([1.0] * 7, pa.float64()),
+                "props": pa.array(["{}"] * 7, pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    got = analysis.events_latest_per_user(str(d)).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    want = con.sql(entrymod.oracle_sql()["events_latest_per_user"]).df()
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(sorted(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(canon(got), canon(want), check_dtype=False)
+    # user 10: ties on ts+1h between eid 2 and NULL-eid -> eid 2 wins
+    # (NULLS LAST); user 11's only event has NULL ts -> still emitted;
+    # NULL user partition: eid 6 (real ts) beats eid 7 (NULL ts)
+    by_user = {
+        (None if pd.isna(r.user_id) else int(r.user_id)): r
+        for r in got.itertuples()
+    }
+    assert int(by_user[10].event_id) == 2
+    assert int(by_user[11].event_id) == 5
+    assert int(by_user[None].event_id) == 6
+
+
+def test_mixture_plan_caps_oversized_sources(ray_session, tmp_path):
+    d = tmp_path / "mixplan"
+    d.mkdir()
+    rows = []
+    i = 0
+    # source A: 8 docs x 10 tokens; B: 1 doc x 2 tokens; NULL source ignored
+    for _ in range(8):
+        rows.append((i, " ".join(["w"] * 10), "en", "A", 10)); i += 1
+    rows.append((i, "w w", "en", "B", 2)); i += 1
+    rows.append((i, "w w w", "en", None, 3)); i += 1
+    _write_full_docs(d, rows)
+    out = analysis.mixture_plan(str(d)).to_pandas().set_index("source")
+    assert set(out.index) == {"A", "B"}
+    # total=82, share=41: A (80 toks) downsamples to 41/80; B keeps all
+    assert out.loc["A", "rate"] == pytest.approx(round(41 / 80, 6))
+    assert out.loc["B", "rate"] == 1.0
+    assert int(out.loc["A", "n_tokens"]) == 80 and int(out.loc["B", "n_docs"]) == 1
+
+    e = tmp_path / "mixplan_empty"
+    e.mkdir()
+    _write_full_docs(e, [])
+    assert analysis.mixture_plan(str(e)).to_pandas().shape[0] == 0
+
+
 def test_gopher_flags_match_naive_on_random_docs(ray_session, tmp_path):
     from collections import Counter
 
