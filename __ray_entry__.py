@@ -345,7 +345,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # word-partial machinery stays driven in-window by
         # tfidf_top5_per_lang and distinct_words_per_lang)
         "source_length_gini": analysis.source_length_gini,
-        "label_centroids": analysis.label_centroids,
+        # --- NEW r4 kernels (session 2): hold the slots ceded by
+        # label_centroids — in-window lang_centroids drives the same
+        # (key, dim) partial-centroid machinery — and containment_dup_pairs
+        # — in-window minhash_lsh_pairs + substring_dup_pairs drive the
+        # same shard_pairs LSH-prefiltered exact verify; both stay
+        # pytest-gated -----------------------------------------------------
+        "doc_chunks": analysis.doc_chunks,
+        "zipf_alpha": analysis.zipf_alpha,
         "lang_stats_salted": analysis.lang_stats_salted,
         # --- NEW session-3 kernels: hold window slots (ordering NOTE:
         # lang_percentiles / events_asof_purchase / customers_per_region
@@ -365,11 +372,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # combiner shape in-window; both stay pytest-gated)
         "user_cumulative_spend": analysis.user_cumulative_spend,
         "pmi_top100": analysis.pmi_top100,
-        # (containment_dup_pairs holds the slot ceded by
-        # ngram_jaccard_pairs — in-window minhash_lsh_pairs drives the
-        # same LSH-prefiltered shard_pairs exact verify; still
-        # pytest-gated)
-        "containment_dup_pairs": analysis.containment_dup_pairs,
         # (customer_order_histogram holds the slot ceded by revenue_filter
         # — in-window lineitem_pricing_summary drives the same pruned
         # vectorized lineitem-partial shape; still pytest-gated)
@@ -400,6 +402,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (each unchanged since its green row, or a trivial variant with a
         # checked in-window sibling — audit trail in QUERIES.md)
         "gopher_keep_rates": analysis.gopher_keep_rates,
+        "label_centroids": analysis.label_centroids,
+        "containment_dup_pairs": analysis.containment_dup_pairs,
         "lang_stats": analysis.lang_stats,
         "events_funnel": analysis.events_funnel,
         "event_type_transitions": analysis.event_type_transitions,
@@ -1456,6 +1460,36 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(x.ev, y.ev), 5) AS cos_sim
             FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
             WHERE round(list_cosine_similarity(x.ev, y.ev), 5) >= 0.4
+        """,
+        "doc_chunks": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n
+                FROM documents
+            )
+            SELECT doc_id,
+                   i AS chunk_idx,
+                   i * 24 AS start_tok,
+                   least(i * 24 + 32, n) AS end_tok,
+                   least(i * 24 + 32, n) - i * 24 AS n_tokens
+            FROM t, UNNEST(generate_series(0, CAST(ceil(n / 24.0) AS BIGINT) - 1)) AS g(i)
+        """,
+        "zipf_alpha": """
+            WITH w AS (
+                SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word
+                FROM documents
+            ),
+            c AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY word),
+            r AS (
+                SELECT word, cnt,
+                       row_number() OVER (ORDER BY cnt DESC, word ASC) AS rk
+                FROM c
+            ),
+            h AS (SELECT cnt, rk FROM r WHERE rk <= 1000)
+            SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+                   round(-regr_slope(ln(cnt), ln(rk)), 6) AS alpha,
+                   CAST(max(CASE WHEN rk = 1 THEN cnt END) AS BIGINT) AS c_top
+            FROM h
         """,
         "events_latest_per_user": """
             WITH r AS (

@@ -5686,3 +5686,111 @@ def mixture_plan(sf_dir: str) -> "rd.Dataset":
     # repartition(1): the plan is a global computation over the catalog —
     # S rows, one block, driver never materializes anything
     return agg.repartition(1).map_batches(plan, batch_format="pyarrow")
+
+
+def doc_chunks(sf_dir: str, size: int = 32, stride: int = 24) -> "rd.Dataset":
+    """Overlapping fixed-window chunking map: split every document's
+    whitespace token stream into ``size``-token windows advancing by
+    ``stride`` (stride < size ⇒ overlap) — the chunking primitive of both
+    RAG ingestion and long-document pretraining (cf. :func:`sequence_pack_offsets`,
+    which packs ACROSS documents; this one never crosses a doc boundary,
+    reference parity: per-file token streams in merge_wordlists.ipynb).
+    Emits (doc_id, chunk_idx, start_tok, end_tok, n_tokens) with chunk i
+    covering ``[i*stride, min(i*stride+size, n))`` for every i with
+    ``i*stride < n`` — each doc yields ``ceil(n/stride)`` chunks, NULL text
+    counts as the single empty token the split kernel produces.
+
+    Scale shape: map-only fan-out — token counts come from the pure-Arrow
+    split + list_value_length kernel and the per-chunk rows are built with
+    one numpy repeat/arange pair per batch (no Python per row, no shuffle);
+    output rows ≈ rows × mean_tokens/stride, streamed block-by-block."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = (
+            pc.list_value_length(pc.split_pattern(_text_col(batch), " "))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        n_chunks = np.maximum(1, -(-n // stride))  # ceil(n/stride), n >= 1
+        ids = np.repeat(batch["doc_id"].to_numpy(zero_copy_only=False), n_chunks)
+        idx = _segment_aranges(np.zeros(len(n_chunks), np.int64), n_chunks)
+        starts = idx * stride
+        ends = np.minimum(starts + size, np.repeat(n, n_chunks))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_idx": pa.array(idx, pa.int64()),
+                "start_tok": pa.array(starts, pa.int64()),
+                "end_tok": pa.array(ends, pa.int64()),
+                "n_tokens": pa.array(ends - starts, pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def zipf_alpha(sf_dir: str, top_n: int = 1000) -> "rd.Dataset":
+    """Zipf exponent of the corpus word-frequency distribution: OLS slope of
+    ``ln(cnt)`` on ``ln(rank)`` over the ``top_n`` most frequent words
+    (rank 1 = most frequent, ties broken by word ASC so both engines rank
+    identically); ``alpha = -slope`` ≈ 1 for natural language — the
+    canonical corpus-health / gibberish-detection audit (a scraped corpus
+    whose alpha drifts far from 1 is template- or spam-heavy).  One output
+    row: (n_ranks, alpha, c_top) rounded to 6 decimals, matching DuckDB's
+    ``regr_slope`` (covar_pop/var_pop) bit-for-bit at that precision.
+
+    Scale shape: the word_freq partial-count combiner (one row per distinct
+    word per batch through the shuffle), a vocabulary-keyed groupby, a
+    distributed top-``top_n`` sort+limit, then the regression folds over one
+    ≤ top_n-row block — nothing larger than the head of the frequency table
+    ever leaves the aggregate."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = Counter()
+        for t in batch["text"].to_pylist():
+            c.update((t or "").split(" "))
+        if not c:
+            return pa.table({"word": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        words, cnts = zip(*c.items())
+        return pa.table({"word": pa.array(words, pa.string()), "cnt": pa.array(cnts, pa.int64())})
+
+    head = (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "word"], descending=[True, False])
+        .limit(top_n)
+    )
+
+    def fit(batch: pa.Table) -> pa.Table:
+        # one ≤ top_n-row block: the ranked head of the frequency table.
+        # Re-rank locally (cnt desc, word asc) so the regression never
+        # depends on repartition() preserving the sort order.
+        cnt = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        words = np.asarray(batch["word"].to_pylist(), dtype=object)
+        order = np.lexsort((words, -cnt))
+        cnt = cnt[order]
+        if len(cnt) < 2:
+            return pa.table(
+                {
+                    "n_ranks": pa.array([len(cnt)], pa.int64()),
+                    "alpha": pa.array([float("nan")], pa.float64()),
+                    "c_top": pa.array([int(cnt[0]) if len(cnt) else 0], pa.int64()),
+                }
+            )
+        x = np.log(np.arange(1, len(cnt) + 1, dtype=np.float64))
+        y = np.log(cnt)
+        mx, my = x.mean(), y.mean()
+        slope = ((x * y).mean() - mx * my) / ((x * x).mean() - mx * mx)
+        return pa.table(
+            {
+                "n_ranks": pa.array([len(cnt)], pa.int64()),
+                "alpha": pa.array([round(-slope, 6)], pa.float64()),
+                "c_top": pa.array([int(cnt[0])], pa.int64()),
+            }
+        )
+
+    # the limit() head is small; repartition(1) folds it into one block so
+    # the regression sees the full ranking in order
+    return head.repartition(1).map_batches(fit, batch_format="pyarrow")

@@ -6,6 +6,8 @@ import hashlib
 import os
 import sys
 
+import numpy as np
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -2745,3 +2747,61 @@ def test_source_length_gini_survives_empty(ray_session, tmp_path):
     e.mkdir()
     _write_full_docs(e, [(0, "t", "en", "A", None), (1, "t", "en", None, None)])
     assert analysis.source_length_gini(str(e)).to_pandas().shape[0] == 0
+
+
+def test_doc_chunks_windows_and_nulls(ray_session, tmp_path):
+    d = tmp_path / "chunks"
+    d.mkdir()
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(80)), "en", "A", 80),  # 80 toks
+        (2, "a b c", "en", "A", 5),                                # 3 toks
+        (3, None, "en", "A", 0),                                   # NULL text
+        (4, "", "en", "A", 0),                                     # empty
+    ]
+    _write_full_docs(d, rows)
+    out = (
+        analysis.doc_chunks(str(d), size=32, stride=24)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    # doc 1: n=80 -> ceil(80/24)=4 chunks: [0,32) [24,56) [48,80) [72,80)
+    c1 = out[out.doc_id == 1]
+    assert list(c1.start_tok) == [0, 24, 48, 72]
+    assert list(c1.end_tok) == [32, 56, 80, 80]
+    assert list(c1.n_tokens) == [32, 32, 32, 8]
+    # short doc: one partial chunk; NULL/empty text: the single empty token
+    assert out[out.doc_id == 2].n_tokens.tolist() == [3]
+    assert out[out.doc_id == 3].n_tokens.tolist() == [1]
+    assert out[out.doc_id == 4].n_tokens.tolist() == [1]
+
+    e = tmp_path / "chunks_empty"
+    e.mkdir()
+    _write_full_docs(e, [])
+    assert analysis.doc_chunks(str(e)).to_pandas().shape[0] == 0
+
+
+def test_zipf_alpha_exact_on_constructed_ranking(ray_session, tmp_path):
+    d = tmp_path / "zipf"
+    d.mkdir()
+    # cnt(a)=8, cnt(b)=4, cnt(c)=2, cnt(d)=1: exact power law cnt = 8/rank^? —
+    # ln(cnt) = ln(8) - alpha*ln(rk) is NOT exactly linear here (ranks 1..4,
+    # counts 8,4,2,1 -> y = 3ln2,2ln2,ln2,0 vs x = 0,ln2,ln3,ln4), so pin
+    # against the closed-form OLS slope instead of an eyeballed constant.
+    words = ["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"]
+    rows = [(1, " ".join(words), "en", "A", len(words))]
+    _write_full_docs(d, rows)
+    out = analysis.zipf_alpha(str(d)).to_pandas()
+    assert int(out.n_ranks[0]) == 4 and int(out.c_top[0]) == 8
+
+    x = np.log(np.arange(1, 5, dtype=np.float64))
+    y = np.log(np.array([8.0, 4.0, 2.0, 1.0]))
+    slope = ((x * y).mean() - x.mean() * y.mean()) / ((x * x).mean() - x.mean() ** 2)
+    assert out.alpha[0] == pytest.approx(round(-slope, 6), abs=1e-9)
+
+    # degenerate: a single distinct word -> undefined fit, NaN alpha
+    e = tmp_path / "zipf_one"
+    e.mkdir()
+    _write_full_docs(e, [(1, "x x x", "en", "A", 5)])
+    out1 = analysis.zipf_alpha(str(e)).to_pandas()
+    assert int(out1.n_ranks[0]) == 1 and np.isnan(out1.alpha[0])
