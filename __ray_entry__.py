@@ -353,6 +353,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pytest-gated -----------------------------------------------------
         "doc_chunks": analysis.doc_chunks,
         "zipf_alpha": analysis.zipf_alpha,
+        # (bitext_mine_pairs holds the slot ceded by user_cumulative_spend —
+        # its groupby-user ordered-numpy machinery stays driven in-window by
+        # events_user_interarrival / events_purchases_within_hour; still
+        # pytest-gated) ----------------------------------------------------
+        "bitext_mine_pairs": analysis.bitext_mine_pairs,
         "lang_stats_salted": analysis.lang_stats_salted,
         # --- NEW session-3 kernels: hold window slots (ordering NOTE:
         # lang_percentiles / events_asof_purchase / customers_per_region
@@ -365,12 +370,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_item_revenue": relational.returned_item_revenue,
         "large_order_customers": relational.large_order_customers,
         "promo_revenue": relational.promo_revenue,
-        # (user_cumulative_spend / pmi_top100 hold slots ceded by
-        # top_docs_per_lang — per_source_cap drives the same grouped
-        # partial-top-k cut in-window — and word_lang_incidence —
+        # (pmi_top100 holds the slot ceded by word_lang_incidence —
         # distinct_words_per_lang drives the same distinct-count
-        # combiner shape in-window; both stay pytest-gated)
-        "user_cumulative_spend": analysis.user_cumulative_spend,
+        # combiner shape in-window; stays pytest-gated)
         "pmi_top100": analysis.pmi_top100,
         # (customer_order_histogram holds the slot ceded by revenue_filter
         # — in-window lineitem_pricing_summary drives the same pruned
@@ -402,6 +404,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (each unchanged since its green row, or a trivial variant with a
         # checked in-window sibling — audit trail in QUERIES.md)
         "gopher_keep_rates": analysis.gopher_keep_rates,
+        "user_cumulative_spend": analysis.user_cumulative_spend,
         "label_centroids": analysis.label_centroids,
         "containment_dup_pairs": analysis.containment_dup_pairs,
         "lang_stats": analysis.lang_stats,
@@ -1460,6 +1463,31 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(x.ev, y.ev), 5) AS cos_sim
             FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
             WHERE round(list_cosine_similarity(x.ev, y.ev), 5) >= 0.4
+        """,
+        "bitext_mine_pairs": """
+            WITH a AS (
+                SELECT d.doc_id AS ida, CAST(e.embedding AS DOUBLE[]) AS ea
+                FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+                WHERE d.lang = 'en'
+            ),
+            b AS (
+                SELECT d.doc_id AS idb, CAST(e.embedding AS DOUBLE[]) AS eb
+                FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+                WHERE d.lang = 'de'
+            ),
+            s AS (
+                SELECT ida, idb, round(list_cosine_similarity(ea, eb), 5) AS cs
+                FROM a CROSS JOIN b
+            ),
+            r AS (
+                SELECT ida, idb, cs,
+                       row_number() OVER (
+                           PARTITION BY ida ORDER BY cs DESC, idb ASC
+                       ) AS rn
+                FROM s
+            )
+            SELECT ida AS doc_a, idb AS doc_b, cs AS cos_sim
+            FROM r WHERE rn = 1 AND cs >= 0.4
         """,
         "doc_chunks": """
             WITH t AS (

@@ -2226,6 +2226,7 @@ def dup_clusters(
     block: str = "label",
     n_cells: int = 16,
     probes: "int | None" = None,
+    small_graph_rows: int = 2_000_000,
 ) -> "rd.Dataset":
     """Connected components over the embedding near-dup pair graph:
     every document gets ``cluster_id`` = the smallest doc_id reachable
@@ -2253,7 +2254,20 @@ def dup_clusters(
 
     ``block="ivf"`` swaps the pair source to cluster-first IVF cell
     blocking (the 100 TB path — quadratic work bounded by cell size;
-    lossless with ``probes=None``), leaving propagation unchanged."""
+    lossless with ``probes=None``), leaving propagation unchanged.
+
+    **Size-gated plans** (the broadcast-join gate pattern of
+    ``orders_by_mktsegment``): the dup-edge graph is DENSITY-bounded, not
+    corpus-bounded — after thresholding it is typically orders of
+    magnitude smaller than the corpus.  When the materialized edge list
+    is ≤ ``small_graph_rows`` rows, a driver-side vectorized min-label
+    pass with pointer-jumping (path compression — O(log diameter) numpy
+    sweeps over the edge array) replaces the distributed iteration, and
+    the corpus assignment becomes ONE broadcast-lookup map over documents
+    (no shuffle at all).  Above the gate, the distributed propagation
+    below runs unchanged.  Both plans produce the same min-reachable-id
+    labels; the gated path is pinned against the oracle by the same
+    hash-exact query row."""
     from language_identification_ray.stages.dedup import embedding_dup_pairs
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -2273,13 +2287,57 @@ def dup_clusters(
 
     edges = pairs.map_batches(edge_rows, batch_format="pyarrow").materialize()
 
+    n_edge_rows = edges.count()
+    if n_edge_rows <= small_graph_rows:
+        # ---- small-graph fast path: driver-side union-find, broadcast map
+        et = pa.concat_tables(
+            list(edges.iter_batches(batch_format="pyarrow"))
+            or [pa.table({"node": pa.array([], pa.int64()), "peer": pa.array([], pa.int64())})]
+        )
+        e_n = et["node"].to_numpy(zero_copy_only=False)
+        e_p = et["peer"].to_numpy(zero_copy_only=False)
+        nodes = np.unique(e_n)  # edge_rows emits both directions: node covers all
+        lbl = nodes.copy()
+        idx_n = np.searchsorted(nodes, e_n)
+        idx_p = np.searchsorted(nodes, e_p)
+        for _ in range(max_iters):
+            cand = lbl.copy()
+            np.minimum.at(cand, idx_n, lbl[idx_p])
+            # pointer-jump: labels are themselves node ids, so chase one hop
+            cand = np.minimum(cand, cand[np.searchsorted(nodes, cand)])
+            if np.array_equal(cand, lbl):
+                break
+            lbl = cand
+
+        def assign(batch: pa.Table) -> pa.Table:
+            valid = pc.is_valid(batch["doc_id"])
+            ids = pc.fill_null(batch["doc_id"].cast(pa.int64()), 0).to_numpy(
+                zero_copy_only=False
+            )
+            if len(nodes):
+                pos = np.clip(np.searchsorted(nodes, ids), 0, len(nodes) - 1)
+                hit = nodes[pos] == ids
+                cl = np.where(hit, lbl[pos], ids)
+            else:
+                cl = ids
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"].cast(pa.int64()),
+                    "cluster_id": pc.if_else(
+                        valid, pa.array(cl, pa.int64()), pa.scalar(None, pa.int64())
+                    ),
+                }
+            )
+
+        return _docs(sf_dir, ["doc_id"]).map_batches(assign, batch_format="pyarrow")
+
     # Size the iteration's block count to the SUBGRAPH, not the corpus: the
     # edge dataset inherits the pair scan's block layout (hundreds of mostly
     # empty blocks), and every groupby in the loop would shuffle across all
     # of them.  ~200k edge rows per block keeps reducers busy at scale while
     # a small dup graph collapses to one block (measured at sf0.1: rounds
     # dropped 15 s -> 0.5 s, whole function 80 s -> 11 s).
-    nblk = max(1, edges.count() // 200_000)
+    nblk = max(1, n_edge_rows // 200_000)
     edges = edges.repartition(nblk).materialize()
 
     # initial subgraph labels: each edge node starts at min(self, neighbors)
@@ -5794,3 +5852,171 @@ def zipf_alpha(sf_dir: str, top_n: int = 1000) -> "rd.Dataset":
     # the limit() head is small; repartition(1) folds it into one block so
     # the regression sees the full ranking in order
     return head.repartition(1).map_batches(fit, batch_format="pyarrow")
+
+
+def bitext_mine_pairs(
+    sf_dir: str,
+    lang_a: str = "en",
+    lang_b: str = "de",
+    tau: float = 0.4,
+    n_buckets: int = 16,
+    attach_buckets: int = 64,
+) -> "rd.Dataset":
+    """Bitext mining / embedding kNN-JOIN: for EVERY ``lang_a`` document,
+    its single best-cosine ``lang_b`` document (kept when cos ≥ ``tau``) —
+    the margin-based parallel-corpus mining primitive (Artetxe & Schwenk
+    2019's top-1 core) and the per-row retrieval join the knn_* family's
+    broadcast-query shape can't express (there the query set is tiny; here
+    the query side IS the corpus).  Similarities are computed in float64
+    and rounded to 5 decimals BEFORE the argmax/threshold (ties broken by
+    smallest doc_b), so the result is engine-independent — the SQL oracle
+    casts the float32 lists to DOUBLE[] for the same reason as
+    ``embedding_dup_pairs``.
+
+    Scale shape: two bounded exchanges.  (1) language attach: the
+    documents⋈embeddings union-tag bucket join of :func:`lang_centroids`
+    (docs ship (id, lang), each vector ships once), filtered to the two
+    mined languages before anything re-shuffles.  (2) the join itself: the
+    A side streams, bucketed ``id % n_buckets``; the B side is REPLICATED
+    to every bucket (the blocked brute-force kNN-join with a broadcast
+    build side — B is the smaller, usually low-resource, side; replication
+    cost is |B| × n_buckets vectors through one exchange, and per-reducer
+    memory is |A|/n_buckets + |B| rows).  Each reducer does ONE
+    (|A|/n_buckets × |B|) matmul — vectorized, exact, no candidate loss;
+    when B outgrows a reducer, shard B and add a per-A argmax re-reduce
+    (the candidates stay exact)."""
+    from language_identification_ray.stages.knn import _as_matrix
+
+    vec_t = pa.list_(pa.float32())
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(batch["doc_id"]),
+            pc.is_in(batch["lang"], value_set=pa.array([lang_a, lang_b])),
+        )
+        t = batch.filter(keep)
+        ids = t["doc_id"].cast(pa.int64())
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    ids.to_numpy(zero_copy_only=False) % attach_buckets, pa.int64()
+                ),
+                "id": ids,
+                "is_a": pc.equal(t["lang"], lang_a),
+                "embedding": pa.nulls(t.num_rows, vec_t),
+                "is_doc": pa.array(np.ones(t.num_rows, dtype=bool)),
+            }
+        )
+
+    def tag_embs(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["vec_id"]))
+        ids = t["vec_id"].cast(pa.int64())
+        n = t.num_rows
+        return pa.table(
+            {
+                "bkt": pa.array(
+                    ids.to_numpy(zero_copy_only=False) % attach_buckets, pa.int64()
+                ),
+                "id": ids,
+                "is_a": pa.array(np.zeros(n, dtype=bool)),
+                "embedding": t["embedding"].cast(vec_t),
+                "is_doc": pa.array(np.zeros(n, dtype=bool)),
+            }
+        )
+
+    def attach(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "bkt": pa.array([], pa.int64()),
+                "id": pa.array([], pa.int64()),
+                "is_a": pa.array([], pa.bool_()),
+                "embedding": pa.array([], vec_t),
+            }
+        )
+        isd = np.asarray(group["is_doc"].to_pylist(), dtype=bool)
+        if isd.all() or not isd.any():
+            return empty
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        d_ids = ids[isd]
+        d_order = np.argsort(d_ids, kind="stable")
+        d_sorted = d_ids[d_order]
+        e_ids = ids[~isd]
+        pos = np.searchsorted(d_sorted, e_ids)
+        np.clip(pos, 0, len(d_sorted) - 1, out=pos)
+        hit = d_sorted[pos] == e_ids  # inner join: vectors of other langs drop
+        if not hit.any():
+            return empty
+        docs = group.filter(pa.array(isd))
+        embs = group.filter(pa.array(~isd)).filter(pa.array(hit))
+        is_a = np.asarray(docs["is_a"].to_pylist(), dtype=bool)[d_order[pos[hit]]]
+        mids = e_ids[hit]
+        # A rows keep their join bucket; B rows fan out to EVERY bucket
+        n_a, n_b = int(is_a.sum()), int((~is_a).sum())
+        out_bkt = np.concatenate(
+            [mids[is_a] % n_buckets, np.repeat(np.arange(n_buckets, dtype=np.int64), n_b)]
+        )
+        out_ids = np.concatenate([mids[is_a], np.tile(mids[~is_a], n_buckets)])
+        emb_a = embs.filter(pa.array(is_a))["embedding"].combine_chunks()
+        emb_b = embs.filter(pa.array(~is_a))["embedding"].combine_chunks()
+        out_emb = pa.concat_arrays(
+            [emb_a.cast(vec_t)] + [emb_b.cast(vec_t)] * n_buckets
+        )
+        return pa.table(
+            {
+                "bkt": pa.array(out_bkt, pa.int64()),
+                "id": pa.array(out_ids, pa.int64()),
+                "is_a": pa.array(
+                    np.concatenate([np.ones(n_a, bool), np.zeros(n_b * n_buckets, bool)])
+                ),
+                "embedding": out_emb,
+            }
+        )
+
+    def mine(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            }
+        )
+        isa = np.asarray(group["is_a"].to_pylist(), dtype=bool)
+        if isa.all() or not isa.any():
+            return empty
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        A = _as_matrix(group.filter(pa.array(isa))["embedding"]).astype(np.float64)
+        B = _as_matrix(group.filter(pa.array(~isa))["embedding"]).astype(np.float64)
+        a_ids, b_ids = ids[isa], ids[~isa]
+        # sort B by id so argmax's first-max = smallest doc_b (the oracle's
+        # ORDER BY cs DESC, doc_b ASC tie-break)
+        b_order = np.argsort(b_ids, kind="stable")
+        B, b_ids = B[b_order], b_ids[b_order]
+        na = np.linalg.norm(A, axis=1)
+        nb = np.linalg.norm(B, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        cs = np.round((A / na[:, None]) @ (B / nb[:, None]).T, 5)
+        best = cs.argmax(axis=1)
+        bestv = cs[np.arange(len(a_ids)), best]
+        keep = bestv >= tau
+        return pa.table(
+            {
+                "doc_a": pa.array(a_ids[keep], pa.int64()),
+                "doc_b": pa.array(b_ids[best[keep]], pa.int64()),
+                "cos_sim": pa.array(bestv[keep], pa.float64()),
+            }
+        )
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(tag_docs, batch_format="pyarrow")
+    embs = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(tag_embs, batch_format="pyarrow")
+    return (
+        docs.union(embs)
+        .groupby("bkt")
+        .map_groups(attach, batch_format="pyarrow")
+        .groupby("bkt")
+        .map_groups(mine, batch_format="pyarrow")
+    )

@@ -2805,3 +2805,72 @@ def test_zipf_alpha_exact_on_constructed_ranking(ray_session, tmp_path):
     _write_full_docs(e, [(1, "x x x", "en", "A", 5)])
     out1 = analysis.zipf_alpha(str(e)).to_pandas()
     assert int(out1.n_ranks[0]) == 1 and np.isnan(out1.alpha[0])
+
+
+def test_dup_clusters_small_graph_gate_parity(ray_session, sf_dir):
+    """The size-gated driver-side union-find plan and the distributed
+    min-label propagation must produce identical clusters on the driver
+    fixture (the gate is a physical-plan switch, never a semantic one)."""
+    fast = (
+        analysis.dup_clusters(sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    dist = (
+        analysis.dup_clusters(sf_dir, small_graph_rows=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, dist)
+
+
+def test_bitext_mine_pairs_top1_and_edges(ray_session, tmp_path):
+    d = tmp_path / "bitext"
+    d.mkdir()
+    import math
+
+    # en docs 1,2; de docs 10,11,12; fr doc 20 (must be ignored);
+    # doc 3 has no embedding; vec 99 has no doc; NULL lang doc 30
+    docs = [
+        (1, "x", "en", "A", 1), (2, "x", "en", "A", 1), (3, "x", "en", "A", 1),
+        (10, "x", "de", "A", 1), (11, "x", "de", "A", 1), (12, "x", "de", "A", 1),
+        (20, "x", "fr", "A", 1), (30, "x", None, "A", 1),
+    ]
+    _write_full_docs(d, docs)
+    angs = {1: 0.0, 2: 90.0, 10: 10.0, 11: 10.0, 12: 80.0, 20: 0.0, 30: 0.0, 99: 0.0}
+    ids = sorted(angs)
+    vecs = [
+        [math.cos(math.radians(angs[i])), math.sin(math.radians(angs[i]))]
+        for i in ids
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * len(ids), pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    out = (
+        analysis.bitext_mine_pairs(str(d), tau=0.4, n_buckets=4)
+        .to_pandas()
+        .sort_values("doc_a")
+        .reset_index(drop=True)
+    )
+    # doc 1 (0 deg): best de is 10 deg -> ties between 10 and 11, keep min id 10
+    # doc 2 (90 deg): best de is 80 deg -> 12
+    # doc 3 (no vector), fr/NULL-lang docs, orphan vec 99: all absent
+    assert out.doc_a.tolist() == [1, 2]
+    assert out.doc_b.tolist() == [10, 12]
+    assert out.cos_sim.tolist() == [
+        round(math.cos(math.radians(10)), 5),
+        round(math.cos(math.radians(10)), 5),
+    ]
+
+    # tau above every similarity -> empty result, no raise
+    hi = analysis.bitext_mine_pairs(str(d), tau=0.999999, n_buckets=4).to_pandas()
+    assert hi.shape[0] == 0
