@@ -404,6 +404,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (each unchanged since its green row, or a trivial variant with a
         # checked in-window sibling — audit trail in QUERIES.md)
         "gopher_keep_rates": analysis.gopher_keep_rates,
+        # (word_burstiness is new but out-of-window by design: in-window
+        # zipf_alpha drives the same word-freq combiner → groupby →
+        # sorted-head machinery; pytest-gated like every oracle entry)
+        "word_burstiness": analysis.word_burstiness,
         "user_cumulative_spend": analysis.user_cumulative_spend,
         "label_centroids": analysis.label_centroids,
         "containment_dup_pairs": analysis.containment_dup_pairs,
@@ -1463,6 +1467,20 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(x.ev, y.ev), 5) AS cos_sim
             FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
             WHERE round(list_cosine_similarity(x.ev, y.ev), 5) >= 0.4
+        """,
+        "word_burstiness": """
+            WITH w AS (
+                SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
+                FROM documents
+            ),
+            c AS (
+                SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+                       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                FROM w GROUP BY word
+            )
+            SELECT word, cnt, df, round(cnt / CAST(df AS DOUBLE), 6) AS burstiness
+            FROM c WHERE df >= 5
+            ORDER BY burstiness DESC, word ASC LIMIT 100
         """,
         "bitext_mine_pairs": """
             WITH a AS (

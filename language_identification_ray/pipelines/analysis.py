@@ -6020,3 +6020,62 @@ def bitext_mine_pairs(
         .groupby("bkt")
         .map_groups(mine, batch_format="pyarrow")
     )
+
+
+def word_burstiness(sf_dir: str, min_df: int = 5, k: int = 100) -> "rd.Dataset":
+    """Church–Gale burstiness per word: total occurrences / documents
+    containing it (``cnt/df``), top-``k`` among words with ``df ≥ min_df``
+    — a word that is rare across documents but dense inside them (high
+    burstiness) is a template/boilerplate/spam marker that plain frequency
+    ranking hides; the companion signal to :func:`doc_frequency` and
+    :func:`boilerplate_ngram_stats` in a curation stack.
+
+    Scale shape: ONE fused text pass emits per-batch (word, cnt, df)
+    partials — docs are unique per batch, so per-batch distinct-doc counts
+    sum to the global df exactly (the :func:`doc_frequency` contract) and
+    total counts sum trivially; one vocabulary-keyed groupby, then the
+    ratio + top-k cut (burstiness rounded to 6 decimals BEFORE the sort,
+    ties broken by word ASC — engine-independent).  The shuffle moves two
+    ints per distinct word per batch, never tokens."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cnt = Counter()
+        df = Counter()
+        for t in batch["text"].to_pylist():
+            ws = (t or "").split(" ")
+            cnt.update(ws)
+            df.update(set(ws))
+        if not cnt:
+            e = pa.array([], pa.int64())
+            return pa.table({"word": pa.array([], pa.string()), "cnt": e, "df": e})
+        words = list(cnt)
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "cnt": pa.array([cnt[w] for w in words], pa.int64()),
+                "df": pa.array([df[w] for w in words], pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.greater_equal(batch["df"], min_df))
+        c = keep["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = keep["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "word": keep["word"],
+                "cnt": keep["cnt"],
+                "df": keep["df"],
+                "burstiness": pa.array(np.round(c / d, 6), pa.float64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"), Sum("df", alias_name="df"))
+        .map_batches(finalize, batch_format="pyarrow")
+        .sort(["burstiness", "word"], descending=[True, False])
+        .limit(k)
+    )

@@ -2874,3 +2874,26 @@ def test_bitext_mine_pairs_top1_and_edges(ray_session, tmp_path):
     # tau above every similarity -> empty result, no raise
     hi = analysis.bitext_mine_pairs(str(d), tau=0.999999, n_buckets=4).to_pandas()
     assert hi.shape[0] == 0
+
+
+def test_word_burstiness_counts_and_threshold(ray_session, tmp_path):
+    d = tmp_path / "burst"
+    d.mkdir()
+    # "spam" appears 12x in 1 doc (bursty); "the" once in each of 6 docs
+    # (flat); "rare" in 2 docs (below min_df) must be cut
+    rows = [(0, "spam " * 11 + "spam", "en", "A", 60)]
+    rows += [(i, "the rare" if i <= 2 else "the", "en", "A", 8) for i in range(1, 7)]
+    _write_full_docs(d, rows)
+    out = (
+        analysis.word_burstiness(str(d), min_df=5, k=10)
+        .to_pandas()
+        .set_index("word")
+    )
+    assert "rare" not in out.index and "spam" not in out.index  # df < 5
+    assert int(out.loc["the", "cnt"]) == 6 and int(out.loc["the", "df"]) == 6
+    assert out.loc["the", "burstiness"] == 1.0
+
+    e = tmp_path / "burst_empty"
+    e.mkdir()
+    _write_full_docs(e, [])
+    assert analysis.word_burstiness(str(e)).to_pandas().shape[0] == 0
