@@ -374,10 +374,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distinct_words_per_lang drives the same distinct-count
         # combiner shape in-window; stays pytest-gated)
         "pmi_top100": analysis.pmi_top100,
-        # (customer_order_histogram holds the slot ceded by revenue_filter
-        # — in-window lineitem_pricing_summary drives the same pruned
-        # vectorized lineitem-partial shape; still pytest-gated)
-        "customer_order_histogram": relational.customer_order_histogram,
+        # (brand_bracket_revenue is NEW r4 — Q19 disjunctive combo-mask
+        # bracket join; holds the slot ceded by customer_order_histogram,
+        # r3-green and unchanged, whose grouped-count + customer-attach
+        # machinery stays driven in-window by large_order_customers and
+        # inactive_customers; still pytest-gated)
+        "brand_bracket_revenue": relational.brand_bracket_revenue,
         "orders_by_mktsegment": relational.orders_by_mktsegment,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "revenue_by_supplier_nation": relational.revenue_by_supplier_nation,
@@ -408,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # zipf_alpha drives the same word-freq combiner → groupby →
         # sorted-head machinery; pytest-gated like every oracle entry)
         "word_burstiness": analysis.word_burstiness,
+        "customer_order_histogram": relational.customer_order_histogram,
         "user_cumulative_spend": analysis.user_cumulative_spend,
         "label_centroids": analysis.label_centroids,
         "containment_dup_pairs": analysis.containment_dup_pairs,
@@ -1467,6 +1470,21 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(x.ev, y.ev), 5) AS cos_sim
             FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
             WHERE round(list_cosine_similarity(x.ev, y.ev), 5) >= 0.4
+        """,
+        "brand_bracket_revenue": """
+            WITH j AS (
+                SELECT CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT) AS rev_cents
+                FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 15
+                       AND l.l_quantity BETWEEN 1 AND 11)
+                   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 1 AND 25
+                       AND l.l_quantity BETWEEN 10 AND 20)
+                   OR (p.p_type = 'PROMO' AND p.p_size BETWEEN 1 AND 35
+                       AND l.l_quantity BETWEEN 20 AND 30)
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(rev_cents) AS DOUBLE) / 100.0 AS revenue
+            FROM j
         """,
         "word_burstiness": """
             WITH w AS (

@@ -1949,3 +1949,147 @@ def customer_order_histogram(sf_dir: str, n_buckets: int = 64) -> "rd.Dataset":
         .groupby("c_count")
         .aggregate(Sum("custdist", alias_name="custdist"))
     )
+
+
+def brand_bracket_revenue(sf_dir: str) -> "rd.Dataset":
+    """TPC-H-Q19-shaped disjunctive bracket join: revenue from lineitems
+    whose PART satisfies any of three (brand/type, size-range,
+    quantity-range) brackets — the OR-of-ANDs predicate that couples a
+    fact-side column (``l_quantity``) with dimension-side attributes, so
+    neither side's filter can be pushed down alone.  One output row
+    (n_items, revenue); revenue is NULL when no row qualifies (SQL SUM).
+
+    Brackets (adapted to this schema — no container column):
+      1. Brand#13, size 1–15, qty 1–11
+      2. Brand#19, size 1–25, qty 10–20
+      3. type PROMO, size 1–35, qty 20–30
+
+    Scale shape: the ``promo_revenue`` union-tag groupby on partkey (part
+    grows with scale — never broadcast), generalized to OR semantics with
+    a COMBO-MASK expansion: each lineitem row computes its quantity-band
+    bitmask (bit i = qty in bracket i's range) and the batch pre-aggregates
+    (partkey, combo) → (rev_cents, n) partials over the ≤ 7 non-zero
+    combos; the part side ships (partkey, attribute bitmask).  After the
+    single partkey groupby, a row qualifies iff ``attr_mask & combo != 0``
+    — each lineitem row counted exactly ONCE however many brackets it
+    matches (the SQL OR), because it lives in exactly one combo bucket."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_type", "p_size"]
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        keys = (
+            _pc.fill_null(batch["l_partkey"], -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        combo = (
+            ((qty >= 1) & (qty <= 11)).astype(np.int64)
+            | (((qty >= 10) & (qty <= 20)).astype(np.int64) << 1)
+            | (((qty >= 20) & (qty <= 30)).astype(np.int64) << 2)
+        )
+        ok = (keys >= 0) & (combo > 0)  # combo 0 can never qualify: drop early
+        if not ok.any():
+            e = pa.array([], pa.int64())
+            return pa.table(
+                {"pkey": e, "combo": e, "rev_cents": e, "n": e, "attr_mask": e}
+            )
+        keys, combo = keys[ok], combo[ok]
+        rev = _cents_np(price[ok] * (1.0 - disc[ok]))
+        packed = keys * 8 + combo  # combo ∈ 1..7: reversible pack
+        uk, inv = np.unique(packed, return_inverse=True)
+        tot = np.bincount(inv, weights=rev, minlength=len(uk)).astype(np.int64)
+        cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pa.table(
+            {
+                "pkey": pa.array(uk // 8, pa.int64()),
+                "combo": pa.array(uk % 8, pa.int64()),
+                "rev_cents": pa.array(tot, pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+                "attr_mask": pa.array(np.full(len(uk), -1, np.int64)),
+            }
+        )
+
+    def part_rows(batch: pa.Table) -> pa.Table:
+        keys = (
+            _pc.fill_null(batch["p_partkey"], -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        brand = _pc.fill_null(batch["p_brand"], "").to_numpy(zero_copy_only=False)
+        ptype = _pc.fill_null(batch["p_type"], "").to_numpy(zero_copy_only=False)
+        size = (
+            _pc.fill_null(batch["p_size"], -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        mask = (
+            ((brand == "Brand#13") & (size >= 1) & (size <= 15)).astype(np.int64)
+            | (((brand == "Brand#19") & (size >= 1) & (size <= 25)).astype(np.int64) << 1)
+            | (((ptype == "PROMO") & (size >= 1) & (size <= 35)).astype(np.int64) << 2)
+        )
+        ok = keys >= 0
+        n = int(ok.sum())
+        return pa.table(
+            {
+                "pkey": pa.array(keys[ok], pa.int64()),
+                "combo": pa.array(np.zeros(n, np.int64)),
+                "rev_cents": pa.array(np.zeros(n, np.int64)),
+                "n": pa.array(np.zeros(n, np.int64)),
+                "attr_mask": pa.array(mask[ok], pa.int64()),
+            }
+        )
+
+    def per_key(group: pa.Table) -> pa.Table:
+        am = group["attr_mask"].to_numpy(zero_copy_only=False)
+        m = int(am.max())  # the part row's mask; -1 everywhere = dangling pkey
+        empty = pa.table(
+            {"rev_cents": pa.array([], pa.int64()), "n_items": pa.array([], pa.int64())}
+        )
+        if m <= 0:
+            return empty
+        combo = group["combo"].to_numpy(zero_copy_only=False)
+        hit = (combo & m) != 0
+        if not hit.any():
+            return empty
+        return pa.table(
+            {
+                "rev_cents": pa.array(
+                    [int(group["rev_cents"].to_numpy(zero_copy_only=False)[hit].sum())],
+                    pa.int64(),
+                ),
+                "n_items": pa.array(
+                    [int(group["n"].to_numpy(zero_copy_only=False)[hit].sum())],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    folded = (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .union(part.map_batches(part_rows, batch_format="pyarrow"))
+        .groupby("pkey")
+        .map_groups(per_key, batch_format="pyarrow")
+    )
+
+    # the fold leaves ≤ one tiny (rev_cents, n_items) row per qualifying
+    # partkey; the global total is ONE distributed aggregate (scalar to the
+    # driver — never the rows).  SQL SUM over zero rows is NULL.
+    import pandas as pd
+
+    tot = folded.sum(["rev_cents", "n_items"]) or {}
+    n = int(tot.get("sum(n_items)") or 0)
+    rev = int(tot.get("sum(rev_cents)") or 0)
+    return pd.DataFrame(
+        {
+            "n_items": pd.array([n], dtype="int64"),
+            "revenue": pd.array([None if n == 0 else rev / 100.0], dtype="float64"),
+        }
+    )

@@ -494,3 +494,70 @@ def test_returned_item_revenue_plan_parity(ray_session, sf_dir):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def _bracket_tables(d, lineitem_rows, part_rows):
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([r[0] for r in lineitem_rows], pa.int64()),
+                "l_quantity": pa.array([r[1] for r in lineitem_rows], pa.float64()),
+                "l_extendedprice": pa.array([r[2] for r in lineitem_rows], pa.float64()),
+                "l_discount": pa.array([r[3] for r in lineitem_rows], pa.float64()),
+            }
+        ),
+        d / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([r[0] for r in part_rows], pa.int64()),
+                "p_brand": pa.array([r[1] for r in part_rows], pa.string()),
+                "p_type": pa.array([r[2] for r in part_rows], pa.string()),
+                "p_size": pa.array([r[3] for r in part_rows], pa.int64()),
+            }
+        ),
+        d / "part.parquet",
+    )
+    return str(d)
+
+
+def test_brand_bracket_revenue_or_counted_once(ray_session, tmp_path):
+    from language_identification_ray.pipelines.relational import brand_bracket_revenue
+
+    # part 1: Brand#13 size 10 AND PROMO size<=35 -> brackets 1 and 3 both
+    # open; a qty-10 line matches bracket 1 only, a qty-25 line matches
+    # bracket 3 only; part 2: Brand#19 size 20 -> bracket 2; part 3
+    # matches nothing; NULL partkey and dangling partkey 99 drop
+    d = _bracket_tables(
+        tmp_path / "brk",
+        [
+            (1, 10.0, 100.0, 0.0),   # bracket 1 via part 1 -> 100.00
+            (1, 25.0, 50.0, 0.0),    # bracket 3 via part 1 -> 50.00
+            (1, 10.5, 10.0, 0.0),    # qty 10.5: brackets 1 AND 2 bands, part
+                                     # mask has 1 and 3 -> counted ONCE -> 10.00
+            (2, 15.0, 30.0, 0.5),    # bracket 2 via part 2 -> 15.00
+            (2, 35.0, 1000.0, 0.0),  # qty 35: no band
+            (3, 10.0, 1000.0, 0.0),  # part 3: mask 0
+            (99, 10.0, 1000.0, 0.0), # dangling partkey
+            (None, 10.0, 1000.0, 0.0),
+        ],
+        [
+            (1, "Brand#13", "PROMO", 10),
+            (2, "Brand#19", "ECONOMY", 20),
+            (3, "Brand#5", "ECONOMY", 60),
+        ],
+    )
+    out = brand_bracket_revenue(d)  # returns a pandas frame
+    assert int(out["n_items"].iloc[0]) == 4
+    assert out["revenue"].iloc[0] == pytest.approx(175.0)
+
+    # all-miss input: SQL SUM over zero rows is NULL, count 0
+    e = _bracket_tables(
+        tmp_path / "brk_empty",
+        [(1, 99.0, 5.0, 0.0)],
+        [(1, "Brand#5", "ECONOMY", 60)],
+    )
+    out0 = brand_bracket_revenue(e)
+    assert int(out0["n_items"].iloc[0]) == 0 and pd.isna(out0["revenue"].iloc[0])
