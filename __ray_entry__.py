@@ -410,6 +410,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # zipf_alpha drives the same word-freq combiner → groupby →
         # sorted-head machinery; pytest-gated like every oracle entry)
         "word_burstiness": analysis.word_burstiness,
+        # (dup_size_histogram is new but out-of-window by design: its first
+        # stage IS in-window dup_clusters, and the two count-groupbys that
+        # follow are the lang_stats shape; pytest-gated like every entry)
+        "dup_size_histogram": analysis.dup_size_histogram,
         "customer_order_histogram": relational.customer_order_histogram,
         "user_cumulative_spend": analysis.user_cumulative_spend,
         "label_centroids": analysis.label_centroids,
@@ -1470,6 +1474,30 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(x.ev, y.ev), 5) AS cos_sim
             FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
             WHERE round(list_cosine_similarity(x.ev, y.ev), 5) >= 0.4
+        """,
+        "dup_size_histogram": """
+            WITH RECURSIVE
+            pairs AS (
+                SELECT a.vec_id AS i, b.vec_id AS j
+                FROM embeddings a JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) >= 0.4
+            ),
+            edges AS (SELECT i AS src, j AS dst FROM pairs UNION ALL SELECT j, i FROM pairs),
+            reach(node, anc) AS (
+                SELECT doc_id, doc_id FROM documents
+                UNION
+                SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.node
+            ),
+            clusters AS (
+                SELECT node AS doc_id, min(anc) AS cluster_id FROM reach GROUP BY node
+            ),
+            sizes AS (
+                SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM clusters GROUP BY cluster_id
+            )
+            SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+            FROM sizes GROUP BY cluster_size
         """,
         "brand_bracket_revenue": """
             WITH j AS (

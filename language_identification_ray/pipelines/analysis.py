@@ -6079,3 +6079,39 @@ def word_burstiness(sf_dir: str, min_df: int = 5, k: int = 100) -> "rd.Dataset":
         .sort(["burstiness", "word"], descending=[True, False])
         .limit(k)
     )
+
+
+def dup_size_histogram(sf_dir: str, threshold: float = 0.4) -> "rd.Dataset":
+    """Near-dup cluster-size distribution: how many clusters have exactly
+    N members, over :func:`dup_clusters`' connected components (singletons
+    included at N=1) — the dedup audit every curation run publishes (a
+    heavy tail of giant clusters means template/mirror infestation; the
+    keep-rate after :func:`fuzzy_dedup_keep` is ``n_clusters/n_docs`` and
+    this table is its full shape).
+
+    Scale shape: :func:`dup_clusters`' assignment (size-gated plan —
+    map-only when the edge graph is small) → ONE cluster-keyed count
+    groupby → ONE size-keyed count groupby; both exchanges carry a single
+    int per cluster/size, and the result is bounded by the largest
+    cluster size."""
+    sizes = (
+        dup_clusters(sf_dir, threshold=threshold)
+        .groupby("cluster_id")
+        .count()
+        .map_batches(
+            lambda t: pa.table({"cluster_size": t["count()"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        .groupby("cluster_size")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "cluster_size": t["cluster_size"],
+                    "n_clusters": t["count()"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return sizes

@@ -2897,3 +2897,32 @@ def test_word_burstiness_counts_and_threshold(ray_session, tmp_path):
     e.mkdir()
     _write_full_docs(e, [])
     assert analysis.word_burstiness(str(e)).to_pandas().shape[0] == 0
+
+
+def test_dup_size_histogram_counts_singletons(ray_session, tmp_path):
+    import math
+
+    d = tmp_path / "dupsz"
+    d.mkdir()
+    # cluster {10,11,12} (chain via 11), singletons 13 and 14
+    ids = [10, 11, 12, 13, 14]
+    angs = [0.0, math.radians(25), math.radians(50), math.radians(180), math.radians(120)]
+    vecs = [[math.cos(a), math.sin(a), 0.0] for a in angs]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * 5, pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    _write_full_docs(d, [(i, "x", "en", "s", 1) for i in ids])
+    out = (
+        analysis.dup_size_histogram(str(d), threshold=0.9)
+        .to_pandas()
+        .set_index("cluster_size")
+    )
+    assert int(out.loc[3, "n_clusters"]) == 1
+    assert int(out.loc[1, "n_clusters"]) == 2
