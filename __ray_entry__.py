@@ -327,7 +327,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_entropy": analysis.word_entropy,
         # --- SQL-checkable operators -------------------------------------
         "per_source_cap": analysis.per_source_cap,
-        "events_json_kpi": analysis.events_json_kpi,
+        # (events_hourly_distinct_users is NEW r4 — windowed grouped
+        # DISTINCT; holds the slot ceded by events_json_kpi, r2-green and
+        # unchanged, whose vectorized-RE2 extraction machinery stays driven
+        # in-window by token_count_bpe; still pytest-gated)
+        "events_hourly_distinct_users": analysis.events_hourly_distinct_users,
         # (documents_profile is back IN-window in r4: its kernel was
         # rewritten this round — one fused scan instead of three executions
         # — taking the slot ceded by event_type_transitions, r3-green and
@@ -410,6 +414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # zipf_alpha drives the same word-freq combiner → groupby →
         # sorted-head machinery; pytest-gated like every oracle entry)
         "word_burstiness": analysis.word_burstiness,
+        "events_json_kpi": analysis.events_json_kpi,
         # (dup_size_histogram is new but out-of-window by design: its first
         # stage IS in-window dup_clusters, and the two count-groupbys that
         # follow are the lang_stats shape; pytest-gated like every entry)
@@ -1474,6 +1479,13 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(x.ev, y.ev), 5) AS cos_sim
             FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
             WHERE round(list_cosine_similarity(x.ev, y.ev), 5) >= 0.4
+        """,
+        "events_hourly_distinct_users": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events
+            GROUP BY 1
         """,
         "dup_size_histogram": """
             WITH RECURSIVE

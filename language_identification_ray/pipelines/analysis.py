@@ -6115,3 +6115,97 @@ def dup_size_histogram(sf_dir: str, threshold: float = 0.4) -> "rd.Dataset":
         )
     )
     return sizes
+
+
+def events_hourly_distinct_users(sf_dir: str) -> "rd.Dataset":
+    """Tumbling 1-hour window with a grouped DISTINCT: unique active users
+    AND raw event count per window — the dashboard/DAU primitive that
+    composes the :func:`events_hourly` window floor with the
+    :func:`distinct_words_per_lang` exact-distinct shape.  SQL semantics
+    throughout: NULL ``ts`` keeps its own window group (two-key NULL
+    pattern), NULL users count in ``n_events`` but never in ``n_users``
+    (COUNT(DISTINCT) ignores NULLs).
+
+    Scale shape: two shuffle-REDUCED exchanges.  Each batch emits its
+    distinct (window, user) pairs plus ONE per-window count partial; the
+    first groupby collapses pairs globally (the distinct), a map partial
+    then folds each block to per-window (users, events) counts, and the
+    second groupby over ~window-cardinality keys finishes.  Raw events
+    never cross the wire twice — the first exchange is bounded by distinct
+    pairs per batch, the second by windows per block."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch["ts"], unit="hour").cast(pa.timestamp("us"))
+        w_us = pc.fill_null(w.cast(pa.int64()), 0).to_numpy(zero_copy_only=False)
+        w_null = pc.is_null(w).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].cast(pa.int64())
+        u_ok = pc.is_valid(uid).to_numpy(zero_copy_only=False)
+        u = pc.fill_null(uid, 0).to_numpy(zero_copy_only=False)
+        # per-window event-count partials (every row, NULL users included)
+        key = np.stack([w_us, w_null.astype(np.int64)], axis=1)
+        uk, inv, cnt = np.unique(key, axis=0, return_inverse=True, return_counts=True)
+        n_w = len(uk)
+        # distinct (window, user) pairs among valid users
+        pk = np.stack([w_us[u_ok], w_null[u_ok].astype(np.int64), u[u_ok]], axis=1)
+        pu = np.unique(pk, axis=0) if len(pk) else np.empty((0, 3), np.int64)
+        return pa.table(
+            {
+                "w_us": pa.array(np.concatenate([pu[:, 0], uk[:, 0]]), pa.int64()),
+                "w_null": pa.array(
+                    np.concatenate([pu[:, 1], uk[:, 1]]).astype(bool)
+                ),
+                "user": pa.array(
+                    np.concatenate([pu[:, 2], np.full(n_w, -1)]), pa.int64()
+                ),
+                "is_count": pa.array(
+                    np.concatenate([np.zeros(len(pu), np.int64), np.ones(n_w, np.int64)])
+                ),
+                "n": pa.array(
+                    np.concatenate([np.zeros(len(pu), np.int64), cnt.astype(np.int64)])
+                ),
+            }
+        )
+
+    def fold(batch: pa.Table) -> pa.Table:
+        isc = batch["is_count"].to_numpy(zero_copy_only=False).astype(bool)
+        w_us = batch["w_us"].to_numpy(zero_copy_only=False)
+        w_null = batch["w_null"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        key = np.stack([w_us, w_null], axis=1)
+        uk, inv = np.unique(key, axis=0, return_inverse=True)
+        users = np.bincount(inv, weights=(~isc).astype(np.float64), minlength=len(uk))
+        events = np.bincount(inv, weights=np.where(isc, n, 0), minlength=len(uk))
+        return pa.table(
+            {
+                "w_us": pa.array(uk[:, 0], pa.int64()),
+                "w_null": pa.array(uk[:, 1].astype(bool)),
+                "u_part": pa.array(users.astype(np.int64), pa.int64()),
+                "e_part": pa.array(events.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        w = batch["w_us"].cast(pa.timestamp("us"))
+        return pa.table(
+            {
+                "window_start": pc.if_else(
+                    batch["w_null"], pa.scalar(None, pa.timestamp("us")), w
+                ),
+                "n_users": batch["u_part"],
+                "n_events": batch["e_part"],
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["w_us", "w_null", "user", "is_count"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(fold, batch_format="pyarrow")
+        .groupby(["w_us", "w_null"])
+        .aggregate(
+            Sum("u_part", alias_name="u_part"),
+            Sum("e_part", alias_name="e_part"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )

@@ -2926,3 +2926,34 @@ def test_dup_size_histogram_counts_singletons(ray_session, tmp_path):
     )
     assert int(out.loc[3, "n_clusters"]) == 1
     assert int(out.loc[1, "n_clusters"]) == 2
+
+
+def test_events_hourly_distinct_users_null_semantics(ray_session, tmp_path):
+    d = tmp_path / "dau"
+    d.mkdir()
+    t0 = pd.Timestamp("2024-01-01 05:10:00")
+    rows = {
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        # three events in hour 05 (users 7, 7, NULL), one in hour 06
+        # (user 8), two with NULL ts (users 8, 9)
+        "ts": pa.array(
+            [t0, t0 + pd.Timedelta("5min"), t0 + pd.Timedelta("20min"),
+             t0 + pd.Timedelta("1h"), None, None],
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array([7, 7, None, 8, 8, 9], pa.int64()),
+        "event_type": pa.array(["v"] * 6, pa.string()),
+        "value": pa.array([1.0] * 6, pa.float64()),
+        "props": pa.array(["{}"] * 6, pa.string()),
+    }
+    pq.write_table(pa.table(rows), d / "events.parquet")
+    out = analysis.events_hourly_distinct_users(str(d)).to_pandas()
+    out = out.sort_values("window_start", na_position="last").reset_index(drop=True)
+    h5 = out[out.window_start == pd.Timestamp("2024-01-01 05:00:00")]
+    # hour 05: user 7 twice + a NULL user -> 1 distinct user, 3 events
+    assert int(h5.n_users.iloc[0]) == 1 and int(h5.n_events.iloc[0]) == 3
+    h6 = out[out.window_start == pd.Timestamp("2024-01-01 06:00:00")]
+    assert int(h6.n_users.iloc[0]) == 1 and int(h6.n_events.iloc[0]) == 1
+    # NULL ts keeps its own window group (SQL GROUP BY): users 8 and 9
+    hn = out[out.window_start.isna()]
+    assert len(hn) == 1 and int(hn.n_users.iloc[0]) == 2 and int(hn.n_events.iloc[0]) == 2
