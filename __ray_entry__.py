@@ -324,7 +324,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_pairs": analysis.substring_dup_pairs,
         "bm25_topk": analysis.bm25_topk,
         "stratified_sample": analysis.stratified_sample,
-        "word_entropy": analysis.word_entropy,
+        # (rolling_active_users is NEW r4 — sliding-window DISTINCT via
+        # fan-out dedup; holds the slot ceded by word_entropy, r3-green and
+        # unchanged, whose per-doc word-distribution kernel stays driven
+        # in-window by gopher_quality_flags; still pytest-gated)
+        "rolling_active_users": analysis.rolling_active_users,
         # --- SQL-checkable operators -------------------------------------
         "per_source_cap": analysis.per_source_cap,
         # (events_hourly_distinct_users is NEW r4 — windowed grouped
@@ -415,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sorted-head machinery; pytest-gated like every oracle entry)
         "word_burstiness": analysis.word_burstiness,
         "events_json_kpi": analysis.events_json_kpi,
+        "word_entropy": analysis.word_entropy,
         # (dup_size_histogram is new but out-of-window by design: its first
         # stage IS in-window dup_clusters, and the two count-groupbys that
         # follow are the lang_stats shape; pytest-gated like every entry)
@@ -1479,6 +1484,16 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(x.ev, y.ev), 5) AS cos_sim
             FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
             WHERE round(list_cosine_similarity(x.ev, y.ev), 5) >= 0.4
+        """,
+        "rolling_active_users": """
+            WITH du AS (
+                SELECT DISTINCT date_trunc('day', ts) AS d, user_id AS u
+                FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ),
+            days AS (SELECT DISTINCT d FROM du)
+            SELECT days.d AS day, CAST(count(DISTINCT du.u) AS BIGINT) AS active_users
+            FROM days JOIN du ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+            GROUP BY days.d
         """,
         "events_hourly_distinct_users": """
             SELECT date_trunc('hour', ts) AS window_start,

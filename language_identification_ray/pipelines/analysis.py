@@ -6209,3 +6209,97 @@ def events_hourly_distinct_users(sf_dir: str) -> "rd.Dataset":
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def rolling_active_users(sf_dir: str, window_days: int = 7) -> "rd.Dataset":
+    """Rolling active users: for every observed day, the count of DISTINCT
+    users with any event in the trailing ``window_days``-day window ending
+    that day — the WAU/MAU retention primitive.  A sliding DISTINCT cannot
+    be windowed with per-window sums (a user active twice in one window
+    must count once), so the shape is fan-out dedup: global distinct
+    (day, user) pairs, each fanned to the ``window_days`` window-end days
+    it activates, deduped again, then counted.  Rows with NULL ts or NULL
+    user are excluded (SQL: they can join no window / COUNT(DISTINCT)
+    ignores NULLs); only days observed in the data are reported.
+
+    Scale shape: three shuffle-reduced exchanges, all over (day, user)
+    granularity or smaller — raw events collapse to per-batch distinct
+    pairs before anything moves; the fan-out multiplies DISTINCT pairs by
+    ``window_days``, not events.  The observed-day catalog is collected
+    driver-side — bounded by the calendar span, not the corpus."""
+    DAY_US = 86_400_000_000
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["user_id"]))
+        t = batch.filter(ok)
+        d = (
+            pc.floor_temporal(t["ts"], unit="day")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        u = t["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        pk = np.unique(np.stack([d, u], axis=1), axis=0) if len(d) else np.empty((0, 2), np.int64)
+        return pa.table(
+            {"day": pa.array(pk[:, 0], pa.int64()), "user": pa.array(pk[:, 1], pa.int64())}
+        )
+
+    pairs = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["day", "user"])
+        .count()
+        .select_columns(["day", "user"])
+        .materialize()
+    )
+
+    # observed-day catalog: bounded by the calendar span (the groupby above
+    # already reduced to distinct pairs; unique days are far fewer)
+    days = np.unique(
+        np.concatenate(
+            [b["day"].to_numpy(zero_copy_only=False) for b in pairs.iter_batches(batch_format="pyarrow")]
+            or [np.empty(0, np.int64)]
+        )
+    )
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        d = batch["day"].to_numpy(zero_copy_only=False)
+        u = batch["user"].to_numpy(zero_copy_only=False)
+        n = len(d)
+        win = (
+            np.repeat(d, window_days)
+            + np.tile(np.arange(window_days, dtype=np.int64) * DAY_US, n)
+        )
+        uu = np.repeat(u, window_days)
+        # keep only window-end days that exist in the data
+        pos = np.clip(np.searchsorted(days, win), 0, max(len(days) - 1, 0))
+        hit = days[pos] == win if len(days) else np.zeros(len(win), bool)
+        return pa.table(
+            {"day": pa.array(win[hit], pa.int64()), "user": pa.array(uu[hit], pa.int64())}
+        )
+
+    def count_fold(batch: pa.Table) -> pa.Table:
+        d = batch["day"].to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(d, return_counts=True)
+        return pa.table(
+            {"day": pa.array(uk, pa.int64()), "n_part": pa.array(cnt.astype(np.int64), pa.int64())}
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": batch["day"].cast(pa.timestamp("us")),
+                "active_users": batch["n_part"].cast(pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(fan_out, batch_format="pyarrow")
+        .groupby(["day", "user"])
+        .count()
+        .select_columns(["day", "user"])
+        .map_batches(count_fold, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("n_part", alias_name="n_part"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )

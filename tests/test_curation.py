@@ -2957,3 +2957,36 @@ def test_events_hourly_distinct_users_null_semantics(ray_session, tmp_path):
     # NULL ts keeps its own window group (SQL GROUP BY): users 8 and 9
     hn = out[out.window_start.isna()]
     assert len(hn) == 1 and int(hn.n_users.iloc[0]) == 2 and int(hn.n_events.iloc[0]) == 2
+
+
+def test_rolling_active_users_window_and_dedup(ray_session, tmp_path):
+    d = tmp_path / "wau"
+    d.mkdir()
+    day = pd.Timestamp("2024-03-01")
+    rows = {
+        "event_id": pa.array(list(range(7)), pa.int64()),
+        # user 1 active on day 0 twice and day 8 (outside 7-day window of
+        # day 0's window-ends); user 2 on days 0 and 3 (counts ONCE in the
+        # day-3..6 windows that contain both); NULL ts and NULL user drop
+        "ts": pa.array(
+            [day, day + pd.Timedelta("1h"), day + pd.Timedelta("8D"),
+             day, day + pd.Timedelta("3D"), None, day],
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array([1, 1, 1, 2, 2, 1, None], pa.int64()),
+        "event_type": pa.array(["v"] * 7, pa.string()),
+        "value": pa.array([1.0] * 7, pa.float64()),
+        "props": pa.array(["{}"] * 7, pa.string()),
+    }
+    pq.write_table(pa.table(rows), d / "events.parquet")
+    out = (
+        analysis.rolling_active_users(str(d))
+        .to_pandas()
+        .set_index("day")["active_users"]
+    )
+    # observed days: 0, 3, 8
+    assert int(out[day]) == 2                              # users 1 and 2
+    assert int(out[day + pd.Timedelta("3D")]) == 2          # both, user 2 once
+    # day-8 window is [day 2, day 8]: user 1 (day 8) AND user 2 (day 3)
+    assert int(out[day + pd.Timedelta("8D")]) == 2
+    assert len(out) == 3                                    # only observed days
