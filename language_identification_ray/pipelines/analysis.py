@@ -27,6 +27,11 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 # (the real quality stage uses the full per-language tables).
 SQL_STOPWORDS = ("the", "and", "of", "a", "to", "in", "is")
 
+# Max embedding-table rows for which lang_centroids broadcasts the distinct
+# vec_id set as a map-side semi-join runtime filter on the document scan
+# (2M int64 ids ≈ 16 MB in the object store — one ray.put, read per actor).
+_CENTROID_FILTER_GATE = 2_000_000
+
 
 def _docs(sf_dir: str, columns=None) -> "rd.Dataset":
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
@@ -5376,16 +5381,54 @@ def lang_centroids(sf_dir: str, n_buckets: int = 64) -> "rd.Dataset":
     exactly once; inside a bucket the lang attach is one sorted
     ``np.searchsorted`` gather, and per-(lang, dim) (sum, count) partials
     leave the fold, so the second exchange carries O(langs × dim) tiny
-    rows, never vectors.  Centroids rounded to 5 decimals so float
-    summation order is engine-independent."""
+    rows, never vectors.  When the embedding side is small (parquet
+    metadata row count ≤ ``_CENTROID_FILTER_GATE``) its distinct vec_ids
+    are additionally broadcast once (``ray.put``) as a map-side semi-join
+    RUNTIME FILTER on the document scan — inner-join semantics mean a doc
+    row whose id has no vector can never reach the fold, so only matching
+    (id, lang) rows enter the exchange; at 100 TB this turns the wide
+    side's contribution from O(all documents) to O(|embeddings|).  Above
+    the gate the plan falls back to the unfiltered union-tag join
+    unchanged.  Centroids rounded to 5 decimals so float summation order
+    is engine-independent."""
+    import pyarrow.parquet as pq
+
+    import ray
+
     from language_identification_ray.stages.knn import _as_matrix
 
     vec_t = pa.list_(pa.float32())
+
+    vec_ids_ref = None
+    try:
+        n_vecs = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    except Exception:
+        n_vecs = None
+    if n_vecs is not None and n_vecs <= _CENTROID_FILTER_GATE:
+        id_tbl = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+        )
+        ids0 = id_tbl["vec_id"].drop_null().cast(pa.int64())
+        vec_ids_ref = ray.put(
+            np.unique(ids0.to_numpy(zero_copy_only=False))
+        )
 
     def tag_docs(batch: pa.Table) -> pa.Table:
         ok = pc.is_valid(batch["doc_id"])
         t = batch.filter(ok)
         ids = t["doc_id"].cast(pa.int64())
+        if vec_ids_ref is not None and t.num_rows:
+            vec_sorted = ray.get(vec_ids_ref)
+            ids_np = ids.to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(vec_sorted, ids_np)
+            np.clip(pos, 0, max(len(vec_sorted) - 1, 0), out=pos)
+            hit = (
+                vec_sorted[pos] == ids_np
+                if len(vec_sorted)
+                else np.zeros(len(ids_np), dtype=bool)
+            )
+            t = t.filter(pa.array(hit))
+            ids = t["doc_id"].cast(pa.int64())
         key, isnull = _null_safe_key(t["lang"])
         bkt = pa.array(
             ids.to_numpy(zero_copy_only=False) % n_buckets, pa.int64()

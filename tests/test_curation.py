@@ -2614,6 +2614,44 @@ def test_lang_centroids_match_oracle_on_adversarial_join(ray_session, tmp_path):
     assert set(got["lang"].dropna()) == {"en", "fr"}
 
 
+def test_lang_centroids_filter_fallback_parity(ray_session, tmp_path, monkeypatch):
+    """The vec_id runtime filter is an optimization, not a semantics change:
+    the filtered plan (gate open) and the unfiltered union-tag fallback
+    (gate forced shut) must return identical rows on a join with dangling
+    ids and NULLs on both sides."""
+    d = tmp_path / "lc_gate"
+    d.mkdir()
+    docs = [(i, "t", ("en" if i % 3 else None), "A", 1) for i in range(12)]
+    _write_full_docs(d, docs)
+    import random
+
+    rng = random.Random(7)
+    ids = [0, 2, 4, 6, 8, 10, 99, None]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [[rng.random() for _ in range(3)] for _ in ids],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * len(ids), pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(sorted(df.columns)).reset_index(drop=True)
+
+    filtered = canon(analysis.lang_centroids(str(d)).to_pandas())
+    monkeypatch.setattr(analysis, "_CENTROID_FILTER_GATE", -1)
+    fallback = canon(analysis.lang_centroids(str(d)).to_pandas())
+    pd.testing.assert_frame_equal(filtered, fallback)
+    assert filtered.shape[0] > 0
+
+
 def test_lang_centroids_survive_empty_and_disjoint(ray_session, tmp_path):
     d = tmp_path / "lc_empty"
     d.mkdir()
