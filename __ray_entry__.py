@@ -418,6 +418,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # zipf_alpha drives the same word-freq combiner → groupby →
         # sorted-head machinery; pytest-gated like every oracle entry)
         "word_burstiness": analysis.word_burstiness,
+        # (line_dedup_docs is new but out-of-window by design: in-window
+        # boilerplate_ngram_stats drives the same combiner-cascade →
+        # broadcast-set → map-only rebuild machinery at finer (n-gram)
+        # granularity; pytest-gated like every oracle entry)
+        "line_dedup_docs": analysis.line_dedup_docs,
         "events_json_kpi": analysis.events_json_kpi,
         "word_entropy": analysis.word_entropy,
         # (dup_size_histogram is new but out-of-window by design: its first
@@ -1164,6 +1169,29 @@ def oracle_sql() -> dict[str, str]:
                    (2 * count(f.gram) <= count(*)) AS keep
             FROM grams g LEFT JOIN freq f USING (gram)
             GROUP BY g.doc_id
+        """,
+        "line_dedup_docs": """
+            WITH lines AS (
+                SELECT doc_id,
+                       generate_subscripts(l, 1) AS i,
+                       unnest(l) AS line
+                FROM (SELECT doc_id,
+                             string_split(coalesce(text, ''), chr(10)) AS l
+                      FROM documents)
+            ),
+            dup AS (
+                SELECT line FROM lines
+                WHERE trim(line, ' ' || chr(9) || chr(13)) <> ''
+                GROUP BY line HAVING count(*) >= 3
+            )
+            SELECT lines.doc_id,
+                   count(*) AS n_lines,
+                   count(d.line) AS n_removed,
+                   coalesce(string_agg(
+                       CASE WHEN d.line IS NULL THEN lines.line END,
+                       chr(10) ORDER BY i), '') AS clean_text
+            FROM lines LEFT JOIN dup d USING (line)
+            GROUP BY lines.doc_id
         """,
         "gopher_quality_flags": """
             WITH w AS (

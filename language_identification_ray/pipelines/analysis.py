@@ -2603,6 +2603,101 @@ def boilerplate_ngram_stats(
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(stats, batch_format="pyarrow")
 
 
+# Characters trimmed when deciding whether a line is "blank" for the C4
+# line-dedup count — pinned identically in the engine (pc.utf8_trim) and
+# the SQL oracle (trim(line, ...)) so tab/CR-only lines agree.
+_LINE_TRIM_CHARS = " \t\r"
+
+
+def _one_chunk(a):
+    return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+
+def line_dedup_docs(sf_dir: str, min_count: int = 3) -> "rd.Dataset":
+    """C4-style GLOBAL line deduplication (the "three sentences" rule of
+    Raffel et al. 2020 §2.2, applied at line granularity as in CCNet /
+    RefinedWeb): a non-blank line whose exact text occurs ≥ ``min_count``
+    times across the whole corpus is boilerplate (cookie banners, nav
+    bars, share buttons); every document is rewritten with those lines
+    removed, preserving the original order of the survivors.  Emits
+    (doc_id, n_lines, n_removed, clean_text) — ``doc_id`` is assumed
+    UNIQUE (documents PK), the same contract as every per-doc kernel here.
+
+    Line = ``text`` split on LF, NULL text as '' (one empty line — DuckDB
+    ``string_split('', chr(10))`` produces [''] too).  Blank-after-trim
+    lines (``_LINE_TRIM_CHARS``) never count as boilerplate and are never
+    removed.  Occurrences count per-OCCURRENCE (a doc repeating its own
+    footer 3× qualifies it), unlike :func:`boilerplate_ngram_stats`'s
+    distinct-document counting.
+
+    Scale shape: pass 1 is a combiner-cascade count — per-batch
+    ``value_counts`` partials over non-blank lines (one row per DISTINCT
+    line per batch) → one keyed groupby → threshold filter; the surviving
+    duplicate-line set is BROADCAST via ``ray.put`` (heavy-hitters by
+    definition — bounded by corpus redundancy, not corpus size; at 100 TB
+    swap the exact set for a counting Bloom / count-min gate and hash the
+    lines through the exchange instead of shipping strings).  Pass 2 is
+    map-only: per-batch ``pc.is_in`` membership against the broadcast set,
+    list-offset rebuild, ``pc.binary_join`` — the wide side never
+    shuffles and no per-row Python runs anywhere."""
+    import ray
+
+    def line_partial(batch: pa.Table) -> pa.Table:
+        lines = _one_chunk(pc.split_pattern(_text_col(batch), "\n"))
+        flat = _one_chunk(lines.flatten())
+        nonblank = pc.not_equal(pc.utf8_trim(flat, _LINE_TRIM_CHARS), "")
+        vc = pc.value_counts(flat.filter(nonblank))
+        return pa.table(
+            {"line": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
+
+    def keep_dup(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["cnt"], min_count)).select(["line"])
+
+    dup_parts = []
+    dup_ds = (
+        _docs(sf_dir, ["text"])
+        .map_batches(line_partial, batch_format="pyarrow")
+        .groupby("line")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(keep_dup, batch_format="pyarrow")
+    )
+    for b in dup_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        dup_parts.append(b["line"].combine_chunks())
+    dup_arr = pa.concat_arrays(dup_parts) if dup_parts else pa.array([], pa.string())
+    dup_ref = ray.put(dup_arr)
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        lines = _one_chunk(pc.split_pattern(_text_col(batch), "\n"))
+        flat = _one_chunk(lines.flatten())
+        n_lines = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        n_lines = n_lines.astype(np.int64)
+        dup = ray.get(dup_ref)
+        if len(dup) and len(flat):
+            keep = pc.invert(pc.is_in(flat, value_set=dup))
+        else:
+            keep = pa.array(np.ones(len(flat), dtype=bool))
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        ndocs = len(lines)
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), n_lines)
+        kept_per_doc = np.bincount(doc_idx[keep_np], minlength=ndocs)
+        offsets = np.zeros(ndocs + 1, dtype=np.int32)
+        np.cumsum(kept_per_doc, out=offsets[1:])
+        kept_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), _one_chunk(flat.filter(keep))
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "n_removed": pa.array(n_lines - kept_per_doc, pa.int64()),
+                "clean_text": pc.binary_join(kept_list, "\n"),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(rebuild, batch_format="pyarrow")
+
+
 def sequence_pack_offsets(
     sf_dir: str, budget: int = 512, bucket: int = 1 << 20
 ) -> "rd.Dataset":

@@ -618,6 +618,55 @@ def test_boilerplate_ngram_stats_flags_repeated_spans(ray_session, tmp_path):
     assert out.loc[4, "n_boiler"] == 0
 
 
+def test_line_dedup_docs_removes_global_repeats(ray_session, tmp_path):
+    """Non-blank lines occurring >= min_count times corpus-wide (counting
+    every OCCURRENCE, so a doc repeating its own footer qualifies it) are
+    removed from every doc; blank-after-trim lines never count and always
+    survive; NULL text behaves like one empty line; survivor order is kept."""
+    d = tmp_path / "linededup"
+    d.mkdir()
+    texts = [
+        "keep me\ncookie banner\nalso keep",      # banner removed, order kept
+        "cookie banner\nunique line here",
+        "self footer\nself footer\nself footer",  # 3x in ONE doc: all removed
+        "   \ncookie banner\n\t\r",               # whitespace lines survive
+        "totally original\n\nanother line",       # blank line survives
+        None,                                     # one empty line, untouched
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = (
+        analysis.line_dedup_docs(str(d), min_count=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == 6
+    # "cookie banner" occurs 3x across docs 0,1,3 -> removed everywhere
+    assert out.loc[0, "clean_text"] == "keep me\nalso keep"
+    assert (out.loc[0, "n_lines"], out.loc[0, "n_removed"]) == (3, 1)
+    assert out.loc[1, "clean_text"] == "unique line here"
+    # per-occurrence counting: doc 2's thrice-repeated footer qualifies itself
+    assert out.loc[2, "clean_text"] == ""
+    assert (out.loc[2, "n_lines"], out.loc[2, "n_removed"]) == (3, 3)
+    # whitespace-only lines are never boilerplate even though "   " nor "\t\r"
+    # would tie with banner counts if blank lines were counted
+    assert out.loc[3, "clean_text"] == "   \n\t\r"
+    assert out.loc[4, "clean_text"] == "totally original\n\nanother line"
+    assert (out.loc[5, "n_lines"], out.loc[5, "n_removed"]) == (1, 0)
+    assert out.loc[5, "clean_text"] == ""
+
+
 def test_sequence_pack_offsets_prefix_sum(ray_session, tmp_path):
     """Start offsets are an exact prefix sum in doc_id order regardless of
     bucket boundaries, and the boundary flag fires exactly for docs whose
