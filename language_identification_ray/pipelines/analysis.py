@@ -48,6 +48,19 @@ def _text_col(batch: pa.Table) -> pa.ChunkedArray:
     return pc.fill_null(batch["text"], "").combine_chunks()
 
 
+def _one_chunk(a):
+    """Plain Array view of a possibly-chunked compute result (offset/flatten
+    arithmetic needs contiguous buffers)."""
+    return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+
+
+def _word_lists(batch: pa.Table) -> pa.ListArray:
+    """``text`` space-split into a single-chunk ListArray (NULL text as '',
+    so every doc has ≥ 1 word — the ``(t or '').split(' ')`` convention).
+    The shared head of the vectorized word-count kernels."""
+    return _one_chunk(pc.split_pattern(_text_col(batch), " "))
+
+
 def _null_safe_key(arr) -> tuple:
     """(filled, is-null) two-key pair for a possibly-NULL string groupby
     key — Ray 2.49's sort groupby cannot order NULL strings against real
@@ -251,19 +264,16 @@ def source_stats(sf_dir: str) -> "rd.Dataset":
 def word_freq_top100(sf_dir: str) -> "rd.Dataset":
     """Global word frequency, top 100 (G4 document-frequency analogue).
 
-    Scale path: counts are PRE-AGGREGATED inside each batch (Counter →
-    (word, cnt) partial rows), so the shuffle moves one row per distinct
-    word per batch — not one per token.  Deterministic tie-break (cnt desc,
-    word asc) matches the oracle."""
+    Scale path: counts are PRE-AGGREGATED inside each batch (one Arrow
+    ``value_counts`` over the flattened split — no per-row Python), so the
+    shuffle moves one row per distinct word per batch — not one per token.
+    Deterministic tie-break (cnt desc, word asc) matches the oracle."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        c = Counter()
-        for t in batch["text"].to_pylist():
-            c.update((t or "").split(" "))
-        if not c:
-            return pa.table({"word": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
-        words, cnts = zip(*c.items())
-        return pa.table({"word": pa.array(words, pa.string()), "cnt": pa.array(cnts, pa.int64())})
+        vc = pc.value_counts(_one_chunk(_word_lists(batch).flatten()))
+        return pa.table(
+            {"word": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
 
     return (
         _docs(sf_dir, ["text"])
@@ -277,17 +287,33 @@ def word_freq_top100(sf_dir: str) -> "rd.Dataset":
 
 def bigram_top50(sf_dir: str) -> "rd.Dataset":
     """Word-bigram frequency top-50 (M12 word_n_grams → G1 count).  Same
-    partial-count shape as word_freq_top100."""
+    partial-count shape as word_freq_top100.  Bigram fan-out is two
+    zero-copy slices of the flattened word array filtered by a
+    doc-boundary mask (position i pairs with i+1 unless i is a doc's last
+    word) — no per-row Python, no index gather."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        c = Counter()
-        for t in batch["text"].to_pylist():
-            ws = (t or "").split(" ")
-            c.update(zip(ws, ws[1:]))
-        if not c:
-            return pa.table({"bigram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
-        keys, cnts = zip(*((f"{a} {b}", n) for (a, b), n in c.items()))
-        return pa.table({"bigram": pa.array(keys, pa.string()), "cnt": pa.array(cnts, pa.int64())})
+        empty = pa.table(
+            {"bigram": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+        words = _word_lists(batch)
+        flat = _one_chunk(words.flatten())
+        m = len(flat)
+        if m < 2:
+            return empty
+        offs = words.offsets.to_numpy().astype(np.int64)
+        valid = np.ones(m - 1, dtype=bool)
+        valid[offs[1:-1] - 1] = False  # no bigram spans a doc boundary
+        if not valid.any():
+            return empty
+        mask = pa.array(valid)
+        pairs = pc.binary_join_element_wise(
+            flat.slice(0, m - 1).filter(mask), flat.slice(1, m - 1).filter(mask), " "
+        )
+        vc = pc.value_counts(pairs)
+        return pa.table(
+            {"bigram": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
 
     return (
         _docs(sf_dir, ["text"])
@@ -303,16 +329,23 @@ def doc_frequency(sf_dir: str, min_df: int = 20) -> "rd.Dataset":
     """Document frequency per word with threshold (G4: the reference's
     common_words.ipynb job — per-file word SETS → global count → cutoff).
     Docs are unique per batch, so per-batch distinct-word partials sum to the
-    exact df."""
+    exact df.  Per-doc word distinctness runs through Arrow's C++ hash
+    groupby on (doc-ordinal, word) — no per-row Python sets."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        c = Counter()
-        for t in batch["text"].to_pylist():
-            c.update(set((t or "").split(" ")))
-        if not c:
-            return pa.table({"word": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
-        words, dfs = zip(*c.items())
-        return pa.table({"word": pa.array(words, pa.string()), "df": pa.array(dfs, pa.int64())})
+        words = _word_lists(batch)
+        flat = _one_chunk(words.flatten())
+        n = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.repeat(np.arange(len(words), dtype=np.int64), n)
+        dist = (
+            pa.table({"d": pa.array(doc), "word": flat})
+            .group_by(["d", "word"])
+            .aggregate([])
+        )
+        vc = pc.value_counts(_one_chunk(dist["word"]))
+        return pa.table(
+            {"word": vc.field("values"), "df": vc.field("counts").cast(pa.int64())}
+        )
 
     def threshold(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater_equal(batch["df"], min_df))
@@ -335,14 +368,19 @@ def word_lang_incidence(sf_dir: str, max_langs: int | None = None) -> "rd.Datase
     Ray Dataset drops column names, which breaks the driver compare)."""
 
     def pairs(batch: pa.Table) -> pa.Table:
-        seen = set()
-        for t, lang in zip(batch["text"].to_pylist(), batch["lang"].to_pylist()):
-            for w in set((t or "").split(" ")):
-                seen.add((w, lang))
-        if not seen:
-            return pa.table({"word": pa.array([], pa.string()), "lang": pa.array([], pa.string())})
-        words, langs = zip(*sorted(seen))
-        return pa.table({"word": pa.array(words, pa.string()), "lang": pa.array(langs, pa.string())})
+        words = _word_lists(batch)
+        flat = _one_chunk(words.flatten())
+        n = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = _one_chunk(batch["lang"]).take(
+            pa.array(np.repeat(np.arange(len(words), dtype=np.int64), n))
+        )
+        # batch-level distinct (word, lang) via Arrow's hash groupby —
+        # doc identity is dropped, matching the old batch-global set
+        return (
+            pa.table({"word": flat, "lang": langs})
+            .group_by(["word", "lang"])
+            .aggregate([])
+        )
 
     distinct_pairs = (
         _docs(sf_dir, ["text", "lang"])
@@ -838,36 +876,56 @@ def sentence_stats(sf_dir: str) -> "rd.Dataset":
     """Per-doc sentence-ender count (the ``n_sentences`` quality signal,
     SURVEY §2.2 M10 as a dataset op).  Same semantics as
     ``stages/quality.py``: max(count of ender chars, 1 if any words).
-    Map-only; oracle = regexp_replace length arithmetic."""
+    Map-only (seven ``count_substring`` kernel passes + an element-wise
+    max — no per-row Python); oracle = regexp_replace length arithmetic."""
     _ENDERS = (".", "!", "?", "…", "。", "！", "？")
 
     def f(batch: pa.Table) -> pa.Table:
-        n_sent = []
-        for t in batch["text"].to_pylist():
-            t = t or ""
-            ends = sum(t.count(e) for e in _ENDERS)
-            has_words = any(w for w in t.split(" ") if w)
-            n_sent.append(max(ends, 1 if has_words else 0))
-        return pa.table({"doc_id": batch["doc_id"], "n_sentences": pa.array(n_sent, pa.int64())})
+        t = _text_col(batch)
+        ends = pc.count_substring(t, _ENDERS[0]).cast(pa.int64())
+        for e in _ENDERS[1:]:
+            ends = pc.add(ends, pc.count_substring(t, e).cast(pa.int64()))
+        # a non-empty space-split token exists iff any non-space char does
+        has_words = pc.not_equal(pc.utf8_trim(t, " "), "").cast(pa.int64())
+        return pa.table(
+            {"doc_id": batch["doc_id"], "n_sentences": pc.max_element_wise(ends, has_words)}
+        )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 def char_bigram_top50(sf_dir: str) -> "rd.Dataset":
     """Global char-bigram frequency, top 50 (SURVEY §2.2 M11 at dataset
-    scale).  Pre-aggregated per batch (Counter → partial rows) exactly like
-    ``word_freq_top100`` — the shuffle moves one row per distinct bigram per
-    batch, never one per character."""
+    scale).  Pre-aggregated per batch exactly like ``word_freq_top100`` —
+    the shuffle moves one row per distinct bigram per batch, never one per
+    character.  The batch flattens to ONE uint32 codepoint array (utf-32
+    re-encode), bigrams are packed-int64 shifts counted by ``np.unique``,
+    and only the DISTINCT survivors are decoded back to strings — per-char
+    Python never runs."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        c = Counter()
-        for t in batch["text"].to_pylist():
-            t = t or ""
-            c.update(t[i : i + 2] for i in range(len(t) - 1))
-        if not c:
-            return pa.table({"bg": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
-        ks, vs = zip(*c.items())
-        return pa.table({"bg": pa.array(ks, pa.string()), "cnt": pa.array(vs, pa.int64())})
+        empty = pa.table(
+            {"bg": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+        )
+        txt = _text_col(batch)
+        lens = pc.utf8_length(txt).to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(lens.sum())
+        if total < 2:
+            return empty
+        codes = np.frombuffer(
+            "".join(txt.to_pylist()).encode("utf-32-le"), dtype=np.uint32
+        )
+        valid = np.ones(total - 1, dtype=bool)
+        ends = np.cumsum(lens)[:-1] - 1  # no bigram spans a doc boundary
+        valid[ends[ends >= 0]] = False
+        if not valid.any():
+            return empty
+        packed = (codes[:-1].astype(np.int64) << 21) | codes[1:]
+        uniq, cnts = np.unique(packed[valid], return_counts=True)
+        bgs = [chr(p >> 21) + chr(p & 0x1FFFFF) for p in uniq.tolist()]
+        return pa.table(
+            {"bg": pa.array(bgs, pa.string()), "cnt": pa.array(cnts, pa.int64())}
+        )
 
     agg = (
         _docs(sf_dir, ["text"])
@@ -1238,25 +1296,29 @@ def distinct_words_per_lang(sf_dir: str) -> "rd.Dataset":
     def pairs(batch: pa.Table) -> pa.Table:
         # NULL lang keeps its own group ((filled, is-null) two-key); NULL
         # text yields NO words — the oracle's string_split(NULL) unnests to
-        # zero rows, unlike the ''-one-empty-token convention elsewhere
-        seen = set()
-        for t, lang in zip(batch["text"].to_pylist(), batch["lang"].to_pylist()):
-            if t is None:
-                continue
-            for w in set(t.split(" ")):
-                seen.add((lang or "", lang is None, w))
-        if not seen:
-            e = pa.array([], pa.string())
-            return pa.table(
-                {"lang_key": e, "lang_null": pa.array([], pa.bool_()), "word": e}
+        # zero rows, unlike the ''-one-empty-token convention elsewhere.
+        # Null list entries contribute 0 to the repeat counts and nothing
+        # to flatten(), so NULL text drops out without a row filter; batch
+        # distinctness runs through Arrow's C++ hash groupby.
+        words = _one_chunk(pc.split_pattern(_one_chunk(batch["text"]), " "))
+        flat = _one_chunk(words.flatten())
+        n = (
+            pc.fill_null(pc.list_value_length(words), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        rep = pa.array(np.repeat(np.arange(len(words), dtype=np.int64), n))
+        lk, ln = _null_safe_key(_one_chunk(batch["lang"]))
+        return (
+            pa.table(
+                {
+                    "lang_key": _one_chunk(lk).take(rep),
+                    "lang_null": _one_chunk(ln).take(rep),
+                    "word": flat,
+                }
             )
-        lk, ln, words = zip(*sorted(seen))
-        return pa.table(
-            {
-                "lang_key": pa.array(lk, pa.string()),
-                "lang_null": pa.array(ln, pa.bool_()),
-                "word": pa.array(words, pa.string()),
-            }
+            .group_by(["lang_key", "lang_null", "word"])
+            .aggregate([])
         )
 
     distinct_pairs = (
@@ -1448,13 +1510,9 @@ def word_freq_top100_mg(sf_dir: str, k: int = 65536) -> "rd.Dataset":
     from language_identification_ray.functions import sketches as sk
 
     def partial(batch: pa.Table) -> pa.Table:
-        c = Counter()
-        for t in batch["text"].to_pylist():
-            c.update((t or "").split(" "))
-        if not c:
-            return pa.table({"word": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
-        words = np.asarray(list(c.keys()), dtype=object)
-        cnts = np.asarray(list(c.values()), dtype=np.int64)
+        vc = pc.value_counts(_one_chunk(_word_lists(batch).flatten()))
+        words = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
         words, cnts = sk.mg_compress(words, cnts, k)
         return pa.table({"word": pa.array(words, pa.string()), "cnt": pa.array(cnts, pa.int64())})
 
@@ -2607,10 +2665,6 @@ def boilerplate_ngram_stats(
 # line-dedup count — pinned identically in the engine (pc.utf8_trim) and
 # the SQL oracle (trim(line, ...)) so tab/CR-only lines agree.
 _LINE_TRIM_CHARS = " \t\r"
-
-
-def _one_chunk(a):
-    return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
 
 
 def line_dedup_docs(sf_dir: str, min_count: int = 3) -> "rd.Dataset":
