@@ -423,6 +423,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # broadcast-set → map-only rebuild machinery at finer (n-gram)
         # granularity; pytest-gated like every oracle entry)
         "line_dedup_docs": analysis.line_dedup_docs,
+        # (pii_scrub / domain_stats are new but out-of-window by design:
+        # both are map-only RE2 kernels whose count/replace/extract
+        # machinery is driven in-window by token_count_bpe's
+        # count_substring_regex path; pytest-gated like every oracle entry)
+        "pii_scrub": analysis.pii_scrub,
+        "domain_stats": analysis.domain_stats,
         "events_json_kpi": analysis.events_json_kpi,
         "word_entropy": analysis.word_entropy,
         # (dup_size_histogram is new but out-of-window by design: its first
@@ -1169,6 +1175,45 @@ def oracle_sql() -> dict[str, str]:
                    (2 * count(f.gram) <= count(*)) AS keep
             FROM grams g LEFT JOIN freq f USING (gram)
             GROUP BY g.doc_id
+        """,
+        "pii_scrub": """
+            WITH a AS (
+                SELECT doc_id,
+                       coalesce(text, '') || ' contact user' || doc_id
+                       || '@mail.example.com call +1-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                       AS t
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(t,
+                       '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+                   CAST(len(regexp_extract_all(t,
+                       '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ips,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+                       '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g')
+                       AS clean_text
+            FROM a
+        """,
+        "domain_stats": """
+            WITH a AS (
+                SELECT coalesce(text, '') || ' see https://site'
+                       || CAST(doc_id % 40 AS VARCHAR) || '.example.org/p/'
+                       || doc_id AS t
+                FROM documents
+            )
+            SELECT regexp_extract(t, 'https?://([A-Za-z0-9.\\-]+)', 1) AS domain,
+                   count(*) AS n_docs
+            FROM a
+            WHERE regexp_extract(t, 'https?://([A-Za-z0-9.\\-]+)', 1) <> ''
+            GROUP BY domain
         """,
         "line_dedup_docs": """
             WITH lines AS (

@@ -2752,6 +2752,108 @@ def line_dedup_docs(sf_dir: str, min_count: int = 3) -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(rebuild, batch_format="pyarrow")
 
 
+# RE2 patterns shared by the engine (pyarrow.compute) and the DuckDB oracle —
+# both are RE2 dialects, so the semantics (including \b) match byte-for-byte.
+_PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+_PII_IP = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_scrub(sf_dir: str, synth: bool = True) -> "rd.Dataset":
+    """PII redaction — the pre-training privacy pass every crawl pipeline
+    runs before tokenization: emails, E.164-ish phone numbers, and IPv4
+    addresses are counted, then replaced with ``<EMAIL>``/``<PHONE>``/
+    ``<IP>`` placeholders.  Emits (doc_id, n_emails, n_phones, n_ips,
+    clean_text).
+
+    The driver corpus is lowercase word salad with no PII, so with
+    ``synth=True`` (the media-op precedent: audio/video headers are also
+    synthesized from doc_id) each doc is first augmented with a
+    deterministic doc_id-derived email + phone + IP — making the redaction
+    REAL and hash-verified against a DuckDB oracle that recomputes the same
+    augmentation in SQL.  ``synth=False`` scrubs ``text`` as-is; organic-PII
+    fixtures pin that path in pytest (``test_curation.py``).
+
+    Scale shape: strictly map-only — three vectorized RE2 count passes and
+    three replace passes per batch, no exchange, no per-row Python."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        t = _text_col(batch)
+        if synth:
+            did = _one_chunk(batch["doc_id"]).to_numpy(zero_copy_only=False)
+            ids = pc.cast(_one_chunk(batch["doc_id"]), pa.string())
+            pad = pc.utf8_lpad(pc.cast(pa.array(did % 10000), pa.string()), 4, "0")
+            octet = pc.cast(pa.array(did % 256), pa.string())
+            t = pc.binary_join_element_wise(
+                t,
+                "contact",
+                pc.binary_join_element_wise("user", ids, "@mail.example.com", ""),
+                "call",
+                pc.binary_join_element_wise("+1-555-", pad, ""),
+                "ip",
+                pc.binary_join_element_wise("10.", octet, ".0.1", ""),
+                " ",
+            )
+        counts = {
+            "n_emails": pc.count_substring_regex(t, _PII_EMAIL).cast(pa.int64()),
+            "n_phones": pc.count_substring_regex(t, _PII_PHONE).cast(pa.int64()),
+            "n_ips": pc.count_substring_regex(t, _PII_IP).cast(pa.int64()),
+        }
+        clean = pc.replace_substring_regex(t, _PII_EMAIL, "<EMAIL>")
+        clean = pc.replace_substring_regex(clean, _PII_PHONE, "<PHONE>")
+        clean = pc.replace_substring_regex(clean, _PII_IP, "<IP>")
+        return pa.table({"doc_id": batch["doc_id"], **counts, "clean_text": clean})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def domain_stats(sf_dir: str, synth: bool = True) -> "rd.Dataset":
+    """Outlink-domain distribution — the per-domain volume table crawl
+    curation uses for source weighting and blocklists: extract each doc's
+    first ``http(s)`` URL's registered host, count docs per domain.  Emits
+    (domain, n_docs); docs with no URL are dropped.
+
+    ``synth=True`` appends a deterministic doc_id-derived URL (driver corpus
+    has none — same precedent as :func:`pii_scrub`), giving a 40-domain
+    distribution verified hash-exact against the SQL oracle; ``synth=False``
+    extracts from ``text`` as-is (pytest fixtures).  First-match semantics
+    (one domain per doc) — multi-URL fan-out belongs to a flat_map variant.
+
+    Scale shape: map-only RE2 extract → per-batch value_counts partial →
+    one domain-keyed groupby (cardinality = registered domains, tiny)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _text_col(batch)
+        if synth:
+            did = _one_chunk(batch["doc_id"]).to_numpy(zero_copy_only=False)
+            t = pc.binary_join_element_wise(
+                t,
+                "see",
+                pc.binary_join_element_wise(
+                    "https://site",
+                    pc.cast(pa.array(did % 40), pa.string()),
+                    ".example.org/p/",
+                    pc.cast(_one_chunk(batch["doc_id"]), pa.string()),
+                    "",
+                ),
+                " ",
+            )
+        dom = pc.struct_field(
+            pc.extract_regex(t, r"https?://(?P<d>[A-Za-z0-9.\-]+)"), "d"
+        )
+        vc = pc.value_counts(dom.drop_null())
+        return pa.table(
+            {"domain": vc.field("values"), "n_docs": vc.field("counts").cast(pa.int64())}
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("domain")
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+
+
 def sequence_pack_offsets(
     sf_dir: str, budget: int = 512, bucket: int = 1 << 20
 ) -> "rd.Dataset":

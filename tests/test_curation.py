@@ -667,6 +667,70 @@ def test_line_dedup_docs_removes_global_repeats(ray_session, tmp_path):
     assert out.loc[5, "clean_text"] == ""
 
 
+def test_pii_scrub_organic_text(ray_session, tmp_path):
+    """synth=False path: organic emails/phones/IPs in text are counted and
+    replaced; PII-free and NULL text pass through untouched; a line with two
+    emails counts 2 ('g'-flag replace-all semantics)."""
+    d = tmp_path / "pii"
+    d.mkdir()
+    texts = [
+        "mail me at jo.doe+spam@corp.example.com or admin@a.co today",
+        "call +1-555-0199 or +44-201-9999 now",
+        "server at 192.168.0.1 and 10.0.0.255",
+        "no pii here at all",
+        None,
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = analysis.pii_scrub(str(d), synth=False).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_emails"] == 2
+    assert out.loc[0, "clean_text"] == "mail me at <EMAIL> or <EMAIL> today"
+    assert out.loc[1, "n_phones"] == 2
+    assert out.loc[1, "clean_text"] == "call <PHONE> or <PHONE> now"
+    assert out.loc[2, "n_ips"] == 2
+    assert out.loc[2, "clean_text"] == "server at <IP> and <IP>"
+    assert out.loc[3, "clean_text"] == "no pii here at all"
+    assert (out.loc[3, ["n_emails", "n_phones", "n_ips"]] == 0).all()
+    assert out.loc[4, "clean_text"] == ""
+
+
+def test_domain_stats_organic_urls(ray_session, tmp_path):
+    """synth=False path: first-match domain per doc, URL-free docs dropped,
+    counts grouped across docs."""
+    d = tmp_path / "domains"
+    d.mkdir()
+    texts = [
+        "read https://news.example.com/a and http://other.org/b",  # first wins
+        "see http://news.example.com/path?x=1",
+        "plain text no links",
+        None,
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s"] * len(texts), pa.string()),
+                "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    out = analysis.domain_stats(str(d), synth=False).to_pandas()
+    assert dict(zip(out["domain"], out["n_docs"])) == {"news.example.com": 2}
+
+
 def test_sequence_pack_offsets_prefix_sum(ray_session, tmp_path):
     """Start offsets are an exact prefix sum in doc_id order regardless of
     bucket boundaries, and the boundary flag fires exactly for docs whose
