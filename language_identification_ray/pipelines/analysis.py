@@ -1402,20 +1402,30 @@ def distinct_words_per_lang_hll(sf_dir: str, p: int = 12) -> "rd.Dataset":
     from language_identification_ray.stages.dedup import _hash_words32
 
     def partial(batch: pa.Table) -> pa.Table:
-        by_lang: dict = {}  # keyed (filled, is-null) — NULL lang is a group
-        for t, lang in zip(batch["text"].to_pylist(), batch["lang"].to_pylist()):
-            words = list(set((t or "").split(" ")))
-            key = (lang or "", lang is None)
-            regs = by_lang.get(key)
-            if regs is None:
-                regs = by_lang[key] = sk.hll_empty(p)
-            sk.hll_add_hashes(regs, _hash_words32(words), p)
-        langs = sorted(by_lang)
+        # Vectorized: ONE split + ONE hash pass over the whole batch, words
+        # bucketed to their doc's (filled, is-null) lang key by repeat codes;
+        # duplicate words need no per-doc set() — HLL register max-update is
+        # idempotent, so registers are identical either way.
+        words = _word_lists(batch)
+        n = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        lk, ln = _null_safe_key(_one_chunk(batch["lang"]))
+        doc_keys = list(zip(lk.to_pylist(), ln.to_pylist()))
+        codes, uniq = pd.factorize(pd.Series(doc_keys, dtype=object), sort=True)
+        W = _hash_words32(_one_chunk(words.flatten()).to_pylist())
+        wcodes = np.repeat(codes, n)
+        order = np.argsort(wcodes, kind="stable")
+        bounds = np.searchsorted(wcodes[order], np.arange(len(uniq) + 1))
+        Ws = W[order]
+        regs_out = []
+        for g in range(len(uniq)):
+            regs = sk.hll_empty(p)
+            sk.hll_add_hashes(regs, Ws[bounds[g] : bounds[g + 1]], p)
+            regs_out.append(regs.tobytes())
         return pa.table(
             {
-                "lang_key": pa.array([k for k, _ in langs], pa.string()),
-                "lang_null": pa.array([n for _, n in langs], pa.bool_()),
-                "regs": pa.array([by_lang[l].tobytes() for l in langs], pa.binary()),
+                "lang_key": pa.array([k for k, _ in uniq], pa.string()),
+                "lang_null": pa.array([bool(b) for _, b in uniq], pa.bool_()),
+                "regs": pa.array(regs_out, pa.binary()),
             }
         )
 
