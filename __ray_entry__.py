@@ -389,10 +389,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # inactive_customers; still pytest-gated)
         "brand_bracket_revenue": relational.brand_bracket_revenue,
         "orders_by_mktsegment": relational.orders_by_mktsegment,
-        "lineitem_pricing_summary": relational.lineitem_pricing_summary,
+        # --- NEW r4 kernels (session 4): each holds a slot ceded by an
+        # unchanged-since-green entry whose machinery an in-window sibling
+        # (often the new kernel itself) drives end-to-end; audit trail in
+        # QUERIES.md ------------------------------------------------------
+        # (slot from lineitem_pricing_summary — top_supplier_revenue runs
+        # the same lineitem cents-partial → small groupby shape, plus the
+        # argmax scalar broadcast)
+        "top_supplier_revenue": relational.top_supplier_revenue,
+        # (slot from large_order_customers — in-window
+        # returned_item_revenue drives the same Q10/Q18 bucket
+        # co-partition + customer sidecar machinery)
+        "small_quantity_revenue": relational.small_quantity_revenue,
+        # (slot from inactive_customers — idle_rich_customers composes the
+        # IDENTICAL union-tag anti-join plus the integer-cents global gate)
+        "idle_rich_customers": relational.idle_rich_customers,
+        # (slot from ccnet_tercile_buckets — in-window stratified_sample
+        # drives the same histogram-rank banding machinery)
+        "normalized_exact_dedup": analysis.normalized_exact_dedup,
+        # (slot from events_hopping_window — in-window
+        # events_hourly_distinct_users drives the same window-key partial
+        # machinery)
+        "url_dedup": analysis.url_dedup,
+        # (slot from vocab_coverage_90 — in-window distinct_words_per_lang
+        # + tfidf_top5_per_lang drive the same word-freq combiner cascade)
+        "embedding_covariance": analysis.embedding_covariance,
+        # (slot from source_novelty — in-window boilerplate_ngram_stats
+        # drives the same distinct-gram combiner attribution machinery)
+        "domain_pagerank": analysis.domain_pagerank,
         "revenue_by_supplier_nation": relational.revenue_by_supplier_nation,
         "events_purchases_within_hour": relational.events_purchases_within_hour,
-        "inactive_customers": relational.inactive_customers,
         "distinct_words_per_lang": analysis.distinct_words_per_lang,
         "token_count_bpe": analysis.token_count_bpe,
         "late_shipment_priority": relational.late_shipment_priority,
@@ -401,12 +427,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- NEW r3 kernels: hold window slots (see the ordering NOTE) ----
         "boilerplate_ngram_stats": analysis.boilerplate_ngram_stats,
         "sequence_pack_offsets": analysis.sequence_pack_offsets,
-        "events_hopping_window": analysis.events_hopping_window,
         "gopher_quality_flags": analysis.gopher_quality_flags,
-        "ccnet_tercile_buckets": analysis.ccnet_tercile_buckets,
         "fuzzy_dedup_keep": analysis.fuzzy_dedup_keep,
-        "vocab_coverage_90": analysis.vocab_coverage_90,
-        "source_novelty": analysis.source_novelty,
         # --- NEW r4 kernel: holds the slot ceded by gopher_keep_rates
         # (r3-green; in-window gopher_quality_flags IS its flag source) ----
         "embedding_dup_pairs_ivf": embedding_dup_pairs_ivf_q,
@@ -414,6 +436,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (each unchanged since its green row, or a trivial variant with a
         # checked in-window sibling — audit trail in QUERIES.md)
         "gopher_keep_rates": analysis.gopher_keep_rates,
+        # (r4 session-4 cedes — each unchanged since its green round, with
+        # the named in-window sibling driving the same machinery; see the
+        # slot comments above and QUERIES.md)
+        "lineitem_pricing_summary": relational.lineitem_pricing_summary,
+        "large_order_customers": relational.large_order_customers,
+        "inactive_customers": relational.inactive_customers,
+        "ccnet_tercile_buckets": analysis.ccnet_tercile_buckets,
+        "events_hopping_window": analysis.events_hopping_window,
+        "vocab_coverage_90": analysis.vocab_coverage_90,
+        "source_novelty": analysis.source_novelty,
         # (word_burstiness is new but out-of-window by design: in-window
         # zipf_alpha drives the same word-freq combiner → groupby →
         # sorted-head machinery; pytest-gated like every oracle entry)
@@ -1923,5 +1955,147 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes x ON x.source = i.s1
             JOIN sizes y ON y.source = i.s2
             ORDER BY s1, s2
+        """,
+        "top_supplier_revenue": """
+            WITH rev AS (
+                SELECT l_suppkey AS s_suppkey,
+                       sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
+                           AS BIGINT)) AS total_revenue_cents
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY 1
+            )
+            SELECT s.s_suppkey, s.s_name,
+                   CAST(r.total_revenue_cents AS BIGINT) AS total_revenue_cents
+            FROM rev r JOIN supplier s USING (s_suppkey)
+            WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
+        """,
+        "small_quantity_revenue": """
+            WITH pk AS (
+                SELECT p_partkey FROM part
+                WHERE p_brand = 'Brand#23' AND p_size <= 10
+            ),
+            li AS (
+                SELECT l_partkey, l_quantity, l_extendedprice
+                FROM lineitem JOIN pk ON l_partkey = p_partkey
+            ),
+            avgq AS (
+                SELECT l_partkey, 0.2 * (sum(l_quantity)/count(*)) AS thr
+                FROM li GROUP BY 1
+            )
+            SELECT count(*) AS n_small,
+                   CAST(coalesce(sum(CAST(floor(l_extendedprice*100 + 0.5)
+                       AS BIGINT)), 0) AS BIGINT) AS revenue_cents
+            FROM li JOIN avgq USING (l_partkey)
+            WHERE l_quantity < thr
+        """,
+        "idle_rich_customers": """
+            WITH pos AS (
+                SELECT sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS s,
+                       count(*) AS c
+                FROM customer WHERE c_acctbal > 0
+            )
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n_cust,
+                   CAST(sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS acctbal_cents
+            FROM customer, pos
+            WHERE CAST(floor(c_acctbal*100 + 0.5) AS BIGINT) * pos.c > pos.s
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = customer.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+            GROUP BY c_nationkey
+        """,
+        "normalized_exact_dedup": """
+            WITH a AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 2 = 0 THEN upper(coalesce(text, ''))
+                            ELSE ' ' || chr(9) || coalesce(text, '') || '  '
+                       END AS t
+                FROM documents
+            )
+            SELECT md5(trim(regexp_replace(lower(t), '\\s+', ' ', 'g'), ' ')) AS k,
+                   min(doc_id) AS keep_doc_id, count(*) AS n_dups
+            FROM a GROUP BY 1
+        """,
+        "url_dedup": """
+            WITH a AS (
+                SELECT doc_id,
+                       coalesce(text, '') || ' https://Site'
+                       || CAST(doc_id % 20 AS VARCHAR) || '.Example.org/p/'
+                       || CAST(doc_id % 25 AS VARCHAR) || '/?utm_source=x'
+                       || CAST(doc_id % 7 AS VARCHAR) || '&sid=' || doc_id
+                       || '#f' || CAST(doc_id % 5 AS VARCHAR) AS t
+                FROM documents
+            ),
+            u AS (
+                SELECT doc_id, regexp_extract(t, 'https?://[^\\s]+') AS url
+                FROM a
+            )
+            SELECT regexp_replace(regexp_replace(regexp_replace(lower(url),
+                       '#.*$', ''), '\\?.*$', ''), '/+$', '') AS canon_url,
+                   min(doc_id) AS keep_doc_id, count(*) AS n_dups
+            FROM u WHERE url <> ''
+            GROUP BY 1
+        """,
+        "embedding_covariance": """
+            WITH e AS (
+                SELECT vec_id,
+                       CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings
+            )
+            SELECT a.i AS i, b.i AS j,
+                   round(sum(a.x*b.x)/count(*)
+                         - (sum(a.x)/count(*)) * (sum(b.x)/count(*)), 5) AS cov
+            FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i
+        """,
+        "domain_pagerank": """
+            WITH edges AS (
+                SELECT CAST(doc_id % 40 AS BIGINT) AS src,
+                       CAST((doc_id*7+3) % 40 AS BIGINT) AS dst,
+                       count(*) AS w
+                FROM documents GROUP BY 1, 2
+            ),
+            nodes AS (
+                SELECT DISTINCT src AS node FROM edges
+                UNION SELECT DISTINCT dst FROM edges
+            ),
+            outw AS (SELECT src, CAST(sum(w) AS DOUBLE) AS ow FROM edges GROUP BY src),
+            cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+            r0 AS (SELECT node, 1.0/(SELECT n FROM cnt) AS r FROM nodes),
+            r1 AS (
+                SELECT nd.node,
+                       0.15/(SELECT n FROM cnt)
+                       + 0.85*coalesce(sum(r0.r * e.w / o.ow), 0) AS r
+                FROM nodes nd
+                LEFT JOIN edges e ON e.dst = nd.node
+                LEFT JOIN outw o ON o.src = e.src
+                LEFT JOIN r0 ON r0.node = e.src
+                GROUP BY nd.node
+            ),
+            r2 AS (
+                SELECT nd.node,
+                       0.15/(SELECT n FROM cnt)
+                       + 0.85*coalesce(sum(r1.r * e.w / o.ow), 0) AS r
+                FROM nodes nd
+                LEFT JOIN edges e ON e.dst = nd.node
+                LEFT JOIN outw o ON o.src = e.src
+                LEFT JOIN r1 ON r1.node = e.src
+                GROUP BY nd.node
+            ),
+            r3 AS (
+                SELECT nd.node,
+                       0.15/(SELECT n FROM cnt)
+                       + 0.85*coalesce(sum(r2.r * e.w / o.ow), 0) AS r
+                FROM nodes nd
+                LEFT JOIN edges e ON e.dst = nd.node
+                LEFT JOIN outw o ON o.src = e.src
+                LEFT JOIN r2 ON r2.node = e.src
+                GROUP BY nd.node
+            )
+            SELECT node AS domain, round(r, 6) AS pr FROM r3
         """,
     }

@@ -6607,3 +6607,258 @@ def rolling_active_users(sf_dir: str, window_days: int = 7) -> "rd.Dataset":
         .aggregate(Sum("n_part", alias_name="n_part"))
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def normalized_exact_dedup(sf_dir: str, synth: bool = True) -> "rd.Dataset":
+    """Normalization-invariant exact dedup — the first rung above byte-exact
+    dedup in every crawl pipeline (case/whitespace mirrors are the most
+    common trivial dup class): text is lowercased, whitespace runs collapse
+    to one space, edges trim, and the md5 of the NORMALIZED form is the
+    dedup key.  Emits (k, keep_doc_id, n_dups) — :func:`exact_dedup`'s
+    contract on the normalized key.
+
+    ``synth=True`` injects deterministic case/whitespace noise first (even
+    doc_ids are uppercased, odd ones get tab/space padding — the
+    :func:`pii_scrub` augmentation precedent), so the normalizer provably
+    erases real noise and the oracle recomputes the identical chain in SQL;
+    ``synth=False`` normalizes ``text`` as-is.
+
+    Scale shape: map-only normalize + hash; the ONE shuffle moves the fixed
+    32-byte key, never the text (the ``exact_dedup`` scale contract).  The
+    normalize chain is three vectorized Arrow kernels; only the md5 runs
+    per-row (C-speed, ~500 MB/s/core)."""
+
+    def key(batch: pa.Table) -> pa.Table:
+        t = _text_col(batch)
+        if synth:
+            even = pc.equal(pc.bit_wise_and(_one_chunk(batch["doc_id"]), 1), 0)
+            t = pc.if_else(
+                even,
+                pc.utf8_upper(t),
+                pc.binary_join_element_wise(" \t", t, "  ", ""),
+            )
+        norm = pc.utf8_trim(
+            pc.replace_substring_regex(pc.utf8_lower(t), r"\s+", " "), " "
+        )
+        ks = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm.to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "k": pa.array(ks, pa.string())})
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(key, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dups"))
+    )
+
+
+def url_dedup(sf_dir: str, synth: bool = True) -> "rd.Dataset":
+    """Canonical-URL dedup — the crawl-side recrawl/mirror collapse every
+    web pipeline runs before content dedup: each doc's first URL is
+    canonicalized (lowercase, fragment dropped, query string dropped,
+    trailing slashes stripped) and docs sharing a canonical URL collapse
+    to the smallest doc_id.  Emits (canon_url, keep_doc_id, n_dups); docs
+    with no URL are dropped.
+
+    ``synth=True`` appends a doc_id-derived URL whose HOST and PATH repeat
+    with different periods while its case, tracking params
+    (``utm_source``/``sid``) and fragment vary per doc — so
+    canonicalization provably erases real variation and the DuckDB oracle
+    recomputes the identical RE2 chain; ``synth=False`` canonicalizes the
+    first URL found in ``text`` (pytest fixtures).
+
+    Scale shape: map-only extract + 4-step vectorized RE2 canonicalize →
+    per-batch (url, min_doc_id, n) partials → ONE groupby keyed on the
+    canonical url (bounded by distinct URLs; hash the url through the
+    exchange at 100 TB, same swap as :func:`exact_dedup`)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _text_col(batch)
+        if synth:
+            did = _one_chunk(batch["doc_id"]).to_numpy(zero_copy_only=False)
+            t = pc.binary_join_element_wise(
+                t,
+                pc.binary_join_element_wise(
+                    "https://Site",
+                    pc.cast(pa.array(did % 20), pa.string()),
+                    ".Example.org/p/",
+                    pc.cast(pa.array(did % 25), pa.string()),
+                    "/?utm_source=x",
+                    pc.cast(pa.array(did % 7), pa.string()),
+                    "&sid=",
+                    pc.cast(_one_chunk(batch["doc_id"]), pa.string()),
+                    "#f",
+                    pc.cast(pa.array(did % 5), pa.string()),
+                    "",
+                ),
+                " ",
+            )
+        url = pc.struct_field(pc.extract_regex(t, r"(?P<u>https?://[^\s]+)"), "u")
+        canon = pc.utf8_lower(url)
+        canon = pc.replace_substring_regex(canon, r"#.*$", "")
+        canon = pc.replace_substring_regex(canon, r"\?.*$", "")
+        canon = pc.replace_substring_regex(canon, r"/+$", "")
+        tbl = pa.table({"canon_url": canon, "doc_id": batch["doc_id"]}).filter(
+            pc.is_valid(canon)
+        )
+        df = tbl.to_pandas().groupby("canon_url", as_index=False).agg(
+            keep_doc_id=("doc_id", "min"), n_dups=("doc_id", "size")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("canon_url", pa.string()),
+                    ("keep_doc_id", pa.int64()),
+                    ("n_dups", pa.int64()),
+                ]
+            )
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("canon_url")
+        .aggregate(
+            Min("keep_doc_id", alias_name="keep_doc_id"),
+            Sum("n_dups", alias_name="n_dups"),
+        )
+    )
+
+
+def embedding_covariance(sf_dir: str) -> "rd.Dataset":
+    """Distributed covariance/Gram matrix of the embedding table — the one
+    d×d pass behind PCA whitening, SVD init, and drift monitoring of an
+    embedding store.  Emits the upper triangle as (i, j, cov) rows
+    (1-based dims, population covariance, float64, rounded to 5 decimals
+    on both engines — the :func:`embedding_dup_pairs` float convention).
+
+    Scale shape: the classic partial-Gram reduction — every batch emits ONE
+    d×(d+1)/2-row partial (X^T X upper triangle + per-dim sums + count via
+    one matmul), so the shuffle and the reducer see O(d^2) rows per batch
+    regardless of corpus size; d=64 → 2080 rows.  No vector ever moves
+    after the map side; the groupby key space is the fixed (i, j) grid."""
+    empty = pa.table(
+        {
+            "i": pa.array([], pa.int64()),
+            "j": pa.array([], pa.int64()),
+            "sxy": pa.array([], pa.float64()),
+            "sxi": pa.array([], pa.float64()),
+            "sxj": pa.array([], pa.float64()),
+            "n": pa.array([], pa.int64()),
+        }
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = _one_chunk(batch["embedding"])
+        if len(emb) == 0:
+            return empty
+        d = len(emb[0])
+        x = (
+            emb.flatten()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+            .reshape(-1, d)
+        )
+        iu, ju = np.triu_indices(d)
+        g = x.T @ x
+        sx = x.sum(axis=0)
+        n = np.full(len(iu), x.shape[0], np.int64)
+        return pa.table(
+            {
+                "i": pa.array(iu.astype(np.int64) + 1, pa.int64()),
+                "j": pa.array(ju.astype(np.int64) + 1, pa.int64()),
+                "sxy": pa.array(g[iu, ju]),
+                "sxi": pa.array(sx[iu]),
+                "sxj": pa.array(sx[ju]),
+                "n": pa.array(n),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxy = batch["sxy"].to_numpy(zero_copy_only=False)
+        sxi = batch["sxi"].to_numpy(zero_copy_only=False)
+        sxj = batch["sxj"].to_numpy(zero_copy_only=False)
+        cov = np.round(sxy / n - (sxi / n) * (sxj / n), 5)
+        return pa.table({"i": batch["i"], "j": batch["j"], "cov": pa.array(cov)})
+
+    return (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["i", "j"])
+        .aggregate(
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxi", alias_name="sxi"),
+            Sum("sxj", alias_name="sxj"),
+            Sum("n", alias_name="n"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def domain_pagerank(
+    sf_dir: str, iters: int = 3, damping: float = 0.85, n_domains: int = 40
+) -> "pd.DataFrame":
+    """PageRank over the synthesized outlink-domain graph — the
+    link-authority signal crawl frontiers and source-weighting schemes rank
+    domains by (Page et al. 1999).  Each doc contributes one edge
+    ``doc_id %% 40 → (doc_id*7+3) %% 40`` (the :func:`domain_stats`
+    synthesis convention; the affine map guarantees no self-loops), edges
+    aggregate to weights, and ``iters`` power iterations run
+    ``r' = (1-d)/N + d·Σ_in r[src]·w/outw[src]``.  Emits (domain, pr)
+    rounded to 6 decimals — both engines iterate the identical affine
+    recurrence over identically-aggregated weights, and at ~1e-16 float
+    spread a 1e-6 rounding boundary is unreachable.
+
+    Scale shape: the corpus-sized work — edge extraction and the
+    (src, dst) weight aggregation — is map-partial → ONE groupby, after
+    which everything operates on the DOMAIN GRAPH (bounded by distinct
+    domain pairs, not docs).  Iterations here run driver-side on the
+    collected weighted edges (≤ N² rows, N = 40); at web scale (10^8
+    domains) the same recurrence runs as ``iters`` rounds of
+    broadcast-rank map_batches over the edge Dataset + a dst-keyed
+    groupby — the :func:`dup_clusters` label-propagation shape."""
+    import pandas as pd
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        did = _one_chunk(batch["doc_id"]).to_numpy(zero_copy_only=False)
+        src = did % n_domains
+        dst = (did * 7 + 3) % n_domains
+        key = src * n_domains + dst
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "src": pa.array((uk // n_domains).astype(np.int64), pa.int64()),
+                "dst": pa.array((uk % n_domains).astype(np.int64), pa.int64()),
+                "w": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    edges = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(edge_partial, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Sum("w", alias_name="w"))
+        .take_all()  # bounded by the domain-pair grid, not the corpus
+    )
+    if not edges:
+        return pd.DataFrame({"domain": pd.array([], dtype="int64"), "pr": pd.array([], dtype="float64")})
+    src = np.array([e["src"] for e in edges], np.int64)
+    dst = np.array([e["dst"] for e in edges], np.int64)
+    w = np.array([e["w"] for e in edges], np.float64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    nmap = {int(v): k for k, v in enumerate(nodes)}
+    si = np.array([nmap[int(v)] for v in src], np.intp)
+    di = np.array([nmap[int(v)] for v in dst], np.intp)
+    n = len(nodes)
+    outw = np.bincount(si, weights=w, minlength=n)
+    r = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = np.bincount(di, weights=r[si] * w / outw[si], minlength=n)
+        r = base + damping * contrib
+    return pd.DataFrame(
+        {
+            "domain": pd.array(nodes, dtype="int64"),
+            "pr": pd.array(np.round(r, 6), dtype="float64"),
+        }
+    )

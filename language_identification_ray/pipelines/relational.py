@@ -2093,3 +2093,308 @@ def brand_bracket_revenue(sf_dir: str) -> "rd.Dataset":
             "revenue": pd.array([None if n == 0 else rev / 100.0], dtype="float64"),
         }
     )
+
+
+def top_supplier_revenue(
+    sf_dir: str, start: str = "1996-01-01", end: str = "1996-04-01"
+) -> "rd.Dataset":
+    """TPC-H-Q15-shaped top-supplier report: the supplier(s) whose revenue
+    over the ship-date window equals the GLOBAL maximum — the
+    argmax-over-a-grouped-aggregate shape (group, reduce, broadcast one
+    scalar back as a filter).  Emits (s_suppkey, s_name,
+    total_revenue_cents); ties all survive, like the SQL ``= (SELECT
+    max(...))`` subquery.  (Reference parity: the match-count ranking of
+    SURVEY §2.5 G7 — pick the key(s) attaining the best score — lifted to
+    a distributed grouped aggregate.)
+
+    Scale shape: the window is pushed into the parquet read; each batch is
+    pre-aggregated to (suppkey, cents) partials so the ONE shuffle moves a
+    row per distinct supplier per batch; the grouped result (bounded by
+    the supplier DIMENSION, not lineitem) is materialized once, its max is
+    ONE distributed scalar aggregate, and the equality filter re-reads the
+    cached grouped rows.  Supplier names come from the dimension parquet
+    driver-side (same broadcast rule as ``revenue_by_supplier_nation`` —
+    nation/region/supplier grow far slower than facts)."""
+    import pyarrow.parquet as _pq
+
+    lo = datetime.datetime.fromisoformat(start)
+    hi = datetime.datetime.fromisoformat(end)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rc = _cents_np(price * (1.0 - disc))
+        uk, inv = np.unique(keys, return_inverse=True)
+        sums = np.bincount(inv, weights=rc.astype(np.float64), minlength=len(uk))
+        return pa.table(
+            {
+                "s_suppkey": pa.array(uk, pa.int64()),
+                "total_revenue_cents": pa.array(sums.astype(np.int64), pa.int64()),
+            }
+        )
+
+    grouped = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("total_revenue_cents", alias_name="total_revenue_cents"))
+        .materialize()  # bounded by the supplier dimension
+    )
+    mx = grouped.max("total_revenue_cents")
+    if mx is None:  # empty window → empty report, stable schema
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "s_suppkey": pa.array([], pa.int64()),
+                    "s_name": pa.array([], pa.string()),
+                    "total_revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        )
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    skeys = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(skeys)
+    skeys_sorted = skeys[order]
+    snames = np.asarray(sup["s_name"].to_pylist(), dtype=object)[order]
+
+    def keep_max(batch: pa.Table) -> pa.Table:
+        m = _pc.equal(batch["total_revenue_cents"], mx)
+        hit = batch.filter(m)
+        k = hit["s_suppkey"].to_numpy(zero_copy_only=False)
+        pos, found = _probe_sorted(skeys_sorted, k)
+        names = np.where(found, snames[pos], None)
+        return pa.table(
+            {
+                "s_suppkey": hit["s_suppkey"],
+                "s_name": pa.array(names, pa.string()),
+                "total_revenue_cents": hit["total_revenue_cents"],
+            }
+        )
+
+    return grouped.map_batches(keep_max, batch_format="pyarrow")
+
+
+def small_quantity_revenue(
+    sf_dir: str, brand: str = "Brand#23", max_size: int = 10
+) -> "pd.DataFrame":
+    """TPC-H-Q17-shaped small-quantity-order revenue: over the parts of one
+    brand with ``p_size <= max_size``, the revenue (and row count) of
+    lineitems whose quantity is below 20%% of that PART's average quantity
+    — the correlated-aggregate join-back shape (per-key stats feed a
+    per-row predicate on the same key).  One row: (n_small,
+    revenue_cents); 0/0 when nothing qualifies (COUNT semantics — the
+    oracle emits the same via coalesce).
+
+    Scale shape: the qualifying partkey set is read from the part
+    DIMENSION driver-side (a brand+size slice — tiny at any scale) and
+    pushed into BOTH lineitem reads as an ``isin`` predicate, so only the
+    brand's lineitems ever leave storage.  Pass 1 pre-aggregates
+    (partkey, sum_qty, n) per batch into one bounded groupby; the per-part
+    thresholds (≤ |slice| rows) broadcast back into the pass-2 scan's
+    filter.  Quantities are small exact integers in double — ``sum/cnt``
+    is the identical IEEE-754 value on both engines, so the strict ``<``
+    compare cannot diverge."""
+    import pandas as pd
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"])
+    sel = _pc.and_(
+        _pc.equal(part["p_brand"], brand), _pc.less_equal(part["p_size"], max_size)
+    )
+    pkeys = part["p_partkey"].filter(sel).combine_chunks()
+    empty = pd.DataFrame(
+        {
+            "n_small": pd.array([0], dtype="int64"),
+            "revenue_cents": pd.array([0], dtype="int64"),
+        }
+    )
+    if len(pkeys) == 0:
+        return empty
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=li_cols,
+        filter=pads.field("l_partkey").isin(pkeys),
+    )
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(k, return_inverse=True)
+        return pa.table(
+            {
+                "pkey": pa.array(uk, pa.int64()),
+                "sum_qty": pa.array(np.bincount(inv, weights=q, minlength=len(uk))),
+                "n": pa.array(np.bincount(inv, minlength=len(uk)).astype(np.int64)),
+            }
+        )
+
+    stats = (
+        li.map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("pkey")
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"), Sum("n", alias_name="n"))
+        .take_all()  # bounded by the brand/size part slice
+    )
+    if not stats:
+        return empty
+    tk = np.array([r["pkey"] for r in stats], dtype=np.int64)
+    thr = np.array(
+        [0.2 * (r["sum_qty"] / r["n"]) for r in stats], dtype=np.float64
+    )
+    torder = np.argsort(tk)
+    tk = tk[torder]
+    thr = thr[torder]
+
+    def small_partial(batch: pa.Table) -> pa.Table:
+        k = batch["l_partkey"].to_numpy(zero_copy_only=False)
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        pos, found = _probe_sorted(tk, k)
+        m = found & (q < thr[np.clip(pos, 0, len(tk) - 1)])
+        rc = _cents_np(batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m])
+        return pa.table(
+            {
+                "n_small": pa.array([int(m.sum())], pa.int64()),
+                "revenue_cents": pa.array([int(rc.sum())], pa.int64()),
+            }
+        )
+
+    tot = li.map_batches(small_partial, batch_format="pyarrow").sum(
+        ["n_small", "revenue_cents"]
+    ) or {}
+    return pd.DataFrame(
+        {
+            "n_small": pd.array([int(tot.get("sum(n_small)") or 0)], dtype="int64"),
+            "revenue_cents": pd.array(
+                [int(tot.get("sum(revenue_cents)") or 0)], dtype="int64"
+            ),
+        }
+    )
+
+
+def idle_rich_customers(sf_dir: str, cutoff: str = "1998-01-01") -> "rd.Dataset":
+    """TPC-H-Q22-shaped idle-capital report: customers with an
+    above-average POSITIVE balance and NO order on/after ``cutoff``,
+    rolled up per nation — the global-scalar-gate + anti-join composition
+    (Q22 gates on avg positive acctbal and NOT EXISTS orders).  Emits
+    (c_nationkey, n_cust, acctbal_cents).
+
+    Exactness: the "above average" gate is evaluated in INTEGER cents
+    cross-multiplied form — ``cents(bal) * n_pos > sum_pos_cents`` — on
+    both engines, so no float average ever enters a comparison (a float
+    avg differs between numpy and DuckDB summation orders at the 1e-16
+    level, which a boundary customer would amplify into a row diff).
+
+    Scale shape: pass 1 is a map-only partial (2 scalars) over the
+    customer scan; the two scalars broadcast into the pass-2 filter; the
+    NOT-EXISTS side reduces orders to distinct active custkeys before the
+    ONE union-tag groupby (the ``inactive_customers`` anti-join shape —
+    no driver-side key set, both sides distributed); the final nation
+    rollup shuffles ≤ 25 keys."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum as _Sum
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=cust_cols)
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        pos = bal > 0.0
+        return pa.table(
+            {
+                "s": pa.array([int(_cents_np(bal[pos]).sum())], pa.int64()),
+                "c": pa.array([int(pos.sum())], pa.int64()),
+            }
+        )
+
+    tot = cust.map_batches(pos_partial, batch_format="pyarrow").sum(["s", "c"]) or {}
+    s_pos = int(tot.get("sum(s)") or 0)
+    n_pos = int(tot.get("sum(c)") or 0)
+
+    cut = datetime.datetime.fromisoformat(cutoff)
+    recent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=(pads.field("o_orderdate") >= cut),
+    )
+
+    def active_rows(batch: pa.Table) -> pa.Table:
+        keys = np.unique(batch["o_custkey"].to_numpy(zero_copy_only=False))
+        n = len(keys)
+        return pa.table(
+            {
+                "c_custkey": pa.array(keys, pa.int64()),
+                "c_nationkey": pa.array(np.zeros(n, np.int64)),
+                "bal_cents": pa.array(np.zeros(n, np.int64)),
+                "is_active": pa.array(np.ones(n, np.int64)),
+                "is_cust": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    def rich_rows(batch: pa.Table) -> pa.Table:
+        cents = _cents_np(batch["c_acctbal"].to_numpy(zero_copy_only=False))
+        keep = cents * n_pos > s_pos
+        n = int(keep.sum())
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"].to_numpy(zero_copy_only=False)[keep],
+                "c_nationkey": batch["c_nationkey"]
+                .to_numpy(zero_copy_only=False)[keep]
+                .astype(np.int64),
+                "bal_cents": pa.array(cents[keep], pa.int64()),
+                "is_active": pa.array(np.zeros(n, np.int64)),
+                "is_cust": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
+    combined = cust.map_batches(rich_rows, batch_format="pyarrow").union(
+        recent.map_batches(active_rows, batch_format="pyarrow")
+    )
+    agg = combined.groupby("c_custkey").aggregate(
+        _Sum("is_active", alias_name="n_recent"),
+        _Sum("is_cust", alias_name="n_cust"),
+        Max("c_nationkey", alias_name="c_nationkey"),
+        Max("bal_cents", alias_name="bal_cents"),
+    )
+
+    def idle_partial(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(batch["n_recent"], 0), pc.greater(batch["n_cust"], 0))
+        hit = batch.filter(m)
+        nk = hit["c_nationkey"].to_numpy(zero_copy_only=False)
+        bc = hit["bal_cents"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(nk, return_inverse=True)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(uk, pa.int64()),
+                "n_cust": pa.array(np.bincount(inv, minlength=len(uk)).astype(np.int64)),
+                "acctbal_cents": pa.array(
+                    np.bincount(inv, weights=bc.astype(np.float64), minlength=len(uk)).astype(
+                        np.int64
+                    )
+                ),
+            }
+        )
+
+    rows = (
+        agg.map_batches(idle_partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            _Sum("n_cust", alias_name="n_cust"),
+            _Sum("acctbal_cents", alias_name="acctbal_cents"),
+        )
+        # bounded by the nation dimension (≤ 25 keys at any scale); collect
+        # so the empty report keeps its schema (Ray's empty groupby yields a
+        # schema-less dataset, which would fail the driver's column check)
+        .take_all()
+    )
+    return pa.table(
+        {
+            "c_nationkey": pa.array([r["c_nationkey"] for r in rows], pa.int64()),
+            "n_cust": pa.array([r["n_cust"] for r in rows], pa.int64()),
+            "acctbal_cents": pa.array([r["acctbal_cents"] for r in rows], pa.int64()),
+        }
+    )

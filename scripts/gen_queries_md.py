@@ -88,6 +88,24 @@ Historical cede decisions (why each out-of-window entry is safe):
   `events_latest_per_user` and `mixture_plan`.
   r4's other modified kernels — `promo_revenue`, `source_length_gini`,
   `stratified_sample` — were already in-window.
+- **r4 session-4 cedes** (seven new kernels in, seven unchanged-since-green
+  out): `lineitem_pricing_summary` (r2-green; its lineitem cents-partial →
+  small-groupby shape is driven in-window by the new
+  `top_supplier_revenue`, which adds the argmax scalar broadcast) →
+  `top_supplier_revenue`; `large_order_customers` (r3-green; in-window
+  `returned_item_revenue` drives the same Q10/Q18 bucket co-partition +
+  customer sidecar) → `small_quantity_revenue`; `inactive_customers`
+  (r2-green; the new `idle_rich_customers` composes the IDENTICAL
+  union-tag anti-join plus the integer-cents global-scalar gate) →
+  `idle_rich_customers`; `ccnet_tercile_buckets` (r3-green; in-window
+  `stratified_sample` drives the same histogram-rank banding) →
+  `normalized_exact_dedup`; `events_hopping_window` (r3-green; in-window
+  `events_hourly_distinct_users` drives the same window-key partial
+  machinery) → `url_dedup`; `vocab_coverage_90` (r3-green; in-window
+  `distinct_words_per_lang` + `tfidf_top5_per_lang` drive the same
+  word-freq combiner cascade) → `embedding_covariance`; `source_novelty`
+  (r3-green; in-window `boilerplate_ngram_stats` drives the same
+  distinct-gram combiner attribution) → `domain_pagerank`.
 """
 
 
