@@ -343,7 +343,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stays driven in-window by events_user_interarrival /
         # events_purchases_within_hour)
         "documents_profile": analysis.documents_profile,
-        "value_zscore_outliers": analysis.value_zscore_outliers,
         # (lang_centroids holds the slot ceded by repetition_stats — r2
         # hash-green, body and oracle byte-identical since; its pure-Arrow
         # text-partial machinery stays driven in-window by stopword_stats)
@@ -388,7 +387,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # machinery stays driven in-window by large_order_customers and
         # inactive_customers; still pytest-gated)
         "brand_bracket_revenue": relational.brand_bracket_revenue,
-        "orders_by_mktsegment": relational.orders_by_mktsegment,
         # --- NEW r4 kernels (session 4): each holds a slot ceded by an
         # unchanged-since-green entry whose machinery an in-window sibling
         # (often the new kernel itself) drives end-to-end; audit trail in
@@ -417,11 +415,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (slot from source_novelty — in-window boilerplate_ngram_stats
         # drives the same distinct-gram combiner attribution machinery)
         "domain_pagerank": analysis.domain_pagerank,
+        # (slot from orders_by_mktsegment — in-window top_revenue_orders
+        # drives the same size-gated broadcast/sidecar dual-plan machinery)
+        "bpe_pair_counts": analysis.bpe_pair_counts,
+        # (slot from distinct_words_per_lang — in-window
+        # tfidf_top5_per_lang drives the same distinct-count combiner)
+        "gram_novelty_by_bucket": analysis.gram_novelty_by_bucket,
+        # (slot from late_shipment_priority — in-window top_revenue_orders
+        # drives the same size-gated broadcast-vs-join dual plan)
+        "blocklist_filter": analysis.blocklist_filter,
+        # (slot from value_zscore_outliers — the new idle_rich_customers
+        # drives the same broadcast-global-scalar filter gate in-window)
+        "doc_length_histogram": analysis.doc_length_histogram,
         "revenue_by_supplier_nation": relational.revenue_by_supplier_nation,
         "events_purchases_within_hour": relational.events_purchases_within_hour,
-        "distinct_words_per_lang": analysis.distinct_words_per_lang,
         "token_count_bpe": analysis.token_count_bpe,
-        "late_shipment_priority": relational.late_shipment_priority,
         "top_revenue_orders": relational.top_revenue_orders,
         "tfidf_top5_per_lang": analysis.tfidf_top5_per_lang,
         # --- NEW r3 kernels: hold window slots (see the ordering NOTE) ----
@@ -439,6 +447,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (r4 session-4 cedes — each unchanged since its green round, with
         # the named in-window sibling driving the same machinery; see the
         # slot comments above and QUERIES.md)
+        "orders_by_mktsegment": relational.orders_by_mktsegment,
+        "distinct_words_per_lang": analysis.distinct_words_per_lang,
+        "late_shipment_priority": relational.late_shipment_priority,
+        "value_zscore_outliers": analysis.value_zscore_outliers,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "large_order_customers": relational.large_order_customers,
         "inactive_customers": relational.inactive_customers,
@@ -2097,5 +2109,53 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY nd.node
             )
             SELECT node AS domain, round(r, 6) AS pr FROM r3
+        """,
+        "bpe_pair_counts": """
+            WITH wf AS (
+                SELECT word, count(*) AS f
+                FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word
+                      FROM documents)
+                GROUP BY word
+            ),
+            pairs AS (
+                SELECT substr(word, i, 2) AS pair, sum(f) AS cnt
+                FROM wf, UNNEST(range(1, length(word))) AS t(i)
+                GROUP BY 1
+            )
+            SELECT pair, CAST(cnt AS BIGINT) AS cnt
+            FROM pairs ORDER BY cnt DESC, pair LIMIT 100
+        """,
+        "gram_novelty_by_bucket": """
+            WITH docs AS (
+                SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram,
+                       min(doc_id) AS min_doc
+                FROM docs, UNNEST(range(1, len(w) - 1)) AS t(i)
+                GROUP BY gram
+            )
+            SELECT min_doc // 100 AS bucket, count(*) AS n_new
+            FROM grams GROUP BY 1
+        """,
+        "blocklist_filter": """
+            SELECT source,
+                   CAST(sum(CASE WHEN doc_id % 40 IN (0, 7, 13, 21, 34)
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+                   CAST(sum(CASE WHEN doc_id % 40 IN (0, 7, 13, 21, 34)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+            FROM documents GROUP BY source
+        """,
+        "doc_length_histogram": """
+            WITH t AS (
+                SELECT CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+                       AS n
+                FROM documents
+            )
+            SELECT CAST(length(bin(n)) AS BIGINT) AS bucket,
+                   count(*) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS sum_tokens
+            FROM t GROUP BY 1
         """,
     }

@@ -6862,3 +6862,232 @@ def domain_pagerank(
             "pr": pd.array(np.round(r, 6), dtype="float64"),
         }
     )
+
+
+def bpe_pair_counts(sf_dir: str, k: int = 100) -> "rd.Dataset":
+    """First BPE merge iteration at corpus scale (Sennrich et al. 2016):
+    adjacent character-pair frequencies weighted by word frequency — the
+    primitive a distributed tokenizer trainer loops.  Emits the top ``k``
+    (pair, cnt) by (cnt desc, pair asc).
+
+    Scale shape: stage 1 is the word-frequency combiner cascade
+    (per-batch ``value_counts`` → ONE vocabulary-keyed groupby — the
+    :func:`word_freq_top100` shape), after which all work is over the
+    VOCABULARY (bounded by distinct words, not tokens).  Stage 2 fans each
+    distinct word into its pairs with a vectorized slide: one
+    ``utf8_slice_codeunits`` per offset up to the batch's longest word
+    (≤ a few dozen iterations, each over the whole batch), weights folded
+    per batch before the final pair-keyed groupby.  Pairing is by
+    codepoint on both engines (ASCII corpus: identical to bytes)."""
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(_one_chunk(_word_lists(batch).flatten()))
+        return pa.table(
+            {"word": vc.field("values"), "f": vc.field("counts").cast(pa.int64())}
+        )
+
+    vocab = (
+        _docs(sf_dir, ["text"])
+        .map_batches(word_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("f", alias_name="f"))
+    )
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        words = _one_chunk(batch["word"])
+        f = batch["f"].to_numpy(zero_copy_only=False)
+        lens = pc.utf8_length(words).to_numpy(zero_copy_only=False)
+        out_pairs = []
+        out_cnt = []
+        max_len = int(lens.max()) if len(lens) else 0
+        for i in range(max(0, max_len - 1)):
+            m = lens > i + 1
+            if not m.any():
+                break
+            sel = pa.array(m)
+            out_pairs.append(pc.utf8_slice_codeunits(words.filter(sel), i, i + 2))
+            out_cnt.append(f[m])
+        if not out_pairs:
+            return pa.table(
+                {"pair": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        pairs = pa.concat_arrays([_one_chunk(p) for p in out_pairs])
+        cnt = np.concatenate(out_cnt)
+        # fold within the batch before the exchange
+        df = pd.DataFrame({"pair": pairs.to_pandas(), "cnt": cnt}).groupby(
+            "pair", as_index=False
+        )["cnt"].sum()
+        return pa.table(
+            {
+                "pair": pa.array(df["pair"], pa.string()),
+                "cnt": pa.array(df["cnt"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return (
+        vocab.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "pair"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def gram_novelty_by_bucket(sf_dir: str, bucket: int = 100) -> "rd.Dataset":
+    """Corpus-freshness curve: how many word TRIGRAMS each ``bucket``-sized
+    doc_id range INTRODUCES (a gram belongs to the bucket of the smallest
+    doc_id containing it) — the diminishing-novelty audit that tells a
+    crawl-curation loop when additional shards stop adding content
+    (:func:`source_novelty`'s attribution rule, bucketed over ingest order
+    instead of source).  Emits (bucket, n_new).
+
+    Scale shape: per-batch (gram, min_doc) compaction → ONE gram-keyed
+    groupby Min (the shuffle moves one row per distinct gram per batch;
+    hash the gram at 100 TB) → map-side bucket key → a bucket-count
+    groupby bounded by corpus/bucket."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"gram": pa.array([], pa.string()), "min_doc": pa.array([], pa.int64())}
+        )
+        words = _word_lists(batch)
+        flat = _one_chunk(words.flatten())
+        m = len(flat)
+        if m < 3:
+            return empty
+        offs = words.offsets.to_numpy().astype(np.int64)
+        n_words = np.diff(offs)
+        valid = np.ones(m - 2, dtype=bool)
+        # no trigram spans a doc boundary: kill the last two start positions
+        # of every doc (clipped into range)
+        ends = offs[1:-1]
+        for back in (1, 2):
+            idx = ends - back
+            idx = idx[(idx >= 0) & (idx < m - 2)]
+            valid[idx] = False
+        if not valid.any():
+            return empty
+        mask = pa.array(valid)
+        grams = pc.binary_join_element_wise(
+            flat.slice(0, m - 2).filter(mask),
+            flat.slice(1, m - 2).filter(mask),
+            flat.slice(2, m - 2).filter(mask),
+            " ",
+        )
+        doc_ids = np.repeat(
+            batch["doc_id"].to_numpy(zero_copy_only=False), n_words
+        )[: m - 2][valid]
+        df = pd.DataFrame({"gram": grams.to_pandas(), "min_doc": doc_ids}).groupby(
+            "gram", as_index=False
+        )["min_doc"].min()
+        return pa.table(
+            {
+                "gram": pa.array(df["gram"], pa.string()),
+                "min_doc": pa.array(df["min_doc"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def to_bucket(batch: pa.Table) -> pa.Table:
+        b = batch["min_doc"].to_numpy(zero_copy_only=False) // bucket
+        uk, cnt = np.unique(b, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(uk, pa.int64()),
+                "n_new": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("gram")
+        .aggregate(Min("min_doc", alias_name="min_doc"))
+        .map_batches(to_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_new", alias_name="n_new"))
+    )
+
+
+# Banned outlink-domain ids for blocklist_filter (synth convention: a doc's
+# outlink domain is doc_id % 40, the domain_stats / domain_pagerank graph).
+_BLOCKLIST_DOMAINS = (0, 7, 13, 21, 34)
+
+
+def blocklist_filter(sf_dir: str) -> "rd.Dataset":
+    """Domain-blocklist filter audit — the kill-list pass (spam/adult/SEO
+    domains) every crawl pipeline applies before content filters: docs
+    whose outlink domain (synth convention ``doc_id %% 40``) is on the
+    broadcast blocklist are dropped; emits per-source keep/drop counts
+    (source two-key NULL-safe).  The blocklist is a fixed broadcast set —
+    at 100 TB a few MB of domain hashes shipped once via ``ray.put``,
+    membership tested map-side; nothing but the per-source count rows ever
+    shuffles."""
+    banned = np.array(_BLOCKLIST_DOMAINS, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tagged = _tag_key(batch, "source", ("doc_id",))
+        did = tagged["doc_id"].to_numpy(zero_copy_only=False)
+        dropped = np.isin(did % 40, banned)
+        df = pd.DataFrame(
+            {
+                "source_key": tagged["source_key"].to_pandas(),
+                "source_null": tagged["source_null"].to_pandas(),
+                "n_dropped": dropped.astype(np.int64),
+                "n_kept": (~dropped).astype(np.int64),
+            }
+        ).groupby(["source_key", "source_null"], as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        _docs(sf_dir, ["doc_id", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["source_key", "source_null"])
+        .aggregate(
+            Sum("n_kept", alias_name="n_kept"),
+            Sum("n_dropped", alias_name="n_dropped"),
+        )
+        .map_batches(
+            lambda b: _restore_key(b, "source", ("n_kept", "n_dropped")),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def doc_length_histogram(sf_dir: str) -> "rd.Dataset":
+    """Log2-bucketed document-length histogram: docs and token mass per
+    power-of-two token-count band — the length-distribution audit behind
+    batch-size / packing-budget choices.  ``bucket`` = bit length of the
+    whitespace token count (integer-exact on both engines: numpy ``frexp``
+    exponent == DuckDB ``length(bin(n))`` for all int64 > 0; no float
+    ``log2`` boundary risk).  Emits (bucket, n_docs, sum_tokens).
+
+    Scale shape: map-only token count (pure-Arrow split + list length) →
+    per-batch bincount partial → ONE groupby over ~40 buckets."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_tok = pc.list_value_length(_word_lists(batch)).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        # bit length via frexp exponent — exact for ints < 2^53; token
+        # counts are far below that
+        bucket = np.frexp(n_tok.astype(np.float64))[1].astype(np.int64)
+        uk, inv = np.unique(bucket, return_inverse=True)
+        return pa.table(
+            {
+                "bucket": pa.array(uk, pa.int64()),
+                "n_docs": pa.array(np.bincount(inv, minlength=len(uk)).astype(np.int64)),
+                "sum_tokens": pa.array(
+                    np.bincount(inv, weights=n_tok.astype(np.float64), minlength=len(uk)).astype(np.int64)
+                ),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("sum_tokens", alias_name="sum_tokens"),
+        )
+    )

@@ -105,7 +105,16 @@ Historical cede decisions (why each out-of-window entry is safe):
   `distinct_words_per_lang` + `tfidf_top5_per_lang` drive the same
   word-freq combiner cascade) → `embedding_covariance`; `source_novelty`
   (r3-green; in-window `boilerplate_ngram_stats` drives the same
-  distinct-gram combiner attribution) → `domain_pagerank`.
+  distinct-gram combiner attribution) → `domain_pagerank`;
+  `orders_by_mktsegment` (r2-green; in-window `top_revenue_orders` drives
+  the same size-gated broadcast/sidecar dual plan) → `bpe_pair_counts`;
+  `distinct_words_per_lang` (r2-green; in-window `tfidf_top5_per_lang`
+  drives the same distinct-count combiner) → `gram_novelty_by_bucket`;
+  `late_shipment_priority` (r3-green; in-window `top_revenue_orders`
+  drives the same broadcast-vs-join dual plan) → `blocklist_filter`;
+  `value_zscore_outliers` (r3-green; the new `idle_rich_customers` drives
+  the same broadcast-global-scalar filter gate in-window) →
+  `doc_length_histogram`.
 """
 
 
