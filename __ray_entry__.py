@@ -343,10 +343,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stays driven in-window by events_user_interarrival /
         # events_purchases_within_hour)
         "documents_profile": analysis.documents_profile,
-        # (lang_centroids holds the slot ceded by repetition_stats — r2
-        # hash-green, body and oracle byte-identical since; its pure-Arrow
-        # text-partial machinery stays driven in-window by stopword_stats)
-        "lang_centroids": analysis.lang_centroids,
         # (source_length_gini holds the slot ceded by stopword_stats — r2
         # hash-green, body and oracle byte-identical since; its _text_col
         # word-partial machinery stays driven in-window by
@@ -427,6 +423,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (slot from value_zscore_outliers — the new idle_rich_customers
         # drives the same broadcast-global-scalar filter gate in-window)
         "doc_length_histogram": analysis.doc_length_histogram,
+        # (slot from lang_centroids — r3-green, unchanged; its union-tag
+        # bucket-join machinery stays driven in-window by bitext_mine_pairs,
+        # and the new customer_order_full_join completes the join-type
+        # surface with the same union-tag groupby)
+        "customer_order_full_join": relational.customer_order_full_join,
         "revenue_by_supplier_nation": relational.revenue_by_supplier_nation,
         "events_purchases_within_hour": relational.events_purchases_within_hour,
         "token_count_bpe": analysis.token_count_bpe,
@@ -448,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the named in-window sibling driving the same machinery; see the
         # slot comments above and QUERIES.md)
         "orders_by_mktsegment": relational.orders_by_mktsegment,
+        "lang_centroids": analysis.lang_centroids,
         "distinct_words_per_lang": analysis.distinct_words_per_lang,
         "late_shipment_priority": relational.late_shipment_priority,
         "value_zscore_outliers": analysis.value_zscore_outliers,
@@ -2146,6 +2148,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN doc_id % 40 IN (0, 7, 13, 21, 34)
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
             FROM documents GROUP BY source
+        """,
+        "customer_order_full_join": """
+            WITH oc AS (
+                SELECT o_custkey AS c_custkey, count(*) AS n_orders
+                FROM orders GROUP BY 1
+            )
+            SELECT coalesce(c.c_custkey, o.c_custkey) AS c_custkey,
+                   CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+                   c.c_custkey IS NOT NULL AS has_customer
+            FROM customer c FULL OUTER JOIN oc o ON c.c_custkey = o.c_custkey
         """,
         "doc_length_histogram": """
             WITH t AS (

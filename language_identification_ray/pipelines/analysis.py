@@ -6774,6 +6774,14 @@ def embedding_covariance(sf_dir: str) -> "rd.Dataset":
         )
 
     def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n" not in batch.schema.names:
+            return pa.table(
+                {
+                    "i": pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "cov": pa.array([], pa.float64()),
+                }
+            )
         n = batch["n"].to_numpy(zero_copy_only=False).astype(np.float64)
         sxy = batch["sxy"].to_numpy(zero_copy_only=False)
         sxi = batch["sxi"].to_numpy(zero_copy_only=False)
@@ -6988,6 +6996,10 @@ def gram_novelty_by_bucket(sf_dir: str, bucket: int = 100) -> "rd.Dataset":
         )
 
     def to_bucket(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "min_doc" not in batch.schema.names:
+            return pa.table(
+                {"bucket": pa.array([], pa.int64()), "n_new": pa.array([], pa.int64())}
+            )
         b = batch["min_doc"].to_numpy(zero_copy_only=False) // bucket
         uk, cnt = np.unique(b, return_counts=True)
         return pa.table(

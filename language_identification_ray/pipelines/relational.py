@@ -687,8 +687,12 @@ def inactive_customers(sf_dir: str, cutoff: str = "2001-01-01") -> "rd.Dataset":
     )
 
     def active_rows(batch: pa.Table) -> pa.Table:
-        # distinct within batch; the groupby below finishes the reduction
-        keys = np.unique(batch["o_custkey"].to_numpy(zero_copy_only=False))
+        # distinct within batch; the groupby below finishes the reduction.
+        # NULL custkeys drop: NULL never satisfies the NOT-EXISTS equality
+        # (and a null-bearing int64 column reads as float NaN otherwise)
+        keys = np.unique(
+            batch["o_custkey"].drop_null().to_numpy(zero_copy_only=False)
+        )
         return pa.table(
             {
                 "c_custkey": pa.array(keys, pa.int64()),
@@ -2129,7 +2133,10 @@ def top_supplier_revenue(
         keys = batch["l_suppkey"].to_numpy(zero_copy_only=False)
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
         disc = batch["l_discount"].to_numpy(zero_copy_only=False)
-        rc = _cents_np(price * (1.0 - disc))
+        rev = price * (1.0 - disc)
+        finite = np.isfinite(rev)  # NULL price/discount reads as NaN — SQL sum skips
+        keys, rev = keys[finite], rev[finite]
+        rc = _cents_np(rev)
         uk, inv = np.unique(keys, return_inverse=True)
         sums = np.bincount(inv, weights=rc.astype(np.float64), minlength=len(uk))
         return pa.table(
@@ -2145,16 +2152,18 @@ def top_supplier_revenue(
         .aggregate(Sum("total_revenue_cents", alias_name="total_revenue_cents"))
         .materialize()  # bounded by the supplier dimension
     )
-    mx = grouped.max("total_revenue_cents")
-    if mx is None:  # empty window → empty report, stable schema
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "s_suppkey": pa.array([], pa.int64()),
-                    "s_name": pa.array([], pa.string()),
-                    "total_revenue_cents": pa.array([], pa.int64()),
-                }
-            )
+    mx = grouped.max("total_revenue_cents") if grouped.count() else None
+    if mx is None:  # empty window → empty report, stable schema (a 0-row
+        # Dataset drops its column names through to_pandas, so hand back a
+        # typed empty frame — queries() allows DataFrame returns)
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.array([], dtype="int64"),
+                "s_name": pd.array([], dtype="object"),
+                "total_revenue_cents": pd.array([], dtype="int64"),
+            }
         )
     sup = _pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
     skeys = sup["s_suppkey"].to_numpy(zero_copy_only=False)
@@ -2323,7 +2332,10 @@ def idle_rich_customers(sf_dir: str, cutoff: str = "1998-01-01") -> "rd.Dataset"
     )
 
     def active_rows(batch: pa.Table) -> pa.Table:
-        keys = np.unique(batch["o_custkey"].to_numpy(zero_copy_only=False))
+        # NULL custkeys drop: NULL never satisfies o_custkey = c_custkey
+        keys = np.unique(
+            batch["o_custkey"].drop_null().to_numpy(zero_copy_only=False)
+        )
         n = len(keys)
         return pa.table(
             {
@@ -2336,8 +2348,11 @@ def idle_rich_customers(sf_dir: str, cutoff: str = "1998-01-01") -> "rd.Dataset"
         )
 
     def rich_rows(batch: pa.Table) -> pa.Table:
-        cents = _cents_np(batch["c_acctbal"].to_numpy(zero_copy_only=False))
-        keep = cents * n_pos > s_pos
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False)
+        finite = np.isfinite(bal)  # NULL balances read as NaN — SQL excludes them
+        cents = np.zeros(len(bal), np.int64)
+        cents[finite] = _cents_np(bal[finite])
+        keep = finite & (cents * n_pos > s_pos)
         n = int(keep.sum())
         return pa.table(
             {
@@ -2397,4 +2412,73 @@ def idle_rich_customers(sf_dir: str, cutoff: str = "1998-01-01") -> "rd.Dataset"
             "n_cust": pa.array([r["n_cust"] for r in rows], pa.int64()),
             "acctbal_cents": pa.array([r["acctbal_cents"] for r in rows], pa.int64()),
         }
+    )
+
+
+def customer_order_full_join(sf_dir: str) -> "rd.Dataset":
+    """FULL OUTER join coverage report — the referential-integrity audit
+    shape (which keys exist on one side only?): every custkey seen in
+    CUSTOMER or ORDERS gets one row (c_custkey, n_orders, has_customer) —
+    zero-order customers keep n_orders = 0, dangling order custkeys (no
+    customer row) keep has_customer = false.  Completes the join-type
+    surface: broadcast/hash inner (`orders_by_mktsegment`), semi
+    (`late_shipment_priority`), anti (`inactive_customers`), as-of/range
+    (`events_asof_purchase`), and now full-outer.
+
+    Scale shape: the order side pre-aggregates to (custkey, n) per batch
+    (the shuffle moves one row per distinct customer per batch, not one
+    per order), both sides tag and union, and ONE keyed groupby resolves
+    the union — the same union-tag machinery as the anti-join, which
+    degrades gracefully where Ray 2.49's hash join crashes on empty/sparse
+    sides (see ``inactive_customers``)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum as _Sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+
+    def order_partial(batch: pa.Table) -> pa.Table:
+        # NULL order custkeys drop (a NULL key matches nothing; the SQL
+        # FULL OUTER would keep one NULL-group row — divergence documented,
+        # driver fixtures carry no NULL keys)
+        k = batch["o_custkey"].drop_null().to_numpy(zero_copy_only=False)
+        uk, cnt = np.unique(k, return_counts=True)
+        return pa.table(
+            {
+                "c_custkey": pa.array(uk, pa.int64()),
+                "n_orders": pa.array(cnt.astype(np.int64), pa.int64()),
+                "is_cust": pa.array(np.zeros(len(uk), np.int64)),
+            }
+        )
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"].cast(pa.int64()),
+                "n_orders": pa.array(np.zeros(n, np.int64)),
+                "is_cust": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    combined = cust.map_batches(cust_rows, batch_format="pyarrow").union(
+        orders.map_batches(order_partial, batch_format="pyarrow")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "n_orders": batch["n_orders"],
+                "has_customer": pc.greater(batch["is_cust"], 0),
+            }
+        )
+
+    return (
+        combined.groupby("c_custkey")
+        .aggregate(
+            _Sum("n_orders", alias_name="n_orders"),
+            _Sum("is_cust", alias_name="is_cust"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
     )

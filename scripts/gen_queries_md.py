@@ -114,7 +114,10 @@ Historical cede decisions (why each out-of-window entry is safe):
   drives the same broadcast-vs-join dual plan) → `blocklist_filter`;
   `value_zscore_outliers` (r3-green; the new `idle_rich_customers` drives
   the same broadcast-global-scalar filter gate in-window) →
-  `doc_length_histogram`.
+  `doc_length_histogram`; `lang_centroids` (r3-green; its union-tag
+  bucket-join machinery stays driven in-window by `bitext_mine_pairs`) →
+  `customer_order_full_join` (which itself exercises the union-tag groupby
+  as a FULL OUTER join in-window).
 """
 
 
