@@ -428,6 +428,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and the new customer_order_full_join completes the join-type
         # surface with the same union-tag groupby)
         "customer_order_full_join": relational.customer_order_full_join,
+        # (slot from sequence_pack_offsets — r3-green, unchanged; its
+        # histogram-offset prefix-sum machinery stays driven in-window by
+        # stratified_sample's histogram-rank banding)
+        "crawl_delta": analysis.crawl_delta,
+        # (slot from fuzzy_dedup_keep — r3-green, unchanged; in-window
+        # semantic_dedup_docs drives the same union-tag anti-join keep over
+        # the same embedding pair source)
+        "events_dedup_idempotent": analysis.events_dedup_idempotent,
         "revenue_by_supplier_nation": relational.revenue_by_supplier_nation,
         "events_purchases_within_hour": relational.events_purchases_within_hour,
         "token_count_bpe": analysis.token_count_bpe,
@@ -435,9 +443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top5_per_lang": analysis.tfidf_top5_per_lang,
         # --- NEW r3 kernels: hold window slots (see the ordering NOTE) ----
         "boilerplate_ngram_stats": analysis.boilerplate_ngram_stats,
-        "sequence_pack_offsets": analysis.sequence_pack_offsets,
         "gopher_quality_flags": analysis.gopher_quality_flags,
-        "fuzzy_dedup_keep": analysis.fuzzy_dedup_keep,
         # --- NEW r4 kernel: holds the slot ceded by gopher_keep_rates
         # (r3-green; in-window gopher_quality_flags IS its flag source) ----
         "embedding_dup_pairs_ivf": embedding_dup_pairs_ivf_q,
@@ -449,6 +455,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the named in-window sibling driving the same machinery; see the
         # slot comments above and QUERIES.md)
         "orders_by_mktsegment": relational.orders_by_mktsegment,
+        "sequence_pack_offsets": analysis.sequence_pack_offsets,
+        "fuzzy_dedup_keep": analysis.fuzzy_dedup_keep,
         "lang_centroids": analysis.lang_centroids,
         "distinct_words_per_lang": analysis.distinct_words_per_lang,
         "late_shipment_priority": relational.late_shipment_priority,
@@ -2148,6 +2156,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN doc_id % 40 IN (0, 7, 13, 21, 34)
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
             FROM documents GROUP BY source
+        """,
+        "crawl_delta": """
+            WITH k AS (
+                SELECT md5(substr(coalesce(text, ''), 1, 40)) AS k,
+                       max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS in_a,
+                       max(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS in_b
+                FROM documents GROUP BY 1
+            )
+            SELECT CASE WHEN in_a = 1 AND in_b = 1 THEN 'common'
+                        WHEN in_a = 1 THEN 'removed' ELSE 'added' END AS status,
+                   count(*) AS n_keys
+            FROM k GROUP BY 1
+        """,
+        "events_dedup_idempotent": """
+            SELECT user_id, event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   min(event_id) AS keep_event_id, count(*) AS n_dups
+            FROM events GROUP BY 1, 2, 3
         """,
         "customer_order_full_join": """
             WITH oc AS (

@@ -7103,3 +7103,155 @@ def doc_length_histogram(sf_dir: str) -> "rd.Dataset":
             Sum("sum_tokens", alias_name="sum_tokens"),
         )
     )
+
+
+def crawl_delta(sf_dir: str, prefix: int = 40) -> "rd.Dataset":
+    """Crawl snapshot diff — the added/removed/common audit between two
+    crawls of the same corpus (re-crawl churn is the first number a crawl
+    ops dashboard shows): even doc_ids stand in for crawl A, odd for crawl
+    B (deterministic split, the :func:`incremental_dedup_bloom`
+    convention), a document's identity is the :func:`exact_dedup` content
+    key (md5 of the ``prefix``-char text prefix), and every distinct key is
+    classified ``added`` (B only) / ``removed`` (A only) / ``common``.
+    Emits (status, n_keys).
+
+    Scale shape: per-batch (key, in_a, in_b) flag compaction → ONE
+    key-hash groupby (fixed 32-byte keys through the exchange, never
+    text) → map-side status classification → a 3-row status count."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        did = _one_chunk(batch["doc_id"]).to_numpy(zero_copy_only=False)
+        ks = [
+            hashlib.md5((t or "")[:prefix].encode("utf-8")).hexdigest()
+            for t in batch["text"].to_pylist()
+        ]
+        in_b = (did % 2).astype(np.int64)
+        df = pd.DataFrame({"k": ks, "in_a": 1 - in_b, "in_b": in_b}).groupby(
+            "k", as_index=False
+        ).max()
+        return pa.table(
+            {
+                "k": pa.array(df["k"], pa.string()),
+                "in_a": pa.array(df["in_a"].to_numpy(), pa.int64()),
+                "in_b": pa.array(df["in_b"].to_numpy(), pa.int64()),
+            }
+        )
+
+    def classify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "in_a" not in batch.schema.names:
+            return pa.table(
+                {"status": pa.array([], pa.string()), "n_keys": pa.array([], pa.int64())}
+            )
+        a = batch["in_a"].to_numpy(zero_copy_only=False) > 0
+        b = batch["in_b"].to_numpy(zero_copy_only=False) > 0
+        status = np.where(a & b, "common", np.where(a, "removed", "added"))
+        uk, cnt = np.unique(status, return_counts=True)
+        return pa.table(
+            {
+                "status": pa.array(uk, pa.string()),
+                "n_keys": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
+        .map_batches(classify, batch_format="pyarrow")
+        .groupby("status")
+        .aggregate(Sum("n_keys", alias_name="n_keys"))
+    )
+
+
+def events_dedup_idempotent(sf_dir: str) -> "rd.Dataset":
+    """At-least-once delivery dedup — the idempotency-window collapse every
+    event-ingest pipeline runs: events with the same (user_id, event_type)
+    inside the same clock hour are one logical event; keep the smallest
+    event_id, report the duplicate count.  Emits (user_id, event_type,
+    window_start, keep_event_id, n_dups); NULL event_type and NULL ts keep
+    their own groups (SQL GROUP BY semantics) via fill+flag keys.
+
+    Scale shape: the window key is computed map-side (vectorized timestamp
+    floor — the :func:`events_hourly` kernel) and each batch pre-compacts
+    to one row per (user, type, window), so the ONE shuffle moves compacted
+    partials; group count is bounded by active (user, type, hour) combos,
+    not raw deliveries."""
+    SENT_TS = np.int64(-(2**62))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(
+            pc.fill_null(batch["ts"], pa.scalar(0, pa.timestamp("us"))), unit="hour"
+        ).cast(pa.int64())
+        ts_null = pc.is_null(batch["ts"]).to_numpy(zero_copy_only=False)
+        wn = w.to_numpy(zero_copy_only=False).copy()
+        wn[ts_null] = SENT_TS
+        et = pc.fill_null(batch["event_type"], "\x00NULL").to_pandas()
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "type_key": et,
+                "w_key": wn,
+                "event_id": batch["event_id"].to_numpy(zero_copy_only=False),
+            }
+        ).groupby(["user_id", "type_key", "w_key"], as_index=False).agg(
+            keep_event_id=("event_id", "min"), n_dups=("event_id", "size")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("type_key", pa.string()),
+                    ("w_key", pa.int64()),
+                    ("keep_event_id", pa.int64()),
+                    ("n_dups", pa.int64()),
+                ]
+            )
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "w_key" not in batch.schema.names:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "window_start": pa.array([], pa.timestamp("us")),
+                    "keep_event_id": pa.array([], pa.int64()),
+                    "n_dups": pa.array([], pa.int64()),
+                }
+            )
+        wk = batch["w_key"].to_numpy(zero_copy_only=False)
+        w = pa.array(
+            np.where(wk == SENT_TS, np.int64(0), wk), pa.int64()
+        ).cast(pa.timestamp("us"))
+        w = pc.if_else(
+            pa.array(wk == SENT_TS), pa.scalar(None, pa.timestamp("us")), w
+        )
+        et = pc.if_else(
+            pc.equal(batch["type_key"], "\x00NULL"),
+            pa.scalar(None, pa.string()),
+            batch["type_key"],
+        )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_type": et,
+                "window_start": w,
+                "keep_event_id": batch["keep_event_id"],
+                "n_dups": batch["n_dups"],
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["user_id", "type_key", "w_key"])
+        .aggregate(
+            Min("keep_event_id", alias_name="keep_event_id"),
+            Sum("n_dups", alias_name="n_dups"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )

@@ -117,7 +117,11 @@ Historical cede decisions (why each out-of-window entry is safe):
   `doc_length_histogram`; `lang_centroids` (r3-green; its union-tag
   bucket-join machinery stays driven in-window by `bitext_mine_pairs`) →
   `customer_order_full_join` (which itself exercises the union-tag groupby
-  as a FULL OUTER join in-window).
+  as a FULL OUTER join in-window); `sequence_pack_offsets` (r3-green; its
+  histogram-offset prefix-sum machinery stays driven in-window by
+  `stratified_sample`) → `crawl_delta`; `fuzzy_dedup_keep` (r3-green;
+  in-window `semantic_dedup_docs` drives the same union-tag anti-join keep
+  over the same embedding pair source) → `events_dedup_idempotent`.
 """
 
 

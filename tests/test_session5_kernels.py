@@ -369,3 +369,51 @@ def test_blocklist_filter_counts(ray_session, tmp_path):
     out = analysis.blocklist_filter(str(d)).to_pandas().set_index("source")
     assert out.loc["A", "n_dropped"] == 2 and out.loc["A", "n_kept"] == 0
     assert out.loc["B", "n_kept"] == 2 and out.loc["B", "n_dropped"] == 0
+
+
+def test_crawl_delta_hand_case(ray_session, tmp_path):
+    d = tmp_path / "delta"
+    d.mkdir()
+    # key = md5 of 40-char prefix; doc 0 (A) and doc 1 (B) share text ->
+    # common; doc 2 (A) unique -> removed; doc 3 (B) unique -> added
+    _docs_table(d, [
+        (0, "same text", "en", "A", 9),
+        (1, "same text", "en", "A", 9),
+        (2, "only in crawl a", "en", "A", 15),
+        (3, "only in crawl b", "en", "A", 15),
+    ])
+    out = analysis.crawl_delta(str(d)).to_pandas().set_index("status")
+    assert out.loc["common", "n_keys"] == 1
+    assert out.loc["removed", "n_keys"] == 1
+    assert out.loc["added", "n_keys"] == 1
+
+
+def test_events_dedup_idempotent_window(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "edd"
+    d.mkdir()
+    t = datetime.datetime(2026, 1, 5, 10, 15)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([5, 3, 9, 11], pa.int64()),
+                "ts": pa.array(
+                    [t, t + datetime.timedelta(minutes=20), None,
+                     t + datetime.timedelta(hours=2)],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+                "event_type": pa.array(["click", "click", "click", "click"]),
+            }
+        ),
+        d / "events.parquet",
+    )
+    out = analysis.events_dedup_idempotent(str(d)).to_pandas()
+    # events 5 and 3 share (user, type, 10:00) -> keep 3, n=2; NULL ts its
+    # own group; the +2h event alone
+    by_keep = out.set_index("keep_event_id")
+    assert by_keep.loc[3, "n_dups"] == 2
+    assert by_keep.loc[9, "n_dups"] == 1 and pd.isna(by_keep.loc[9, "window_start"])
+    assert by_keep.loc[11, "n_dups"] == 1
