@@ -330,7 +330,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-window by gopher_quality_flags; still pytest-gated)
         "rolling_active_users": analysis.rolling_active_users,
         # --- SQL-checkable operators -------------------------------------
-        "per_source_cap": analysis.per_source_cap,
         # (events_hourly_distinct_users is NEW r4 — windowed grouped
         # DISTINCT; holds the slot ceded by events_json_kpi, r2-green and
         # unchanged, whose vectorized-RE2 extraction machinery stays driven
@@ -436,7 +435,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semantic_dedup_docs drives the same union-tag anti-join keep over
         # the same embedding pair source)
         "events_dedup_idempotent": analysis.events_dedup_idempotent,
-        "revenue_by_supplier_nation": relational.revenue_by_supplier_nation,
+        # (slot from revenue_by_supplier_nation — r2-green, unchanged; the
+        # new in-window top_supplier_revenue drives the same dimension
+        # broadcast + grouped-cents machinery)
+        "kmeans_train": analysis.kmeans_train,
+        # (slot from per_source_cap — r2-green, unchanged; in-window
+        # top_revenue_orders drives the same per-batch top-k cut machinery)
+        "knn_self_top1": analysis.knn_self_top1,
         "events_purchases_within_hour": relational.events_purchases_within_hour,
         "token_count_bpe": analysis.token_count_bpe,
         "top_revenue_orders": relational.top_revenue_orders,
@@ -455,6 +460,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the named in-window sibling driving the same machinery; see the
         # slot comments above and QUERIES.md)
         "orders_by_mktsegment": relational.orders_by_mktsegment,
+        "revenue_by_supplier_nation": relational.revenue_by_supplier_nation,
+        "per_source_cap": analysis.per_source_cap,
         "sequence_pack_offsets": analysis.sequence_pack_offsets,
         "fuzzy_dedup_keep": analysis.fuzzy_dedup_keep,
         "lang_centroids": analysis.lang_centroids,
@@ -2156,6 +2163,111 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN doc_id % 40 IN (0, 7, 13, 21, 34)
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
             FROM documents GROUP BY source
+        """,
+        "kmeans_train": """
+            WITH e AS (
+                SELECT vec_id,
+                       CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings
+            ),
+            c0 AS (SELECT vec_id AS cid, i, x AS c FROM e WHERE vec_id < 8),
+            k0 AS (
+                SELECT cid, row_number() OVER (ORDER BY cid) - 1 AS cluster
+                FROM (SELECT DISTINCT cid FROM c0)
+            ),
+            cc0 AS (SELECT k0.cluster, c0.i, c0.c FROM c0 JOIN k0 USING (cid)),
+            a1 AS (
+                SELECT vec_id, cluster FROM (
+                    SELECT e.vec_id, c.cluster,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY sum((e.x - c.c)*(e.x - c.c)), c.cluster) AS rn
+                    FROM e JOIN cc0 c USING (i)
+                    GROUP BY e.vec_id, c.cluster
+                ) WHERE rn = 1
+            ),
+            m1 AS (
+                SELECT a1.cluster, e.i, sum(e.x)/count(*) AS mx
+                FROM a1 JOIN e USING (vec_id) GROUP BY 1, 2
+            ),
+            cc1 AS (
+                SELECT cc0.cluster, cc0.i, coalesce(m1.mx, cc0.c) AS c
+                FROM cc0 LEFT JOIN m1
+                  ON m1.cluster = cc0.cluster AND m1.i = cc0.i
+            ),
+            a2 AS (
+                SELECT vec_id, cluster FROM (
+                    SELECT e.vec_id, c.cluster,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY sum((e.x - c.c)*(e.x - c.c)), c.cluster) AS rn
+                    FROM e JOIN cc1 c USING (i)
+                    GROUP BY e.vec_id, c.cluster
+                ) WHERE rn = 1
+            ),
+            m2 AS (
+                SELECT a2.cluster, e.i, sum(e.x)/count(*) AS mx
+                FROM a2 JOIN e USING (vec_id) GROUP BY 1, 2
+            ),
+            cc2 AS (
+                SELECT cc1.cluster, cc1.i, coalesce(m2.mx, cc1.c) AS c
+                FROM cc1 LEFT JOIN m2
+                  ON m2.cluster = cc1.cluster AND m2.i = cc1.i
+            ),
+            m3 AS (
+                SELECT a3.cluster, e.i, sum(e.x)/count(*) AS mx
+                FROM (
+                    SELECT vec_id, cluster FROM (
+                        SELECT e.vec_id, c.cluster,
+                               row_number() OVER (PARTITION BY e.vec_id
+                                   ORDER BY sum((e.x - c.c)*(e.x - c.c)), c.cluster) AS rn
+                        FROM e JOIN cc2 c USING (i)
+                        GROUP BY e.vec_id, c.cluster
+                    ) WHERE rn = 1
+                ) a3 JOIN e USING (vec_id) GROUP BY 1, 2
+            ),
+            cc3 AS (
+                SELECT cc2.cluster, cc2.i, coalesce(m3.mx, cc2.c) AS c
+                FROM cc2 LEFT JOIN m3
+                  ON m3.cluster = cc2.cluster AND m3.i = cc2.i
+            )
+            SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c.cluster,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY sum((e.x - c.c)*(e.x - c.c)), c.cluster) AS rn
+                FROM e JOIN cc3 c USING (i)
+                GROUP BY e.vec_id, c.cluster
+            ) WHERE rn = 1
+        """,
+        "knn_self_top1": """
+            WITH e AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) AS i,
+                       CAST(unnest(embedding) AS DOUBLE) AS x
+                FROM embeddings
+            ),
+            nrm AS (
+                SELECT vec_id,
+                       CASE WHEN sqrt(sum(x*x)) = 0 THEN 1.0
+                            ELSE sqrt(sum(x*x)) END AS nv
+                FROM e GROUP BY 1
+            ),
+            dot AS (
+                SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.x*b.x) AS d
+                FROM e a JOIN e b ON a.i = b.i AND a.vec_id <> b.vec_id
+                GROUP BY 1, 2
+            ),
+            cs AS (
+                SELECT va, vb, d/(na.nv*nb.nv) AS c
+                FROM dot
+                JOIN nrm na ON na.vec_id = va
+                JOIN nrm nb ON nb.vec_id = vb
+            )
+            SELECT va AS vec_id, vb AS nn_vec_id, round(c, 5) AS cos
+            FROM (SELECT va, vb, c,
+                         row_number() OVER (PARTITION BY va
+                             ORDER BY c DESC, vb) AS rn
+                  FROM cs)
+            WHERE rn = 1
         """,
         "crawl_delta": """
             WITH k AS (

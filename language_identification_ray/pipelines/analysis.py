@@ -7255,3 +7255,174 @@ def events_dedup_idempotent(sf_dir: str) -> "rd.Dataset":
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def kmeans_train(sf_dir: str, k: int = 8, iters: int = 3) -> "rd.Dataset":
+    """Multi-iteration Lloyd k-means over the embedding table — the
+    training loop :func:`kmeans_assign` is one step of, and the coarse
+    quantizer IVF layouts are built from.  Initial centroids are the
+    vectors of the ``k`` smallest vec_ids (the kmeans_assign convention, so
+    the oracle reconstructs them); each iteration assigns every vector to
+    its nearest centroid (squared L2, ties to the smaller cluster id) and
+    recomputes centroid means; empty clusters keep their previous centroid
+    on BOTH engines.  Emits the final assignment (vec_id, cluster) — all
+    integers, so the oracle compare is exact; the only float hazard is an
+    argmin near-tie at the 1e-15 level between two random centroids, the
+    same accepted risk as :func:`kmeans_assign`'s rounded distance.
+
+    Scale shape: per iteration, ONE map-only assignment pass (a (n×k)
+    matmul per batch against the broadcast centroid matrix) emitting
+    (cluster, dim)-exploded partial sums — k·d rows per batch regardless
+    of corpus size — and one (cluster, dim)-keyed groupby whose k·d-row
+    result the driver folds into the next centroid matrix.  The corpus
+    never shuffles; only fixed-size partials do."""
+    import pyarrow.parquet as pq_
+    from language_identification_ray.stages.knn import _as_matrix
+
+    tbl = pq_.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    )
+    empty = pa.table(
+        {"vec_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+    )
+    if tbl.num_rows == 0:
+        return rd.from_arrow(empty)
+    order = np.argsort(tbl["vec_id"].to_numpy())
+    C = _as_matrix(tbl["embedding"])[order]  # (k', d) float64, cluster = row
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def make_update(Cm):
+        c_sq = (Cm * Cm).sum(axis=1)
+
+        def update(batch: pa.Table) -> pa.Table:
+            X = _as_matrix(batch["embedding"])
+            kk, d = Cm.shape
+            if X.shape[0] == 0:
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "dim": pa.array([], pa.int64()),
+                        "s": pa.array([], pa.float64()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ Cm.T) + c_sq[None, :]
+            best = np.argmin(d2, axis=1)
+            sums = np.zeros((kk, d))
+            np.add.at(sums, best, X)
+            cnt = np.bincount(best, minlength=kk).astype(np.int64)
+            ci = np.repeat(np.arange(kk, dtype=np.int64), d)
+            return pa.table(
+                {
+                    "cluster": pa.array(ci, pa.int64()),
+                    "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), kk)),
+                    "s": pa.array(sums.ravel()),
+                    "n": pa.array(np.repeat(cnt, d), pa.int64()),
+                }
+            )
+
+        return update
+
+    for _ in range(iters):
+        rows = (
+            emb.map_batches(make_update(C), batch_format="pyarrow")
+            .groupby(["cluster", "dim"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .take_all()  # k·d rows — fixed size at any corpus scale
+        )
+        newC = C.copy()  # empty clusters keep their previous centroid
+        for r in rows:
+            if r["n"] > 0:
+                newC[r["cluster"], r["dim"]] = r["s"] / r["n"]
+        C = newC
+
+    c_sq = (C * C).sum(axis=1)
+    Cf = C
+
+    def assign(batch: pa.Table) -> pa.Table:
+        X = _as_matrix(batch["embedding"])
+        if X.shape[0] == 0:
+            return empty
+        d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ Cf.T) + c_sq[None, :]
+        best = np.argmin(d2, axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "cluster": pa.array(best, pa.int64()),
+            }
+        )
+
+    return emb.map_batches(assign, batch_format="pyarrow")
+
+
+def knn_self_top1(sf_dir: str, max_broadcast: int = 4_000_000) -> "rd.Dataset":
+    """Exact kNN graph, top-1: every vector's single best-cosine neighbor
+    (self excluded, ties to the smaller vec_id) — the primitive SemDeDup /
+    graph-clustering / hubness audits build on.  Emits (vec_id, nn_vec_id,
+    cos) with cos rounded to 5 decimals (the embedding-family float
+    convention).
+
+    Scale shape: the normalized matrix broadcasts once (size-gated at
+    ``max_broadcast`` rows — beyond it the scale path is the repo's IVF
+    machinery in `stages/knn.py`, exactly like `knn_cosine_top10`'s
+    docstring path); each batch answers with ONE (b×n) matmul, self masked,
+    argmax taken vectorized.  Map-only — no shuffle."""
+    import pyarrow.parquet as pq_
+    from language_identification_ray.stages.knn import _as_matrix
+
+    tbl = pq_.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "nn_vec_id": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64()),
+        }
+    )
+    if tbl.num_rows < 2:
+        return rd.from_arrow(empty)
+    if tbl.num_rows > max_broadcast:
+        raise ValueError(
+            "knn_self_top1 broadcasts the full matrix; beyond "
+            f"{max_broadcast} rows use the IVF path (stages/knn.py)"
+        )
+    import ray
+
+    ids = tbl["vec_id"].to_numpy().astype(np.int64)
+    M = _as_matrix(tbl["embedding"])
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0.0] = 1.0
+    Mn = M / norms[:, None]
+    ref = ray.put((ids, Mn))
+
+    def top1(batch: pa.Table) -> pa.Table:
+        bids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        X = _as_matrix(batch["embedding"])
+        if X.shape[0] == 0:
+            return empty
+        aids, A = ray.get(ref)
+        xn = np.linalg.norm(X, axis=1)
+        xn[xn == 0.0] = 1.0
+        S = (X / xn[:, None]) @ A.T  # (b, n) cosines
+        # mask self: vec_id equality, not row position (batches are slices)
+        self_mask = bids[:, None] == aids[None, :]
+        S[self_mask] = -np.inf
+        # argmax with ties to the smaller neighbor id: argmax returns the
+        # FIRST max; aids ascend with vec_id order in the parquet, which is
+        # already sorted by vec_id in the fixtures — sort defensively
+        order = np.argsort(aids, kind="stable")
+        S = S[:, order]
+        aids_sorted = aids[order]
+        best = np.argmax(S, axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(bids, pa.int64()),
+                "nn_vec_id": pa.array(aids_sorted[best], pa.int64()),
+                "cos": pa.array(np.round(S[np.arange(len(best)), best], 5)),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(top1, batch_format="pyarrow")

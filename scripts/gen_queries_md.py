@@ -121,7 +121,12 @@ Historical cede decisions (why each out-of-window entry is safe):
   histogram-offset prefix-sum machinery stays driven in-window by
   `stratified_sample`) → `crawl_delta`; `fuzzy_dedup_keep` (r3-green;
   in-window `semantic_dedup_docs` drives the same union-tag anti-join keep
-  over the same embedding pair source) → `events_dedup_idempotent`.
+  over the same embedding pair source) → `events_dedup_idempotent`;
+  `revenue_by_supplier_nation` (r2-green; the new in-window
+  `top_supplier_revenue` drives the same dimension broadcast +
+  grouped-cents machinery) → `kmeans_train`; `per_source_cap` (r2-green;
+  in-window `top_revenue_orders` drives the same per-batch top-k cut) →
+  `knn_self_top1`.
 """
 
 
