@@ -417,3 +417,69 @@ def test_events_dedup_idempotent_window(ray_session, tmp_path):
     assert by_keep.loc[3, "n_dups"] == 2
     assert by_keep.loc[9, "n_dups"] == 1 and pd.isna(by_keep.loc[9, "window_start"])
     assert by_keep.loc[11, "n_dups"] == 1
+
+
+# ---------------------------------------------------------------------------
+# property tests: the dedup normalizers are INVARIANT under exactly the noise
+# they claim to erase
+
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+
+def _norm_key(texts):
+    """The normalized_exact_dedup key chain, inline (synth=False)."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    t = pa.array(texts, pa.string())
+    norm = pc.utf8_trim(
+        pc.replace_substring_regex(pc.utf8_lower(t), r"\s+", " "), " "
+    )
+    return [hashlib.md5(s.encode()).hexdigest() for s in norm.to_pylist()]
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=6), min_size=1, max_size=8
+    ),
+    seps=st.lists(st.sampled_from([" ", "  ", "\t", " \t ", "\n"]), min_size=8, max_size=8),
+    caps=st.lists(st.booleans(), min_size=8, max_size=8),
+    pad=st.sampled_from(["", " ", "\t ", "  \n"]),
+)
+def test_normalized_key_invariant_under_case_and_whitespace(words, seps, caps, pad):
+    base = " ".join(words)
+    noisy = pad + seps[0].join(
+        w.upper() if c else w for w, c in zip(words, caps)
+    ) + pad
+    k_base, k_noisy = _norm_key([base, noisy])
+    assert k_base == k_noisy
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    host=st.text(alphabet="abcXYZ", min_size=3, max_size=8),
+    path=st.text(alphabet="abc059", min_size=0, max_size=6),
+    frag=st.text(alphabet="abc1", min_size=0, max_size=4),
+    q=st.sampled_from(["", "?utm_source=x", "?sid=42&utm_medium=m", "?a=1&b=2"]),
+    slashes=st.integers(min_value=0, max_value=3),
+)
+def test_url_canon_invariant_under_tracking_noise(host, path, frag, q, slashes):
+    import pyarrow.compute as pc
+
+    def canon(url):
+        a = pa.array([url], pa.string())
+        c = pc.utf8_lower(a)
+        c = pc.replace_substring_regex(c, r"#.*$", "")
+        c = pc.replace_substring_regex(c, r"\?.*$", "")
+        c = pc.replace_substring_regex(c, r"/+$", "")
+        return c.to_pylist()[0]
+
+    clean = f"https://{host}.org/{path}".lower().rstrip("/")
+    noisy = f"https://{host}.org/{path}" + "/" * slashes + q + (
+        f"#{frag}" if frag else ""
+    )
+    assert canon(noisy) == clean
