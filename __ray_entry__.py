@@ -322,7 +322,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_per_user": analysis.events_latest_per_user,
         "mixture_plan": analysis.mixture_plan,
         "substring_dup_pairs": analysis.substring_dup_pairs,
-        "bm25_topk": analysis.bm25_topk,
         "stratified_sample": analysis.stratified_sample,
         # (rolling_active_users is NEW r4 — sliding-window DISTINCT via
         # fan-out dedup; holds the slot ceded by word_entropy, r3-green and
@@ -442,6 +441,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (slot from per_source_cap — r2-green, unchanged; in-window
         # top_revenue_orders drives the same per-batch top-k cut machinery)
         "knn_self_top1": analysis.knn_self_top1,
+        # (slot from bm25_topk — r2-green, unchanged; in-window
+        # tfidf_top5_per_lang drives the same tf/idf scoring cascade)
+        "nation_trade_volume": relational.nation_trade_volume,
         "events_purchases_within_hour": relational.events_purchases_within_hour,
         "token_count_bpe": analysis.token_count_bpe,
         "top_revenue_orders": relational.top_revenue_orders,
@@ -460,6 +462,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the named in-window sibling driving the same machinery; see the
         # slot comments above and QUERIES.md)
         "orders_by_mktsegment": relational.orders_by_mktsegment,
+        "bm25_topk": analysis.bm25_topk,
         "revenue_by_supplier_nation": relational.revenue_by_supplier_nation,
         "per_source_cap": analysis.per_source_cap,
         "sequence_pack_offsets": analysis.sequence_pack_offsets,
@@ -2163,6 +2166,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN doc_id % 40 IN (0, 7, 13, 21, 34)
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
             FROM documents GROUP BY source
+        """,
+        "nation_trade_volume": """
+            WITH li AS (
+                SELECT l_orderkey, l_suppkey,
+                       CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
+                            AS BIGINT) AS rc,
+                       CAST(year(l_shipdate) AS BIGINT) AS year
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1998-01-01'
+            )
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   li.year, CAST(sum(li.rc) AS BIGINT) AS revenue_cents
+            FROM li
+            JOIN supplier s ON s.s_suppkey = li.l_suppkey
+            JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+            JOIN orders o ON o.o_orderkey = li.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+            WHERE ns.n_nationkey <> nc.n_nationkey
+            GROUP BY 1, 2, 3
         """,
         "kmeans_train": """
             WITH e AS (

@@ -2482,3 +2482,183 @@ def customer_order_full_join(sf_dir: str) -> "rd.Dataset":
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def nation_trade_volume(
+    sf_dir: str,
+    start: str = "1996-01-01",
+    end: str = "1998-01-01",
+    n_buckets: int = 1024,
+) -> "rd.Dataset":
+    """TPC-H-Q7-shaped bilateral trade volume: revenue by (supplier nation,
+    customer nation, ship year) over the window, cross-nation pairs only —
+    the two-sided star + fact-fact join shape (two DIMENSION sidecars feed
+    the two facts; the facts meet on orderkey).  Emits (supp_nation,
+    cust_nation, year, revenue_cents).
+
+    Scale shape: supplier→nation and customer→nation are dimension
+    sidecars (driver-composed sorted arrays, ``searchsorted`` probes —
+    the `revenue_by_supplier_nation` broadcast rule); lineitem
+    pre-aggregates per batch to (orderkey, supp_nation, year, cents) and
+    orders to (orderkey, cust_nation); the ONE wide exchange is an
+    orderkey-hash BUCKET groupby (`returned_item_revenue`'s co-partition
+    machinery — ≤ |orders|/n_buckets rows per group, vectorized
+    searchsorted attach inside), after which ≤ 25×25×years partials fold
+    in a tiny second groupby.  Neither fact ever broadcasts."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    lo = datetime.datetime.fromisoformat(start)
+    hi = datetime.datetime.fromisoformat(end)
+
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nkeys = nat["n_nationkey"].to_numpy().astype(np.int64)
+    norder = np.argsort(nkeys)
+    nkeys_sorted = nkeys[norder]
+    nnames = np.asarray(nat["n_name"].to_pylist(), dtype=object)[norder]
+
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    skeys = sup["s_suppkey"].to_numpy().astype(np.int64)
+    sorder = np.argsort(skeys)
+    skeys_sorted = skeys[sorder]
+    snation = sup["s_nationkey"].to_numpy().astype(np.int64)[sorder]
+
+    cust = _pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    ckeys = cust["c_custkey"].to_numpy().astype(np.int64)
+    corder = np.argsort(ckeys)
+    ckeys_sorted = ckeys[corder]
+    cnation = cust["c_nationkey"].to_numpy().astype(np.int64)[corder]
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = price * (1.0 - disc)
+        year = (
+            batch["l_shipdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        spos, sfound = _probe_sorted(skeys_sorted, sk.astype(np.int64))
+        m = sfound & np.isfinite(rev) & ~np.isnan(okey.astype(np.float64))
+        okey, rev, year, spos = okey[m], rev[m], year[m], spos[m]
+        sn = snation[spos]
+        df_keys = np.stack([okey.astype(np.int64), sn, year], axis=1)
+        uk, inv = np.unique(df_keys, axis=0, return_inverse=True)
+        cents = np.bincount(inv, weights=_cents_np(rev).astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array((uk[:, 0] % n_buckets).astype(np.int64)),
+                "okey": pa.array(uk[:, 0], pa.int64()),
+                "sn": pa.array(uk[:, 1], pa.int64()),
+                "year": pa.array(uk[:, 2], pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "cn": pa.array(np.full(len(uk), -1, np.int64)),
+                "is_order": pa.array(np.zeros(len(uk), np.int64)),
+            }
+        )
+
+    def ord_rows(batch: pa.Table) -> pa.Table:
+        ok = batch["o_orderkey"].drop_null()
+        okey = ok.to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = (
+            batch["o_custkey"]
+            .to_numpy(zero_copy_only=False)[pc.is_valid(batch["o_orderkey"]).to_numpy(zero_copy_only=False)]
+        )
+        cpos, cfound = _probe_sorted(ckeys_sorted, np.nan_to_num(ck, nan=-1).astype(np.int64))
+        okey = okey[cfound]
+        cn = cnation[cpos[cfound]]
+        n = len(okey)
+        return pa.table(
+            {
+                "bucket": pa.array((okey % n_buckets).astype(np.int64)),
+                "okey": pa.array(okey, pa.int64()),
+                "sn": pa.array(np.full(n, -1, np.int64)),
+                "year": pa.array(np.zeros(n, np.int64)),
+                "cents": pa.array(np.zeros(n, np.int64)),
+                "cn": pa.array(cn, pa.int64()),
+                "is_order": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "sn": pa.array([], pa.int64()),
+                "cn": pa.array([], pa.int64()),
+                "year": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+            }
+        )
+        is_order = group["is_order"].to_numpy(zero_copy_only=False) > 0
+        if is_order.all() or not is_order.any():
+            return empty
+        o_keys = group["okey"].to_numpy(zero_copy_only=False)[is_order]
+        o_cn = group["cn"].to_numpy(zero_copy_only=False)[is_order]
+        oo = np.argsort(o_keys)
+        o_keys, o_cn = o_keys[oo], o_cn[oo]
+        li_keys = group["okey"].to_numpy(zero_copy_only=False)[~is_order]
+        pos, found = _probe_sorted(o_keys, li_keys)
+        if not found.any():
+            return empty
+        sn = group["sn"].to_numpy(zero_copy_only=False)[~is_order][found]
+        year = group["year"].to_numpy(zero_copy_only=False)[~is_order][found]
+        cents = group["cents"].to_numpy(zero_copy_only=False)[~is_order][found]
+        cn = o_cn[pos[found]]
+        keys = np.stack([sn, cn, year], axis=1)
+        uk, inv = np.unique(keys, axis=0, return_inverse=True)
+        s = np.bincount(inv, weights=cents.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "sn": pa.array(uk[:, 0], pa.int64()),
+                "cn": pa.array(uk[:, 1], pa.int64()),
+                "year": pa.array(uk[:, 2], pa.int64()),
+                "cents": pa.array(s, pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "sn" not in batch.schema.names:
+            return pa.table(
+                {
+                    "supp_nation": pa.array([], pa.string()),
+                    "cust_nation": pa.array([], pa.string()),
+                    "year": pa.array([], pa.int64()),
+                    "revenue_cents": pa.array([], pa.int64()),
+                }
+            )
+        sn = batch["sn"].to_numpy(zero_copy_only=False)
+        cn = batch["cn"].to_numpy(zero_copy_only=False)
+        keep = sn != cn  # cross-nation pairs only (Q7's s_nation <> c_nation)
+        sn, cn = sn[keep], cn[keep]
+        spos, sf = _probe_sorted(nkeys_sorted, sn)
+        cpos, cf = _probe_sorted(nkeys_sorted, cn)
+        m = sf & cf  # dangling nationkeys drop like the SQL inner join
+        return pa.table(
+            {
+                "supp_nation": pa.array(nnames[spos[m]], pa.string()),
+                "cust_nation": pa.array(nnames[cpos[m]], pa.string()),
+                "year": batch["year"].filter(pa.array(keep)).filter(pa.array(m)),
+                "revenue_cents": batch["cents"].filter(pa.array(keep)).filter(pa.array(m)),
+            }
+        )
+
+    return (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .union(orders.map_batches(ord_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["sn", "cn", "year"])
+        .aggregate(Sum("cents", alias_name="cents"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )

@@ -126,7 +126,8 @@ Historical cede decisions (why each out-of-window entry is safe):
   `top_supplier_revenue` drives the same dimension broadcast +
   grouped-cents machinery) → `kmeans_train`; `per_source_cap` (r2-green;
   in-window `top_revenue_orders` drives the same per-batch top-k cut) →
-  `knn_self_top1`.
+  `knn_self_top1`; `bm25_topk` (r2-green; in-window `tfidf_top5_per_lang`
+  drives the same tf/idf scoring cascade) → `nation_trade_volume`.
 """
 
 
