@@ -235,7 +235,8 @@ DOC_SHAPES = {
 DOC_KERNELS = [
     "normalized_exact_dedup", "url_dedup", "embedding_covariance",
     "domain_pagerank", "bpe_pair_counts", "gram_novelty_by_bucket",
-    "blocklist_filter", "doc_length_histogram",
+    "blocklist_filter", "doc_length_histogram", "crawl_delta",
+    "kmeans_train", "knn_self_top1",
 ]
 
 
