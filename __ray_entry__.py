@@ -2139,7 +2139,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             pairs AS (
                 SELECT substr(word, i, 2) AS pair, sum(f) AS cnt
-                FROM wf, UNNEST(range(1, length(word))) AS t(i)
+                FROM wf, UNNEST(range(1, least(length(word), 64))) AS t(i)
                 GROUP BY 1
             )
             SELECT pair, CAST(cnt AS BIGINT) AS cnt

@@ -6872,7 +6872,7 @@ def domain_pagerank(
     )
 
 
-def bpe_pair_counts(sf_dir: str, k: int = 100) -> "rd.Dataset":
+def bpe_pair_counts(sf_dir: str, k: int = 100, max_word: int = 64) -> "rd.Dataset":
     """First BPE merge iteration at corpus scale (Sennrich et al. 2016):
     adjacent character-pair frequencies weighted by word frequency — the
     primitive a distributed tokenizer trainer loops.  Emits the top ``k``
@@ -6886,7 +6886,10 @@ def bpe_pair_counts(sf_dir: str, k: int = 100) -> "rd.Dataset":
     ``utf8_slice_codeunits`` per offset up to the batch's longest word
     (≤ a few dozen iterations, each over the whole batch), weights folded
     per batch before the final pair-keyed groupby.  Pairing is by
-    codepoint on both engines (ASCII corpus: identical to bytes)."""
+    codepoint on both engines (ASCII corpus: identical to bytes); pairs
+    past offset ``max_word`` are ignored on BOTH engines (the oracle's
+    ``i < max_word`` mirror) so a pathological megabyte "word" in a crawl
+    cannot turn the slide into a million iterations."""
 
     def word_partial(batch: pa.Table) -> pa.Table:
         vc = pc.value_counts(_one_chunk(_word_lists(batch).flatten()))
@@ -6907,7 +6910,7 @@ def bpe_pair_counts(sf_dir: str, k: int = 100) -> "rd.Dataset":
         lens = pc.utf8_length(words).to_numpy(zero_copy_only=False)
         out_pairs = []
         out_cnt = []
-        max_len = int(lens.max()) if len(lens) else 0
+        max_len = min(int(lens.max()) if len(lens) else 0, max_word)
         for i in range(max(0, max_len - 1)):
             m = lens > i + 1
             if not m.any():
