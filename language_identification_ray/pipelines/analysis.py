@@ -6748,7 +6748,9 @@ def embedding_covariance(sf_dir: str) -> "rd.Dataset":
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        emb = _one_chunk(batch["embedding"])
+        # NULL embedding rows drop (SQL's unnest emits no rows for them);
+        # dropping BEFORE flatten keeps the reshape row-aligned
+        emb = _one_chunk(batch["embedding"]).drop_null()
         if len(emb) == 0:
             return empty
         d = len(emb[0])
@@ -7190,20 +7192,27 @@ def events_dedup_idempotent(sf_dir: str) -> "rd.Dataset":
         wn = w.to_numpy(zero_copy_only=False).copy()
         wn[ts_null] = SENT_TS
         et = pc.fill_null(batch["event_type"], "\x00NULL").to_pandas()
+        # fill+flag the user key too: a NULL user_id reads as float NaN and
+        # pandas groupby would silently DROP its rows, where SQL GROUP BY
+        # keeps the NULL group
+        u_null = pc.is_null(batch["user_id"]).to_numpy(zero_copy_only=False)
+        uid = pc.fill_null(batch["user_id"], 0).to_numpy(zero_copy_only=False)
         df = pd.DataFrame(
             {
-                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "user_key": uid.astype(np.int64),
+                "user_null": u_null,
                 "type_key": et,
                 "w_key": wn,
                 "event_id": batch["event_id"].to_numpy(zero_copy_only=False),
             }
-        ).groupby(["user_id", "type_key", "w_key"], as_index=False).agg(
+        ).groupby(["user_key", "user_null", "type_key", "w_key"], as_index=False).agg(
             keep_event_id=("event_id", "min"), n_dups=("event_id", "size")
         )
         return pa.Table.from_pandas(df, preserve_index=False).cast(
             pa.schema(
                 [
-                    ("user_id", pa.int64()),
+                    ("user_key", pa.int64()),
+                    ("user_null", pa.bool_()),
                     ("type_key", pa.string()),
                     ("w_key", pa.int64()),
                     ("keep_event_id", pa.int64()),
@@ -7235,9 +7244,12 @@ def events_dedup_idempotent(sf_dir: str) -> "rd.Dataset":
             pa.scalar(None, pa.string()),
             batch["type_key"],
         )
+        uid = pc.if_else(
+            batch["user_null"], pa.scalar(None, pa.int64()), batch["user_key"]
+        )
         return pa.table(
             {
-                "user_id": batch["user_id"],
+                "user_id": uid,
                 "event_type": et,
                 "window_start": w,
                 "keep_event_id": batch["keep_event_id"],
@@ -7251,7 +7263,7 @@ def events_dedup_idempotent(sf_dir: str) -> "rd.Dataset":
             columns=["event_id", "ts", "user_id", "event_type"],
         )
         .map_batches(partial, batch_format="pyarrow")
-        .groupby(["user_id", "type_key", "w_key"])
+        .groupby(["user_key", "user_null", "type_key", "w_key"])
         .aggregate(
             Min("keep_event_id", alias_name="keep_event_id"),
             Sum("n_dups", alias_name="n_dups"),

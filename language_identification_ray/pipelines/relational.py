@@ -2176,11 +2176,12 @@ def top_supplier_revenue(
         hit = batch.filter(m)
         k = hit["s_suppkey"].to_numpy(zero_copy_only=False)
         pos, found = _probe_sorted(skeys_sorted, k)
-        names = np.where(found, snames[pos], None)
+        # dangling suppkeys drop, matching the oracle's INNER JOIN supplier
+        hit = hit.filter(pa.array(found))
         return pa.table(
             {
                 "s_suppkey": hit["s_suppkey"],
-                "s_name": pa.array(names, pa.string()),
+                "s_name": pa.array(snames[pos[found]], pa.string()),
                 "total_revenue_cents": hit["total_revenue_cents"],
             }
         )
