@@ -5840,8 +5840,10 @@ def source_length_gini(sf_dir: str, n_buckets: int = 64) -> "rd.Dataset":
     ``c`` equal values ``v`` starting after ``m`` items contributes
     ``v·(c·m + c(c+1)/2)`` to the rank-weighted sum — closed-form over
     ties, so no per-document sort exists anywhere.  All three reduction
-    terms are exact int64; both engines perform the single double division
-    last, so results are IEEE-bit identical with no rounding step.  NULL
+    terms are exact arbitrary-precision ints (object dtype — s1 ~ n²·len/2
+    wraps int64 at corpus scale while SQL's HUGEINT does not); both engines
+    perform the single double division last, so results are IEEE-bit
+    identical with no rounding step.  NULL
     lengths drop (SQL ``WHERE n_chars IS NOT NULL``); an all-zero-length
     source yields NULL (SQL NULLIF denominator); NULL source is its own
     group.
