@@ -310,10 +310,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_metadata": media_metadata_q,
         # --- NEW session-2 kernels: hold window slots (ordering NOTE) -----
         "events_user_interarrival": analysis.events_user_interarrival,
-        "cross_source_dup_stats": analysis.cross_source_dup_stats,
-        "kmeans_assign": analysis.kmeans_assign,
         "source_unigram_kl": analysis.source_unigram_kl,
-        "dsir_importance_weights": analysis.dsir_importance_weights,
+        # --- NEW session-6 kernels: hold the slots ceded by kmeans_assign
+        # (r3-green, unchanged — in-window kmeans_train RUNS the identical
+        # assignment step every Lloyd iteration), cross_source_dup_stats
+        # (r3-green, unchanged — in-window normalized_exact_dedup + url_dedup
+        # drive the same hash-keyed dedup rollup), and
+        # dsir_importance_weights (r3-green, unchanged — in-window
+        # source_unigram_kl drives the same unigram log-ratio machinery);
+        # audit trail in QUERIES.md -----------------------------------------
+        # (Q21-shaped grouped EXISTS/NOT-EXISTS: the sole-late-supplier
+        # set logic inside the orderkey bucket co-partition)
+        "sole_late_supplier": relational.sole_late_supplier,
+        # (Q8-shaped conditional share ratio over the two-sided star)
+        "regional_market_share": relational.regional_market_share,
+        # (map-only Flesch reading ease: three RE2 count kernels per batch)
+        "readability_scores": analysis.readability_scores,
         # --- NEW r4 kernels: hold the slots ceded by events_retention_cohorts
         # and user_trailing_spend (both r3-green, unchanged; their
         # groupby-user ordered / RANGE-window machinery stays driven
@@ -458,6 +470,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (each unchanged since its green row, or a trivial variant with a
         # checked in-window sibling — audit trail in QUERIES.md)
         "gopher_keep_rates": analysis.gopher_keep_rates,
+        # (r4 session-6 cedes — each r3-driver-green and byte-unchanged
+        # since, with the named in-window sibling; see the slot comments
+        # above and QUERIES.md)
+        "kmeans_assign": analysis.kmeans_assign,
+        "cross_source_dup_stats": analysis.cross_source_dup_stats,
+        "dsir_importance_weights": analysis.dsir_importance_weights,
         # (r4 session-4 cedes — each unchanged since its green round, with
         # the named in-window sibling driving the same machinery; see the
         # slot comments above and QUERIES.md)
@@ -2187,6 +2205,78 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation nc ON nc.n_nationkey = c.c_nationkey
             WHERE ns.n_nationkey <> nc.n_nationkey
             GROUP BY 1, 2, 3
+        """,
+        "sole_late_supplier": """
+            WITH j AS (
+                SELECT l.l_orderkey AS okey, l.l_suppkey AS skey,
+                       (l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY) AS late
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                WHERE l.l_suppkey IS NOT NULL
+            ),
+            per AS (
+                SELECT okey, skey,
+                       count(*) FILTER (WHERE late) AS n_late
+                FROM j GROUP BY okey, skey
+            ),
+            ord AS (
+                SELECT okey, count(*) AS n_supp,
+                       count(*) FILTER (WHERE n_late > 0) AS n_late_supp
+                FROM per GROUP BY okey
+            )
+            SELECT s.s_name, CAST(sum(p.n_late) AS BIGINT) AS numwait
+            FROM per p
+            JOIN ord USING (okey)
+            JOIN supplier s ON s.s_suppkey = p.skey
+            WHERE ord.n_supp >= 2 AND ord.n_late_supp = 1 AND p.n_late > 0
+            GROUP BY s.s_name
+            ORDER BY numwait DESC, s.s_name
+            LIMIT 100
+        """,
+        "regional_market_share": """
+            WITH rev AS (
+                SELECT CAST(year(l.l_shipdate) AS BIGINT) AS year,
+                       CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                                  + 0.5) AS BIGINT) AS rc,
+                       (ns.n_name = 'NATION_3') AS is_target
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+                JOIN region r ON r.r_regionkey = nc.n_regionkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+                WHERE r.r_name = 'AMERICA'
+                  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+            )
+            SELECT year,
+                   CAST(sum(CASE WHEN is_target THEN rc ELSE 0 END)
+                        AS BIGINT) AS nation_cents,
+                   CAST(sum(rc) AS BIGINT) AS total_cents,
+                   CAST(sum(CASE WHEN is_target THEN rc ELSE 0 END) AS DOUBLE)
+                       / NULLIF(sum(rc), 0) AS mkt_share
+            FROM rev GROUP BY year
+        """,
+        "readability_scores": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                       AS n_words,
+                   CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+                       AS n_sentences,
+                   CAST(len(regexp_extract_all(text, '[aeiouy]+', 0, 'i'))
+                        AS BIGINT) AS n_syllables,
+                   206.835
+                     - 1.015 * (CAST(len(regexp_extract_all(text, '\S+'))
+                                     AS DOUBLE)
+                                / NULLIF(len(regexp_extract_all(text,
+                                                                '[.!?]+')), 0))
+                     - 84.6 * (CAST(len(regexp_extract_all(text,
+                                        '[aeiouy]+', 0, 'i')) AS DOUBLE)
+                               / NULLIF(len(regexp_extract_all(text,
+                                                               '\S+')), 0))
+                       AS flesch
+            FROM documents
         """,
         "kmeans_train": """
             WITH e AS (

@@ -7443,3 +7443,50 @@ def knn_self_top1(sf_dir: str, max_broadcast: int = 4_000_000) -> "rd.Dataset":
     return rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(top1, batch_format="pyarrow")
+
+
+def readability_scores(sf_dir: str) -> "rd.Dataset":
+    """Per-document Flesch reading ease — the classic corpus-curation
+    readability analytic (quality filters gate on it alongside the Gopher
+    flags; no reference analogue, this is a training-data-pipeline
+    extension).  Emits ``(doc_id, n_words, n_sentences, n_syllables,
+    flesch)`` with ``n_words`` = ``\\S+`` runs, ``n_sentences`` =
+    ``[.!?]+`` runs, ``n_syllables`` = case-insensitive ``[aeiouy]+``
+    runs (the standard vowel-group syllable estimate), and ``flesch =
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``.
+
+    Both engines run the SAME RE2 patterns (Arrow
+    ``count_substring_regex`` here, DuckDB ``regexp_extract_all`` with
+    the ``'i'`` option there — both are RE2), and the float formula is
+    row-wise double arithmetic evaluated left-to-right on both sides, so
+    scores are IEEE-bit identical.  NULL text → NULL counts (SQL regexp
+    on NULL); zero words or zero sentences → NULL flesch (NULLIF
+    denominators).
+
+    Scale shape: pure map — one pruned ``(doc_id, text)`` scan, three
+    vectorized RE2 count kernels per batch, no exchange at all."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch["text"].combine_chunks()
+        w = pc.count_substring_regex(text, r"\S+").cast(pa.int64())
+        s = pc.count_substring_regex(text, r"[.!?]+").cast(pa.int64())
+        y = pc.count_substring_regex(text, r"(?i)[aeiouy]+").cast(pa.int64())
+        wn = w.to_numpy(zero_copy_only=False).astype(np.float64)
+        sn = s.to_numpy(zero_copy_only=False).astype(np.float64)
+        yn = y.to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            fl = 206.835 - 1.015 * (wn / sn) - 84.6 * (yn / wn)
+        bad = ~(np.isfinite(wn) & (wn > 0) & np.isfinite(sn) & (sn > 0))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": w,
+                "n_sentences": s,
+                "n_syllables": y,
+                "flesch": pa.array(np.where(bad, 0.0, fl), pa.float64(), mask=bad),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )

@@ -2663,3 +2663,420 @@ def nation_trade_volume(
         .aggregate(Sum("cents", alias_name="cents"))
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def sole_late_supplier(
+    sf_dir: str,
+    grace_days: int = 30,
+    k: int = 100,
+    n_buckets: int = 1024,
+) -> "rd.Dataset":
+    """TPC-H-Q21-shaped "suppliers who kept orders waiting": count, per
+    supplier, the late lineitems (``l_shipdate > o_orderdate + grace``)
+    in multi-supplier orders where that supplier was the ONLY late one —
+    the grouped EXISTS (another supplier participated) + NOT EXISTS (no
+    other supplier was also late) shape, the one relational pattern the
+    rest of the suite lacks (reference has no analogue; TPC-H Q21 adapted
+    to this schema's columns — no l_receiptdate/l_commitdate here, so
+    "late" is ship-vs-order-date).  Emits the top-``k`` ``(s_name,
+    numwait)`` by ``numwait DESC, s_name`` (names are unique, so the
+    LIMIT cutoff is deterministic).
+
+    Scale shape: supplier→name is a dimension sidecar (sorted-probe
+    broadcast); lineitem pre-compresses per batch to distinct
+    ``(orderkey, suppkey, ship_ns, cnt)`` rows (day-aligned dates make
+    runs common); the ONE wide exchange is the orderkey-hash BUCKET
+    co-partition with orders' ``(orderkey, odate_ns)`` rows, after which
+    the per-order set logic (distinct suppliers ≥ 2, distinct LATE
+    suppliers == 1) runs vectorized inside each bucket and emits at most
+    one ``(suppkey, cnt)`` row per qualifying order.  The final exchange
+    is a per-supplier Sum (≤ |supplier| rows) and the sort/limit runs on
+    that tiny rollup.  NULL suppkey lines drop on BOTH engines (the
+    ``<>``/GROUP BY semantics); NULL shipdate is never late but still
+    counts toward supplier presence; NULL orderdate orders join but can
+    have no late line (comparison NULL → false)."""
+    import pyarrow.parquet as _pq
+
+    grace_ns = np.int64(grace_days) * 86_400_000_000_000
+    NEG = np.int64(np.iinfo(np.int64).min // 4)  # "never late" sentinel
+
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    skeys = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    svalid = ~np.isnan(skeys.astype(np.float64))
+    skeys = skeys[svalid].astype(np.int64)
+    sorder = np.argsort(skeys)
+    skeys_sorted = skeys[sorder]
+    snames = np.asarray(sup["s_name"].to_pylist(), dtype=object)[svalid][sorder]
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        m = (
+            _pc.and_(
+                _pc.is_valid(batch["l_orderkey"]), _pc.is_valid(batch["l_suppkey"])
+            )
+        ).to_numpy(zero_copy_only=False)
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False)[m].astype(np.int64)
+        sk = batch["l_suppkey"].to_numpy(zero_copy_only=False)[m].astype(np.int64)
+        ship = batch["l_shipdate"].combine_chunks()
+        sv = _pc.is_valid(ship).to_numpy(zero_copy_only=False)[m]
+        # fill_null BEFORE to_numpy: a null-carrying int64 column otherwise
+        # round-trips through float64 and loses ns exactness at 1996-era
+        # epoch offsets (2^53 ns ≈ 104 days), flipping day-boundary compares
+        sn = (
+            _pc.fill_null(ship.cast(pa.timestamp("ns")).cast(pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)[m]
+        )
+        sn = np.where(sv, sn, NEG)
+        keys = np.stack([okey, sk, sn], axis=1)
+        uk, inv = np.unique(keys, axis=0, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array((uk[:, 0] % n_buckets).astype(np.int64)),
+                "okey": pa.array(uk[:, 0], pa.int64()),
+                "skey": pa.array(uk[:, 1], pa.int64()),
+                "ship_ns": pa.array(uk[:, 2], pa.int64()),
+                "cnt": pa.array(cnt, pa.int64()),
+                "is_order": pa.array(np.zeros(len(uk), np.int64)),
+            }
+        )
+
+    def ord_rows(batch: pa.Table) -> pa.Table:
+        ov = _pc.is_valid(batch["o_orderkey"]).to_numpy(zero_copy_only=False)
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)[ov].astype(np.int64)
+        od = batch["o_orderdate"].combine_chunks()
+        dv = _pc.is_valid(od).to_numpy(zero_copy_only=False)[ov]
+        dn = (
+            _pc.fill_null(od.cast(pa.timestamp("ns")).cast(pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)[ov]
+        )
+        # NULL orderdate → +inf/4 sentinel: no shipdate exceeds it + grace,
+        # so the order joins (suppliers still count) but never yields lates
+        dn = np.where(dv, dn, -NEG)
+        n = len(okey)
+        return pa.table(
+            {
+                "bucket": pa.array((okey % n_buckets).astype(np.int64)),
+                "okey": pa.array(okey, pa.int64()),
+                "skey": pa.array(np.zeros(n, np.int64)),
+                "ship_ns": pa.array(dn, pa.int64()),
+                "cnt": pa.array(np.zeros(n, np.int64)),
+                "is_order": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"skey": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+        )
+        is_order = group["is_order"].to_numpy(zero_copy_only=False) > 0
+        if is_order.all() or not is_order.any():
+            return empty
+        o_keys = group["okey"].to_numpy(zero_copy_only=False)[is_order]
+        o_date = group["ship_ns"].to_numpy(zero_copy_only=False)[is_order]
+        oo = np.argsort(o_keys)
+        o_keys, o_date = o_keys[oo], o_date[oo]
+        lk = group["okey"].to_numpy(zero_copy_only=False)[~is_order]
+        pos, found = _probe_sorted(o_keys, lk)
+        if not found.any():
+            return empty
+        lk = lk[found]
+        sk = group["skey"].to_numpy(zero_copy_only=False)[~is_order][found]
+        ship = group["ship_ns"].to_numpy(zero_copy_only=False)[~is_order][found]
+        cnt = group["cnt"].to_numpy(zero_copy_only=False)[~is_order][found]
+        late = ship > o_date[pos[found]] + grace_ns
+        # per (order, supplier): total late-line count; then per order:
+        # distinct suppliers and distinct late suppliers
+        o = np.lexsort((sk, lk))
+        lk, sk, cnt, late = lk[o], sk[o], cnt[o], late[o]
+        first = np.r_[True, (lk[1:] != lk[:-1]) | (sk[1:] != sk[:-1])]
+        pid = np.cumsum(first) - 1
+        n_pairs = int(pid[-1]) + 1
+        late_cnt = np.bincount(pid, weights=np.where(late, cnt, 0), minlength=n_pairs).astype(np.int64)
+        p_okey = lk[first]
+        p_skey = sk[first]
+        ofirst = np.r_[True, p_okey[1:] != p_okey[:-1]]
+        oid = np.cumsum(ofirst) - 1
+        n_orders = int(oid[-1]) + 1
+        n_supp = np.bincount(oid, minlength=n_orders)
+        n_late_supp = np.bincount(oid, weights=(late_cnt > 0), minlength=n_orders).astype(np.int64)
+        ok_order = (n_supp >= 2) & (n_late_supp == 1)
+        emit = ok_order[oid] & (late_cnt > 0)
+        if not emit.any():
+            return empty
+        return pa.table(
+            {
+                "skey": pa.array(p_skey[emit], pa.int64()),
+                "cnt": pa.array(late_cnt[emit], pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "skey" not in batch.schema.names:
+            return pa.table(
+                {
+                    "s_name": pa.array([], pa.string()),
+                    "numwait": pa.array([], pa.int64()),
+                }
+            )
+        sk = batch["skey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos, found = _probe_sorted(skeys_sorted, sk)
+        return pa.table(
+            {
+                "s_name": pa.array(snames[pos[found]], pa.string()),
+                "numwait": batch["sum(cnt)"].filter(pa.array(found)),
+            }
+        )
+
+    return (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .union(orders.map_batches(ord_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("skey")
+        .aggregate(Sum("cnt"))
+        .map_batches(finalize, batch_format="pyarrow")
+        .sort(["numwait", "s_name"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def regional_market_share(
+    sf_dir: str,
+    region: str = "AMERICA",
+    nation: str = "NATION_3",
+    start: str = "1996-01-01",
+    end: str = "1998-01-01",
+    n_buckets: int = 1024,
+) -> "rd.Dataset":
+    """TPC-H-Q8-shaped market share: within the ship-date window, the
+    fraction of revenue in ``region``'s customer market (customer →
+    nation → region chain) supplied by ``nation``, per ship year — the
+    conditional-share (CASE-sum / sum) grouped ratio over the two-sided
+    star, completing the Q5/Q7/Q8 family.  Emits ``(year, nation_cents,
+    total_cents, mkt_share)``; the single double division runs LAST on
+    exact int64 cent sums on both engines, so the share is IEEE-bit
+    identical.
+
+    Scale shape: both dimension chains collapse to sorted-probe sidecars
+    (custkey → in-region membership, suppkey → is-target flag — each one
+    driver-composed from the tiny dimension tables, broadcast once);
+    lineitem pre-aggregates per batch to ``(orderkey, year,
+    target_cents, total_cents)`` and orders ships only its IN-REGION
+    ``orderkey`` rows (the membership filter prunes the exchange at the
+    map side); the ONE wide exchange is the orderkey-hash bucket
+    co-partition, after which ≤ years partials fold in a tiny second
+    groupby.  Dangling keys anywhere along either chain drop the row,
+    matching the SQL inner joins; an all-zero-revenue year yields a NULL
+    share (NULLIF denominator)."""
+    import pyarrow.parquet as _pq
+
+    lo = datetime.datetime.fromisoformat(start)
+    hi = datetime.datetime.fromisoformat(end)
+
+    reg = _pq.read_table(f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"])
+    rmask = (
+        _pc.fill_null(_pc.equal(reg["r_name"], region), False)
+        .to_numpy(zero_copy_only=False)
+        .astype(bool)
+    )
+    rk = reg["r_regionkey"].to_numpy(zero_copy_only=False)[rmask]
+    rkeys = set(rk[~np.isnan(rk.astype(np.float64))].astype(np.int64))
+
+    nat = _pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    nk = nat["n_nationkey"].to_numpy(zero_copy_only=False)
+    nv = ~np.isnan(nk.astype(np.float64))
+    nk = nk[nv].astype(np.int64)
+    nreg = nat["n_regionkey"].to_numpy(zero_copy_only=False)[nv]
+    nname = np.asarray(nat["n_name"].to_pylist(), dtype=object)[nv]
+    in_region_nations = set(
+        nk[
+            np.array(
+                [(not np.isnan(float(r))) and int(r) in rkeys for r in nreg],
+                dtype=bool,
+            )
+        ]
+    )
+    target_nations = set(nk[np.array([n == nation for n in nname], dtype=bool)])
+
+    cust = _pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    cv = ~np.isnan(ck.astype(np.float64))
+    ck = ck[cv].astype(np.int64)
+    cn = cust["c_nationkey"].to_numpy(zero_copy_only=False)[cv]
+    cin = np.array(
+        [(not np.isnan(float(x))) and int(x) in in_region_nations for x in cn],
+        dtype=bool,
+    )
+    ckeys_sorted = np.sort(ck[cin])  # custkeys whose region chain resolves to `region`
+
+    sup = _pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    sv = ~np.isnan(sk.astype(np.float64))
+    sk = sk[sv].astype(np.int64)
+    snat = sup["s_nationkey"].to_numpy(zero_copy_only=False)[sv]
+    # the supplier chain must RESOLVE (inner join to nation) for the row to
+    # survive at all; the target flag is then nation-name equality
+    sres = np.array(
+        [(not np.isnan(float(x))) and int(x) in set(nk) for x in snat], dtype=bool
+    )
+    stgt = np.array(
+        [(not np.isnan(float(x))) and int(x) in target_nations for x in snat],
+        dtype=bool,
+    )
+    so = np.argsort(sk[sres])
+    skeys_sorted = sk[sres][so]
+    s_is_target = stgt[sres][so]
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        okey = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        skc = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        rev = price * (1.0 - disc)
+        year = (
+            batch["l_shipdate"]
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]")
+            .astype(np.int64)
+            + 1970
+        )
+        ov = ~np.isnan(okey.astype(np.float64))
+        sv2 = ~np.isnan(skc.astype(np.float64))
+        m = ov & sv2 & np.isfinite(rev)
+        okey, skc, rev, year = (
+            okey[m].astype(np.int64),
+            skc[m].astype(np.int64),
+            rev[m],
+            year[m],
+        )
+        pos, found = _probe_sorted(skeys_sorted, skc)
+        okey, rev, year = okey[found], rev[found], year[found]
+        tgt = s_is_target[pos[found]]
+        cents = _cents_np(rev)
+        keys = np.stack([okey, year], axis=1)
+        uk, inv = np.unique(keys, axis=0, return_inverse=True)
+        tot = np.bincount(inv, weights=cents.astype(np.float64)).astype(np.int64)
+        tc = np.bincount(
+            inv, weights=np.where(tgt, cents, 0).astype(np.float64), minlength=len(uk)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array((uk[:, 0] % n_buckets).astype(np.int64)),
+                "okey": pa.array(uk[:, 0], pa.int64()),
+                "year": pa.array(uk[:, 1], pa.int64()),
+                "t_cents": pa.array(tc, pa.int64()),
+                "a_cents": pa.array(tot, pa.int64()),
+                "is_order": pa.array(np.zeros(len(uk), np.int64)),
+            }
+        )
+
+    def ord_rows(batch: pa.Table) -> pa.Table:
+        okey = batch["o_orderkey"].to_numpy(zero_copy_only=False)
+        ckc = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        m = ~np.isnan(okey.astype(np.float64)) & ~np.isnan(ckc.astype(np.float64))
+        okey, ckc = okey[m].astype(np.int64), ckc[m].astype(np.int64)
+        _, found = _probe_sorted(ckeys_sorted, ckc)
+        okey = okey[found]  # map-side prune: only in-region orders ship
+        n = len(okey)
+        return pa.table(
+            {
+                "bucket": pa.array((okey % n_buckets).astype(np.int64)),
+                "okey": pa.array(okey, pa.int64()),
+                "year": pa.array(np.zeros(n, np.int64)),
+                "t_cents": pa.array(np.zeros(n, np.int64)),
+                "a_cents": pa.array(np.zeros(n, np.int64)),
+                "is_order": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "year": pa.array([], pa.int64()),
+                "t_cents": pa.array([], pa.int64()),
+                "a_cents": pa.array([], pa.int64()),
+            }
+        )
+        is_order = group["is_order"].to_numpy(zero_copy_only=False) > 0
+        if is_order.all() or not is_order.any():
+            return empty
+        o_keys = np.sort(group["okey"].to_numpy(zero_copy_only=False)[is_order])
+        lk = group["okey"].to_numpy(zero_copy_only=False)[~is_order]
+        _, found = _probe_sorted(o_keys, lk)
+        if not found.any():
+            return empty
+        year = group["year"].to_numpy(zero_copy_only=False)[~is_order][found]
+        tc = group["t_cents"].to_numpy(zero_copy_only=False)[~is_order][found]
+        ac = group["a_cents"].to_numpy(zero_copy_only=False)[~is_order][found]
+        uy, inv = np.unique(year, return_inverse=True)
+        return pa.table(
+            {
+                "year": pa.array(uy, pa.int64()),
+                "t_cents": pa.array(
+                    np.bincount(inv, weights=tc.astype(np.float64)).astype(np.int64),
+                    pa.int64(),
+                ),
+                "a_cents": pa.array(
+                    np.bincount(inv, weights=ac.astype(np.float64)).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "year" not in batch.schema.names:
+            return pa.table(
+                {
+                    "year": pa.array([], pa.int64()),
+                    "nation_cents": pa.array([], pa.int64()),
+                    "total_cents": pa.array([], pa.int64()),
+                    "mkt_share": pa.array([], pa.float64()),
+                }
+            )
+        tc = batch["sum(t_cents)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ac = batch["sum(a_cents)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            share = tc.astype(np.float64) / ac.astype(np.float64)
+        return pa.table(
+            {
+                "year": batch["year"],
+                "nation_cents": pa.array(tc, pa.int64()),
+                "total_cents": pa.array(ac, pa.int64()),
+                "mkt_share": pa.array(
+                    np.where(ac > 0, share, np.nan), pa.float64(), mask=(ac <= 0)
+                ),
+            }
+        )
+
+    return (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .union(orders.map_batches(ord_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("year")
+        .aggregate(Sum("t_cents"), Sum("a_cents"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )

@@ -128,6 +128,17 @@ Historical cede decisions (why each out-of-window entry is safe):
   in-window `top_revenue_orders` drives the same per-batch top-k cut) →
   `knn_self_top1`; `bm25_topk` (r2-green; in-window `tfidf_top5_per_lang`
   drives the same tf/idf scoring cascade) → `nation_trade_volume`.
+- **r4 session-6 cedes** (three new kernels in, three r3-driver-green
+  unchanged-since-green out): `kmeans_assign` (r3-green; in-window
+  `kmeans_train` RUNS the identical assignment step every Lloyd iteration)
+  → `sole_late_supplier` (Q21-shaped grouped EXISTS/NOT-EXISTS set logic
+  inside the orderkey bucket co-partition); `cross_source_dup_stats`
+  (r3-green; in-window `normalized_exact_dedup` + `url_dedup` drive the
+  same hash-keyed dedup rollup) → `regional_market_share` (Q8-shaped
+  conditional share ratio over the two-sided star);
+  `dsir_importance_weights` (r3-green; in-window `source_unigram_kl`
+  drives the same unigram log-ratio machinery) → `readability_scores`
+  (map-only Flesch reading ease, three RE2 count kernels per batch).
 """
 
 
