@@ -193,3 +193,143 @@ def test_readability_scores_hand_case(ray_session, tmp_path):
     # "xyz": 1 word, 0 sentences, 1 syllable ('y') → flesch NULL (s = 0)
     assert (rows[4]["n_words"], rows[4]["n_sentences"],
             rows[4]["n_syllables"], rows[4]["flesch"]) == (1, 0, 1, None)
+
+
+def _canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(sorted(df.columns)).reset_index(drop=True)
+
+
+def test_sole_late_supplier_matches_oracle_on_adversarial_random(
+    ray_session, tmp_path
+):
+    """Random lineitem/orders with NULL keys and dates, dense key reuse so
+    multi-supplier orders, exact-boundary ship dates (odate + exactly 30
+    days must NOT be late on either engine), and dangling suppkeys all
+    occur — the Ray kernel must stay frame-identical to the SQL oracle."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+
+    rng = random.Random(4242)
+    lo, ls, lsd = [], [], []
+    for _ in range(800):
+        lo.append(None if rng.random() < 0.04 else rng.randint(1, 60))
+        # suppkey 9 is dangling (absent from supplier): blocks others as
+        # l3 but never appears in the output
+        ls.append(None if rng.random() < 0.04 else rng.randint(1, 9))
+        if rng.random() < 0.05:
+            lsd.append(None)
+        else:
+            # cluster around the grace boundary: odates are day 0-5, so
+            # day 30-35 offsets land exactly ON some order's boundary
+            lsd.append(_day(rng.choice([5, 28, 29, 30, 31, 32, 33, 34, 35, 60])))
+    _w(tmp_path, "lineitem", {
+        "l_orderkey": pa.array(lo, pa.int64()),
+        "l_suppkey": pa.array(ls, pa.int64()),
+        "l_shipdate": pa.array(lsd, pa.timestamp("us")),
+    })
+    okeys = list(range(1, 61))
+    odates = [
+        None if rng.random() < 0.05 else _day(rng.randint(0, 5)) for _ in okeys
+    ]
+    _w(tmp_path, "orders", {
+        "o_orderkey": pa.array(okeys, pa.int64()),
+        "o_orderdate": pa.array(odates, pa.timestamp("us")),
+    })
+    _w(tmp_path, "supplier", {
+        "s_suppkey": pa.array(list(range(1, 9)), pa.int64()),
+        "s_name": pa.array([f"SUPP_{i}" for i in range(1, 9)], pa.string()),
+    })
+    got = relational.sole_late_supplier(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    for t in ("lineitem", "orders", "supplier"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'")
+    want = con.sql(entrymod.oracle_sql()["sole_late_supplier"]).df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+    assert len(got) > 0  # the fixture must actually exercise the emit path
+
+
+def test_regional_market_share_matches_oracle_on_adversarial_random(
+    ray_session, tmp_path
+):
+    """Random star with NULL keys/prices, dangling chains at every hop, and
+    both in- and out-of-region customers — frame-identical to the oracle."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+
+    rng = random.Random(2424)
+    _w(tmp_path, "region", {
+        "r_regionkey": pa.array([0, 1], pa.int64()),
+        "r_name": pa.array(["AMERICA", "ASIA"], pa.string()),
+    })
+    # nation 7 dangles its region; NATION_3 is the target, in ASIA
+    _w(tmp_path, "nation", {
+        "n_nationkey": pa.array([0, 1, 3, 7], pa.int64()),
+        "n_name": pa.array(
+            ["NATION_0", "NATION_1", "NATION_3", "NATION_7"], pa.string()
+        ),
+        "n_regionkey": pa.array([0, 0, 1, 99], pa.int64()),
+    })
+    _w(tmp_path, "customer", {
+        "c_custkey": pa.array(list(range(1, 21)), pa.int64()),
+        "c_nationkey": pa.array(
+            [rng.choice([0, 1, 3, 7, 42, None]) for _ in range(20)], pa.int64()
+        ),
+    })
+    _w(tmp_path, "supplier", {
+        "s_suppkey": pa.array(list(range(1, 11)), pa.int64()),
+        "s_nationkey": pa.array(
+            [rng.choice([0, 1, 3, 7, 42, None]) for _ in range(10)], pa.int64()
+        ),
+    })
+    _w(tmp_path, "orders", {
+        "o_orderkey": pa.array(list(range(1, 41)), pa.int64()),
+        "o_custkey": pa.array(
+            [None if rng.random() < 0.05 else rng.randint(1, 22)
+             for _ in range(40)],
+            pa.int64(),
+        ),
+    })
+    n = 600
+    _w(tmp_path, "lineitem", {
+        "l_orderkey": pa.array(
+            [None if rng.random() < 0.04 else rng.randint(1, 42)
+             for _ in range(n)],
+            pa.int64(),
+        ),
+        "l_suppkey": pa.array(
+            [None if rng.random() < 0.04 else rng.randint(1, 12)
+             for _ in range(n)],
+            pa.int64(),
+        ),
+        "l_extendedprice": pa.array(
+            [None if rng.random() < 0.04 else round(rng.uniform(1, 5000), 2)
+             for _ in range(n)],
+            pa.float64(),
+        ),
+        "l_discount": pa.array(
+            [round(rng.uniform(0, 0.1), 2) for _ in range(n)], pa.float64()
+        ),
+        "l_shipdate": pa.array(
+            [None if rng.random() < 0.04
+             else datetime.datetime(rng.choice([1995, 1996, 1997, 1998]),
+                                    rng.randint(1, 12), rng.randint(1, 28))
+             for _ in range(n)],
+            pa.timestamp("us"),
+        ),
+    })
+    got = relational.regional_market_share(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'")
+    want = con.sql(entrymod.oracle_sql()["regional_market_share"]).df()
+    pd.testing.assert_frame_equal(_canon(got), _canon(want), check_dtype=False)
+    assert len(got) > 0
