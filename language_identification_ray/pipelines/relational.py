@@ -128,19 +128,27 @@ def customers_per_region(sf_dir: str) -> "rd.Dataset":
                 }
             )
         )
-    rnames = dict(
-        zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist())
-    )
-    nkeys = nation["n_nationkey"].to_numpy()
-    lut = np.empty(int(nkeys.max()) + 1, dtype=object)
-    for nk, rk in zip(nkeys, nation["n_regionkey"].to_numpy()):
-        # a nation whose regionkey is missing from region leaves a None
-        # slot — the SQL inner join drops it, so must the gather below
-        lut[int(nk)] = rnames.get(int(rk))
-    lut_ref = ray.put(lut)
+    rnames = {}
+    for rk, rn in zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()):
+        if rk is not None:
+            rnames[int(rk)] = rn
+    nkeys = [k for k in nation["n_nationkey"].to_pylist() if k is not None]
+    size = (max(nkeys) + 1) if nkeys else 1
+    # two-plane LUT: `found` marks nations whose region CHAIN resolves (the
+    # SQL inner join keeps them even when r_name is NULL — a NULL name is a
+    # real group, not a dropped row); `names` carries the possibly-NULL name
+    found = np.zeros(size, dtype=bool)
+    names = np.empty(size, dtype=object)
+    for nk, rk in zip(
+        nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()
+    ):
+        if nk is not None and rk is not None and int(rk) in rnames:
+            found[int(nk)] = True
+            names[int(nk)] = rnames[int(rk)]
+    lut_ref = ray.put((found, names))
 
     def partial(batch: pa.Table) -> pa.Table:
-        table = ray.get(lut_ref)  # local-cache hit after first batch
+        fnd, nm = ray.get(lut_ref)  # local-cache hit after first batch
         # NULL c_nationkey joins nothing (fill to -1 -> in_range drop); a
         # nullable column would otherwise to_numpy as float NaN and crash
         # the integer gather
@@ -149,47 +157,70 @@ def customers_per_region(sf_dir: str) -> "rd.Dataset":
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
-        # inner-join semantics for dangling FKs (same contract as
-        # revenue_by_supplier_nation): nationkeys outside the dense LUT or
-        # hitting an unfilled (None) slot are DROPPED like the SQL join
-        in_range = (keys >= 0) & (keys < len(table))
-        regions = np.take(table, np.clip(keys, 0, max(len(table) - 1, 0)))
-        ok = in_range & np.not_equal(regions, None)
-        regions = regions[ok]
-        cents = _cents(batch["c_acctbal"])[ok]
-        out: dict[str, list] = {"region": [], "n_customers": [], "acctbal_cents": []}
-        for r in np.unique(regions.astype(str)):
-            m = regions == r
-            out["region"].append(str(r))
+        in_range = (keys >= 0) & (keys < len(fnd))
+        cl = np.clip(keys, 0, max(len(fnd) - 1, 0))
+        ok = in_range & fnd[cl]
+        regions = nm[cl[ok]]
+        bal = batch["c_acctbal"].to_numpy(zero_copy_only=False).astype(np.float64)[ok]
+        vbal = ~np.isnan(bal)
+        cents = np.where(vbal, _cents_np(np.nan_to_num(bal)), 0)
+        out: dict[str, list] = {
+            "region_key": [], "region_null": [], "n_customers": [],
+            "acctbal_cents": [], "n_bal": [],
+        }
+        seen = {}
+        for r in regions:
+            seen.setdefault(r, None)
+        for r in seen:
+            m = np.array([x == r for x in regions], dtype=bool)
+            out["region_key"].append("" if r is None else str(r))
+            out["region_null"].append(r is None)
             out["n_customers"].append(int(m.sum()))
             out["acctbal_cents"].append(int(cents[m].sum()))
+            out["n_bal"].append(int(vbal[m].sum()))
         return pa.table(
             {
-                "region": pa.array(out["region"], pa.string()),
+                "region_key": pa.array(out["region_key"], pa.string()),
+                "region_null": pa.array(out["region_null"], pa.bool_()),
                 "n_customers": pa.array(out["n_customers"], pa.int64()),
                 "acctbal_cents": pa.array(out["acctbal_cents"], pa.int64()),
+                "n_bal": pa.array(out["n_bal"], pa.int64()),
             }
         )
 
     def finalize(batch: pa.Table) -> pa.Table:
-        n = batch["n_customers"].to_numpy()
-        total = batch["acctbal_cents"].to_numpy() / 100.0
+        if batch.num_rows == 0 or "region_key" not in batch.schema.names:
+            return pa.table(
+                {
+                    "region": pa.array([], pa.string()),
+                    "n_customers": pa.array([], pa.int64()),
+                    "total_acctbal": pa.array([], pa.float64()),
+                    "avg_acctbal": pa.array([], pa.float64()),
+                }
+            )
+        n = batch["n_customers"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = batch["n_bal"].to_numpy(zero_copy_only=False).astype(np.int64)
+        total = batch["acctbal_cents"].to_numpy(zero_copy_only=False) / 100.0
+        rnull = batch["region_null"].to_numpy(zero_copy_only=False).astype(bool)
+        # SQL: sum skips NULL balances (all-NULL group -> NULL total/avg);
+        # avg divides the total by count(*), which counts NULL-balance rows
         return pa.table(
             {
-                "region": batch["region"],
+                "region": pa.array(batch["region_key"].to_pylist(), pa.string(), mask=rnull),
                 "n_customers": batch["n_customers"],
-                "total_acctbal": pa.array(total, pa.float64()),
-                "avg_acctbal": pa.array(total / n, pa.float64()),
+                "total_acctbal": pa.array(total, pa.float64(), mask=(nb == 0)),
+                "avg_acctbal": pa.array(total / n, pa.float64(), mask=(nb == 0)),
             }
         )
 
     return (
         rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("region")
+        .groupby(["region_key", "region_null"])
         .aggregate(
             Sum("n_customers", alias_name="n_customers"),
             Sum("acctbal_cents", alias_name="acctbal_cents"),
+            Sum("n_bal", alias_name="n_bal"),
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
@@ -247,30 +278,31 @@ def orders_by_mktsegment(sf_dir: str) -> "rd.Dataset":
 
         def seg_partial_bcast(batch: pa.Table) -> pa.Table:
             sorted_ckeys, sorted_seg = ray.get(sidecar_ref)
-            keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
-            cents = _cents(batch["o_totalprice"])
+            # NULL o_custkey joins nothing (fill -1 → probe miss); NULL
+            # totalprice drops from the sum but still counts the order
+            keys = (
+                _pc.fill_null(batch["o_custkey"], -1)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            price = batch["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+            vp = ~np.isnan(price)
+            cents = np.where(vp, _cents_np(np.nan_to_num(price)), 0)
             idx, hit = _probe_sorted(sorted_ckeys, keys)  # dangling custkeys: inner-join dropped
             codes = sorted_seg[idx[hit]]
             n = np.bincount(codes, minlength=n_segs).astype(np.int64)
             tot = np.bincount(codes, weights=cents[hit], minlength=n_segs).astype(np.int64)
+            np_ = np.bincount(codes, weights=vp[hit], minlength=n_segs).astype(np.int64)
             nz = np.nonzero(n)[0]
             return pa.table(
                 {
-                    "mktsegment": pa.array(seg_names[nz], pa.string()),
+                    "seg_key": pa.array(
+                        ["" if s is None else s for s in seg_names[nz]], pa.string()
+                    ),
+                    "seg_null": pa.array([s is None for s in seg_names[nz]], pa.bool_()),
                     "n_orders": pa.array(n[nz], pa.int64()),
                     "price_cents": pa.array(tot[nz], pa.int64()),
-                }
-            )
-
-        def finalize_bcast(batch: pa.Table) -> pa.Table:
-            total = batch["price_cents"].to_numpy() / 100.0
-            n = batch["n_orders"].to_numpy()
-            return pa.table(
-                {
-                    "mktsegment": batch["mktsegment"],
-                    "n_orders": batch["n_orders"],
-                    "total_price": pa.array(total, pa.float64()),
-                    "avg_price": pa.array(total / n, pa.float64()),
+                    "n_price": pa.array(np_[nz], pa.int64()),
                 }
             )
 
@@ -279,14 +311,43 @@ def orders_by_mktsegment(sf_dir: str) -> "rd.Dataset":
                 f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
             )
             .map_batches(seg_partial_bcast, batch_format="pyarrow")
-            .groupby("mktsegment")
+            .groupby(["seg_key", "seg_null"])
             .aggregate(
                 Sum("n_orders", alias_name="n_orders"),
                 Sum("price_cents", alias_name="price_cents"),
+                Sum("n_price", alias_name="n_price"),
             )
-            .map_batches(finalize_bcast, batch_format="pyarrow")
+            .map_batches(_mktsegment_finalize, batch_format="pyarrow")
         )
     return _orders_by_mktsegment_join(sf_dir)
+
+
+def _mktsegment_finalize(batch: pa.Table) -> pa.Table:
+    """Shared finalize for both ``orders_by_mktsegment`` plans: SQL sum/avg
+    NULL semantics (all-NULL price group → NULL total AND avg; avg divides
+    by count(*) including NULL-price orders), NULL segment reconstructed
+    from the two-key pattern."""
+    if batch.num_rows == 0 or "seg_key" not in batch.schema.names:
+        return pa.table(
+            {
+                "mktsegment": pa.array([], pa.string()),
+                "n_orders": pa.array([], pa.int64()),
+                "total_price": pa.array([], pa.float64()),
+                "avg_price": pa.array([], pa.float64()),
+            }
+        )
+    total = batch["price_cents"].to_numpy(zero_copy_only=False) / 100.0
+    n = batch["n_orders"].to_numpy(zero_copy_only=False).astype(np.int64)
+    np_ = batch["n_price"].to_numpy(zero_copy_only=False).astype(np.int64)
+    snull = batch["seg_null"].to_numpy(zero_copy_only=False).astype(bool)
+    return pa.table(
+        {
+            "mktsegment": pa.array(batch["seg_key"].to_pylist(), pa.string(), mask=snull),
+            "n_orders": batch["n_orders"],
+            "total_price": pa.array(total, pa.float64(), mask=(np_ == 0)),
+            "avg_price": pa.array(total / n, pa.float64(), mask=(np_ == 0)),
+        }
+    )
 
 
 def _orders_by_mktsegment_join(sf_dir: str) -> "rd.Dataset":
@@ -309,16 +370,23 @@ def _orders_by_mktsegment_join(sf_dir: str) -> "rd.Dataset":
         )
 
     def order_partial(batch: pa.Table) -> pa.Table:
-        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        cents = _cents(batch["o_totalprice"])
+        # NULL o_custkey joins nothing — drop before the exchange (a null
+        # int64 column would otherwise to_numpy as float NaN into np.unique)
+        m = _pc.is_valid(batch["o_custkey"]).to_numpy(zero_copy_only=False)
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)[m].astype(np.int64)
+        price = batch["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)[m]
+        vp = ~np.isnan(price)
+        cents = np.where(vp, _cents_np(np.nan_to_num(price)), 0)
         uk, inv = np.unique(keys, return_inverse=True)
         n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
         tot = np.bincount(inv, weights=cents, minlength=len(uk)).astype(np.int64)
+        np_ = np.bincount(inv, weights=vp, minlength=len(uk)).astype(np.int64)
         return pa.table(
             {
                 "o_custkey": pa.array(uk, pa.int64()),
                 "n_orders": pa.array(n, pa.int64()),
                 "price_cents": pa.array(tot, pa.int64()),
+                "n_price": pa.array(np_, pa.int64()),
             }
         )
 
@@ -330,6 +398,7 @@ def _orders_by_mktsegment_join(sf_dir: str) -> "rd.Dataset":
         .aggregate(
             Sum("n_orders", alias_name="n_orders"),
             Sum("price_cents", alias_name="price_cents"),
+            Sum("n_price", alias_name="n_price"),
         )
     )
     joined = per_cust.join(
@@ -355,38 +424,34 @@ def _orders_by_mktsegment_join(sf_dir: str) -> "rd.Dataset":
         codes = idx.to_numpy(zero_copy_only=False).astype(np.int64)
         n = batch["n_orders"].to_numpy(zero_copy_only=False)
         cents = batch["price_cents"].to_numpy(zero_copy_only=False)
+        np_in = batch["n_price"].to_numpy(zero_copy_only=False)
         n_sum = np.zeros(len(names), dtype=np.int64)
         np.add.at(n_sum, codes, n)
         c_sum = np.zeros(len(names), dtype=np.int64)
         np.add.at(c_sum, codes, cents)
+        p_sum = np.zeros(len(names), dtype=np.int64)
+        np.add.at(p_sum, codes, np_in)
         return pa.table(
             {
-                "mktsegment": pa.array(names, pa.string()),
+                "seg_key": pa.array(
+                    ["" if s is None else s for s in names], pa.string()
+                ),
+                "seg_null": pa.array([s is None for s in names], pa.bool_()),
                 "n_orders": pa.array(n_sum, pa.int64()),
                 "price_cents": pa.array(c_sum, pa.int64()),
-            }
-        )
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        total = batch["price_cents"].to_numpy() / 100.0
-        n = batch["n_orders"].to_numpy()
-        return pa.table(
-            {
-                "mktsegment": batch["mktsegment"],
-                "n_orders": batch["n_orders"],
-                "total_price": pa.array(total, pa.float64()),
-                "avg_price": pa.array(total / n, pa.float64()),
+                "n_price": pa.array(p_sum, pa.int64()),
             }
         )
 
     return (
         joined.map_batches(seg_partial, batch_format="pyarrow")
-        .groupby("mktsegment")
+        .groupby(["seg_key", "seg_null"])
         .aggregate(
             Sum("n_orders", alias_name="n_orders"),
             Sum("price_cents", alias_name="price_cents"),
+            Sum("n_price", alias_name="n_price"),
         )
-        .map_batches(finalize, batch_format="pyarrow")
+        .map_batches(_mktsegment_finalize, batch_format="pyarrow")
     )
 
 
@@ -461,64 +526,129 @@ def lineitem_pricing_summary(sf_dir: str) -> "rd.Dataset":
     """TPC-H-Q1-style pricing summary: filter on shipdate, group by
     (returnflag, linestatus).  Fully vectorized per-batch partials (Arrow →
     numpy, no Python row loop); the shuffle moves ≤ a handful of partial
-    rows per batch.  Filter + column prune happen at the read."""
-    cutoff = np.datetime64("2000-06-30T00:00:00")
+    rows per batch.  Filter + column prune happen at the read.
+
+    SQL NULL semantics throughout: NULL returnflag/linestatus are REAL
+    groups distinct from any string (two-key pattern), NULL measures drop
+    from their sum but still count toward ``count(*)``, and an all-NULL
+    measure in a group yields a NULL sum (and a NULL avg/price), never 0 —
+    a NaN→int64 cast would otherwise poison the partial with INT64_MIN."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        # the shipdate cutoff is already pushed into the parquet read; only
-        # the empty-batch shape needs guarding here
+        empty = pa.table(
+            {
+                "rf_key": pa.array([], pa.string()),
+                "rf_null": pa.array([], pa.bool_()),
+                "ls_key": pa.array([], pa.string()),
+                "ls_null": pa.array([], pa.bool_()),
+                "sum_qty": pa.array([], pa.int64()),
+                "n_qty": pa.array([], pa.int64()),
+                "sum_base_price_cents": pa.array([], pa.int64()),
+                "n_base": pa.array([], pa.int64()),
+                "sum_disc_price_cents": pa.array([], pa.int64()),
+                "n_disc": pa.array([], pa.int64()),
+                "count_order": pa.array([], pa.int64()),
+            }
+        )
         if batch.num_rows == 0:
+            return empty
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        vq = ~np.isnan(qty)
+        vb = ~np.isnan(price)
+        vd = vb & ~np.isnan(disc)
+        qty_i = np.where(vq, np.floor(np.nan_to_num(qty) + 0.5), 0).astype(np.int64)
+        base_cents = np.where(vb, _cents_np(np.nan_to_num(price)), 0)
+        disc_cents = np.where(
+            vd, _cents_np(np.nan_to_num(price) * (1.0 - np.nan_to_num(disc))), 0
+        )
+        rf = _pc.fill_null(batch["l_returnflag"], "").combine_chunks()
+        ls = _pc.fill_null(batch["l_linestatus"], "").combine_chunks()
+        rfn = _pc.is_null(batch["l_returnflag"]).combine_chunks()
+        lsn = _pc.is_null(batch["l_linestatus"]).combine_chunks()
+        joined = _pc.binary_join_element_wise(
+            rf, _pc.cast(rfn, pa.string()), ls, _pc.cast(lsn, pa.string()), "\x00"
+        )
+        enc = _pc.dictionary_encode(
+            joined.combine_chunks() if isinstance(joined, pa.ChunkedArray) else joined
+        )
+        inv = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nk = len(enc.dictionary)
+        parts = [s.split("\x00") for s in enc.dictionary.to_pylist()]
+        return pa.table(
+            {
+                "rf_key": pa.array([p[0] for p in parts], pa.string()),
+                "rf_null": pa.array([p[1] == "true" for p in parts], pa.bool_()),
+                "ls_key": pa.array([p[2] for p in parts], pa.string()),
+                "ls_null": pa.array([p[3] == "true" for p in parts], pa.bool_()),
+                "sum_qty": pa.array(
+                    np.bincount(inv, weights=qty_i, minlength=nk).astype(np.int64)
+                ),
+                "n_qty": pa.array(
+                    np.bincount(inv, weights=vq, minlength=nk).astype(np.int64)
+                ),
+                "sum_base_price_cents": pa.array(
+                    np.bincount(inv, weights=base_cents, minlength=nk).astype(np.int64)
+                ),
+                "n_base": pa.array(
+                    np.bincount(inv, weights=vb, minlength=nk).astype(np.int64)
+                ),
+                "sum_disc_price_cents": pa.array(
+                    np.bincount(inv, weights=disc_cents, minlength=nk).astype(np.int64)
+                ),
+                "n_disc": pa.array(
+                    np.bincount(inv, weights=vd, minlength=nk).astype(np.int64)
+                ),
+                "count_order": pa.array(
+                    np.bincount(inv, minlength=nk).astype(np.int64)
+                ),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "rf_key" not in batch.schema.names:
             return pa.table(
                 {
                     "l_returnflag": pa.array([], pa.string()),
                     "l_linestatus": pa.array([], pa.string()),
                     "sum_qty": pa.array([], pa.int64()),
-                    "sum_base_price_cents": pa.array([], pa.int64()),
-                    "sum_disc_price_cents": pa.array([], pa.int64()),
+                    "sum_base_price": pa.array([], pa.float64()),
+                    "sum_disc_price": pa.array([], pa.float64()),
+                    "avg_qty": pa.array([], pa.float64()),
                     "count_order": pa.array([], pa.int64()),
                 }
             )
-        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
-        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
-        disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
-        rf = np.asarray(batch["l_returnflag"].to_pylist(), dtype=object)
-        ls = np.asarray(batch["l_linestatus"].to_pylist(), dtype=object)
-        base_cents = _cents_np(price)
-        disc_cents = _cents_np(price * (1.0 - disc))
-        qty_i = np.floor(qty + 0.5).astype(np.int64)
-        keys = np.char.add(np.char.add(rf.astype(str), "|"), ls.astype(str))
-        uk, inv = np.unique(keys, return_inverse=True)
-        rows = {
-            "l_returnflag": [k.split("|")[0] for k in uk],
-            "l_linestatus": [k.split("|")[1] for k in uk],
-            "sum_qty": np.bincount(inv, weights=qty_i, minlength=len(uk)).astype(np.int64),
-            "sum_base_price_cents": np.bincount(inv, weights=base_cents, minlength=len(uk)).astype(np.int64),
-            "sum_disc_price_cents": np.bincount(inv, weights=disc_cents, minlength=len(uk)).astype(np.int64),
-            "count_order": np.bincount(inv, minlength=len(uk)).astype(np.int64),
-        }
-        return pa.table(
-            {
-                "l_returnflag": pa.array(rows["l_returnflag"], pa.string()),
-                "l_linestatus": pa.array(rows["l_linestatus"], pa.string()),
-                "sum_qty": pa.array(rows["sum_qty"]),
-                "sum_base_price_cents": pa.array(rows["sum_base_price_cents"]),
-                "sum_disc_price_cents": pa.array(rows["sum_disc_price_cents"]),
-                "count_order": pa.array(rows["count_order"]),
-            }
+        sum_qty = batch["sum(sum_qty)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_qty = batch["sum(n_qty)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = batch["sum(sum_base_price_cents)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_base = batch["sum(n_base)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dc = batch["sum(sum_disc_price_cents)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n_disc = batch["sum(n_disc)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = batch["sum(count_order)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rf = pa.array(
+            batch["rf_key"].to_pylist(), pa.string(),
+            mask=batch["rf_null"].to_numpy(zero_copy_only=False).astype(bool),
         )
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        sum_qty = batch["sum_qty"].to_numpy()
-        cnt = batch["count_order"].to_numpy()
+        ls = pa.array(
+            batch["ls_key"].to_pylist(), pa.string(),
+            mask=batch["ls_null"].to_numpy(zero_copy_only=False).astype(bool),
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            avg = sum_qty.astype(np.float64) / cnt
         return pa.table(
             {
-                "l_returnflag": batch["l_returnflag"],
-                "l_linestatus": batch["l_linestatus"],
-                "sum_qty": batch["sum_qty"],
-                "sum_base_price": pa.array(batch["sum_base_price_cents"].to_numpy() / 100.0),
-                "sum_disc_price": pa.array(batch["sum_disc_price_cents"].to_numpy() / 100.0),
-                "avg_qty": pa.array(sum_qty / cnt, pa.float64()),
-                "count_order": batch["count_order"],
+                "l_returnflag": rf,
+                "l_linestatus": ls,
+                "sum_qty": pa.array(sum_qty, pa.int64(), mask=(n_qty == 0)),
+                "sum_base_price": pa.array(
+                    base / 100.0, pa.float64(), mask=(n_base == 0)
+                ),
+                "sum_disc_price": pa.array(
+                    dc / 100.0, pa.float64(), mask=(n_disc == 0)
+                ),
+                "avg_qty": pa.array(avg, pa.float64(), mask=(n_qty == 0) | (cnt == 0)),
+                "count_order": pa.array(cnt, pa.int64()),
             }
         )
 
@@ -529,12 +659,15 @@ def lineitem_pricing_summary(sf_dir: str) -> "rd.Dataset":
             filter=(pads.field("l_shipdate") <= datetime.datetime(2000, 6, 30)),
         )
         .map_batches(partial, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
+        .groupby(["rf_key", "rf_null", "ls_key", "ls_null"])
         .aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
-            Sum("sum_disc_price_cents", alias_name="sum_disc_price_cents"),
-            Sum("count_order", alias_name="count_order"),
+            Sum("sum_qty", alias_name="sum(sum_qty)"),
+            Sum("n_qty", alias_name="sum(n_qty)"),
+            Sum("sum_base_price_cents", alias_name="sum(sum_base_price_cents)"),
+            Sum("n_base", alias_name="sum(n_base)"),
+            Sum("sum_disc_price_cents", alias_name="sum(sum_disc_price_cents)"),
+            Sum("n_disc", alias_name="sum(n_disc)"),
+            Sum("count_order", alias_name="sum(count_order)"),
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
@@ -879,19 +1012,38 @@ def _probe_sorted(sorted_keys: np.ndarray, keys: np.ndarray):
     return idx, sorted_keys[idx] == keys
 
 
+# rank sentinel for an all-NULL-revenue order: DuckDB's default NULL order
+# puts NULL revenue LAST even under DESC, so those orders rank below every
+# real sum; INT64_MIN/2 is unreachable by any real cents total
+_NULL_REV_RANK = np.int64(np.iinfo(np.int64).min // 2)
+
+
 def _revenue_cents_per_order(batch_keys: np.ndarray, price: np.ndarray, disc: np.ndarray) -> pa.Table:
     """Map-side partial: exact integer-cents revenue summed per orderkey —
     shared by both physical plans of ``top_revenue_orders`` so the rounding
-    rule can never drift between them."""
-    rev = _cents_np(price.astype(np.float64) * (1.0 - disc.astype(np.float64)))
-    uk, inv = np.unique(batch_keys, return_inverse=True)
+    rule can never drift between them.  A NULL price or discount NULLs the
+    term (SQL ``sum`` skips it); ``n_rev`` counts surviving terms so the
+    finalize can emit a NULL revenue for an all-NULL order."""
+    p = price.astype(np.float64)
+    d = disc.astype(np.float64)
+    valid = ~(np.isnan(p) | np.isnan(d))
+    rev = np.where(valid, _cents_np(np.nan_to_num(p) * (1.0 - np.nan_to_num(d))), 0)
+    keys_i = batch_keys.astype(np.int64) if batch_keys.dtype != np.int64 else batch_keys
+    uk, inv = np.unique(keys_i, return_inverse=True)
     tot = np.bincount(inv, weights=rev, minlength=len(uk)).astype(np.int64)
+    nr = np.bincount(inv, weights=valid, minlength=len(uk)).astype(np.int64)
     return pa.table(
         {
             "l_orderkey": pa.array(uk, pa.int64()),
             "revenue_cents": pa.array(tot, pa.int64()),
+            "n_rev": pa.array(nr, pa.int64()),
         }
     )
+
+
+def _rank_rev(rev: np.ndarray, n_rev: np.ndarray) -> np.ndarray:
+    """Sort key for revenue with SQL NULLS-LAST-under-DESC semantics."""
+    return np.where(n_rev > 0, rev, _NULL_REV_RANK)
 
 
 def _topk_order(rev: np.ndarray, keys: np.ndarray, k: int) -> np.ndarray:
@@ -902,12 +1054,14 @@ def _topk_order(rev: np.ndarray, keys: np.ndarray, k: int) -> np.ndarray:
 
 def _finalize_top_revenue(batch: pa.Table) -> pa.Table:
     """Output projection shared by both ``top_revenue_orders`` plans."""
+    nr = batch["n_rev"].to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table(
         {
             "orderkey": batch["l_orderkey"],
             "revenue": pa.array(
                 batch["revenue_cents"].to_numpy(zero_copy_only=False) / 100.0,
                 pa.float64(),
+                mask=(nr == 0),
             ),
             "orderdate": batch["o_orderdate"],
             "orderpriority": batch["o_orderpriority"],
@@ -1196,14 +1350,19 @@ def top_revenue_orders(
         def topk_attach(batch: pa.Table) -> pa.Table:
             sorted_qkeys, sorted_dates, sorted_prio = ray.get(sidecar_ref)
             rev = batch["revenue_cents"].to_numpy(zero_copy_only=False)
+            nr = batch["n_rev"].to_numpy(zero_copy_only=False).astype(np.int64)
             keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-            order = _topk_order(rev, keys, k)
-            keys, rev = keys[order], rev[order]
+            rank = _rank_rev(rev, nr)
+            order = _topk_order(rank, keys, k)
+            keys, rank, nr = keys[order], rank[order], nr[order]
             pos = np.searchsorted(sorted_qkeys, keys)  # every key is a prior hit
             return pa.table(
                 {
                     "l_orderkey": pa.array(keys, pa.int64()),
-                    "revenue_cents": pa.array(rev, pa.int64()),
+                    # rank value doubles as the global sort key; finalize
+                    # masks the NULL-revenue sentinel back to NULL
+                    "revenue_cents": pa.array(rank, pa.int64()),
+                    "n_rev": pa.array(nr, pa.int64()),
                     "o_orderdate": pa.array(sorted_dates[pos]).cast(pa.timestamp("us")),
                     "o_orderpriority": pa.array(prio_names[sorted_prio[pos]], pa.string()),
                 }
@@ -1217,7 +1376,10 @@ def top_revenue_orders(
             )
             .map_batches(rev_partial_bcast, batch_format="pyarrow")
             .groupby("l_orderkey")
-            .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+            .aggregate(
+                Sum("revenue_cents", alias_name="revenue_cents"),
+                Sum("n_rev", alias_name="n_rev"),
+            )
             .map_batches(topk_attach, batch_format="pyarrow")
             .sort(["revenue_cents", "l_orderkey"], descending=[True, False])
             .limit(k)
@@ -1266,16 +1428,22 @@ def _top_revenue_orders_join(
     )
 
     def rev_partial(batch: pa.Table) -> pa.Table:
+        # NULL l_orderkey joins nothing — drop before np.unique (a null
+        # int64 column to_numpy's as float NaN and corrupts the int cast)
+        m = _pc.is_valid(batch["l_orderkey"]).to_numpy(zero_copy_only=False)
         return _revenue_cents_per_order(
-            batch["l_orderkey"].to_numpy(zero_copy_only=False),
-            batch["l_extendedprice"].to_numpy(zero_copy_only=False),
-            batch["l_discount"].to_numpy(zero_copy_only=False),
+            batch["l_orderkey"].to_numpy(zero_copy_only=False)[m],
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m],
+            batch["l_discount"].to_numpy(zero_copy_only=False)[m],
         )
 
     li_rev = (
         li.map_batches(rev_partial, batch_format="pyarrow")
         .groupby("l_orderkey")
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_rev", alias_name="n_rev"),
+        )
     )
     joined = li_rev.join(
         co,
@@ -1287,8 +1455,20 @@ def _top_revenue_orders_join(
 
     def topk_partial(batch: pa.Table) -> pa.Table:
         rev = batch["revenue_cents"].to_numpy(zero_copy_only=False)
+        nr = batch["n_rev"].to_numpy(zero_copy_only=False).astype(np.int64)
         keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-        return batch.take(pa.array(_topk_order(rev, keys, k)))
+        rank = _rank_rev(rev, nr)
+        out = batch.take(pa.array(_topk_order(rank, keys, k)))
+        # the global sort reads revenue_cents: swap in the rank value so the
+        # NULLS-LAST-under-DESC rule survives the exchange
+        return out.set_column(
+            out.schema.get_field_index("revenue_cents"),
+            "revenue_cents",
+            pa.array(_rank_rev(
+                out["revenue_cents"].to_numpy(zero_copy_only=False),
+                out["n_rev"].to_numpy(zero_copy_only=False).astype(np.int64),
+            ), pa.int64()),
+        )
 
     return (
         joined.map_batches(topk_partial, batch_format="pyarrow")

@@ -1,0 +1,332 @@
+"""Whole-suite fuzz oracle parity: every oracle-backed `queries()` entry runs
+on a NULL-DENSE adversarial random mini-corpus and must stay frame-equal to
+its DuckDB oracle.
+
+Why this exists: the driver testdata carries ZERO NULLs in any table, so the
+129 sf-level parity checks never exercise SQL NULL semantics end-to-end —
+those were pinned only by per-kernel hand fixtures.  This sweep generates one
+seeded corpus with NULLs in every column the engine contract allows (keys,
+dates, money, lang, source, n_chars, event fields, embeddings, labels),
+dangling foreign keys at every star hop, duplicate timestamps, malformed
+JSON, empty/unicode/URL-bearing text — and asserts engine == oracle for every
+SQL-backed query on it.
+
+Deliberate fixture constraints (documented engine deviations, not blind
+spots): `text` is never NULL (the `_text_col` convention treats NULL text as
+'' engine-side where several oracles would propagate NULL — empty strings,
+which ARE equivalent on both engines, stand in for that case), and
+`doc_id` / `vec_id` / PK columns are non-null (the corpus contract)."""
+
+import datetime
+import random
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __ray_entry__ as entrymod
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# query -> reason it is excluded from the fuzz sweep (every entry must carry
+# a real justification; an empty dict is the goal state)
+EXCLUSIONS: dict[str, str] = {}
+
+
+def _maybe(rng, p, val):
+    return None if rng.random() < p else val
+
+
+def _build_fuzz_corpus(d):
+    rng = random.Random(20260820)
+    base = datetime.datetime(1996, 3, 1)
+
+    def day(n):
+        return base + datetime.timedelta(days=n)
+
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1, 2], pa.int64()),
+        "r_name": pa.array(["AMERICA", "ASIA", None], pa.string()),
+    }), d / "region.parquet")
+
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "n_name": pa.array(
+            ["NATION_0", "NATION_1", "NATION_2", "NATION_3", None, "NATION_5"],
+            pa.string(),
+        ),
+        "n_regionkey": pa.array([0, 0, 1, 1, 99, None], pa.int64()),
+    }), d / "nation.parquet")
+
+    ns = 12
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(list(range(1, ns + 1)), pa.int64()),
+        "s_name": pa.array(
+            [None if i == 5 else f"SUPP_{i:03d}" for i in range(1, ns + 1)],
+            pa.string(),
+        ),
+        "s_nationkey": pa.array(
+            [rng.choice([0, 1, 2, 3, 4, 5, 77, None]) for _ in range(ns)],
+            pa.int64(),
+        ),
+        "s_acctbal": pa.array(
+            [_maybe(rng, 0.1, round(rng.uniform(-999, 9999), 2))
+             for _ in range(ns)],
+            pa.float64(),
+        ),
+    }), d / "supplier.parquet")
+
+    nc = 40
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(list(range(1, nc + 1)), pa.int64()),
+        "c_name": pa.array(
+            [_maybe(rng, 0.05, f"CUST_{i:04d}") for i in range(1, nc + 1)],
+            pa.string(),
+        ),
+        "c_nationkey": pa.array(
+            [rng.choice([0, 1, 2, 3, 4, 5, 77, None]) for _ in range(nc)],
+            pa.int64(),
+        ),
+        "c_acctbal": pa.array(
+            [_maybe(rng, 0.1, round(rng.uniform(-999, 9999), 2))
+             for _ in range(nc)],
+            pa.float64(),
+        ),
+        "c_mktsegment": pa.array(
+            [rng.choice(["BUILDING", "MACHINERY", "AUTOMOBILE", None])
+             for _ in range(nc)],
+            pa.string(),
+        ),
+    }), d / "customer.parquet")
+
+    npart = 30
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(list(range(1, npart + 1)), pa.int64()),
+        "p_name": pa.array(
+            [_maybe(rng, 0.05, f"part {rng.choice(['red','green','blue'])} "
+                               f"{rng.choice(['steel','brass','tin'])}")
+             for _ in range(npart)],
+            pa.string(),
+        ),
+        "p_brand": pa.array(
+            [rng.choice(["BRAND_A", "BRAND_B", "BRAND_C", None])
+             for _ in range(npart)],
+            pa.string(),
+        ),
+        "p_type": pa.array(
+            [rng.choice(["ECONOMY BRUSHED", "STANDARD POLISHED",
+                         "PROMO BURNISHED", None]) for _ in range(npart)],
+            pa.string(),
+        ),
+        "p_size": pa.array(
+            [_maybe(rng, 0.1, rng.randint(1, 50)) for _ in range(npart)],
+            pa.int64(),
+        ),
+        "p_retailprice": pa.array(
+            [_maybe(rng, 0.1, round(rng.uniform(900, 2000), 2))
+             for _ in range(npart)],
+            pa.float64(),
+        ),
+    }), d / "part.parquet")
+
+    no = 80
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(list(range(1, no + 1)), pa.int64()),
+        "o_custkey": pa.array(
+            [_maybe(rng, 0.06, rng.randint(1, 45)) for _ in range(no)],
+            pa.int64(),
+        ),
+        "o_orderstatus": pa.array(
+            [rng.choice(["F", "O", "P", None]) for _ in range(no)],
+            pa.string(),
+        ),
+        "o_totalprice": pa.array(
+            [_maybe(rng, 0.08, round(rng.uniform(100, 300000), 2))
+             for _ in range(no)],
+            pa.float64(),
+        ),
+        "o_orderdate": pa.array(
+            [_maybe(rng, 0.06, day(rng.randint(-300, 900)))
+             for _ in range(no)],
+            pa.timestamp("us"),
+        ),
+        "o_orderpriority": pa.array(
+            [rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+                         "5-LOW", None]) for _ in range(no)],
+            pa.string(),
+        ),
+    }), d / "orders.parquet")
+
+    nl = 500
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(
+            [_maybe(rng, 0.04, rng.randint(1, 85)) for _ in range(nl)],
+            pa.int64(),
+        ),
+        "l_partkey": pa.array(
+            [_maybe(rng, 0.04, rng.randint(1, 33)) for _ in range(nl)],
+            pa.int64(),
+        ),
+        "l_suppkey": pa.array(
+            [_maybe(rng, 0.04, rng.randint(1, 14)) for _ in range(nl)],
+            pa.int64(),
+        ),
+        "l_linenumber": pa.array(
+            [rng.randint(1, 7) for _ in range(nl)], pa.int64(),
+        ),
+        "l_quantity": pa.array(
+            [_maybe(rng, 0.06, float(rng.randint(1, 50))) for _ in range(nl)],
+            pa.float64(),
+        ),
+        "l_extendedprice": pa.array(
+            [_maybe(rng, 0.06, round(rng.uniform(900, 100000), 2))
+             for _ in range(nl)],
+            pa.float64(),
+        ),
+        "l_discount": pa.array(
+            [_maybe(rng, 0.06, round(rng.uniform(0, 0.1), 2))
+             for _ in range(nl)],
+            pa.float64(),
+        ),
+        "l_tax": pa.array(
+            [_maybe(rng, 0.06, round(rng.uniform(0, 0.08), 2))
+             for _ in range(nl)],
+            pa.float64(),
+        ),
+        "l_returnflag": pa.array(
+            [rng.choice(["A", "N", "R", None]) for _ in range(nl)],
+            pa.string(),
+        ),
+        "l_linestatus": pa.array(
+            [rng.choice(["F", "O", None]) for _ in range(nl)], pa.string(),
+        ),
+        "l_shipdate": pa.array(
+            [_maybe(rng, 0.05, day(rng.randint(-300, 1000)))
+             for _ in range(nl)],
+            pa.timestamp("us"),
+        ),
+    }), d / "lineitem.parquet")
+
+    ne = 300
+    props_pool = ['{"k": %d}', '{}', 'not json', '{"other": 1}']
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(1, ne + 1)), pa.int64()),
+        "ts": pa.array(
+            [_maybe(rng, 0.05,
+                    base + datetime.timedelta(seconds=rng.randint(0, 400000)))
+             for _ in range(ne)],
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array(
+            [_maybe(rng, 0.06, rng.randint(1, 12)) for _ in range(ne)],
+            pa.int64(),
+        ),
+        "event_type": pa.array(
+            [rng.choice(["view", "click", "purchase", None])
+             for _ in range(ne)],
+            pa.string(),
+        ),
+        "value": pa.array(
+            [_maybe(rng, 0.08, round(rng.uniform(0, 500), 3))
+             for _ in range(ne)],
+            pa.float64(),
+        ),
+        "props": pa.array(
+            [_maybe(rng, 0.06,
+                    '{"k": %d}' % rng.randint(0, 99)
+                    if rng.random() < 0.5 else rng.choice(props_pool))
+             for _ in range(ne)],
+            pa.string(),
+        ),
+    }), d / "events.parquet")
+
+    nd = 100
+    words = ["the", "quick", "brown", "fox", "jumps", "über", "naïve",
+             "data", "pipeline", "ray", "Straße", "löss", "word"]
+    texts = []
+    for i in range(nd):
+        if i % 17 == 0:
+            texts.append("")
+        elif i % 11 == 0:
+            texts.append("see https://ex-%d.example.com/a/b?utm_source=x "
+                         "and http://other.net/p" % (i % 4))
+        elif i % 7 == 0:
+            texts.append(("spam " * rng.randint(2, 30)).strip() + "!")
+        else:
+            k = rng.randint(3, 40)
+            texts.append(" ".join(rng.choice(words) for _ in range(k))
+                         + rng.choice([".", "!", "?", "", " Dr. No. end."]))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(nd)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(
+            [rng.choice(["en", "de", "fr", None]) for _ in range(nd)],
+            pa.string(),
+        ),
+        "source": pa.array(
+            [rng.choice(["web", "books", "wiki", None]) for _ in range(nd)],
+            pa.string(),
+        ),
+        "n_chars": pa.array(
+            [None if rng.random() < 0.05 else len(t)
+             for t in texts],
+            pa.int64(),
+        ),
+    }), d / "documents.parquet")
+
+    nv, dim = 64, 8
+    embs = []
+    for i in range(nv):
+        if rng.random() < 0.04:
+            embs.append(None)
+        else:
+            embs.append([round(rng.uniform(-1, 1), 4) for _ in range(dim)])
+    pq.write_table(pa.table({
+        "vec_id": pa.array(list(range(nv)), pa.int64()),
+        "embedding": pa.array(embs, pa.list_(pa.float32())),
+        "label": pa.array(
+            [_maybe(rng, 0.06, rng.randint(0, 4)) for _ in range(nv)],
+            pa.int32(),
+        ),
+    }), d / "embeddings.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="session")
+def fuzz_sf(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fuzz_corpus")
+    return _build_fuzz_corpus(d)
+
+
+def _canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df):
+        df = df.sort_values(sorted(df.columns)).reset_index(drop=True)
+    return df
+
+
+_ORACLE_NAMES = sorted(set(entrymod.queries()) & set(entrymod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", _ORACLE_NAMES)
+def test_fuzz_oracle_parity(ray_session, fuzz_sf, name):
+    if name in EXCLUSIONS:
+        pytest.skip(EXCLUSIONS[name])
+    got = entrymod.queries()[name](fuzz_sf)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    elif isinstance(got, pa.Table):
+        got = got.to_pandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{fuzz_sf}/{t}.parquet'")
+    want = con.sql(entrymod.oracle_sql()[name]).df()
+    assert sorted(got.columns) == sorted(want.columns)
+    pd.testing.assert_frame_equal(
+        _canon(got), _canon(want), check_dtype=False
+    )
