@@ -1012,6 +1012,21 @@ def _probe_sorted(sorted_keys: np.ndarray, keys: np.ndarray):
     return idx, sorted_keys[idx] == keys
 
 
+# empty partial shape shared by returned_item_revenue's two fact emitters
+_EMPTY_RII_PARTIAL = pa.table(
+    {
+        "cbkt": pa.array([], pa.int64()),
+        "custkey": pa.array([], pa.int64()),
+        "rev_cents": pa.array([], pa.int64()),
+        "n_rev": pa.array([], pa.int64()),
+        "n_items": pa.array([], pa.int64()),
+        "is_cust": pa.array([], pa.int64()),
+        "c_name": pa.array([], pa.string()),
+        "nationkey": pa.array([], pa.int64()),
+    }
+)
+
+
 # rank sentinel for an all-NULL-revenue order: DuckDB's default NULL order
 # puts NULL revenue LAST even under DESC, so those orders rank below every
 # real sum; INT64_MIN/2 is unreachable by any real cents total
@@ -1153,9 +1168,15 @@ def late_shipment_priority(sf_dir: str, grace_days: int = 30) -> "rd.Dataset":
         codes = sorted_prio[np.searchsorted(sorted_keys, keys)]
         cnt = np.bincount(codes, minlength=len(prio_names)).astype(np.int64)
         nz = np.nonzero(cnt)[0]
+        # two-key NULL-safe groupby: Ray's sort-based exchange cannot order
+        # a None string key, and SQL keeps NULL priority as its own group
         return pa.table(
             {
-                "o_orderpriority": pa.array(prio_names[nz], pa.string()),
+                "prio_key": pa.array(
+                    ["" if prio_names[i] is None else prio_names[i] for i in nz],
+                    pa.string(),
+                ),
+                "prio_null": pa.array([prio_names[i] is None for i in nz], pa.bool_()),
                 "n_orders": pa.array(cnt[nz], pa.int64()),
             }
         )
@@ -1167,8 +1188,30 @@ def late_shipment_priority(sf_dir: str, grace_days: int = 30) -> "rd.Dataset":
         .groupby("orderkey")
         .aggregate(Count(alias_name="n_seen"))  # dedup: distinct late orderkeys
         .map_batches(prio_partial, batch_format="pyarrow")
-        .groupby("o_orderpriority")
+        .groupby(["prio_key", "prio_null"])
         .aggregate(_Sum("n_orders", alias_name="n_orders"))
+        .map_batches(_prio_finalize, batch_format="pyarrow")
+    )
+
+
+def _prio_finalize(batch: pa.Table) -> pa.Table:
+    """Reconstruct the possibly-NULL o_orderpriority from the two-key pair —
+    shared by both ``late_shipment_priority`` plans."""
+    if batch.num_rows == 0 or "prio_key" not in batch.schema.names:
+        return pa.table(
+            {
+                "o_orderpriority": pa.array([], pa.string()),
+                "n_orders": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {
+            "o_orderpriority": pa.array(
+                batch["prio_key"].to_pylist(), pa.string(),
+                mask=batch["prio_null"].to_numpy(zero_copy_only=False).astype(bool),
+            ),
+            "n_orders": batch["n_orders"],
+        }
     )
 
 
@@ -1197,8 +1240,10 @@ def _late_shipment_priority_join(sf_dir: str, grace_ns: np.int64) -> "rd.Dataset
     )
 
     def ship_partial(batch: pa.Table) -> pa.Table:
-        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
-        ts = batch["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[ns]").astype(np.int64)
+        # NULL l_orderkey joins nothing — drop before np.unique (float NaN)
+        m = _pc.is_valid(batch["l_orderkey"]).to_numpy(zero_copy_only=False)
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)[m].astype(np.int64)
+        ts = batch["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[ns]").astype(np.int64)[m]
         uk, inv = np.unique(keys, return_inverse=True)
         mx = np.full(len(uk), np.iinfo(np.int64).min, dtype=np.int64)
         np.maximum.at(mx, inv, ts)
@@ -1233,12 +1278,20 @@ def _late_shipment_priority_join(sf_dir: str, grace_ns: np.int64) -> "rd.Dataset
         # NULL o_orderdate → NaT int64 wraps negative and passes the >= test;
         # SQL's NULL comparison makes the order NOT late
         late &= ~np.isnat(od64)
-        return batch.filter(pa.array(late)).select(["o_orderpriority"])
+        out = batch.filter(pa.array(late))
+        prio = out["o_orderpriority"].combine_chunks()
+        return pa.table(
+            {
+                "prio_key": _pc.fill_null(prio, ""),
+                "prio_null": _pc.is_null(prio),
+            }
+        )
 
     return (
         joined.map_batches(late_filter, batch_format="pyarrow")
-        .groupby("o_orderpriority")
+        .groupby(["prio_key", "prio_null"])
         .aggregate(Count(alias_name="n_orders"))
+        .map_batches(_prio_finalize, batch_format="pyarrow")
     )
 
 
@@ -1532,10 +1585,14 @@ def returned_item_revenue(
     nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     if nat.num_rows == 0:
         return rd.from_arrow(_empty_returned_item_table())
-    n_key = nat["n_nationkey"].to_numpy()
-    nation_name = np.empty(int(n_key.max()) + 1, dtype=object)  # gaps stay None
-    nation_name[n_key] = np.asarray(nat["n_name"].to_pylist(), dtype=object)
-    nation_valid = np.array([x is not None for x in nation_name])
+    nk_list = [k for k in nat["n_nationkey"].to_pylist() if k is not None]
+    size = (max(nk_list) + 1) if nk_list else 1
+    nation_name = np.empty(size, dtype=object)  # gaps stay None
+    nation_found = np.zeros(size, dtype=bool)  # key EXISTS (name may be NULL)
+    for kk, nm in zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()):
+        if kk is not None:
+            nation_found[int(kk)] = True
+            nation_name[int(kk)] = nm
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -1581,29 +1638,28 @@ def returned_item_revenue(
         pos, hit = _probe_sorted(o_keys, keys)
         hit &= keys >= 0
         if not hit.any():
-            return pa.table(
-                {
-                    "cbkt": pa.array([], pa.int64()),
-                    "custkey": pa.array([], pa.int64()),
-                    "rev_cents": pa.array([], pa.int64()),
-                    "n_items": pa.array([], pa.int64()),
-                    "c_name": pa.array([], pa.string()),
-                    "nationkey": pa.array([], pa.int64()),
-                }
-            )
+            return _EMPTY_RII_PARTIAL
         cust = o_cust[pos[hit]]
-        rev = _cents_np(price[hit] * (1.0 - disc[hit]))
+        pv = ~(np.isnan(price[hit]) | np.isnan(disc[hit]))
+        rev = np.where(
+            pv,
+            _cents_np(np.nan_to_num(price[hit]) * (1.0 - np.nan_to_num(disc[hit]))),
+            0,
+        )
         keep = cust >= 0  # NULL custkey orders drop like the customer join
-        cust, rev = cust[keep], rev[keep]
+        cust, rev, pv = cust[keep], rev[keep], pv[keep]
         uc, inv = np.unique(cust, return_inverse=True)
         tot = np.bincount(inv, weights=rev, minlength=len(uc)).astype(np.int64)
         cnt = np.bincount(inv, minlength=len(uc)).astype(np.int64)
+        nrv = np.bincount(inv, weights=pv, minlength=len(uc)).astype(np.int64)
         return pa.table(
             {
                 "cbkt": pa.array(uc % n_buckets, pa.int64()),
                 "custkey": pa.array(uc, pa.int64()),
                 "rev_cents": pa.array(tot, pa.int64()),
+                "n_rev": pa.array(nrv, pa.int64()),
                 "n_items": pa.array(cnt, pa.int64()),
+                "is_cust": pa.array(np.zeros(len(uc), np.int64)),
                 "c_name": pa.nulls(len(uc), pa.string()),
                 "nationkey": pa.array(np.full(len(uc), -1, np.int64)),
             }
@@ -1619,16 +1675,23 @@ def returned_item_revenue(
         disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
         ok = keys >= 0  # NULL orderkey joins nothing
         keys = keys[ok]
-        rev = _cents_np(price[ok] * (1.0 - disc[ok]))
+        pv = ~(np.isnan(price[ok]) | np.isnan(disc[ok]))
+        rev = np.where(
+            pv,
+            _cents_np(np.nan_to_num(price[ok]) * (1.0 - np.nan_to_num(disc[ok]))),
+            0,
+        )
         uk, inv = np.unique(keys, return_inverse=True)
         tot = np.bincount(inv, weights=rev, minlength=len(uk)).astype(np.int64)
         cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        nrv = np.bincount(inv, weights=pv, minlength=len(uk)).astype(np.int64)
         return pa.table(
             {
                 "bkt": pa.array(uk % n_buckets, pa.int64()),
                 "okey": pa.array(uk, pa.int64()),
                 "custkey": pa.array(np.full(len(uk), -1, np.int64)),
                 "rev_cents": pa.array(tot, pa.int64()),
+                "n_rev": pa.array(nrv, pa.int64()),
                 "n_items": pa.array(cnt, pa.int64()),
             }
         )
@@ -1643,6 +1706,7 @@ def returned_item_revenue(
                 # NULL custkey -> -1 sentinel: drops below like the SQL join
                 "custkey": _pc.fill_null(batch["o_custkey"], -1).cast(pa.int64()),
                 "rev_cents": pa.array(np.zeros(n, np.int64)),
+                "n_rev": pa.array(np.zeros(n, np.int64)),
                 "n_items": pa.array(np.zeros(n, np.int64)),
             }
         )
@@ -1656,38 +1720,38 @@ def returned_item_revenue(
         o_keys, o_cust = o_keys[oo], o_cust[oo]
         li_keys = okey[~is_ord]
         rev = group["rev_cents"].to_numpy(zero_copy_only=False)[~is_ord]
+        nrv = group["n_rev"].to_numpy(zero_copy_only=False)[~is_ord]
         cnt = group["n_items"].to_numpy(zero_copy_only=False)[~is_ord]
         pos, hit = _probe_sorted(o_keys, li_keys)
         if not hit.any():
-            return pa.table(
-                {
-                    "cbkt": pa.array([], pa.int64()),
-                    "custkey": pa.array([], pa.int64()),
-                    "rev_cents": pa.array([], pa.int64()),
-                    "n_items": pa.array([], pa.int64()),
-                    "c_name": pa.array([], pa.string()),
-                    "nationkey": pa.array([], pa.int64()),
-                }
-            )
+            return _EMPTY_RII_PARTIAL
         cust = o_cust[pos[hit]]
-        rev, cnt = rev[hit], cnt[hit]
+        rev, nrv, cnt = rev[hit], nrv[hit], cnt[hit]
         uc, inv = np.unique(cust, return_inverse=True)
         tot = np.bincount(inv, weights=rev, minlength=len(uc)).astype(np.int64)
+        nr = np.bincount(inv, weights=nrv, minlength=len(uc)).astype(np.int64)
         n_it = np.bincount(inv, weights=cnt, minlength=len(uc)).astype(np.int64)
         keep = uc >= 0  # NULL custkey orders drop like the customer join
-        uc, tot, n_it = uc[keep], tot[keep], n_it[keep]
+        uc, tot, nr, n_it = uc[keep], tot[keep], nr[keep], n_it[keep]
         return pa.table(
             {
                 "cbkt": pa.array(uc % n_buckets, pa.int64()),
                 "custkey": pa.array(uc, pa.int64()),
                 "rev_cents": pa.array(tot, pa.int64()),
+                "n_rev": pa.array(nr, pa.int64()),
                 "n_items": pa.array(n_it, pa.int64()),
+                "is_cust": pa.array(np.zeros(len(uc), np.int64)),
                 "c_name": pa.nulls(len(uc), pa.string()),
                 "nationkey": pa.array(np.full(len(uc), -1, np.int64)),
             }
         )
 
     def cust_rows(batch: pa.Table) -> pa.Table:
+        # NULL custkey joins nothing; drop BEFORE to_numpy (float NaN).
+        # is_cust is an explicit tag: classifying by c_name validity would
+        # misfile a NULL-named customer as a partial row, and SQL joins on
+        # the KEY — a NULL name survives into the report.
+        batch = batch.filter(_pc.is_valid(batch["c_custkey"]))
         n = batch.num_rows
         ck = batch["c_custkey"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         return pa.table(
@@ -1695,7 +1759,9 @@ def returned_item_revenue(
                 "cbkt": pa.array(ck % n_buckets, pa.int64()),
                 "custkey": pa.array(ck, pa.int64()),
                 "rev_cents": pa.array(np.zeros(n, np.int64)),
+                "n_rev": pa.array(np.zeros(n, np.int64)),
                 "n_items": pa.array(np.zeros(n, np.int64)),
+                "is_cust": pa.array(np.ones(n, np.int64)),
                 "c_name": batch["c_name"],
                 "nationkey": _pc.fill_null(batch["c_nationkey"], -1).cast(pa.int64()),
             }
@@ -1706,13 +1772,15 @@ def returned_item_revenue(
             {
                 "custkey": pa.array([], pa.int64()),
                 "rev_cents": pa.array([], pa.int64()),
+                "rev_rank": pa.array([], pa.int64()),
+                "n_rev": pa.array([], pa.int64()),
                 "n_items": pa.array([], pa.int64()),
                 "name": pa.array([], pa.string()),
                 "nationkey": pa.array([], pa.int64()),
             }
         )
         name_col = group["c_name"]
-        is_cust = np.asarray(_pc.is_valid(name_col))
+        is_cust = group["is_cust"].to_numpy(zero_copy_only=False) > 0
         ck = group["custkey"].to_numpy(zero_copy_only=False)
         c_keys = ck[is_cust]
         co = np.argsort(c_keys, kind="stable")
@@ -1721,25 +1789,32 @@ def returned_item_revenue(
         names = np.asarray(name_col.to_pylist(), dtype=object)[is_cust][co]
         p_keys = ck[~is_cust]
         rev = group["rev_cents"].to_numpy(zero_copy_only=False)[~is_cust]
+        nrv = group["n_rev"].to_numpy(zero_copy_only=False)[~is_cust]
         cnt = group["n_items"].to_numpy(zero_copy_only=False)[~is_cust]
-        if len(p_keys) == 0:
+        if len(p_keys) == 0 or len(c_keys) == 0:
             return empty
         uc, inv = np.unique(p_keys, return_inverse=True)
         tot = np.bincount(inv, weights=rev, minlength=len(uc)).astype(np.int64)
+        nr = np.bincount(inv, weights=nrv, minlength=len(uc)).astype(np.int64)
         n_it = np.bincount(inv, weights=cnt, minlength=len(uc)).astype(np.int64)
         pos, hit = _probe_sorted(c_keys, uc)
         nk = np.where(hit, c_nat[np.clip(pos, 0, max(len(c_keys) - 1, 0))], -1)
-        valid = hit & (nk >= 0) & (nk < len(nation_name))
-        valid &= nation_valid[np.clip(nk, 0, len(nation_name) - 1)]
+        # the nation join is on the KEY: a nation row with a NULL name still
+        # joins (NULL nation in the report); only a MISSING key drops
+        valid = hit & (nk >= 0) & (nk < len(nation_found))
+        valid &= nation_found[np.clip(nk, 0, len(nation_found) - 1)]
         if not valid.any():
             return empty
-        uc, tot, n_it, nk = uc[valid], tot[valid], n_it[valid], nk[valid]
+        uc, tot, nr, n_it, nk = uc[valid], tot[valid], nr[valid], n_it[valid], nk[valid]
         nm = names[pos[valid]]
-        cut = _topk_order(tot, uc, k)  # bucket-local partial top-k
+        rank = _rank_rev(tot, nr)  # SQL NULLS LAST under DESC
+        cut = _topk_order(rank, uc, k)  # bucket-local partial top-k
         return pa.table(
             {
                 "custkey": pa.array(uc[cut], pa.int64()),
                 "rev_cents": pa.array(tot[cut], pa.int64()),
+                "rev_rank": pa.array(rank[cut], pa.int64()),
+                "n_rev": pa.array(nr[cut], pa.int64()),
                 "n_items": pa.array(n_it[cut], pa.int64()),
                 "name": pa.array(nm[cut], pa.string()),
                 "nationkey": pa.array(nk[cut], pa.int64()),
@@ -1748,6 +1823,7 @@ def returned_item_revenue(
 
     def finalize(batch: pa.Table) -> pa.Table:
         nk = batch["nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nr = batch["n_rev"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
                 "custkey": batch["custkey"],
@@ -1756,6 +1832,7 @@ def returned_item_revenue(
                 "revenue": pa.array(
                     batch["rev_cents"].to_numpy(zero_copy_only=False) / 100.0,
                     pa.float64(),
+                    mask=(nr == 0),  # all-NULL revenue group: SQL sum is NULL
                 ),
                 "n_items": batch["n_items"],
             }
@@ -1781,7 +1858,7 @@ def returned_item_revenue(
         .repartition(8)
         .groupby("cbkt")
         .map_groups(fuse_customers, batch_format="pyarrow")
-        .sort(["rev_cents", "custkey"], descending=[True, False])
+        .sort(["rev_rank", "custkey"], descending=[True, False])
         .limit(k)
         .map_batches(finalize, batch_format="pyarrow")
     )
@@ -1833,7 +1910,10 @@ def large_order_customers(
             .astype(np.int64)
         )
         qty = batch["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64)
-        ok = keys >= 0
+        # NULL quantities drop from the sum (SQL sum skips them; an
+        # all-NULL order gets a NULL sum, which HAVING > excludes) — a
+        # NaN->int64 cast would otherwise poison the total with INT64_MIN
+        ok = (keys >= 0) & ~np.isnan(qty)
         keys = keys[ok]
         q_int = np.floor(qty[ok] + 0.5).astype(np.int64)
         uk, inv = np.unique(keys, return_inverse=True)
@@ -1868,7 +1948,9 @@ def large_order_customers(
     )
     tables = [t for t in ray.get(survivors_ds.to_arrow_refs()) if t.num_rows]
     if not tables:
-        return rd.from_arrow(_empty_large_order_table())
+        # hand back the typed pa.Table itself: a 0-row Dataset drops its
+        # column names through to_pandas (queries() allows Table returns)
+        return _empty_large_order_table()
     survivors = pa.concat_tables(tables)
     if survivors.num_rows > max_result_rows:
         raise ValueError(
@@ -1890,31 +1972,42 @@ def large_order_customers(
     ords = ords.filter(pa.array(keep_ord))
     ock = ock[keep_ord]
     if ords.num_rows == 0:
-        return rd.from_arrow(_empty_large_order_table())
+        return _empty_large_order_table()
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_name"],
         filters=[("c_custkey", "in", np.unique(ock).tolist())],
     )
     name_by_key = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
+    # membership, not name validity: a customer row with a NULL c_name still
+    # JOINS (the SQL join is on custkey) — only a MISSING customer row drops
+    have_cust = np.array([int(c) in name_by_key for c in ock], dtype=bool)
     names = [name_by_key.get(int(c)) for c in ock]
-    name_arr = pa.array(names, pa.string())
     price = ords["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+    vprice = ~np.isnan(price)
     out = pa.table(
         {
             "custkey": pa.array(ock, pa.int64()),
-            "name": name_arr,
+            "name": pa.array(names, pa.string()),
             "orderkey": ords["o_orderkey"].cast(pa.int64()),
             "orderdate": ords["o_orderdate"].cast(pa.timestamp("us")),
-            "totalprice": pa.array(_cents_np(price) / 100.0, pa.float64()),
+            "totalprice": pa.array(
+                _cents_np(np.nan_to_num(price)) / 100.0, pa.float64(),
+                mask=~vprice,  # SQL: NULL price stays NULL, row survives
+            ),
             "total_qty": pa.array(
                 [qty_by_okey[int(o)] for o in ords["o_orderkey"].to_pylist()],
                 pa.int64(),
             ),
         }
-    ).filter(_pc.is_valid(name_arr))  # inner join: dangling custkey drops
-    idx = np.lexsort((out["orderkey"].to_numpy(), -out["totalprice"].to_numpy()))[:k]
-    return rd.from_arrow(out.take(pa.array(idx)))
+    ).filter(pa.array(have_cust))
+    # NULLS LAST under DESC (DuckDB default): rank NULL prices at -inf
+    rank = np.where(
+        vprice[have_cust], np.nan_to_num(price[have_cust]), -np.inf
+    )
+    idx = np.lexsort((out["orderkey"].to_numpy(), -rank))[:k]
+    out = out.take(pa.array(idx))
+    return out if out.num_rows == 0 else rd.from_arrow(out)
 
 
 def _empty_large_order_table() -> pa.Table:
@@ -2522,6 +2615,7 @@ def idle_rich_customers(sf_dir: str, cutoff: str = "1998-01-01") -> "rd.Dataset"
             {
                 "c_custkey": pa.array(keys, pa.int64()),
                 "c_nationkey": pa.array(np.zeros(n, np.int64)),
+                "nk_null": pa.array(np.zeros(n, np.int64)),
                 "bal_cents": pa.array(np.zeros(n, np.int64)),
                 "is_active": pa.array(np.ones(n, np.int64)),
                 "is_cust": pa.array(np.zeros(n, np.int64)),
@@ -2535,12 +2629,18 @@ def idle_rich_customers(sf_dir: str, cutoff: str = "1998-01-01") -> "rd.Dataset"
         cents[finite] = _cents_np(bal[finite])
         keep = finite & (cents * n_pos > s_pos)
         n = int(keep.sum())
+        # two-key NULL-safe nationkey: a null int64 column to_numpy's as
+        # float NaN, and .astype(int64) would mint INT64_MIN where SQL
+        # groups under NULL.  Emitted (idle) customers have NO active rows,
+        # so the Max fold below always returns THIS row's (key, flag) pair.
+        nk = batch["c_nationkey"].combine_chunks()
+        nk_key = _pc.fill_null(nk, 0).to_numpy(zero_copy_only=False).astype(np.int64)[keep]
+        nk_null = _pc.is_null(nk).to_numpy(zero_copy_only=False).astype(np.int64)[keep]
         return pa.table(
             {
                 "c_custkey": batch["c_custkey"].to_numpy(zero_copy_only=False)[keep],
-                "c_nationkey": batch["c_nationkey"]
-                .to_numpy(zero_copy_only=False)[keep]
-                .astype(np.int64),
+                "c_nationkey": pa.array(nk_key, pa.int64()),
+                "nk_null": pa.array(nk_null, pa.int64()),
                 "bal_cents": pa.array(cents[keep], pa.int64()),
                 "is_active": pa.array(np.zeros(n, np.int64)),
                 "is_cust": pa.array(np.ones(n, np.int64)),
@@ -2554,18 +2654,22 @@ def idle_rich_customers(sf_dir: str, cutoff: str = "1998-01-01") -> "rd.Dataset"
         _Sum("is_active", alias_name="n_recent"),
         _Sum("is_cust", alias_name="n_cust"),
         Max("c_nationkey", alias_name="c_nationkey"),
+        Max("nk_null", alias_name="nk_null"),
         Max("bal_cents", alias_name="bal_cents"),
     )
 
     def idle_partial(batch: pa.Table) -> pa.Table:
         m = pc.and_(pc.equal(batch["n_recent"], 0), pc.greater(batch["n_cust"], 0))
         hit = batch.filter(m)
-        nk = hit["c_nationkey"].to_numpy(zero_copy_only=False)
+        nk = hit["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nn = hit["nk_null"].to_numpy(zero_copy_only=False).astype(np.int64)
         bc = hit["bal_cents"].to_numpy(zero_copy_only=False)
-        uk, inv = np.unique(nk, return_inverse=True)
+        pair = np.stack([nk, nn], axis=1)
+        uk, inv = np.unique(pair, axis=0, return_inverse=True)
         return pa.table(
             {
-                "c_nationkey": pa.array(uk, pa.int64()),
+                "c_nationkey": pa.array(uk[:, 0], pa.int64()),
+                "nk_null": pa.array(uk[:, 1], pa.int64()),
                 "n_cust": pa.array(np.bincount(inv, minlength=len(uk)).astype(np.int64)),
                 "acctbal_cents": pa.array(
                     np.bincount(inv, weights=bc.astype(np.float64), minlength=len(uk)).astype(
@@ -2577,7 +2681,7 @@ def idle_rich_customers(sf_dir: str, cutoff: str = "1998-01-01") -> "rd.Dataset"
 
     rows = (
         agg.map_batches(idle_partial, batch_format="pyarrow")
-        .groupby("c_nationkey")
+        .groupby(["c_nationkey", "nk_null"])
         .aggregate(
             _Sum("n_cust", alias_name="n_cust"),
             _Sum("acctbal_cents", alias_name="acctbal_cents"),
@@ -2589,7 +2693,10 @@ def idle_rich_customers(sf_dir: str, cutoff: str = "1998-01-01") -> "rd.Dataset"
     )
     return pa.table(
         {
-            "c_nationkey": pa.array([r["c_nationkey"] for r in rows], pa.int64()),
+            "c_nationkey": pa.array(
+                [None if r["nk_null"] else r["c_nationkey"] for r in rows],
+                pa.int64(),
+            ),
             "n_cust": pa.array([r["n_cust"] for r in rows], pa.int64()),
             "acctbal_cents": pa.array([r["acctbal_cents"] for r in rows], pa.int64()),
         }
