@@ -171,8 +171,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import numpy as np
         import pyarrow.parquet as pq
 
+        import pyarrow.compute as pc
+
         cols = ["vec_id", "embedding"] + (["label"] if with_label else [])
         tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=cols)
+        # NULL embeddings cannot be query vectors (the oracles declare the
+        # query as the smallest vec_id WITH an embedding)
+        tbl = tbl.filter(pc.is_valid(tbl["embedding"]))
         if tbl.num_rows == 0:
             return None
         i = int(np.argmin(tbl["vec_id"].to_numpy()))
@@ -1152,9 +1157,15 @@ def oracle_sql() -> dict[str, str]:
             FROM v
         """,
         "knn_cosine_top10": """
-            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+            -- NULL embeddings take no part in distance math (DuckDB's
+            -- list kernels reject NULL inputs outright): the query is the
+            -- smallest vec_id WITH an embedding, candidates likewise
+            WITH q AS (SELECT embedding AS qe FROM embeddings
+                       WHERE vec_id = (SELECT min(vec_id) FROM embeddings
+                                       WHERE embedding IS NOT NULL))
             SELECT e.vec_id
             FROM embeddings e, q
+            WHERE e.embedding IS NOT NULL
             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, e.vec_id ASC
             LIMIT 10
         """,
@@ -1162,11 +1173,12 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (
                 SELECT embedding AS qe, label AS ql
                 FROM embeddings
-                WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+                WHERE vec_id = (SELECT min(vec_id) FROM embeddings
+                                WHERE embedding IS NOT NULL)
             )
             SELECT e.vec_id
             FROM embeddings e, q
-            WHERE e.label = q.ql
+            WHERE e.label = q.ql AND e.embedding IS NOT NULL
             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC, e.vec_id ASC
             LIMIT 5
         """,
@@ -1174,7 +1186,8 @@ def oracle_sql() -> dict[str, str]:
             WITH q AS (
                 SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_idx,
                        embedding AS qe
-                FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+                FROM (SELECT vec_id, embedding FROM embeddings
+                      WHERE embedding IS NOT NULL ORDER BY vec_id LIMIT 8)
             ),
             scored AS (
                 SELECT q.query_idx, e.vec_id,
@@ -1183,6 +1196,7 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) DESC,
                                     e.vec_id ASC) AS rn
                 FROM embeddings e CROSS JOIN q
+                WHERE e.embedding IS NOT NULL
             )
             SELECT query_idx, vec_id FROM scored WHERE rn <= 5
         """,
@@ -1423,7 +1437,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a.vec_id AS i, b.vec_id AS j
                 FROM embeddings a JOIN embeddings b
                   ON a.label = b.label AND a.vec_id < b.vec_id
-                WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) >= 0.4
+                WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+                  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) >= 0.4
             ),
             edges AS (SELECT i AS src, j AS dst FROM pairs UNION ALL SELECT j, i FROM pairs),
             reach(node, anc) AS (
@@ -1492,7 +1507,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a.vec_id AS i, b.vec_id AS j
                 FROM embeddings a JOIN embeddings b
                   ON a.label = b.label AND a.vec_id < b.vec_id
-                WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) >= 0.4
+                WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+                  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) >= 0.4
             ),
             edges AS (SELECT i AS src, j AS dst FROM pairs UNION ALL SELECT j, i FROM pairs),
             reach(node, anc) AS (
@@ -1507,7 +1523,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a.vec_id AS i, b.vec_id AS j
                 FROM embeddings a JOIN embeddings b
                   ON a.label = b.label AND a.vec_id < b.vec_id
-                WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) >= 0.4
+                WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+                  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) >= 0.4
             ),
             drops AS (SELECT DISTINCT j FROM pairs)
             SELECT d.doc_id, d.lang, d.n_chars
@@ -1621,19 +1638,28 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) AS cos_sim
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) >= 0.4
+            WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+              AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) >= 0.4
         """,
         "embedding_dup_pairs_ivf": """
             WITH c AS (
                 SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-                FROM embeddings WHERE vec_id < 8
+                FROM embeddings WHERE vec_id < 8 AND embedding IS NOT NULL
             ),
             a AS (
-                SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ev,
-                       (SELECT cid FROM c
-                        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), cv) DESC, cid
-                        LIMIT 1) AS cell
-                FROM embeddings e
+                -- explicit join + row_number, NOT a correlated subquery:
+                -- DuckDB's dependent-join flattening synthesizes NULL cv
+                -- rows that list_cosine_similarity rejects outright
+                SELECT vec_id, ev, cell FROM (
+                    SELECT e.vec_id, e.ev, c.cid AS cell,
+                           row_number() OVER (
+                               PARTITION BY e.vec_id
+                               ORDER BY list_cosine_similarity(e.ev, c.cv)
+                                            DESC, c.cid) AS rn
+                    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+                          FROM embeddings WHERE embedding IS NOT NULL) e
+                    CROSS JOIN c
+                ) WHERE rn = 1
             )
             SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
                    round(list_cosine_similarity(x.ev, y.ev), 5) AS cos_sim
@@ -1663,7 +1689,8 @@ def oracle_sql() -> dict[str, str]:
                 SELECT a.vec_id AS i, b.vec_id AS j
                 FROM embeddings a JOIN embeddings b
                   ON a.label = b.label AND a.vec_id < b.vec_id
-                WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) >= 0.4
+                WHERE a.embedding IS NOT NULL AND b.embedding IS NOT NULL
+                  AND round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 5) >= 0.4
             ),
             edges AS (SELECT i AS src, j AS dst FROM pairs UNION ALL SELECT j, i FROM pairs),
             reach(node, anc) AS (
@@ -1714,12 +1741,12 @@ def oracle_sql() -> dict[str, str]:
             WITH a AS (
                 SELECT d.doc_id AS ida, CAST(e.embedding AS DOUBLE[]) AS ea
                 FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
-                WHERE d.lang = 'en'
+                WHERE d.lang = 'en' AND e.embedding IS NOT NULL
             ),
             b AS (
                 SELECT d.doc_id AS idb, CAST(e.embedding AS DOUBLE[]) AS eb
                 FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
-                WHERE d.lang = 'de'
+                WHERE d.lang = 'de' AND e.embedding IS NOT NULL
             ),
             s AS (
                 SELECT ida, idb, round(list_cosine_similarity(ea, eb), 5) AS cs
@@ -1971,6 +1998,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": """
             WITH e AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                WHERE embedding IS NOT NULL
             ),
             c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
             d AS (

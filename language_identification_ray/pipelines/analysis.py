@@ -797,19 +797,35 @@ def knn_cosine_top10(sf_dir: str) -> "rd.Dataset":
     ids = tbl["vec_id"].to_numpy()
     if len(ids) == 0:  # empty table/partition: no query vector -> empty top-k
         return rd.from_arrow(pa.table({"vec_id": pa.array([], pa.int64())}))
+    # NULL embeddings take no part (the oracle declares this: DuckDB's
+    # list kernels reject NULL inputs): query = smallest vec_id WITH an
+    # embedding, candidates likewise
+    tbl = tbl.filter(pc.is_valid(tbl["embedding"]))
+    ids = tbl["vec_id"].to_numpy()
+    if len(ids) == 0:
+        return rd.from_arrow(pa.table({"vec_id": pa.array([], pa.int64())}))
     q = np.array(tbl["embedding"].to_pylist()[int(np.argmin(ids))], dtype=np.float64)
     qn = q / np.linalg.norm(q)
 
     def score(batch: pa.Table) -> pa.Table:
-        from language_identification_ray.stages.knn import _as_matrix
+        from language_identification_ray.stages.knn import _as_matrix, _drop_null_rows
 
+        batch = _drop_null_rows(batch, "embedding")
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
         mat = _as_matrix(batch["embedding"])
         norms = np.linalg.norm(mat, axis=1)
         cos = (mat @ qn) / np.where(norms == 0, 1.0, norms)
-        order = np.argsort(-cos, kind="stable")[:10]  # per-batch top-k candidates
+        order = np.lexsort((vid, -cos))[:10]  # per-batch top-k candidates
         return pa.table(
             {
-                "vec_id": pa.array(batch["vec_id"].to_numpy()[order]),
+                "vec_id": pa.array(vid[order]),
                 "cos_sim": pa.array(cos[order], pa.float64()),
             }
         )
@@ -1808,9 +1824,10 @@ def label_centroids(sf_dir: str) -> "rd.Dataset":
     never vectors.  The classic centroid step of distributed k-means /
     near-dup clustering.  Values rounded to 5 decimals so float summation
     order is engine-independent."""
-    from language_identification_ray.stages.knn import _as_matrix
+    from language_identification_ray.stages.knn import _as_matrix, _drop_null_rows
 
     def partials(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_rows(batch, "embedding")  # SQL: no unnest rows
         mat = _as_matrix(batch["embedding"])
         # NULL labels keep their own centroid group (SQL GROUP BY keeps
         # one); a NULL int32 would otherwise astype to garbage via NaN
@@ -1872,19 +1889,35 @@ def embedding_quantize(sf_dir: str) -> "rd.Dataset":
     from language_identification_ray.stages.knn import _as_matrix
 
     def f(batch: pa.Table) -> pa.Table:
-        mat = _as_matrix(batch["embedding"])  # float64 view of float32 values
-        scale = np.abs(mat).max(axis=1) / 127.0
-        safe = np.where(scale == 0.0, 1.0, scale)
-        q = np.floor(mat / safe[:, None] + 0.5)
-        q[scale == 0.0] = 0.0
-        q = q.astype(np.int64)
+        # a NULL embedding KEEPS its row with NULL outputs (SQL
+        # list_transform(NULL) -> NULL all the way down), unlike the
+        # distance kernels where a NULL list simply never unnests
+        emb = batch["embedding"].combine_chunks()
+        valid = pc.is_valid(emb).to_numpy(zero_copy_only=False)
+        n = len(valid)
+        scale_f = np.zeros(n, np.float64)
+        qs = np.zeros(n, np.int64)
+        qmin = np.zeros(n, np.int64)
+        qmax = np.zeros(n, np.int64)
+        if valid.any():
+            mat = _as_matrix(batch.filter(pa.array(valid))["embedding"])
+            scale = np.abs(mat).max(axis=1) / 127.0
+            safe = np.where(scale == 0.0, 1.0, scale)
+            q = np.floor(mat / safe[:, None] + 0.5)
+            q[scale == 0.0] = 0.0
+            q = q.astype(np.int64)
+            scale_f[valid] = np.round(scale, 6)
+            qs[valid] = q.sum(axis=1)
+            qmin[valid] = q.min(axis=1)
+            qmax[valid] = q.max(axis=1)
+        inval = ~valid
         return pa.table(
             {
                 "vec_id": batch["vec_id"],
-                "scale": pa.array(np.round(scale, 6), pa.float64()),
-                "q_sum": pa.array(q.sum(axis=1), pa.int64()),
-                "q_min": pa.array(q.min(axis=1), pa.int64()),
-                "q_max": pa.array(q.max(axis=1), pa.int64()),
+                "scale": pa.array(scale_f, pa.float64(), mask=inval),
+                "q_sum": pa.array(qs, pa.int64(), mask=inval),
+                "q_min": pa.array(qmin, pa.int64(), mask=inval),
+                "q_max": pa.array(qmax, pa.int64(), mask=inval),
             }
         )
 
@@ -3946,6 +3979,9 @@ def kmeans_assign(sf_dir: str, k: int = 8) -> "rd.Dataset":
         columns=["vec_id", "embedding"],
         filters=[("vec_id", "<", k)],
     )
+    # a NULL embedding yields no unnest rows in the oracle's c0 CTE, so it
+    # is never a centroid
+    tbl = tbl.filter(pc.is_valid(tbl["embedding"]))
     if tbl.num_rows == 0:  # empty table: no centroids -> empty assignment
         return rd.from_arrow(
             pa.table(
@@ -3962,6 +3998,7 @@ def kmeans_assign(sf_dir: str, k: int = 8) -> "rd.Dataset":
     c_sq = (C * C).sum(axis=1)
 
     def assign(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["embedding"]))  # no unnest rows
         X = _as_matrix(batch["embedding"])
         if X.shape[0] == 0:
             return pa.table(
@@ -5706,7 +5743,10 @@ def lang_centroids(sf_dir: str, n_buckets: int = 64) -> "rd.Dataset":
         )
 
     def tag_embs(batch: pa.Table) -> pa.Table:
-        ok = pc.is_valid(batch["vec_id"])
+        # NULL embeddings yield no unnest rows in the oracle — and the doc
+        # side uses NULL embedding as its union placeholder, so a real NULL
+        # vector would corrupt the fold's matrix build
+        ok = pc.and_(pc.is_valid(batch["vec_id"]), pc.is_valid(batch["embedding"]))
         t = batch.filter(ok)
         ids = t["vec_id"].cast(pa.int64())
         bkt = pa.array(
@@ -7301,6 +7341,8 @@ def kmeans_train(sf_dir: str, k: int = 8, iters: int = 3) -> "rd.Dataset":
         columns=["vec_id", "embedding"],
         filters=[("vec_id", "<", k)],
     )
+    # NULL embeddings never unnest: not centroids, not assignable
+    tbl = tbl.filter(pc.is_valid(tbl["embedding"]))
     empty = pa.table(
         {"vec_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
     )
@@ -7314,6 +7356,7 @@ def kmeans_train(sf_dir: str, k: int = 8, iters: int = 3) -> "rd.Dataset":
         c_sq = (Cm * Cm).sum(axis=1)
 
         def update(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.is_valid(batch["embedding"]))
             X = _as_matrix(batch["embedding"])
             kk, d = Cm.shape
             if X.shape[0] == 0:
@@ -7359,6 +7402,7 @@ def kmeans_train(sf_dir: str, k: int = 8, iters: int = 3) -> "rd.Dataset":
     Cf = C
 
     def assign(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["embedding"]))
         X = _as_matrix(batch["embedding"])
         if X.shape[0] == 0:
             return empty
@@ -7397,6 +7441,7 @@ def knn_self_top1(sf_dir: str, max_broadcast: int = 4_000_000) -> "rd.Dataset":
             "cos": pa.array([], pa.float64()),
         }
     )
+    tbl = tbl.filter(pc.is_valid(tbl["embedding"]))  # no unnest rows
     if tbl.num_rows < 2:
         return rd.from_arrow(empty)
     if tbl.num_rows > max_broadcast:
@@ -7414,6 +7459,7 @@ def knn_self_top1(sf_dir: str, max_broadcast: int = 4_000_000) -> "rd.Dataset":
     ref = ray.put((ids, Mn))
 
     def top1(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["embedding"]))
         bids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         X = _as_matrix(batch["embedding"])
         if X.shape[0] == 0:

@@ -1117,7 +1117,7 @@ def _ivf_cell_expand(
     pair reducer can emit a pair only in its MINIMUM common cell — exactly
     once, no dedup shuffle.  A 1e-4 slack on t keeps the radius valid for
     the round-to-5-decimals-before-threshold pair predicate."""
-    from language_identification_ray.stages.knn import _as_matrix
+    from language_identification_ray.stages.knn import _as_matrix, _drop_null_rows
 
     if centroids is None:
         k = int(n_cells)
@@ -1152,6 +1152,7 @@ def _ivf_cell_expand(
 
         if block_column is not None and batch[block_column].null_count:
             batch = batch.filter(_pc.is_valid(batch[block_column]))
+        batch = _drop_null_rows(batch, vec_column)  # NULL vectors never pair
         n = batch.num_rows
         X = _as_matrix(batch[vec_column])
         if n == 0 or X.size == 0:
@@ -1254,6 +1255,9 @@ def embedding_dup_pairs(
         # here (a NULL tile_key would also crash the reducer's key parse)
         if batch.num_rows and batch[block_column].null_count:
             batch = batch.filter(_pc.is_valid(batch[block_column]))
+        from language_identification_ray.stages.knn import _drop_null_rows as _dnr
+
+        batch = _dnr(batch, vec_column)  # NULL vectors never pair (SQL join)
         ids = batch[id_column].to_numpy(zero_copy_only=False)
         # stable per-id tile: low bits of the pandas siphash (engine-stable)
         tiles = (pd.util.hash_array(ids.astype(np.int64)) % n_tiles).astype(np.int64)
@@ -1280,11 +1284,12 @@ def embedding_dup_pairs(
         )
 
     def pairs(group: pa.Table) -> pa.Table:
-        from language_identification_ray.stages.knn import _as_matrix
+        from language_identification_ray.stages.knn import _as_matrix, _drop_null_rows
 
         key = group["tile_key"][0].as_py()
         tk = int(key.rsplit("|", 1)[1])
         t_lo, t_hi = tk // n_tiles, tk % n_tiles
+        group = _drop_null_rows(group, vec_column)  # aligned with ids below
         ids = group[id_column].to_numpy(zero_copy_only=False)
         mat = _as_matrix(group[vec_column])
         norms = np.linalg.norm(mat, axis=1)

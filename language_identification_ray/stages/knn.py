@@ -22,6 +22,20 @@ import pyarrow as pa
 import ray.data as rd
 
 
+def _drop_null_rows(batch: "pa.Table", column: str) -> "pa.Table":
+    """Drop rows whose list column is NULL — SQL's unnest / list_* kernels
+    yield no rows (or a NULL that every comparison rejects) for a NULL
+    list, so a NULL embedding never participates in distance math on
+    either engine.  No-op (zero-copy) on fully-valid columns."""
+    col = batch[column]
+    nc = col.null_count if hasattr(col, "null_count") else 0
+    if nc:
+        import pyarrow.compute as _pc
+
+        batch = batch.filter(_pc.is_valid(col))
+    return batch
+
+
 def _as_matrix(col) -> np.ndarray:
     """Arrow ``list<float>`` column → (n, dim) float64 matrix with NO
     per-row Python objects: the child values buffer is reshaped (contiguous
@@ -66,6 +80,7 @@ def brute_force_topk(
     qn = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
 
     def score(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_rows(batch, vec_column)
         if batch.num_rows == 0:
             # see the empty-fragment note in the other score fns
             return pa.table(
@@ -155,6 +170,7 @@ def lsh_topk(
     qn = q / (np.linalg.norm(q) or 1.0)
 
     def scan(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_rows(batch, vec_column)
         if batch.num_rows == 0:
             # empty fragment (e.g. a row group fully pruned by the pushed-down
             # filter): _as_matrix would yield a (0, 0) matrix and crash the
@@ -241,6 +257,7 @@ def label_filtered_topk(
     qn = q / (np.linalg.norm(q) or 1.0)
 
     def score(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_rows(batch, vec_column)
         if batch.num_rows == 0:
             # empty fragment (e.g. a row group fully pruned by the pushed-down
             # filter): _as_matrix would yield a (0, 0) matrix and crash the
@@ -288,6 +305,7 @@ def build_ivf_layout(
     index = IvfIndex.train(sample, n_centroids=n_centroids, seed=seed)
 
     def assign_cell(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_rows(batch, vec_column)
         if batch.num_rows == 0:
             return batch.append_column("ivf_cell", pa.array([], pa.int64()))
         cells = index.assign(_as_matrix(batch[vec_column]))
@@ -325,6 +343,7 @@ def ivf_pruned_topk(
     )
 
     def score(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_rows(batch, vec_column)
         if batch.num_rows == 0:
             # empty fragment (e.g. a row group fully pruned by the pushed-down
             # filter): _as_matrix would yield a (0, 0) matrix and crash the
@@ -374,6 +393,7 @@ def ivf_topk(
     qn = q / (np.linalg.norm(q) or 1.0)
 
     def scan(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_rows(batch, vec_column)
         if batch.num_rows == 0:
             # empty fragment (e.g. a row group fully pruned by the pushed-down
             # filter): _as_matrix would yield a (0, 0) matrix and crash the
@@ -505,6 +525,7 @@ def build_pq_codes(
     instead of the float table (see :func:`pq_topk`)."""
 
     def encode(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_rows(batch, vec_column)
         if batch.num_rows == 0:
             return pa.table(
                 {
