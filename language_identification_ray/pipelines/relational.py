@@ -704,26 +704,43 @@ def revenue_by_supplier_nation(sf_dir: str) -> "rd.Dataset":
                 }
             )
         )
-    n_key = nat["n_nationkey"].to_numpy()
-    n_name = np.asarray(nat["n_name"].to_pylist(), dtype=object)
-    n_region = nat["n_regionkey"].to_numpy()
-    r_name_by_key = dict(zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()))
-    # dense nationkey → (nation, region) tables
-    max_n = int(n_key.max()) + 1
+    # joins are on KEYS: a NULL r_name / n_name row still joins (it is a
+    # real output group), only a MISSING or NULL key breaks the chain
+    r_name_by_key = {}
+    r_found = set()
+    for rk, rn in zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist()):
+        if rk is not None:
+            r_found.add(int(rk))
+            r_name_by_key[int(rk)] = rn
+    n_keys = [k for k in nat["n_nationkey"].to_pylist() if k is not None]
+    max_n = (max(n_keys) + 1) if n_keys else 1
     nation_name = np.empty(max_n, dtype=object)
     region_name = np.empty(max_n, dtype=object)
-    nation_name[n_key] = n_name
-    # a nation whose regionkey is missing from region is DROPPED by the SQL
-    # inner join — exclude it from the valid-nation set below
-    region_name[n_key] = [r_name_by_key.get(int(r)) for r in n_region]
-    valid_nations = n_key[np.array([r_name_by_key.get(int(r)) is not None for r in n_region])]
+    valid = np.zeros(max_n, dtype=bool)  # full key chain resolves
+    for nk, nn, nr in zip(
+        nat["n_nationkey"].to_pylist(),
+        nat["n_name"].to_pylist(),
+        nat["n_regionkey"].to_pylist(),
+    ):
+        if nk is not None and nr is not None and int(nr) in r_found:
+            valid[int(nk)] = True
+            nation_name[int(nk)] = nn
+            region_name[int(nk)] = r_name_by_key[int(nr)]
     # dense suppkey → nationkey; suppliers pointing at an invalid nation
     # keep the -1 sentinel so their lineitems drop like the SQL join
-    s_key = sup["s_suppkey"].to_numpy()
-    s_nat = sup["s_nationkey"].to_numpy()
-    supp_nation = np.full(int(s_key.max()) + 1, -1, dtype=np.int64)
-    ok_sup = np.isin(s_nat, valid_nations)
-    supp_nation[s_key[ok_sup]] = s_nat[ok_sup]
+    s_keys = [k for k in sup["s_suppkey"].to_pylist() if k is not None]
+    max_s = (max(s_keys) + 1) if s_keys else 1
+    supp_nation = np.full(max_s, -1, dtype=np.int64)
+    for sk, sn in zip(
+        sup["s_suppkey"].to_pylist(), sup["s_nationkey"].to_pylist()
+    ):
+        if (
+            sk is not None
+            and sn is not None
+            and 0 <= int(sn) < max_n
+            and valid[int(sn)]
+        ):
+            supp_nation[int(sk)] = int(sn)
     lookup_ref = ray.put((supp_nation, nation_name, region_name))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -745,35 +762,75 @@ def revenue_by_supplier_nation(sf_dir: str) -> "rd.Dataset":
         nk = nk[ok]
         price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)[ok]
         disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)[ok]
-        # exact cents of extendedprice*(1-discount), round-half-up (Q1 convention)
-        rev = _cents_np(price * (1.0 - disc))
+        # NULL price/discount: the term drops from the sum (SQL), the row
+        # still counts toward count(*); an all-NULL group keeps a NULL sum
+        pv = ~(np.isnan(price) | np.isnan(disc))
+        rev = np.where(
+            pv, _cents_np(np.nan_to_num(price) * (1.0 - np.nan_to_num(disc))), 0
+        )
+        empty = pa.table(
+            {
+                "region_key": pa.array([], pa.string()),
+                "region_null": pa.array([], pa.bool_()),
+                "nation_key": pa.array([], pa.string()),
+                "nation_null": pa.array([], pa.bool_()),
+                "revenue_cents": pa.array([], pa.int64()),
+                "n_rev": pa.array([], pa.int64()),
+                "n_items": pa.array([], pa.int64()),
+            }
+        )
         if not len(nk):
-            return pa.table(
-                {
-                    "region": pa.array([], pa.string()),
-                    "nation": pa.array([], pa.string()),
-                    "revenue_cents": pa.array([], pa.int64()),
-                    "n_items": pa.array([], pa.int64()),
-                }
-            )
+            return empty
         uk, inv = np.unique(nk, return_inverse=True)
         tot = np.bincount(inv, weights=rev, minlength=len(uk)).astype(np.int64)
+        nr = np.bincount(inv, weights=pv, minlength=len(uk)).astype(np.int64)
         cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        # SQL groups by the NAME pair, so the exchange key is the two-key
+        # encoding of (region name, nation name) — NULL names are groups
+        rn = region_name[uk]
+        nn = nation_name[uk]
         return pa.table(
             {
-                "region": pa.array(region_name[uk], pa.string()),
-                "nation": pa.array(nation_name[uk], pa.string()),
+                "region_key": pa.array(
+                    ["" if x is None else x for x in rn], pa.string()
+                ),
+                "region_null": pa.array([x is None for x in rn], pa.bool_()),
+                "nation_key": pa.array(
+                    ["" if x is None else x for x in nn], pa.string()
+                ),
+                "nation_null": pa.array([x is None for x in nn], pa.bool_()),
                 "revenue_cents": pa.array(tot, pa.int64()),
+                "n_rev": pa.array(nr, pa.int64()),
                 "n_items": pa.array(cnt, pa.int64()),
             }
         )
 
     def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "region_key" not in batch.schema.names:
+            return pa.table(
+                {
+                    "region": pa.array([], pa.string()),
+                    "nation": pa.array([], pa.string()),
+                    "revenue": pa.array([], pa.float64()),
+                    "n_items": pa.array([], pa.int64()),
+                }
+            )
+        nr = batch["n_rev"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "region": batch["region"],
-                "nation": batch["nation"],
-                "revenue": pa.array(batch["revenue_cents"].to_numpy() / 100.0, pa.float64()),
+                "region": pa.array(
+                    batch["region_key"].to_pylist(), pa.string(),
+                    mask=batch["region_null"].to_numpy(zero_copy_only=False).astype(bool),
+                ),
+                "nation": pa.array(
+                    batch["nation_key"].to_pylist(), pa.string(),
+                    mask=batch["nation_null"].to_numpy(zero_copy_only=False).astype(bool),
+                ),
+                "revenue": pa.array(
+                    batch["revenue_cents"].to_numpy(zero_copy_only=False) / 100.0,
+                    pa.float64(),
+                    mask=(nr == 0),
+                ),
                 "n_items": batch["n_items"],
             }
         )
@@ -784,9 +841,10 @@ def revenue_by_supplier_nation(sf_dir: str) -> "rd.Dataset":
             columns=["l_suppkey", "l_extendedprice", "l_discount"],
         )
         .map_batches(partial, batch_format="pyarrow")
-        .groupby(["region", "nation"])
+        .groupby(["region_key", "region_null", "nation_key", "nation_null"])
         .aggregate(
             Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_rev", alias_name="n_rev"),
             Sum("n_items", alias_name="n_items"),
         )
         .map_batches(finalize, batch_format="pyarrow")
@@ -2403,26 +2461,43 @@ def top_supplier_revenue(
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        keys = batch["l_suppkey"].to_numpy(zero_copy_only=False)
-        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
-        rev = price * (1.0 - disc)
-        finite = np.isfinite(rev)  # NULL price/discount reads as NaN — SQL sum skips
-        keys, rev = keys[finite], rev[finite]
-        rc = _cents_np(rev)
+        # the oracle's rev CTE groups by RAW l_suppkey, NULL included — a
+        # NULL-suppkey group takes part in the max() even though the final
+        # supplier join drops it; encode it as the -1 sentinel (real TPC-H
+        # suppkeys are positive).  NULL price/discount terms drop from the
+        # sum (SQL); an all-NULL group has a NULL total, which max() skips
+        # and the = comparison rejects — n_rev carries that distinction.
+        keys = (
+            _pc.fill_null(batch["l_suppkey"], -1)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        price = batch["l_extendedprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pv = ~(np.isnan(price) | np.isnan(disc))
+        rc = np.where(
+            pv, _cents_np(np.nan_to_num(price) * (1.0 - np.nan_to_num(disc))), 0
+        )
         uk, inv = np.unique(keys, return_inverse=True)
         sums = np.bincount(inv, weights=rc.astype(np.float64), minlength=len(uk))
+        nrv = np.bincount(inv, weights=pv, minlength=len(uk)).astype(np.int64)
         return pa.table(
             {
                 "s_suppkey": pa.array(uk, pa.int64()),
                 "total_revenue_cents": pa.array(sums.astype(np.int64), pa.int64()),
+                "n_rev": pa.array(nrv, pa.int64()),
             }
         )
 
     grouped = (
         li.map_batches(partial, batch_format="pyarrow")
         .groupby("s_suppkey")
-        .aggregate(Sum("total_revenue_cents", alias_name="total_revenue_cents"))
+        .aggregate(
+            Sum("total_revenue_cents", alias_name="total_revenue_cents"),
+            Sum("n_rev", alias_name="n_rev"),
+        )
+        # NULL totals (all terms NULL) leave both the max and the report
+        .filter(lambda r: r["n_rev"] > 0)
         .materialize()  # bounded by the supplier dimension
     )
     mx = grouped.max("total_revenue_cents") if grouped.count() else None
@@ -2837,13 +2912,19 @@ def nation_trade_volume(
             .astype(np.int64)
             + 1970
         )
-        spos, sfound = _probe_sorted(skeys_sorted, sk.astype(np.int64))
-        m = sfound & np.isfinite(rev) & ~np.isnan(okey.astype(np.float64))
+        spos, sfound = _probe_sorted(skeys_sorted, np.nan_to_num(sk, nan=-1).astype(np.int64))
+        m = sfound & ~np.isnan(okey.astype(np.float64))
         okey, rev, year, spos = okey[m], rev[m], year[m], spos[m]
+        # NULL price/discount: the term drops from the sum but the group
+        # survives (revenue NULL when ALL its terms are NULL — n_rev carries
+        # that); the shipdate filter is pushed down, so year is never NaT
+        pv = np.isfinite(rev)
+        cents_row = np.where(pv, _cents_np(np.nan_to_num(rev)), 0)
         sn = snation[spos]
         df_keys = np.stack([okey.astype(np.int64), sn, year], axis=1)
         uk, inv = np.unique(df_keys, axis=0, return_inverse=True)
-        cents = np.bincount(inv, weights=_cents_np(rev).astype(np.float64)).astype(np.int64)
+        cents = np.bincount(inv, weights=cents_row.astype(np.float64)).astype(np.int64)
+        nrv = np.bincount(inv, weights=pv, minlength=len(uk)).astype(np.int64)
         return pa.table(
             {
                 "bucket": pa.array((uk[:, 0] % n_buckets).astype(np.int64)),
@@ -2851,6 +2932,7 @@ def nation_trade_volume(
                 "sn": pa.array(uk[:, 1], pa.int64()),
                 "year": pa.array(uk[:, 2], pa.int64()),
                 "cents": pa.array(cents, pa.int64()),
+                "n_rev": pa.array(nrv, pa.int64()),
                 "cn": pa.array(np.full(len(uk), -1, np.int64)),
                 "is_order": pa.array(np.zeros(len(uk), np.int64)),
             }
@@ -2874,6 +2956,7 @@ def nation_trade_volume(
                 "sn": pa.array(np.full(n, -1, np.int64)),
                 "year": pa.array(np.zeros(n, np.int64)),
                 "cents": pa.array(np.zeros(n, np.int64)),
+                "n_rev": pa.array(np.zeros(n, np.int64)),
                 "cn": pa.array(cn, pa.int64()),
                 "is_order": pa.array(np.ones(n, np.int64)),
             }
@@ -2886,6 +2969,7 @@ def nation_trade_volume(
                 "cn": pa.array([], pa.int64()),
                 "year": pa.array([], pa.int64()),
                 "cents": pa.array([], pa.int64()),
+                "n_rev": pa.array([], pa.int64()),
             }
         )
         is_order = group["is_order"].to_numpy(zero_copy_only=False) > 0
@@ -2902,21 +2986,63 @@ def nation_trade_volume(
         sn = group["sn"].to_numpy(zero_copy_only=False)[~is_order][found]
         year = group["year"].to_numpy(zero_copy_only=False)[~is_order][found]
         cents = group["cents"].to_numpy(zero_copy_only=False)[~is_order][found]
+        nrv = group["n_rev"].to_numpy(zero_copy_only=False)[~is_order][found]
         cn = o_cn[pos[found]]
         keys = np.stack([sn, cn, year], axis=1)
         uk, inv = np.unique(keys, axis=0, return_inverse=True)
         s = np.bincount(inv, weights=cents.astype(np.float64)).astype(np.int64)
+        nr = np.bincount(inv, weights=nrv.astype(np.float64), minlength=len(uk)).astype(np.int64)
         return pa.table(
             {
                 "sn": pa.array(uk[:, 0], pa.int64()),
                 "cn": pa.array(uk[:, 1], pa.int64()),
                 "year": pa.array(uk[:, 2], pa.int64()),
                 "cents": pa.array(s, pa.int64()),
+                "n_rev": pa.array(nr, pa.int64()),
+            }
+        )
+
+    def name_keys(batch: pa.Table) -> pa.Table:
+        # SQL groups by the NAME pair (GROUP BY 1,2,3): re-key the tiny
+        # (sn, cn, year) rollup by two-key names — NULL names are groups,
+        # duplicate names merge — before the final fold
+        empty = pa.table(
+            {
+                "sn_key": pa.array([], pa.string()),
+                "sn_null": pa.array([], pa.bool_()),
+                "cn_key": pa.array([], pa.string()),
+                "cn_null": pa.array([], pa.bool_()),
+                "year": pa.array([], pa.int64()),
+                "cents": pa.array([], pa.int64()),
+                "n_rev": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0 or "sn" not in batch.schema.names:
+            return empty
+        sn = batch["sn"].to_numpy(zero_copy_only=False)
+        cn = batch["cn"].to_numpy(zero_copy_only=False)
+        keep = sn != cn  # cross-nation pairs only (Q7's key inequality)
+        sn, cn = sn[keep], cn[keep]
+        spos, sf = _probe_sorted(nkeys_sorted, sn)
+        cpos, cf = _probe_sorted(nkeys_sorted, cn)
+        m = sf & cf  # dangling nationkeys drop like the SQL inner join
+        snm = nnames[spos[m]]
+        cnm = nnames[cpos[m]]
+        kept = batch.filter(pa.array(keep)).filter(pa.array(m))
+        return pa.table(
+            {
+                "sn_key": pa.array(["" if x is None else x for x in snm], pa.string()),
+                "sn_null": pa.array([x is None for x in snm], pa.bool_()),
+                "cn_key": pa.array(["" if x is None else x for x in cnm], pa.string()),
+                "cn_null": pa.array([x is None for x in cnm], pa.bool_()),
+                "year": kept["year"],
+                "cents": kept["cents"],
+                "n_rev": kept["n_rev"],
             }
         )
 
     def finalize(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "sn" not in batch.schema.names:
+        if batch.num_rows == 0 or "sn_key" not in batch.schema.names:
             return pa.table(
                 {
                     "supp_nation": pa.array([], pa.string()),
@@ -2925,19 +3051,23 @@ def nation_trade_volume(
                     "revenue_cents": pa.array([], pa.int64()),
                 }
             )
-        sn = batch["sn"].to_numpy(zero_copy_only=False)
-        cn = batch["cn"].to_numpy(zero_copy_only=False)
-        keep = sn != cn  # cross-nation pairs only (Q7's s_nation <> c_nation)
-        sn, cn = sn[keep], cn[keep]
-        spos, sf = _probe_sorted(nkeys_sorted, sn)
-        cpos, cf = _probe_sorted(nkeys_sorted, cn)
-        m = sf & cf  # dangling nationkeys drop like the SQL inner join
+        nr = batch["n_rev"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "supp_nation": pa.array(nnames[spos[m]], pa.string()),
-                "cust_nation": pa.array(nnames[cpos[m]], pa.string()),
-                "year": batch["year"].filter(pa.array(keep)).filter(pa.array(m)),
-                "revenue_cents": batch["cents"].filter(pa.array(keep)).filter(pa.array(m)),
+                "supp_nation": pa.array(
+                    batch["sn_key"].to_pylist(), pa.string(),
+                    mask=batch["sn_null"].to_numpy(zero_copy_only=False).astype(bool),
+                ),
+                "cust_nation": pa.array(
+                    batch["cn_key"].to_pylist(), pa.string(),
+                    mask=batch["cn_null"].to_numpy(zero_copy_only=False).astype(bool),
+                ),
+                "year": batch["year"],
+                "revenue_cents": pa.array(
+                    batch["cents"].to_numpy(zero_copy_only=False),
+                    pa.int64(),
+                    mask=(nr == 0),
+                ),
             }
         )
 
@@ -2946,8 +3076,9 @@ def nation_trade_volume(
         .union(orders.map_batches(ord_rows, batch_format="pyarrow"))
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
-        .groupby(["sn", "cn", "year"])
-        .aggregate(Sum("cents", alias_name="cents"))
+        .map_batches(name_keys, batch_format="pyarrow")
+        .groupby(["sn_key", "sn_null", "cn_key", "cn_null", "year"])
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n_rev", alias_name="n_rev"))
         .map_batches(finalize, batch_format="pyarrow")
     )
 
@@ -3107,20 +3238,48 @@ def sole_late_supplier(
             }
         )
 
-    def finalize(batch: pa.Table) -> pa.Table:
+    def attach_names(batch: pa.Table) -> pa.Table:
+        # SQL groups by s_name (NULL names form ONE group; duplicate names
+        # merge), so the supplier rollup re-keys by the two-key name pair
         if batch.num_rows == 0 or "skey" not in batch.schema.names:
             return pa.table(
                 {
-                    "s_name": pa.array([], pa.string()),
+                    "name_key": pa.array([], pa.string()),
+                    "name_null": pa.array([], pa.bool_()),
                     "numwait": pa.array([], pa.int64()),
                 }
             )
         sk = batch["skey"].to_numpy(zero_copy_only=False).astype(np.int64)
         pos, found = _probe_sorted(skeys_sorted, sk)
+        nm = snames[pos[found]]
         return pa.table(
             {
-                "s_name": pa.array(snames[pos[found]], pa.string()),
+                "name_key": pa.array(
+                    ["" if x is None else x for x in nm], pa.string()
+                ),
+                "name_null": pa.array([x is None for x in nm], pa.bool_()),
                 "numwait": batch["sum(cnt)"].filter(pa.array(found)),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "name_key" not in batch.schema.names:
+            return pa.table(
+                {
+                    "s_name": pa.array([], pa.string()),
+                    "numwait": pa.array([], pa.int64()),
+                    "name_key": pa.array([], pa.string()),
+                    "name_null": pa.array([], pa.bool_()),
+                }
+            )
+        nnull = batch["name_null"].to_numpy(zero_copy_only=False).astype(bool)
+        return pa.table(
+            {
+                "s_name": pa.array(batch["name_key"].to_pylist(), pa.string(), mask=nnull),
+                "numwait": batch["numwait"],
+                # sort helpers: DuckDB orders s_name ASC NULLS LAST
+                "name_key": batch["name_key"],
+                "name_null": batch["name_null"],
             }
         )
 
@@ -3131,9 +3290,15 @@ def sole_late_supplier(
         .map_groups(per_bucket, batch_format="pyarrow")
         .groupby("skey")
         .aggregate(Sum("cnt"))
+        .map_batches(attach_names, batch_format="pyarrow")
+        .groupby(["name_key", "name_null"])
+        .aggregate(Sum("numwait", alias_name="numwait"))
         .map_batches(finalize, batch_format="pyarrow")
-        .sort(["numwait", "s_name"], descending=[True, False])
+        .sort(["numwait", "name_null", "name_key"], descending=[True, False, False])
         .limit(k)
+        .map_batches(
+            lambda t: t.select(["s_name", "numwait"]), batch_format="pyarrow"
+        )
     )
 
 
