@@ -972,7 +972,12 @@ def oracle_sql() -> dict[str, str]:
         "events_json_kpi": """
             SELECT event_type,
                    count(*) AS n_events,
-                   avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
+                   -- json_valid guard: DuckDB's json_extract RAISES on
+                   -- malformed payloads where the engine's loads-fallback
+                   -- yields NULL; a malformed row still counts in n_events
+                   avg(CASE WHEN json_valid(props)
+                            THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       END) AS avg_k
             FROM events
             GROUP BY event_type
         """,

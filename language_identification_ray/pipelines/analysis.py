@@ -436,47 +436,82 @@ def events_hourly(sf_dir: str) -> "rd.Dataset":
     on both the Ray and SQL sides."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        # SQL GROUP BY keeps NULL type AND NULL hour as real groups (pandas
+        # groupby silently drops NaN keys — 48 groups vanished on the fuzz
+        # corpus); NULL values drop from the sum but count toward count(*),
+        # and an all-NULL group keeps a NULL total
         w = pc.floor_temporal(batch["ts"], unit="hour").cast(pa.timestamp("us"))
-        df = pd.DataFrame(
-            {
-                "event_type": batch["event_type"].to_pandas(),
-                "window_start": w.to_pandas(),
-                "value_cents": np.floor(
-                    batch["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
-                ).astype(np.int64),
-            }
+        tnull = pc.is_null(batch["event_type"]).to_numpy(zero_copy_only=False)
+        tkey = pc.fill_null(batch["event_type"], "").combine_chunks()
+        wnull = pc.is_null(w).to_numpy(zero_copy_only=False)
+        wkey = (
+            pc.fill_null(w.cast(pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
         )
-        g = df.groupby(["event_type", "window_start"], as_index=False, sort=False).agg(
-            n_events=("value_cents", "size"), value_cents=("value_cents", "sum")
-        )
+        val = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        vok = ~np.isnan(val)
+        cents = np.where(vok, np.floor(np.nan_to_num(val) * 100.0 + 0.5), 0).astype(np.int64)
+        tcodes = pc.dictionary_encode(tkey).indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        tnames = pc.dictionary_encode(tkey).dictionary.to_pylist()
+        keys = np.stack([tcodes, tnull.astype(np.int64), wkey, wnull.astype(np.int64)], axis=1)
+        uk, inv = np.unique(keys, axis=0, return_inverse=True)
         return pa.table(
             {
-                "event_type": pa.array(g["event_type"], pa.string()),
-                "window_start": pa.array(g["window_start"], pa.timestamp("us")),
-                "n_events": pa.array(g["n_events"], pa.int64()),
-                "value_cents": pa.array(g["value_cents"], pa.int64()),
+                "type_key": pa.array([tnames[int(i)] for i in uk[:, 0]], pa.string()),
+                "type_null": pa.array(uk[:, 1].astype(bool), pa.bool_()),
+                "w_key": pa.array(uk[:, 2], pa.int64()),
+                "w_null": pa.array(uk[:, 3].astype(bool), pa.bool_()),
+                "n_events": pa.array(np.bincount(inv, minlength=len(uk)).astype(np.int64)),
+                "value_cents": pa.array(
+                    np.bincount(inv, weights=cents.astype(np.float64), minlength=len(uk)).astype(np.int64)
+                ),
+                "n_val": pa.array(
+                    np.bincount(inv, weights=vok, minlength=len(uk)).astype(np.int64)
+                ),
             }
         )
 
     def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "type_key" not in batch.schema.names:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "window_start": pa.array([], pa.timestamp("us")),
+                    "n_events": pa.array([], pa.int64()),
+                    "total_value": pa.array([], pa.float64()),
+                }
+            )
+        nv = batch["n_val"].to_numpy(zero_copy_only=False).astype(np.int64)
+        wnull = batch["w_null"].to_numpy(zero_copy_only=False).astype(bool)
         return pa.table(
             {
-                "event_type": batch["event_type"],
-                # the aggregate narrows the key to timestamp[s]; emit the
-                # oracle's date_trunc dtype (microseconds)
-                "window_start": batch["window_start"].cast(pa.timestamp("us")),
+                "event_type": pa.array(
+                    batch["type_key"].to_pylist(), pa.string(),
+                    mask=batch["type_null"].to_numpy(zero_copy_only=False).astype(bool),
+                ),
+                "window_start": pa.array(
+                    batch["w_key"].to_numpy(zero_copy_only=False).astype("datetime64[us]"),
+                    pa.timestamp("us"),
+                    mask=wnull,
+                ),
                 "n_events": batch["n_events"],
-                "total_value": pa.array(batch["value_cents"].to_numpy() / 100.0, pa.float64()),
+                "total_value": pa.array(
+                    batch["value_cents"].to_numpy(zero_copy_only=False) / 100.0,
+                    pa.float64(),
+                    mask=(nv == 0),
+                ),
             }
         )
 
     return (
         rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
+        .groupby(["type_key", "type_null", "w_key", "w_null"])
         .aggregate(
             Sum("n_events", alias_name="n_events"),
             Sum("value_cents", alias_name="value_cents"),
+            Sum("n_val", alias_name="n_val"),
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
@@ -559,20 +594,39 @@ def events_funnel(sf_dir: str, window_hours: int = 24) -> "rd.Dataset":
     window = np.timedelta64(window_hours * 3600, "s")
 
     def funnel(group: pa.Table) -> pa.Table:
-        ts = group["ts"].to_numpy(zero_copy_only=False)
-        et = np.asarray(group["event_type"].to_pylist(), dtype=object)
-        ok = ~np.isnat(ts)
-        ts, et = ts[ok], et[ok]
+        uid = group["user_id"][0].as_py()
+        if uid is None:
+            # the oracle's final LEFT JOIN ... USING (user_id) can never
+            # match the NULL user (NULL = NULL is NULL), so SQL reports the
+            # NULL-user row at stage 0 even when it has view/click events
+            return pa.table(
+                {
+                    "user_id": pa.array([None], pa.int64()),
+                    "stage": pa.array([0], pa.int64()),
+                }
+            )
+        ts_all = group["ts"].to_numpy(zero_copy_only=False)
+        et_all = np.asarray(group["event_type"].to_pylist(), dtype=object)
+        ok = ~np.isnat(ts_all)
+        ts, et = ts_all[ok], et_all[ok]
+        # stage 1 membership is "has ANY view row" (the oracle's s1 GROUP BY
+        # — even all-NULL-ts views qualify, with a NULL t1 that makes the
+        # next window comparison NULL → stage stops at 1); stages 2-3 need
+        # real timestamps inside the window
         stage = 0
         t_prev = None
-        for step in steps:
-            cand = ts[et == step]
-            if t_prev is not None:
+        if (et_all == steps[0]).any():
+            stage = 1
+            cand = ts[et == steps[0]]
+            t_prev = cand.min() if cand.size else None
+        if t_prev is not None:
+            for step in steps[1:]:
+                cand = ts[et == step]
                 cand = cand[(cand > t_prev) & (cand <= t_prev + window)]
-            if cand.size == 0:
-                break
-            t_prev = cand.min()
-            stage += 1
+                if cand.size == 0:
+                    break
+                t_prev = cand.min()
+                stage += 1
         return pa.table(
             {
                 "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
@@ -663,12 +717,17 @@ def events_json_kpi(sf_dir: str) -> "rd.Dataset":
                 "k": k_col,
             }
         )
-        g = df.groupby("event_type", as_index=False, sort=False).agg(
+        # dropna=False: SQL GROUP BY keeps the NULL event_type group (the
+        # pandas default silently drops it); the exchange rides the two-key
+        # pattern because Ray's sort shuffle cannot order a None string
+        g = df.groupby("event_type", as_index=False, sort=False, dropna=False).agg(
             n_events=("k", "size"), n_k=("k", "count"), sum_k=("k", "sum")
         )
+        tnull = g["event_type"].isna()
         return pa.table(
             {
-                "event_type": pa.array(g["event_type"], pa.string()),
+                "type_key": pa.array(g["event_type"].fillna(""), pa.string()),
+                "type_null": pa.array(tnull.to_numpy(), pa.bool_()),
                 "n_events": pa.array(g["n_events"], pa.int64()),
                 "n_k": pa.array(g["n_k"], pa.int64()),
                 "sum_k": pa.array(g["sum_k"], pa.int64()),
@@ -676,21 +735,33 @@ def events_json_kpi(sf_dir: str) -> "rd.Dataset":
         )
 
     def finalize(batch: pa.Table) -> pa.Table:
-        avg = pc.divide(
-            pc.cast(batch["sum_k"], pa.float64()), pc.cast(batch["n_k"], pa.float64())
-        )
+        if batch.num_rows == 0 or "type_key" not in batch.schema.names:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "n_events": pa.array([], pa.int64()),
+                    "avg_k": pa.array([], pa.float64()),
+                }
+            )
+        nk = batch["n_k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            avg = batch["sum_k"].to_numpy(zero_copy_only=False).astype(np.float64) / nk
         return pa.table(
             {
-                "event_type": batch["event_type"],
+                "event_type": pa.array(
+                    batch["type_key"].to_pylist(), pa.string(),
+                    mask=batch["type_null"].to_numpy(zero_copy_only=False).astype(bool),
+                ),
                 "n_events": batch["n_events"].cast(pa.int64()),
-                "avg_k": avg,
+                # avg over zero extracted values is SQL NULL, not NaN/0
+                "avg_k": pa.array(np.where(nk == 0, 0.0, avg), pa.float64(), mask=(nk == 0)),
             }
         )
 
     return (
         rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("event_type")
+        .groupby(["type_key", "type_null"])
         .aggregate(
             Sum("n_events", alias_name="n_events"),
             Sum("n_k", alias_name="n_k"),
@@ -1383,20 +1454,27 @@ def user_rolling_avg(sf_dir: str, window: int = 3) -> "rd.Dataset":
         eid = group["event_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, ts))
         g = group.take(pa.array(order))
-        cents = np.floor(
-            g["value"].to_numpy(zero_copy_only=False).astype(np.float64) * 100.0 + 0.5
-        ).astype(np.int64)
+        # SQL window sum skips NULL values (a NaN would poison the cumsum);
+        # count(*) still counts the rows, and an all-NULL window yields a
+        # NULL average, not 0
+        val = g["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        vok = ~np.isnan(val)
+        cents = np.where(vok, np.floor(np.nan_to_num(val) * 100.0 + 0.5), 0).astype(np.int64)
         csum = np.concatenate(([0], np.cumsum(cents)))
+        vsum = np.concatenate(([0], np.cumsum(vok.astype(np.int64))))
         n = len(cents)
         lo = np.maximum(np.arange(n) - (window - 1), 0)
         wsum = csum[np.arange(n) + 1] - csum[lo]
+        wval = vsum[np.arange(n) + 1] - vsum[lo]
         wcnt = np.arange(n) + 1 - lo
         return pa.table(
             {
                 "event_id": g["event_id"],
                 "user_id": g["user_id"],
                 "ts": g["ts"],
-                "rolling_avg": pa.array((wsum / 100.0) / wcnt, pa.float64()),
+                "rolling_avg": pa.array(
+                    (wsum / 100.0) / wcnt, pa.float64(), mask=(wval == 0)
+                ),
             }
         )
 

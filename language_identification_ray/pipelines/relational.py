@@ -470,15 +470,23 @@ def events_asof_purchase(sf_dir: str) -> "rd.Dataset":
 
     def per_user(group: pa.Table) -> pa.Table:
         ts = group["ts"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ts, kind="stable")
-        ts = ts[order]
+        # DuckDB's ASOF inequality orders NULL as +infinity on BOTH sides: a
+        # NULL-ts click satisfies c.ts >= p.ts for every purchase (so it
+        # matches the LATEST one), and a NULL-ts purchase ranks as the
+        # latest purchase of its user (all NULL-ts purchases are ONE p-CTE
+        # group — GROUP BY treats NULLs as equal)
+        tkey = ts.astype(np.int64)
+        tkey[np.isnat(ts)] = np.iinfo(np.int64).max
+        order = np.argsort(tkey, kind="stable")
+        ts, tkey = ts[order], tkey[order]
         etype = np.asarray(group["event_type"].to_pylist(), dtype=object)[order]
         value = group["value"].to_numpy(zero_copy_only=False)[order]
         eid = group["event_id"].to_numpy(zero_copy_only=False)[order]
-        uid = group["user_id"].to_numpy(zero_copy_only=False)[order]
+        uid = group["user_id"][0].as_py()
 
-        pm = etype == "purchase"
-        pts, pval = ts[pm], value[pm]
+        # the NULL-user group matches nothing at all (= on NULL)
+        pm = (etype == "purchase") & (uid is not None)
+        pts, pval = tkey[pm], value[pm]
         if pts.size:
             # dedupe to one purchase per ts: max(value) wins (deterministic).
             # fmax, not maximum: NULL values arrive as NaN and SQL max()
@@ -492,8 +500,9 @@ def events_asof_purchase(sf_dir: str) -> "rd.Dataset":
 
         cm = etype == "click"
         cts = ts[cm]
+        ckey = tkey[cm]
         if pts.size:
-            idx = np.searchsorted(pts, cts, side="right") - 1
+            idx = np.searchsorted(pts, ckey, side="right") - 1
             last_val = np.where(idx >= 0, pval[np.clip(idx, 0, None)], np.nan)
         else:
             # ASOF LEFT JOIN semantics: no purchases → NULL for every click
@@ -503,7 +512,7 @@ def events_asof_purchase(sf_dir: str) -> "rd.Dataset":
         return pa.table(
             {
                 "event_id": pa.array(eid[cm], pa.int64()),
-                "user_id": pa.array(uid[cm], pa.int64()),
+                "user_id": pa.array([uid] * int(cm.sum()), pa.int64()),
                 "ts": pa.array(cts),
                 "last_purchase_value": pa.array(last_val, pa.float64(), from_pandas=True),
             }
@@ -936,26 +945,35 @@ def events_purchases_within_hour(sf_dir: str) -> "rd.Dataset":
     """
 
     def per_user(group: pa.Table) -> pa.Table:
-        ts = group["ts"].to_numpy(zero_copy_only=False).astype("datetime64[ns]").astype(np.int64)
+        ts64 = group["ts"].to_numpy(zero_copy_only=False).astype("datetime64[ns]")
+        ts = ts64.astype(np.int64)
+        tval = ~np.isnat(ts64)
         etype = np.asarray(group["event_type"].to_pylist(), dtype=object)
         order = np.argsort(ts, kind="stable")
-        ts = ts[order]
+        ts, tval = ts[order], tval[order]
         etype = etype[order]
         eid = group["event_id"].to_numpy(zero_copy_only=False)[order]
         clicks = etype == "click"
-        p_ts = ts[etype == "purchase"]
+        uid = group["user_id"][0].as_py()
         c_ts = ts[clicks]
+        c_val = tval[clicks]
         hour = np.int64(3_600_000_000_000)
-        lo = np.searchsorted(p_ts, c_ts - hour, side="left")
-        hi = np.searchsorted(p_ts, c_ts, side="right")
-        n = (hi - lo).astype(np.int64)
-        uid = group["user_id"].to_numpy(zero_copy_only=False)[0]
+        n = np.zeros(int(clicks.sum()), dtype=np.int64)
+        # SQL: a NULL-user click matches NO purchase (= on NULL) and a
+        # NULL-ts click matches none (BETWEEN NULL) — both keep their row
+        # with count 0; NULL-ts purchases are never counted
+        if uid is not None and c_val.any():
+            p_ts = ts[(etype == "purchase") & tval]
+            lo = np.searchsorted(p_ts, c_ts[c_val] - hour, side="left")
+            hi = np.searchsorted(p_ts, c_ts[c_val], side="right")
+            n[c_val] = (hi - lo).astype(np.int64)
         return pa.table(
             {
                 "event_id": pa.array(eid[clicks]),
-                "user_id": pa.array(np.full(int(clicks.sum()), uid)),
+                "user_id": pa.array([uid] * int(clicks.sum()), pa.int64()),
                 # source column is timestamp[us]; emit the same unit (ns→us is
-                # exact here — values originated at microsecond resolution)
+                # exact here — values originated at microsecond resolution).
+                # NaT round-trips to a NULL timestamp.
                 "ts": pa.array(c_ts.astype("datetime64[ns]")).cast(pa.timestamp("us")),
                 "n_purchases_1h": pa.array(n, pa.int64()),
             }

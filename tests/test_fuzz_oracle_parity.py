@@ -232,8 +232,12 @@ def _build_fuzz_corpus(d):
             pa.string(),
         ),
         "value": pa.array(
-            [_maybe(rng, 0.08, round(rng.uniform(0, 500), 3))
-             for _ in range(ne)],
+            # every 37th event is an extreme outlier so z-score kernels
+            # produce non-empty results (an empty Dataset loses its schema
+            # through to_pandas, making the parity compare vacuous)
+            [5000.0 + i * 100.0 if i % 37 == 0 else
+             _maybe(rng, 0.08, round(rng.uniform(0, 500), 3))
+             for i in range(ne)],
             pa.float64(),
         ),
         "props": pa.array(
@@ -326,6 +330,10 @@ def test_fuzz_oracle_parity(ray_session, fuzz_sf, name):
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{fuzz_sf}/{t}.parquet'")
     want = con.sql(entrymod.oracle_sql()[name]).df()
+    if len(got) == 0 and len(want) == 0 and len(got.columns) == 0:
+        # a legitimately-empty Dataset loses its column names through
+        # Ray's to_pandas; rows-equal(0) is the strongest check available
+        return
     assert sorted(got.columns) == sorted(want.columns)
     pd.testing.assert_frame_equal(
         _canon(got), _canon(want), check_dtype=False
