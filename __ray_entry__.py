@@ -211,7 +211,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data as rd
         from language_identification_ray.stages.knn import brute_force_topk
 
+        import pyarrow.compute as pc
+
         tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        # queries = first 8 vec_ids WITH embeddings (oracle contract; a NULL
+        # list cannot be a query vector)
+        tbl = tbl.filter(pc.is_valid(tbl["embedding"]))
         order = np.argsort(tbl["vec_id"].to_numpy())[:8]
         qmat = np.array([tbl["embedding"].to_pylist()[i] for i in order], dtype=np.float64)
         out = brute_force_topk(rd.read_parquet(f"{sf_dir}/embeddings.parquet"), qmat, k=5)
@@ -1111,10 +1116,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.n_chars <= cut.cutoff
         """,
         "mixture_sample": """
+            -- 'srcN' sources rate by index mod 4; anything else falls back
+            -- to name length (TRY_CAST -> NULL -> coalesce); a NULL source
+            -- keeps everything (NULL % 4 matches no WHEN arm -> ELSE)
             SELECT doc_id, source
             FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <=
-                  CASE CAST(substr(source, 4) AS INTEGER) % 4
+                  CASE coalesce(TRY_CAST(substr(source, 4) AS INTEGER),
+                                length(source)) % 4
                        WHEN 0 THEN '3fff'
                        WHEN 1 THEN '7fff'
                        WHEN 2 THEN 'bfff'

@@ -367,6 +367,11 @@ def word_lang_incidence(sf_dir: str, max_langs: int | None = None) -> "rd.Datase
     so the result keeps its schema on vocabulary-shared corpora (an empty
     Ray Dataset drops column names, which breaks the driver compare)."""
 
+    # NULL langs fill with the max codepoint so Ray's sort groupby can order
+    # the key; it sorts AFTER every real language, so Min() still picks the
+    # real minimum, and the SQL NULL-skipping count/min fall out of the flag
+    _NULL_LANG = "\U0010ffff"
+
     def pairs(batch: pa.Table) -> pa.Table:
         words = _word_lists(batch)
         flat = _one_chunk(words.flatten())
@@ -376,10 +381,13 @@ def word_lang_incidence(sf_dir: str, max_langs: int | None = None) -> "rd.Datase
         )
         # batch-level distinct (word, lang) via Arrow's hash groupby —
         # doc identity is dropped, matching the old batch-global set
-        return (
+        t = (
             pa.table({"word": flat, "lang": langs})
             .group_by(["word", "lang"])
             .aggregate([])
+        )
+        return pa.table(
+            {"word": t["word"], "lang": pc.fill_null(t["lang"], _NULL_LANG)}
         )
 
     distinct_pairs = (
@@ -389,9 +397,37 @@ def word_lang_incidence(sf_dir: str, max_langs: int | None = None) -> "rd.Datase
         .aggregate(Count(alias_name="_n"))
     )
 
-    out = distinct_pairs.groupby("word").aggregate(
-        Count(alias_name="n_langs"), Min("lang", alias_name="first_lang")
+    def flag(batch: pa.Table) -> pa.Table:
+        # count(DISTINCT lang) skips NULLs: only real langs count
+        return pa.table(
+            {
+                "word": batch["word"],
+                "lang": batch["lang"],
+                "_nn": pc.not_equal(batch["lang"], _NULL_LANG).cast(pa.int64()),
+            }
+        )
+
+    out = (
+        distinct_pairs.map_batches(flag, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("_nn", alias_name="n_langs"), Min("lang", alias_name="first_lang"))
     )
+
+    def unfill(batch: pa.Table) -> pa.Table:
+        # a word seen only in NULL-lang docs: n_langs = 0, first_lang = NULL
+        return pa.table(
+            {
+                "word": batch["word"],
+                "n_langs": batch["n_langs"],
+                "first_lang": pc.if_else(
+                    pc.equal(batch["first_lang"], _NULL_LANG),
+                    pa.scalar(None, pa.string()),
+                    batch["first_lang"],
+                ),
+            }
+        )
+
+    out = out.map_batches(unfill, batch_format="pyarrow")
     if max_langs is not None:
         out = out.map_batches(
             lambda t: t.filter(pc.less_equal(t["n_langs"], max_langs)), batch_format="pyarrow"
@@ -946,7 +982,9 @@ def edit_distance_sample(sf_dir: str) -> "rd.Dataset":
             a, b = words[0], words[-1]
             w1.append(a)
             w2.append(b)
-            dist.append(levenshtein(a, b))
+            # DuckDB's levenshtein is BYTE-oriented (a 2-byte 'ü' costs 2
+            # edits); compare UTF-8 bytes so non-ASCII words match the oracle
+            dist.append(levenshtein(a.encode("utf-8"), b.encode("utf-8")))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -1004,7 +1042,10 @@ def char_bigram_top50(sf_dir: str) -> "rd.Dataset":
         )
         valid = np.ones(total - 1, dtype=bool)
         ends = np.cumsum(lens)[:-1] - 1  # no bigram spans a doc boundary
-        valid[ends[ends >= 0]] = False
+        # trailing empty docs make an ends entry == total-1 (one past the
+        # last bigram start) — clip both sides or the index walks off valid
+        ends = ends[(ends >= 0) & (ends < total - 1)]
+        valid[ends] = False
         if not valid.any():
             return empty
         packed = (codes[:-1].astype(np.int64) << 21) | codes[1:]
@@ -1088,13 +1129,16 @@ def lang_percentiles(sf_dir: str) -> "rd.Dataset":
     exact is fine while each group's values fit one block."""
 
     def pcts(group: pa.Table) -> pa.Table:
-        v = np.sort(group["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64))
+        v = group["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.sort(v[~np.isnan(v)])  # quantile_cont ignores NULLs
         lang = None if group["lang_null"][0].as_py() else group["lang_key"][0].as_py()
+        p50 = _quantile_cont(v, 0.5) if len(v) else None
+        p90 = _quantile_cont(v, 0.9) if len(v) else None
         return pa.table(
             {
                 "lang": pa.array([lang], pa.string()),
-                "p50_chars": pa.array([_quantile_cont(v, 0.5)], pa.float64()),
-                "p90_chars": pa.array([_quantile_cont(v, 0.9)], pa.float64()),
+                "p50_chars": pa.array([p50], pa.float64()),
+                "p90_chars": pa.array([p90], pa.float64()),
             }
         )
 
@@ -1126,12 +1170,15 @@ def length_outlier_filter(sf_dir: str, q: float = 0.99) -> "rd.Dataset":
     unchanged."""
 
     def cut(group: pa.Table) -> pa.Table:
-        v = np.sort(group["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64))
+        v = group["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.sort(v[~np.isnan(v)])  # quantile_cont ignores NULLs
         lang = None if group["lang_null"][0].as_py() else group["lang_key"][0].as_py()
+        # all-NULL lang group: cutoff NULL -> n_chars <= NULL never holds,
+        # the keep pass's NaN compare drops every row, matching the oracle
         return pa.table(
             {
                 "lang": pa.array([lang], pa.string()),
-                "cutoff": pa.array([_quantile_cont(v, q)], pa.float64()),
+                "cutoff": pa.array([_quantile_cont(v, q) if len(v) else None], pa.float64()),
             }
         )
 
@@ -1273,11 +1320,14 @@ def mixture_sample(sf_dir: str) -> "rd.Dataset":
             # oracle parity: CASE CAST(substr(NULL, 4) AS INT) % 4 matches no
             # WHEN arm, so the ELSE 'ffff' keeps every NULL-source doc
             return "ffff"
-        if not src[3:].isdigit():
-            # same data contract as the oracle's CAST(substr(source,4) AS INT):
-            # fail loudly on a source that isn't 'src<N>', don't silently sample
-            raise ValueError(f"mixture_sample expects sources like 'srcN', got {src!r}")
-        rate = (int(src[3:]) % 4 + 1) / 4.0
+        if src[3:].isdecimal():
+            # the primary contract: 'src<N>' sources rate by index mod 4
+            m = int(src[3:]) % 4
+        else:
+            # non-'srcN' sources fall back to name length, mirroring the
+            # oracle's coalesce(TRY_CAST(substr(source,4) AS INT), length(source))
+            m = len(src) % 4
+        rate = (m + 1) / 4.0
         return format(int(rate * 65536) - 1, "04x")  # inclusive upper bound
 
     def f(batch: pa.Table) -> pa.Table:
@@ -1325,15 +1375,19 @@ def global_length_rank(sf_dir: str) -> "rd.Dataset":
                 }
             )
         )
-    hist = hist.sort_values("n_chars", ascending=False)
+    # DESC NULLS LAST (DuckDB's default): pandas na_position='last' puts the
+    # NULL-length group after every real length in the cumulative offsets
+    hist = hist.sort_values("n_chars", ascending=False, na_position="last")
     counts = hist["n"].to_numpy(dtype=np.int64)
-    offsets = dict(
-        zip(hist["n_chars"].tolist(), (np.cumsum(counts) - counts).tolist())
-    )
+    offsets = {
+        (None if pd.isna(x) else int(x)): o
+        for x, o in zip(hist["n_chars"].tolist(), (np.cumsum(counts) - counts).tolist())
+    }
 
     def rank_group(group: pa.Table) -> pa.Table:
         ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
-        base = offsets[int(group["n_chars"][0].as_py())]
+        nch = group["n_chars"][0].as_py()
+        base = offsets[None if nch is None else int(nch)]
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -1651,6 +1705,8 @@ def lang_stats_salted(sf_dir: str, n_salts: int = 8) -> "rd.Dataset":
                 "lang_null": isnull,
                 "salt": pa.array(s, pa.int32()),
                 "n_chars": batch["n_chars"],
+                # SQL avg(n_chars) divides by the NON-NULL count, not n_docs
+                "n_vals": pc.is_valid(batch["n_chars"]).cast(pa.int64()),
             }
         )
 
@@ -1661,21 +1717,24 @@ def lang_stats_salted(sf_dir: str, n_salts: int = 8) -> "rd.Dataset":
         .aggregate(
             Count(alias_name="n_docs"),
             Sum("n_chars", alias_name="total_chars"),
+            Sum("n_vals", alias_name="n_vals"),
         )
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
-        n = batch["n_docs"].to_numpy()
-        tot = batch["total_chars"].to_numpy()
+        nv = batch["n_vals"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = batch["total_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
         lang = pc.if_else(
             batch["lang_null"], pa.scalar(None, pa.string()), batch["lang_key"]
         )
+        # all-NULL group: avg is NULL (SQL), never 0/0
+        avg = np.where(nv > 0, tot / np.maximum(nv, 1.0), np.nan)
         return pa.table(
             {
                 "lang": lang,
                 "n_docs": batch["n_docs"],
                 "total_chars": batch["total_chars"],
-                "avg_chars": pa.array(tot / n, pa.float64()),
+                "avg_chars": pa.array(avg, pa.float64(), from_pandas=True),
             }
         )
 
@@ -1684,6 +1743,7 @@ def lang_stats_salted(sf_dir: str, n_salts: int = 8) -> "rd.Dataset":
         .aggregate(
             Sum("n_docs", alias_name="n_docs"),
             Sum("total_chars", alias_name="total_chars"),
+            Sum("n_vals", alias_name="n_vals"),
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
@@ -3542,20 +3602,25 @@ def ccnet_tercile_buckets(sf_dir: str) -> "rd.Dataset":
                 }
             )
         )
-    hist = hist.sort_values(["lang_key", "lang_null", "n_chars"], ascending=True)
+    # ASC NULLS LAST (DuckDB's default): a NULL length ranks after every
+    # real length within its language partition
+    hist = hist.sort_values(
+        ["lang_key", "lang_null", "n_chars"], ascending=True, na_position="last"
+    )
     offsets: dict = {}
     totals: dict = {}
     for (lk, ln), sub in hist.groupby(["lang_key", "lang_null"], sort=False):
         c = sub["n"].to_numpy(dtype=np.int64)
         offs = np.cumsum(c) - c
         for nch, o in zip(sub["n_chars"].tolist(), offs.tolist()):
-            offsets[(lk, bool(ln), nch)] = o
+            offsets[(lk, bool(ln), None if pd.isna(nch) else int(nch))] = o
         totals[(lk, bool(ln))] = int(c.sum())
 
     def rank_group(group: pa.Table) -> pa.Table:
         lk = group["lang_key"][0].as_py()
         ln = bool(group["lang_null"][0].as_py())
-        nch = int(group["n_chars"][0].as_py())
+        nch = group["n_chars"][0].as_py()
+        nch = None if nch is None else int(nch)
         order = pa.array(
             np.argsort(group["doc_id"].to_numpy(zero_copy_only=False), kind="stable")
         )
@@ -3637,10 +3702,11 @@ def vocab_coverage_90(sf_dir: str) -> pa.Table:
     distinct counts), never vocabulary size; per-language prefix masses
     then resolve in closed form per tie group, no per-type expansion.
 
-    NULL langs keep their own group (SQL GROUP BY keeps one): batch
-    partials dictionary-encode the lang with a None slot, and both
-    groupbys shuffle on the (filled-key, is-null) two-key pattern — Ray
-    2.49's sort groupby cannot order NULL string keys."""
+    NULL langs DROP: the oracle's final ``r JOIN t ON r.lang = t.lang``
+    never matches a NULL key, so the NULL-lang group is filtered at the
+    first map; both groupbys still shuffle on the (filled-key, is-null)
+    two-key pattern — Ray 2.49's sort groupby cannot order NULL string
+    keys."""
 
     def _lang_codes(arr) -> tuple:
         """(codes, dictionary-with-None-slot) for a possibly-NULL string
@@ -3656,6 +3722,10 @@ def vocab_coverage_90(sf_dir: str) -> pa.Table:
         )
 
     def pair_partial(batch: pa.Table) -> pa.Table:
+        # NULL-lang docs drop: the oracle's final `r JOIN t ON r.lang = t.lang`
+        # never matches a NULL key, so that group vanishes from the output
+        if batch["lang"].null_count:
+            batch = batch.filter(pc.is_valid(batch["lang"]))
         words = pc.split_pattern(pc.fill_null(batch["text"], ""), " ").combine_chunks()
         offs = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         flat = words.values
@@ -6333,7 +6403,11 @@ def bitext_mine_pairs(
         )
 
     def tag_embs(batch: pa.Table) -> pa.Table:
-        t = batch.filter(pc.is_valid(batch["vec_id"]))
+        # NULL embeddings never mine (the oracle's `embedding IS NOT NULL`);
+        # they'd also arrive as ragged rows in the reducer matmul
+        t = batch.filter(
+            pc.and_(pc.is_valid(batch["vec_id"]), pc.is_valid(batch["embedding"]))
+        )
         ids = t["vec_id"].cast(pa.int64())
         n = t.num_rows
         return pa.table(

@@ -2818,16 +2818,22 @@ def customer_order_full_join(sf_dir: str) -> "rd.Dataset":
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
 
     def order_partial(batch: pa.Table) -> pa.Table:
-        # NULL order custkeys drop (a NULL key matches nothing; the SQL
-        # FULL OUTER would keep one NULL-group row — divergence documented,
-        # driver fixtures carry no NULL keys)
+        # NULL order custkeys form their own group: SQL GROUP BY keeps one
+        # NULL row, and the FULL OUTER join carries it through unmatched
+        # (coalesce -> NULL key, has_customer = false)
+        nnull = batch["o_custkey"].null_count
         k = batch["o_custkey"].drop_null().to_numpy(zero_copy_only=False)
         uk, cnt = np.unique(k, return_counts=True)
+        keys = pa.array(uk, pa.int64())
+        counts = cnt.astype(np.int64)
+        if nnull:
+            keys = pa.concat_arrays([keys, pa.array([None], pa.int64())])
+            counts = np.concatenate([counts, np.array([nnull], np.int64)])
         return pa.table(
             {
-                "c_custkey": pa.array(uk, pa.int64()),
-                "n_orders": pa.array(cnt.astype(np.int64), pa.int64()),
-                "is_cust": pa.array(np.zeros(len(uk), np.int64)),
+                "c_custkey": keys,
+                "n_orders": pa.array(counts, pa.int64()),
+                "is_cust": pa.array(np.zeros(len(counts), np.int64)),
             }
         )
 

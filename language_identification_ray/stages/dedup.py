@@ -894,6 +894,12 @@ def lsh_exact_jaccard_pairs(
     }[shingles]
 
     def prep(batch: pa.Table) -> pa.Table:
+        # NULL blocking keys never pair: the SQL oracle joins ON
+        # a.<block> = b.<block>, and NULL = NULL is not true
+        if block_column is not None and batch[block_column].null_count:
+            import pyarrow.compute as _pc
+
+            batch = batch.filter(_pc.is_valid(batch[block_column]))
         ids = batch[id_column].to_numpy(zero_copy_only=False)
         texts = batch[text_column].to_pylist()
         H, ptr = set_hashes(texts)
@@ -1133,6 +1139,10 @@ def _ivf_cell_expand(
             .limit(k)
             .take_all()  # bounded: ≤ k rows
         )
+        # centroids = NON-NULL vectors among the k smallest ids (the oracle's
+        # `vec_id < k AND embedding IS NOT NULL`); a NULL row is skipped, not
+        # replaced by the next id
+        rows = [r for r in rows if r[vec_column] is not None]
         if not rows:
             return ds.limit(0)
         C = np.asarray(

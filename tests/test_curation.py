@@ -1018,8 +1018,9 @@ def test_per_lang_kernels_keep_null_lang_group(ray_session, tmp_path):
 
     cov = analysis.vocab_coverage_90(str(d)).to_pandas()
     rows = {(None if pd.isna(r["lang"]) else r["lang"]): r for _, r in cov.iterrows()}
-    assert set(rows) == {"en", "", None}
-    assert rows[None]["total_tokens"] == 7 and rows[None]["n_types"] == 7
+    # NULL lang DROPS here (unlike the tercile kernel): the oracle's final
+    # `r JOIN t ON r.lang = t.lang` never matches a NULL key ("" still joins)
+    assert set(rows) == {"en", ""}
     assert rows[""]["total_tokens"] == 2
     assert rows["en"]["total_tokens"] == 4  # 'a b' + 'f' + 'm'
 
@@ -1263,7 +1264,12 @@ def test_vocab_coverage_matches_naive_on_random_docs(ray_session, tmp_path):
     }
     by_lang = {}
     for _, text, lang, _, _ in rows:
+        if lang is None:
+            # the oracle's final `r JOIN t ON r.lang = t.lang` drops the
+            # NULL-lang group; the engine mirrors that
+            continue
         by_lang.setdefault(lang, Counter()).update((text or "").split(" "))
+    assert None not in got
     for lang, c in by_lang.items():
         total = sum(c.values())
         counts = sorted(c.values(), reverse=True)

@@ -197,11 +197,15 @@ def test_customer_order_full_join_mini(ray_session, tmp_path):
     _tpch(d)
     out = relational.customer_order_full_join(str(d)).to_pandas()
     got = {
-        r.c_custkey: (r.n_orders, r.has_customer) for r in out.itertuples()
+        (None if pd.isna(r.c_custkey) else int(r.c_custkey)): (
+            int(r.n_orders), bool(r.has_customer)
+        )
+        for r in out.itertuples()
     }
-    # cust 7 has 1 order; 8, 9 have none; the NULL-custkey order drops
-    # (NULL never equals a key — both engines agree)
-    assert got == {7: (1, True), 8: (0, True), 9: (0, True)}
+    # cust 7 has 1 order; 8, 9 have none; NULL-custkey orders form their own
+    # group (SQL GROUP BY keeps one NULL row, and the FULL OUTER carries it
+    # through unmatched: has_customer = false)
+    assert got == {7: (1, True), 8: (0, True), 9: (0, True), None: (1, False)}
 
 
 def test_full_join_dangling_order_side(ray_session, tmp_path):
