@@ -468,17 +468,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_volume": relational.nation_trade_volume,
         "events_purchases_within_hour": relational.events_purchases_within_hour,
         "token_count_bpe": analysis.token_count_bpe,
-        "top_revenue_orders": relational.top_revenue_orders,
         "tfidf_top5_per_lang": analysis.tfidf_top5_per_lang,
         # --- NEW r3 kernels: hold window slots (see the ordering NOTE) ----
         "boilerplate_ngram_stats": analysis.boilerplate_ngram_stats,
         "gopher_quality_flags": analysis.gopher_quality_flags,
-        # --- NEW r4 kernel: holds the slot ceded by gopher_keep_rates
-        # (r3-green; in-window gopher_quality_flags IS its flag source) ----
+        # --- NEW r4 kernel: holds the slot ceded by gopher_keep_rates and,
+        # after session-4 additions shifted it to position 50, by
+        # top_revenue_orders (r3-green; its Q18 bucket co-partition is
+        # driven in-window by returned_item_revenue) ----------------------
         "embedding_dup_pairs_ivf": embedding_dup_pairs_ivf_q,
         # --- oracle-backed but outside the driver's 50-entry window -------
         # (each unchanged since its green row, or a trivial variant with a
         # checked in-window sibling — audit trail in QUERIES.md)
+        "top_revenue_orders": relational.top_revenue_orders,
         "gopher_keep_rates": analysis.gopher_keep_rates,
         # (r4 session-6 cedes — each r3-driver-green and byte-unchanged
         # since, with the named in-window sibling; see the slot comments
