@@ -36,6 +36,24 @@ def _drop_null_rows(batch: "pa.Table", column: str) -> "pa.Table":
     return batch
 
 
+def _train_sample_matrix(ds, vec_column: str, train_sample: int) -> np.ndarray:
+    """Bounded driver-side training sample as a dense (n, dim) float64
+    matrix.  NULL vectors are skipped (they carry no geometry); rows come
+    back via ``take_all`` rather than ``to_pandas`` — a NULL in a list
+    column breaks Ray's TensorArray cast before numpy ever sees it."""
+    rows = ds.limit(train_sample).take_all()
+    vecs = [
+        np.asarray(r[vec_column], dtype=np.float64)
+        for r in rows
+        if r[vec_column] is not None
+    ]
+    if not vecs:
+        raise ValueError(
+            f"no non-NULL '{vec_column}' vectors in the training sample"
+        )
+    return np.stack(vecs)
+
+
 def _as_matrix(col) -> np.ndarray:
     """Arrow ``list<float>`` column → (n, dim) float64 matrix with NO
     per-row Python objects: the child values buffer is reshaped (contiguous
@@ -300,8 +318,7 @@ def build_ivf_layout(
     A query then reads ONLY its probed cells' files — read-level pruning,
     the on-disk ANN layout for 100 TB embedding stores.  The write is also
     the resumable unit: each cell directory is an independent output."""
-    sample_tbl = ds.limit(train_sample).to_pandas()
-    sample = np.stack([np.asarray(v, dtype=np.float64) for v in sample_tbl[vec_column]])
+    sample = _train_sample_matrix(ds, vec_column, train_sample)
     index = IvfIndex.train(sample, n_centroids=n_centroids, seed=seed)
 
     def assign_cell(batch: pa.Table) -> pa.Table:
@@ -384,8 +401,7 @@ def ivf_topk(
     ``n_probe`` nearest cells.  Same output shape as ``lsh_topk``; same
     no-SQL-oracle rationale (noise-neighbor fixture geometry — see
     :func:`lsh_topk`), with pytest recall gates instead."""
-    sample_tbl = ds.limit(train_sample).to_pandas()
-    sample = np.stack([np.asarray(v, dtype=np.float64) for v in sample_tbl[vec_column]])
+    sample = _train_sample_matrix(ds, vec_column, train_sample)
     index = IvfIndex.train(sample, n_centroids=n_centroids, seed=seed)
 
     q = np.asarray(query, dtype=np.float64)
@@ -595,9 +611,13 @@ def pq_topk_over_embeddings(
     """Convenience end-to-end PQ path over a float embedding table: train
     the codebook on a bounded driver-side sample, encode in-flow, ADC-scan.
     In production the encode runs ONCE at ingest (:func:`build_pq_codes`)
-    and queries scan the stored codes table."""
-    sample_tbl = ds.limit(train_sample).to_pandas()
-    sample = np.stack([np.asarray(v, dtype=np.float64) for v in sample_tbl[vec_column]])
+    and queries scan the stored codes table.  ``m`` must divide the vector
+    dim; it is clamped to ``gcd(m, dim)`` so low-dim tables stay encodable
+    (fewer, wider subspaces — recall only improves)."""
+    import math
+
+    sample = _train_sample_matrix(ds, vec_column, train_sample)
+    m = math.gcd(m, sample.shape[1]) or 1
     codebook = PqCodebook.train(sample, m=m, n_centroids=n_centroids)
     codes = build_pq_codes(ds, codebook, id_column=id_column, vec_column=vec_column)
     return pq_topk(codes, codebook, query, k=k, id_column=id_column)

@@ -315,6 +315,7 @@ def _canon(df):
 
 
 _ORACLE_NAMES = sorted(set(entrymod.queries()) & set(entrymod.oracle_sql()))
+_NON_ORACLE_NAMES = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
 
 
 @pytest.mark.parametrize("name", _ORACLE_NAMES)
@@ -338,3 +339,16 @@ def test_fuzz_oracle_parity(ray_session, fuzz_sf, name):
     pd.testing.assert_frame_equal(
         _canon(got), _canon(want), check_dtype=False
     )
+
+
+@pytest.mark.parametrize("name", _NON_ORACLE_NAMES)
+def test_fuzz_non_oracle_never_raises(ray_session, fuzz_sf, name):
+    """The never-raise contract for the entries with no SQL oracle
+    (approximate ANN, multimodal actor pools, detector panels, sketches):
+    each must run to completion on the NULL-dense corpus — NULL embeddings,
+    NULL langs/sources, empty and unicode text — and yield a well-formed
+    result.  Values are pinned elsewhere (recall gates, golden fixtures);
+    this sweep pins totality."""
+    got = entrymod.queries()[name](fuzz_sf)
+    n = len(got) if isinstance(got, (pd.DataFrame, pa.Table)) else got.count()
+    assert n >= 0
