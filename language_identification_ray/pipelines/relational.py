@@ -2136,15 +2136,24 @@ def promo_revenue(sf_dir: str) -> "rd.Dataset":
         disc = batch["l_discount"].to_numpy(zero_copy_only=False).astype(np.float64)
         ok = keys >= 0
         keys = keys[ok]
-        rev = _cents_np(price[ok] * (1.0 - disc[ok]))
+        prod = price[ok] * (1.0 - disc[ok])
+        # NULL price/discount -> NULL rc: the value is skipped by SQL sum
+        # but the ROW still joins (a NaN through _cents_np would poison the
+        # partial with INT64_MIN) — track valid-value counts separately
+        val = ~np.isnan(prod)
+        rev = np.zeros(len(prod), np.int64)
+        rev[val] = _cents_np(prod[val])
         uk, inv = np.unique(keys, return_inverse=True)
-        tot = np.bincount(inv, weights=rev, minlength=len(uk)).astype(np.int64)
+        tot = np.bincount(inv, weights=rev.astype(np.float64), minlength=len(uk)).astype(np.int64)
+        nval = np.bincount(inv[val], minlength=len(uk)).astype(np.int64)
+        nrow = np.bincount(inv, minlength=len(uk)).astype(np.int64)
         return pa.table(
             {
                 "pkey": pa.array(uk, pa.int64()),
                 "rev_cents": pa.array(tot, pa.int64()),
                 "is_promo": pa.array(np.full(len(uk), -1, np.int64)),
-                "n_li": pa.array(np.ones(len(uk), np.int64)),
+                "n_li": pa.array(nrow, pa.int64()),
+                "n_val": pa.array(nval, pa.int64()),
             }
         )
 
@@ -2156,6 +2165,7 @@ def promo_revenue(sf_dir: str) -> "rd.Dataset":
                 "rev_cents": pa.array(np.zeros(batch.num_rows, np.int64)),
                 "is_promo": promo.cast(pa.int64()),
                 "n_li": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "n_val": pa.array(np.zeros(batch.num_rows, np.int64)),
             }
         )
 
@@ -2167,50 +2177,59 @@ def promo_revenue(sf_dir: str) -> "rd.Dataset":
             Sum("rev_cents", alias_name="rev_cents"),
             Max("is_promo", alias_name="is_promo"),
             Sum("n_li", alias_name="n_li"),
+            Sum("n_val", alias_name="n_val"),
         )
     )
 
     def fold(batch: pa.Table) -> pa.Table:
         # is_promo == -1 means no part row joined: dangling partkey, drop.
         # A JOINED row needs both sides: a part flag (is_promo >= 0) AND at
-        # least one lineitem partial (n_li > 0) — part-only partkeys must
-        # not count toward n_rows, or an empty ship-date window with a
-        # non-empty part table would finalize to 0.0 instead of SQL's NULL.
+        # least one lineitem row (n_li > 0) — part-only partkeys must not
+        # count, or an empty ship-date window with a non-empty part table
+        # would finalize to 0.0 instead of SQL's NULL.  NULL-ness of the
+        # two sums mirrors the oracle exactly: sum(rc) is NULL iff no
+        # joined row carries a non-NULL rc (n_rc); sum(prc) is NULL iff
+        # there is neither a non-promo joined row (its prc is a literal 0)
+        # nor a promo row with non-NULL rc (n_prc).
         flag = batch["is_promo"].to_numpy(zero_copy_only=False)
         rev = batch["rev_cents"].to_numpy(zero_copy_only=False)
         n_li = batch["n_li"].to_numpy(zero_copy_only=False)
+        n_val = batch["n_val"].to_numpy(zero_copy_only=False)
         ok = (flag >= 0) & (n_li > 0)
+        promo = ok & (flag == 1)
         return pa.table(
             {
-                "promo_cents": pa.array([int(rev[ok & (flag == 1)].sum())], pa.int64()),
+                "promo_cents": pa.array([int(rev[promo].sum())], pa.int64()),
                 "total_cents": pa.array([int(rev[ok].sum())], pa.int64()),
-                "n_rows": pa.array([int(ok.sum())], pa.int64()),
+                "n_rc": pa.array([int(n_val[ok].sum())], pa.int64()),
+                "n_prc": pa.array(
+                    [int(n_val[promo].sum() + n_li[ok & (flag == 0)].sum())],
+                    pa.int64(),
+                ),
             }
         )
 
     agg = (
         per_part.map_batches(fold, batch_format="pyarrow")
-        .aggregate(Sum("promo_cents"), Sum("total_cents"), Sum("n_rows"))
+        .aggregate(Sum("promo_cents"), Sum("total_cents"), Sum("n_rc"), Sum("n_prc"))
     ) or {}  # fully-empty input: aggregate yields no row at all
-    n = int(agg.get("sum(n_rows)") or 0)
-    if n == 0:  # SQL: sum() over zero joined rows is NULL
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "promo_revenue": pa.array([None], pa.float64()),
-                    "total_revenue": pa.array([None], pa.float64()),
-                    "promo_pct": pa.array([None], pa.float64()),
-                }
-            )
-        )
+    n_rc = int(agg.get("sum(n_rc)") or 0)
+    n_prc = int(agg.get("sum(n_prc)") or 0)
     pc_cents = int(agg.get("sum(promo_cents)") or 0)
     tc_cents = int(agg.get("sum(total_cents)") or 0)
-    pct = round(100.0 * pc_cents / tc_cents, 6) if tc_cents else None
+    promo_rev = None if n_prc == 0 else pc_cents / 100.0
+    total_rev = None if n_rc == 0 else tc_cents / 100.0
+    # x/0 is NULL in DuckDB, so a zero total also yields a NULL pct
+    pct = (
+        round(100.0 * pc_cents / tc_cents, 6)
+        if (n_prc and n_rc and tc_cents)
+        else None
+    )
     return rd.from_arrow(
         pa.table(
             {
-                "promo_revenue": pa.array([pc_cents / 100.0], pa.float64()),
-                "total_revenue": pa.array([tc_cents / 100.0], pa.float64()),
+                "promo_revenue": pa.array([promo_rev], pa.float64()),
+                "total_revenue": pa.array([total_rev], pa.float64()),
                 "promo_pct": pa.array([pct], pa.float64()),
             }
         )

@@ -42,8 +42,8 @@ def _maybe(rng, p, val):
     return None if rng.random() < p else val
 
 
-def _build_fuzz_corpus(d):
-    rng = random.Random(20260820)
+def _build_fuzz_corpus(d, seed: int = 20260820):
+    rng = random.Random(seed)
     base = datetime.datetime(1996, 3, 1)
 
     def day(n):
@@ -301,10 +301,13 @@ def _build_fuzz_corpus(d):
     return str(d)
 
 
-@pytest.fixture(scope="session")
-def fuzz_sf(tmp_path_factory):
-    d = tmp_path_factory.mktemp("fuzz_corpus")
-    return _build_fuzz_corpus(d)
+@pytest.fixture(scope="session", params=[20260820, 926], ids=["seedA", "seedB"])
+def fuzz_sf(request, tmp_path_factory):
+    # two seeds: NULL/dangling-key PLACEMENT differs between them, so paths
+    # one draw happens to dodge (e.g. a NaN product reaching a cents cast,
+    # a batch ending in an empty doc) still get exercised
+    d = tmp_path_factory.mktemp(f"fuzz_corpus_{request.param}")
+    return _build_fuzz_corpus(d, seed=request.param)
 
 
 def _canon(df):
