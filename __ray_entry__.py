@@ -603,7 +603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "token_count": """
-            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            SELECT doc_id, len(string_split(coalesce(text, ''), ' ')) AS n_tokens
             FROM documents
         """,
         "filter_mid_length": """
@@ -612,13 +612,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_chars BETWEEN 100 AND 300
         """,
         "doc_fingerprint": """
-            SELECT doc_id, md5(text) AS fp
+            SELECT doc_id, md5(coalesce(text, '')) AS fp
             FROM documents
         """,
         "stopword_stats": f"""
             SELECT doc_id,
-                   len(list_filter(string_split(text, ' '), w -> w IN {_SQL_STOP_LIST})) AS stop_hits,
-                   len(string_split(text, ' ')) AS n_words
+                   len(list_filter(string_split(coalesce(text, ''), ' '),
+                                   w -> w IN {_SQL_STOP_LIST})) AS stop_hits,
+                   len(string_split(coalesce(text, ''), ' ')) AS n_words
             FROM documents
         """,
         "lang_stats": """
@@ -647,30 +648,30 @@ def oracle_sql() -> dict[str, str]:
         """,
         "word_freq_top100": """
             SELECT word, count(*) AS cnt
-            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word FROM documents)
             GROUP BY word
             ORDER BY cnt DESC, word ASC
             LIMIT 100
         """,
         "word_freq_top100_mg": """
             SELECT word, count(*) AS cnt
-            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            FROM (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS word FROM documents)
             GROUP BY word
             ORDER BY cnt DESC, word ASC
             LIMIT 100
         """,
         "normalize_umlauts": """
             SELECT doc_id,
-                   replace(replace(replace(replace(text, 'ä', 'ae'),
+                   replace(replace(replace(replace(coalesce(text, ''), 'ä', 'ae'),
                            'ö', 'oe'), 'ü', 'ue'), 'ß', 'ss') AS norm_text
             FROM documents
         """,
         "edit_distance_sample": """
             SELECT doc_id,
-                   string_split(text, ' ')[1] AS w1,
-                   string_split(text, ' ')[-1] AS w2,
-                   levenshtein(string_split(text, ' ')[1],
-                               string_split(text, ' ')[-1]) AS edit_dist
+                   string_split(coalesce(text, ''), ' ')[1] AS w1,
+                   string_split(coalesce(text, ''), ' ')[-1] AS w2,
+                   levenshtein(string_split(coalesce(text, ''), ' ')[1],
+                               string_split(coalesce(text, ''), ' ')[-1]) AS edit_dist
             FROM documents
         """,
         "sentence_stats": """
@@ -916,7 +917,7 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         """,
         "exact_dedup": """
-            SELECT md5(substr(text, 1, 40)) AS k,
+            SELECT md5(substr(coalesce(text, ''), 1, 40)) AS k,
                    min(doc_id) AS keep_doc_id,
                    count(*) AS n_dups
             FROM documents
@@ -945,7 +946,7 @@ def oracle_sql() -> dict[str, str]:
         "word_lang_incidence": """
             SELECT word, count(DISTINCT lang) AS n_langs, min(lang) AS first_lang
             FROM (SELECT DISTINCT lang, word
-                  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents))
+                  FROM (SELECT lang, unnest(string_split(coalesce(text, ''), ' ')) AS word FROM documents))
             GROUP BY word
         """,
         "events_sessionize": """
@@ -1217,7 +1218,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_idx, vec_id FROM scored WHERE rn <= 5
         """,
         "jaccard_pairs": """
-            WITH w AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+            WITH w AS (SELECT doc_id, lang, list_distinct(string_split(coalesce(text, ''), ' ')) AS ws FROM documents)
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    len(list_intersect(a.ws, b.ws))::DOUBLE
                      / len(list_distinct(list_concat(a.ws, b.ws))) AS jac
@@ -1226,7 +1227,7 @@ def oracle_sql() -> dict[str, str]:
                     / len(list_distinct(list_concat(a.ws, b.ws))) >= 0.95
         """,
         "minhash_lsh_pairs": """
-            WITH w AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws FROM documents)
+            WITH w AS (SELECT doc_id, list_distinct(string_split(coalesce(text, ''), ' ')) AS ws FROM documents)
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    len(list_intersect(a.ws, b.ws))::DOUBLE
                      / len(list_distinct(list_concat(a.ws, b.ws))) AS jac
@@ -1237,7 +1238,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top5_per_lang": """
             WITH tf AS (
                 SELECT lang, word, count(*) AS tf
-                FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+                FROM (SELECT lang, unnest(string_split(coalesce(text, ''), ' ')) AS word FROM documents)
                 GROUP BY lang, word
             ),
             df AS (SELECT word, count(*) AS n_langs_with FROM tf GROUP BY word),

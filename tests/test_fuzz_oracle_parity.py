@@ -11,11 +11,11 @@ dangling foreign keys at every star hop, duplicate timestamps, malformed
 JSON, empty/unicode/URL-bearing text — and asserts engine == oracle for every
 SQL-backed query on it.
 
-Deliberate fixture constraints (documented engine deviations, not blind
-spots): `text` is never NULL (the `_text_col` convention treats NULL text as
-'' engine-side where several oracles would propagate NULL — empty strings,
-which ARE equivalent on both engines, stand in for that case), and
-`doc_id` / `vec_id` / PK columns are non-null (the corpus contract)."""
+Deliberate fixture constraint: `doc_id` / `vec_id` / PK columns are
+non-null (the corpus contract).  `text` IS nulled (~8% of docs): the
+engine-wide convention is NULL text ≡ '' (`_text_col`), and every oracle
+states it explicitly via `coalesce(text, '')`, so the NULL-text rows are
+parity-checked like any others."""
 
 import datetime
 import random
@@ -254,7 +254,9 @@ def _build_fuzz_corpus(d, seed: int = 20260820):
              "data", "pipeline", "ray", "Straße", "löss", "word"]
     texts = []
     for i in range(nd):
-        if i % 17 == 0:
+        if i % 13 == 5:
+            texts.append(None)
+        elif i % 17 == 0:
             texts.append("")
         elif i % 11 == 0:
             texts.append("see https://ex-%d.example.com/a/b?utm_source=x "
@@ -277,7 +279,7 @@ def _build_fuzz_corpus(d, seed: int = 20260820):
             pa.string(),
         ),
         "n_chars": pa.array(
-            [None if rng.random() < 0.05 else len(t)
+            [None if (t is None or rng.random() < 0.05) else len(t)
              for t in texts],
             pa.int64(),
         ),
