@@ -318,9 +318,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": analysis.decontaminate_docs,
         "semantic_dedup_docs": analysis.semantic_dedup_docs,
         "media_metadata": media_metadata_q,
-        # --- NEW session-2 kernels: hold window slots (ordering NOTE) -----
-        "events_user_interarrival": analysis.events_user_interarrival,
-        "source_unigram_kl": analysis.source_unigram_kl,
+        # --- NEW session-7 kernels: hold the slots ceded by
+        # events_user_interarrival and source_unigram_kl (both r3-driver-
+        # green, byte-unchanged since; the groupby-user ordered machinery
+        # stays driven in-window by events_latest_per_user /
+        # rolling_active_users, the per-source distribution machinery by
+        # source_length_gini) ----------------------------------------------
+        # (Q12-shaped conditional two-way count over the orders join,
+        # dual broadcast/bucket plans)
+        "returnflag_priority_counts": relational.returnflag_priority_counts,
+        # (GROUP BY ROLLUP grouping-sets shape with SQL GROUPING() ids)
+        "lang_source_rollup": analysis.lang_source_rollup,
         # --- NEW session-6 kernels: hold the slots ceded by kmeans_assign
         # (r3-green, unchanged — in-window kmeans_train RUNS the identical
         # assignment step every Lloyd iteration), cross_source_dup_stats
@@ -463,14 +471,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (slot from per_source_cap — r2-green, unchanged; in-window
         # top_revenue_orders drives the same per-batch top-k cut machinery)
         "knn_self_top1": analysis.knn_self_top1,
-        # (slot from bm25_topk — r2-green, unchanged; in-window
-        # tfidf_top5_per_lang drives the same tf/idf scoring cascade)
+        # (slot from bm25_topk — r2-green, unchanged; pytest oracle gate +
+        # self-check artifact)
         "nation_trade_volume": relational.nation_trade_volume,
-        "events_purchases_within_hour": relational.events_purchases_within_hour,
-        "token_count_bpe": analysis.token_count_bpe,
-        "tfidf_top5_per_lang": analysis.tfidf_top5_per_lang,
-        # --- NEW r3 kernels: hold window slots (see the ordering NOTE) ----
-        "boilerplate_ngram_stats": analysis.boilerplate_ngram_stats,
+        # --- NEW session-7 kernels: hold the slots ceded by
+        # events_purchases_within_hour, token_count_bpe, tfidf_top5_per_lang
+        # and boilerplate_ngram_stats (all four r3-driver-green and
+        # byte-unchanged since; the range-join bucket co-partition stays
+        # driven in-window by nation_trade_volume, the RE2 count kernels by
+        # readability_scores, the (lang, term) combiner + per-lang head by
+        # the new top_bigram_per_lang, and the distinct-(doc, gram)
+        # combiner by the new inverted_index_blocks) -----------------------
+        # (SymSpell deletion-neighborhood string-similarity self-join)
+        "edit2_word_pairs": analysis.edit2_word_pairs,
+        # (posting-list construction, doc_id-range sharded)
+        "inverted_index_blocks": analysis.inverted_index_blocks,
+        # (grouped OLS regression: per-type daily-volume slope)
+        "event_volume_trend": analysis.event_volume_trend,
+        # (grouped argmax over a grouped count: top collocation per lang)
+        "top_bigram_per_lang": analysis.top_bigram_per_lang,
         "gopher_quality_flags": analysis.gopher_quality_flags,
         # --- NEW r4 kernel: holds the slot ceded by gopher_keep_rates and,
         # after session-4 additions shifted it to position 50, by
@@ -482,6 +501,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # checked in-window sibling — audit trail in QUERIES.md)
         "top_revenue_orders": relational.top_revenue_orders,
         "gopher_keep_rates": analysis.gopher_keep_rates,
+        # (r4 session-7 cedes — each r3-driver-green and byte-unchanged
+        # since, with the named in-window sibling; see the slot comments
+        # above and QUERIES.md)
+        "events_user_interarrival": analysis.events_user_interarrival,
+        "source_unigram_kl": analysis.source_unigram_kl,
+        "events_purchases_within_hour": relational.events_purchases_within_hour,
+        "token_count_bpe": analysis.token_count_bpe,
+        "tfidf_top5_per_lang": analysis.tfidf_top5_per_lang,
+        "boilerplate_ngram_stats": analysis.boilerplate_ngram_stats,
         # (r4 session-6 cedes — each r3-driver-green and byte-unchanged
         # since, with the named in-window sibling; see the slot comments
         # above and QUERIES.md)
@@ -2466,5 +2494,86 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n) AS BIGINT) AS sum_tokens
             FROM t GROUP BY 1
+        """,
+        # --- r4 session-7 kernels ------------------------------------------
+        "returnflag_priority_counts": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_returnflag
+        """,
+        "lang_source_rollup": """
+            SELECT lang, source,
+                   CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+                   CAST(GROUPING(source) AS BIGINT) AS g_source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY ROLLUP(lang, source)
+        """,
+        "edit2_word_pairs": """
+            WITH v AS (
+                SELECT DISTINCT unnest(string_split(coalesce(text, ''), ' ')) AS w
+                FROM documents
+            ),
+            f AS (SELECT w FROM v WHERE length(w) <= 32)
+            SELECT a.w AS w1, b.w AS w2,
+                   CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+            FROM f a JOIN f b ON a.w < b.w
+            WHERE levenshtein(a.w, b.w) <= 2
+        """,
+        "inverted_index_blocks": """
+            WITH wd AS (
+                SELECT DISTINCT
+                       unnest(string_split(coalesce(text, ''), ' ')) AS word,
+                       doc_id
+                FROM documents WHERE doc_id IS NOT NULL
+            )
+            SELECT word, CAST(floor(doc_id / 100.0) AS BIGINT) AS block,
+                   CAST(count(*) AS BIGINT) AS df,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+            FROM wd GROUP BY word, floor(doc_id / 100.0)
+        """,
+        "event_volume_trend": """
+            WITH d AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type,
+                   CAST(count(CASE WHEN day IS NOT NULL THEN 1 END) AS BIGINT)
+                       AS n_days,
+                   round(regr_slope(cnt,
+                                    date_diff('day', DATE '2024-01-01', day)),
+                         6) AS slope
+            FROM d GROUP BY event_type
+        """,
+        "top_bigram_per_lang": """
+            WITH words AS (
+                SELECT doc_id, lang,
+                       unnest(string_split(coalesce(text, ''), ' ')) AS w,
+                       generate_subscripts(string_split(coalesce(text, ''), ' '),
+                                           1) AS i
+                FROM documents
+            ),
+            bg AS (
+                SELECT a.lang, a.w || ' ' || b.w AS bigram,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM words a JOIN words b
+                  ON a.doc_id = b.doc_id AND b.i = a.i + 1
+                GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT lang, bigram, cnt,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY cnt DESC, bigram ASC
+                       ) AS rn
+                FROM bg
+            )
+            SELECT lang, bigram, cnt FROM r WHERE rn = 1
         """,
     }

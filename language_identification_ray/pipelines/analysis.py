@@ -7688,3 +7688,487 @@ def readability_scores(sf_dir: str) -> "rd.Dataset":
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# r4 session-7 kernels
+
+
+def lang_source_rollup(sf_dir: str) -> "rd.Dataset":
+    """GROUP BY ROLLUP(lang, source) — the multi-level subtotal report
+    (per-(lang, source) cells, per-lang subtotals, grand total) every corpus
+    dashboard renders, and the grouping-sets relational shape the catalog
+    did not yet cover.  Emits SQL ``GROUPING()`` ids (``g_lang``/
+    ``g_source``) so rollup NULLs stay distinguishable from real NULL keys.
+
+    Scale shape: ONE distributed exchange — per-batch Arrow ``group_by``
+    pre-aggregates to ≤ |langs|×|sources| partial rows, a
+    catalog-cardinality groupby combines them, and the two coarser levels
+    re-aggregate FROM the finest level inside a single catalog-sized block
+    (``repartition(1)`` over ≤ |langs|×|sources| rows — how every
+    distributed planner lowers ROLLUP: compute the finest grouping
+    distributed, derive the rest from it).  SQL SUM-NULL semantics survive
+    the cascade: a non-null n_chars count rides along, and any (sub)total
+    whose count is 0 is NULL, exactly like SQL ``sum`` over all-NULL."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "chars": pc.fill_null(batch["n_chars"], 0).cast(pa.int64()),
+                "chars_valid": pc.is_valid(batch["n_chars"]).cast(pa.int64()),
+            }
+        )
+        g = t.group_by(["lang", "source"]).aggregate(
+            [("chars", "sum"), ("chars_valid", "sum"), ([], "count_all")]
+        )
+        lang_key, lang_null = _null_safe_key(g["lang"])
+        src_key, src_null = _null_safe_key(g["source"])
+        return pa.table(
+            {
+                "lang_key": lang_key,
+                "lang_null": lang_null,
+                "source_key": src_key,
+                "source_null": src_null,
+                "chars": g["chars_sum"].cast(pa.int64()),
+                "chars_valid": g["chars_valid_sum"].cast(pa.int64()),
+                "n_docs": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        # one catalog-sized block: the finest grouping. Re-derive the
+        # (lang) and () levels from it.
+        lang = pa.array(
+            batch["lang_key"].to_pylist(), pa.string(),
+            mask=batch["lang_null"].to_numpy(zero_copy_only=False).astype(bool),
+        )
+        src = pa.array(
+            batch["source_key"].to_pylist(), pa.string(),
+            mask=batch["source_null"].to_numpy(zero_copy_only=False).astype(bool),
+        )
+        chars = batch["chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        valid = batch["chars_valid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ndocs = batch["n_docs"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        def level_rows(keys_lang, keys_src, g_lang, g_src, sel):
+            # sel: dict key -> (chars, valid, ndocs) already combined
+            out_lang, out_src, cs, vs, ns = [], [], [], [], []
+            for k, (c, v, n) in sel.items():
+                out_lang.append(k[0] if g_lang == 0 else None)
+                out_src.append(k[1] if g_src == 0 else None)
+                cs.append(c)
+                vs.append(v)
+                ns.append(n)
+            total = pa.array(
+                [c if v > 0 else None for c, v in zip(cs, vs)], pa.int64()
+            )
+            return pa.table(
+                {
+                    "lang": pa.array(out_lang, pa.string()),
+                    "source": pa.array(out_src, pa.string()),
+                    "g_lang": pa.array([g_lang] * len(cs), pa.int64()),
+                    "g_source": pa.array([g_src] * len(cs), pa.int64()),
+                    "n_docs": pa.array(ns, pa.int64()),
+                    "total_chars": total,
+                }
+            )
+
+        finest: dict = {}
+        for i in range(batch.num_rows):
+            k = (lang[i].as_py(), src[i].as_py())
+            c, v, n = finest.get(k, (0, 0, 0))
+            finest[k] = (c + int(chars[i]), v + int(valid[i]), n + int(ndocs[i]))
+        by_lang: dict = {}
+        for (lg, _), (c, v, n) in finest.items():
+            k = (lg, None)
+            c0, v0, n0 = by_lang.get(k, (0, 0, 0))
+            by_lang[k] = (c0 + c, v0 + v, n0 + n)
+        grand = {(None, None): (
+            sum(c for c, _, _ in finest.values()),
+            sum(v for _, v, _ in finest.values()),
+            sum(n for _, _, n in finest.values()),
+        )} if finest else {}
+        return pa.concat_tables(
+            [
+                level_rows(None, None, 0, 0, finest),
+                level_rows(None, None, 0, 1, by_lang),
+                level_rows(None, None, 1, 1, grand),
+            ]
+        )
+
+    return (
+        _docs(sf_dir, ["lang", "source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang_key", "lang_null", "source_key", "source_null"])
+        .aggregate(
+            Sum("chars", alias_name="chars"),
+            Sum("chars_valid", alias_name="chars_valid"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        .repartition(1)
+        .map_batches(rollup, batch_format="pyarrow")
+    )
+
+
+def edit2_word_pairs(sf_dir: str, max_dist: int = 2, max_len: int = 32) -> "rd.Dataset":
+    """Distributed string-similarity self-join over the corpus vocabulary:
+    all distinct word pairs within Levenshtein distance ``max_dist`` (≤ 2)
+    — the spell-candidate / query-variant mining primitive behind the
+    reference's fuzzy word index (SURVEY §2.3 A8) lifted to a dataset-scale
+    JOIN, using SymSpell deletion-neighborhood blocking (Garbe 2012): if
+    ``lev(a, b) <= d`` then some string in ``deletes<=d(a) ∩ deletes<=d(b)``
+    exists, so bucketing every word by its deletion variants yields a
+    complete candidate set without the O(|V|²) cross join.
+
+    Scale shape: the corpus collapses to its vocabulary first (per-batch
+    distinct → one vocab-keyed groupby — the word_freq combiner); every
+    downstream exchange is VOCABULARY-bounded, never corpus-bounded.
+    Deletion fan-out is ≤ 1 + L + L(L-1)/2 variants per word (L ≤
+    ``max_len``); candidate pairs dedup through one (w1, w2) groupby and
+    are verified with the exact DP ``levenshtein`` — candidate counts are
+    bucket-bounded, so the per-row verify is a vocabulary-scale cost.
+    Words longer than ``max_len`` are excluded on BOTH engines (the
+    deletion fan-out guard, same convention as the BPE 64-char cap)."""
+    from language_identification_ray.functions.strings import levenshtein
+
+    def vocab_partial(batch: pa.Table) -> pa.Table:
+        w = pc.unique(_one_chunk(_word_lists(batch).flatten()))
+        w = w.filter(pc.less_equal(pc.utf8_length(w), max_len))
+        return pa.table({"w": w})
+
+    def deletes(group: pa.Table) -> pa.Table:
+        # vocab-side fan-out: all deletion variants up to max_dist
+        out_v, out_w = [], []
+        for w in group["w"].to_pylist():
+            seen = {w}
+            frontier = {w}
+            for _ in range(max_dist):
+                nxt = set()
+                for s in frontier:
+                    for i in range(len(s)):
+                        t = s[:i] + s[i + 1 :]
+                        if t not in seen:
+                            seen.add(t)
+                            nxt.add(t)
+                frontier = nxt
+            for v in seen:
+                out_v.append(v)
+                out_w.append(w)
+        return pa.table(
+            {"variant": pa.array(out_v, pa.string()), "w": pa.array(out_w, pa.string())}
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ws = sorted(set(group["w"].to_pylist()))
+        n = len(ws)
+        if n < 2:
+            return pa.table(
+                {"w1": pa.array([], pa.string()), "w2": pa.array([], pa.string())}
+            )
+        i, j = np.triu_indices(n, k=1)
+        arr = np.asarray(ws, dtype=object)
+        return pa.table(
+            {"w1": pa.array(arr[i], pa.string()), "w2": pa.array(arr[j], pa.string())}
+        )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        w1 = batch["w1"].to_pylist()
+        w2 = batch["w2"].to_pylist()
+        dist = np.array([levenshtein(a, b) for a, b in zip(w1, w2)], dtype=np.int64)
+        keep = dist <= max_dist
+        return pa.table(
+            {
+                "w1": batch["w1"].filter(pa.array(keep)),
+                "w2": batch["w2"].filter(pa.array(keep)),
+                "dist": pa.array(dist[keep], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(vocab_partial, batch_format="pyarrow")
+        .groupby("w")
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")  # distinct vocab
+        .map_batches(deletes, batch_format="pyarrow")
+        .groupby("variant")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["w1", "w2"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")  # distinct pairs
+        .map_batches(verify, batch_format="pyarrow")
+    )
+
+
+def inverted_index_blocks(sf_dir: str, block_size: int = 100) -> "rd.Dataset":
+    """Posting-list construction — the retrieval-index build (the batch job
+    behind every BM25 / sparse-search deployment): for each word, the
+    sorted doc_id posting list, SHARDED into fixed doc_id ranges of
+    ``block_size`` (``block`` = floor(doc_id / block_size)) so no reducer
+    ever holds a full head-word posting list — the blocked layout real
+    index builders (Lucene segments, impact-sharded indexes) use at scale.
+
+    Scale shape: per-batch DISTINCT (word, doc) pairs (df combiner), one
+    (word, block) keyed exchange whose per-group size is ≤ block_size,
+    postings serialized per group.  NULL doc_id rows are excluded on both
+    engines (a posting for no document is meaningless)."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        words = _word_lists(batch)
+        flat = _one_chunk(words.flatten())
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.float64)
+        doc = np.repeat(ids, counts)
+        ok = ~pc.is_null(batch["doc_id"]).to_numpy(zero_copy_only=False).astype(bool)
+        okr = np.repeat(ok, counts)
+        # distinct (word, doc) inside the batch: dictionary-encode + lexsort
+        wd = flat.dictionary_encode()
+        codes = wd.indices.to_numpy(zero_copy_only=False).astype(np.int64)[okr]
+        docs = doc[okr].astype(np.int64)
+        if len(codes) == 0:
+            return pa.table(
+                {
+                    "word": pa.array([], pa.string()),
+                    "block": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
+        c, d = _unique_pairs(codes, docs)
+        names = wd.dictionary
+        return pa.table(
+            {
+                "word": names.take(pa.array(c, pa.int64())),
+                "block": pa.array(np.floor_divide(d, block_size), pa.int64()),
+                "doc_id": pa.array(d, pa.int64()),
+            }
+        )
+
+    def build(group: pa.Table) -> pa.Table:
+        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "word": group["word"].slice(0, 1),
+                "block": group["block"].slice(0, 1),
+                "df": pa.array([len(ids)], pa.int64()),
+                "postings": pa.array([",".join(map(str, ids))], pa.string()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["word", "block"])
+        .map_groups(build, batch_format="pyarrow")
+    )
+
+
+def event_volume_trend(sf_dir: str, epoch: str = "2024-01-01") -> "rd.Dataset":
+    """Per-event-type daily-volume trend: the OLS slope of daily event
+    counts against the day number — the grouped-regression corpus-health /
+    traffic-drift audit (is click volume rising while purchases fall?).
+    ``zipf_alpha``'s regression shape, but GROUPED: one regression per
+    event type, each folded from distributed sum-partials instead of a
+    single collected block.  Emits ``(event_type, n_days, slope)`` with
+    slope rounded to 6 decimals (= DuckDB ``regr_slope``'s
+    covar_pop/var_pop at that precision); a type with < 2 distinct days or
+    zero day-variance yields NULL slope, matching SQL.
+
+    Scale shape: two SHRINKING exchanges — (type, day) daily counts from
+    per-batch Arrow group_by partials (≤ types×days rows through the
+    shuffle), then per-type Σn/Σx/Σy/Σxy/Σx² sum-partials (5 doubles per
+    type per block) folded by a ≤ |types|-key groupby.  NULL ts rows keep
+    their type's group alive but contribute nothing to the regression
+    (SQL: regr_slope ignores NULL x), so a type with only NULL timestamps
+    still emits its (type, 0, NULL) row."""
+    epoch64 = np.datetime64(epoch, "us").astype(np.int64)
+    us_per_day = np.int64(86_400_000_000)
+
+    def daily_partial(batch: pa.Table) -> pa.Table:
+        ts64 = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        isnat = np.isnat(ts64)
+        ts = ts64.astype(np.int64)
+        day = np.floor_divide(ts - epoch64, us_per_day)
+        day[isnat] = 0
+        t = pa.table(
+            {
+                "type_key": pc.fill_null(batch["event_type"], ""),
+                "type_null": pc.is_null(batch["event_type"]),
+                "day": pa.array(day, pa.int64()),
+                "day_null": pa.array(isnat),
+            }
+        )
+        g = t.group_by(["type_key", "type_null", "day", "day_null"]).aggregate(
+            [("day", "count")]
+        )
+        return pa.table(
+            {
+                "type_key": g["type_key"],
+                "type_null": g["type_null"],
+                "day": g["day"],
+                "day_null": g["day_null"],
+                "cnt": g["day_count"].cast(pa.int64()),
+            }
+        )
+
+    def reg_partial(batch: pa.Table) -> pa.Table:
+        # per-type Σ-partials over this block's daily rows
+        x = batch["day"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dnull = batch["day_null"].to_numpy(zero_copy_only=False).astype(bool)
+        w = (~dnull).astype(np.float64)
+        x = np.where(dnull, 0.0, x)
+        y_eff = np.where(dnull, 0.0, y)
+        t = pa.table(
+            {
+                "type_key": batch["type_key"],
+                "type_null": batch["type_null"],
+                "n": pa.array(w),
+                "sx": pa.array(w * x),
+                "sy": pa.array(y_eff),
+                "sxy": pa.array(x * y_eff),
+                "sxx": pa.array(w * x * x),
+            }
+        )
+        return (
+            t.group_by(["type_key", "type_null"]).aggregate(
+                [("n", "sum"), ("sx", "sum"), ("sy", "sum"), ("sxy", "sum"), ("sxx", "sum")]
+            )
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["n_sum"].to_numpy(zero_copy_only=False)
+        sx = batch["sx_sum"].to_numpy(zero_copy_only=False)
+        sy = batch["sy_sum"].to_numpy(zero_copy_only=False)
+        sxy = batch["sxy_sum"].to_numpy(zero_copy_only=False)
+        sxx = batch["sxx_sum"].to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            denom = sxx - sx * sx / n
+            slope = (sxy - sx * sy / n) / denom
+        bad = ~(np.isfinite(slope)) | (n < 2) | (denom <= 0)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    batch["type_key"].to_pylist(), pa.string(),
+                    mask=batch["type_null"].to_numpy(zero_copy_only=False).astype(bool),
+                ),
+                "n_days": pa.array(n.astype(np.int64), pa.int64()),
+                "slope": pa.array(
+                    np.where(bad, 0.0, np.round(slope, 6)), pa.float64(), mask=bad
+                ),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+        .map_batches(daily_partial, batch_format="pyarrow")
+        .groupby(["type_key", "type_null", "day", "day_null"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(reg_partial, batch_format="pyarrow")
+        .groupby(["type_key", "type_null"])
+        .aggregate(
+            Sum("n_sum", alias_name="n_sum"),
+            Sum("sx_sum", alias_name="sx_sum"),
+            Sum("sy_sum", alias_name="sy_sum"),
+            Sum("sxy_sum", alias_name="sxy_sum"),
+            Sum("sxx_sum", alias_name="sxx_sum"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def top_bigram_per_lang(sf_dir: str) -> "rd.Dataset":
+    """The single most frequent word bigram PER LANGUAGE (ties broken
+    bigram-ASC) — grouped argmax over a grouped count, the two-level
+    collocation profile (``bigram_top50`` is the global head; this is the
+    per-key argmax real per-language reports need).
+
+    Scale shape: the bigram combiner keyed by (lang, bigram) — per-batch
+    pre-aggregated exactly like ``bigram_top50`` so the exchange moves one
+    row per distinct (lang, bigram) per batch — then a per-batch partial
+    argmax (≤ |langs| rows per block) and a ≤ |langs|-key final argmax:
+    the full (lang, bigram) count table never converges on one node.  A
+    language whose docs have no bigrams (every doc < 2 words) emits no
+    row, matching the SQL inner derivation."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "lang_key": pa.array([], pa.string()),
+                "lang_null": pa.array([], pa.bool_()),
+                "bigram": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        words = _word_lists(batch)
+        flat = _one_chunk(words.flatten())
+        m = len(flat)
+        if m < 2:
+            return empty
+        offs = words.offsets.to_numpy().astype(np.int64)
+        valid = np.ones(m - 1, dtype=bool)
+        valid[offs[1:-1] - 1] = False
+        if not valid.any():
+            return empty
+        lang_key, lang_null = _null_safe_key(batch["lang"])
+        nw = np.diff(offs)
+        lang_rep = pa.array(
+            np.repeat(lang_key.to_numpy(zero_copy_only=False).astype(object), nw)[:-1][valid],
+            pa.string(),
+        )
+        null_rep = pa.array(
+            np.repeat(lang_null.to_numpy(zero_copy_only=False).astype(bool), nw)[:-1][valid]
+        )
+        mask = pa.array(valid)
+        pairs = pc.binary_join_element_wise(
+            flat.slice(0, m - 1).filter(mask), flat.slice(1, m - 1).filter(mask), " "
+        )
+        t = pa.table(
+            {"lang_key": lang_rep, "lang_null": null_rep, "bigram": pairs}
+        )
+        g = t.group_by(["lang_key", "lang_null", "bigram"]).aggregate(
+            [("bigram", "count")]
+        )
+        return pa.table(
+            {
+                "lang_key": g["lang_key"],
+                "lang_null": g["lang_null"],
+                "bigram": g["bigram"],
+                "cnt": g["bigram_count"].cast(pa.int64()),
+            }
+        )
+
+    def block_argmax(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["lang_key", "lang_null", "cnt", "bigram"],
+            ascending=[True, True, False, True],
+        )
+        return pa.Table.from_pandas(
+            df.groupby(["lang_key", "lang_null"], dropna=False).head(1),
+            preserve_index=False,
+        ).select(["lang_key", "lang_null", "bigram", "cnt"])
+
+    def finalize(group: pa.Table) -> pa.Table:
+        df = group.to_pandas().sort_values(["cnt", "bigram"], ascending=[False, True])
+        top = df.iloc[0]
+        return pa.table(
+            {
+                "lang": pa.array(
+                    [None if top["lang_null"] else top["lang_key"]], pa.string()
+                ),
+                "bigram": pa.array([top["bigram"]], pa.string()),
+                "cnt": pa.array([int(top["cnt"])], pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang_key", "lang_null", "bigram"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(block_argmax, batch_format="pyarrow")
+        .groupby(["lang_key", "lang_null"])
+        .map_groups(finalize, batch_format="pyarrow")
+    )

@@ -3575,3 +3575,211 @@ def regional_market_share(
         .aggregate(Sum("t_cents"), Sum("a_cents"))
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def returnflag_priority_counts(
+    sf_dir: str,
+    start: str = "1996-01-01",
+    end: str = "1998-01-01",
+    n_buckets: int = 1024,
+) -> "rd.Dataset":
+    """TPC-H-Q12-shaped conditional two-way count: per return flag, how many
+    in-window lineitems belong to HIGH-priority orders ('1-URGENT'/'2-HIGH')
+    vs everything else — the CASE-WHEN split-count over a fact⋈dimension
+    join (Q12 splits shipments by ship mode; this dataset's analogue splits
+    by return flag, the only line-level category the schema carries).
+
+    Two size-gated physical plans (the stats-driven broadcast-vs-shuffle
+    choice, same gate as ``late_shipment_priority``):
+
+    - **Broadcast probe** (orders parquet ≤ 256 MB): a sorted
+      (orderkey → is-high int8) sidecar is composed driver-side and
+      ``ray.put`` once; every lineitem batch resolves its priority class
+      locally and pre-aggregates to ≤ |flags| rows — the ONLY exchange is
+      the ≤ |flags|-key final groupby.  The fact table never shuffles.
+    - **Bucket co-partition** (orders side too large to broadcast):
+      lineitem pre-aggregates per batch to (orderkey, flag, cnt) rows,
+      orders ships (orderkey, is_high), both hash into ``orderkey %
+      n_buckets`` groups, and each bucket joins locally with a sorted
+      probe — the exchange moves one row per (order, flag) pair and one
+      per order, never one per lineitem.
+
+    SQL semantics pinned on both plans: dangling lineitem orderkeys drop
+    (inner join); NULL o_orderpriority is not high (CASE ELSE); NULL
+    l_shipdate fails the range predicate; NULL l_returnflag keeps its own
+    group (two-key NULL-safe pattern)."""
+    lo = np.datetime64(start, "ns").astype(np.int64)
+    hi = np.datetime64(end, "ns").astype(np.int64)
+    orders_path = f"{sf_dir}/orders.parquet"
+    li_cols = ["l_orderkey", "l_returnflag", "l_shipdate"]
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=li_cols)
+
+    def _flag_partial(
+        flag_arr: pa.Array, high: np.ndarray, weights: np.ndarray | None = None
+    ) -> pa.Table:
+        """(flag_key, flag_null, high_cnt, low_cnt) partial rows from a
+        joined slice: one bincount pair over dictionary codes.  NULL flags
+        get their own code (codes + nf offset — the two-key pattern encoded
+        as a code shift, collision-free for any real string value)."""
+        isnull = _pc.is_null(flag_arr).to_numpy(zero_copy_only=False).astype(bool)
+        fd = _pc.fill_null(flag_arr, "").dictionary_encode()
+        names = fd.dictionary.to_pylist()
+        codes = fd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nf = len(names)
+        codes = codes + nf * isnull  # null rows shift into [nf, 2nf)
+        w = weights if weights is not None else np.ones(len(codes), dtype=np.int64)
+        h = np.bincount(codes[high], weights=w[high], minlength=2 * nf).astype(np.int64)
+        l = np.bincount(codes[~high], weights=w[~high], minlength=2 * nf).astype(np.int64)
+        nz = np.nonzero(h + l)[0]
+        return pa.table(
+            {
+                "flag_key": pa.array(
+                    ["" if i >= nf else names[i] for i in nz], pa.string()
+                ),
+                "flag_null": pa.array([bool(i >= nf) for i in nz], pa.bool_()),
+                "high_cnt": pa.array(h[nz], pa.int64()),
+                "low_cnt": pa.array(l[nz], pa.int64()),
+            }
+        )
+
+    def _finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "flag_key" not in batch.schema.names:
+            return pa.table(
+                {
+                    "l_returnflag": pa.array([], pa.string()),
+                    "high_count": pa.array([], pa.int64()),
+                    "low_count": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "l_returnflag": pa.array(
+                    batch["flag_key"].to_pylist(), pa.string(),
+                    mask=batch["flag_null"].to_numpy(zero_copy_only=False).astype(bool),
+                ),
+                "high_count": batch["high_cnt"],
+                "low_count": batch["low_cnt"],
+            }
+        )
+
+    def _window_mask(batch: pa.Table) -> np.ndarray:
+        ts64 = batch["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[ns]")
+        ts = ts64.astype(np.int64)
+        return ~np.isnat(ts64) & (ts >= lo) & (ts < hi)
+
+    if _parquet_bytes(orders_path) <= _BROADCAST_MAX_BYTES:
+        import pyarrow.parquet as _pq
+
+        otab = _pq.read_table(orders_path, columns=["o_orderkey", "o_orderpriority"])
+        okeys = otab["o_orderkey"].to_numpy()
+        is_high = _pc.is_in(
+            otab["o_orderpriority"], value_set=pa.array(["1-URGENT", "2-HIGH"])
+        )
+        # NULL priority is not high (SQL CASE ELSE branch)
+        high_np = _pc.fill_null(is_high, False).to_numpy(zero_copy_only=False).astype(bool)
+        order_sort = np.argsort(okeys, kind="stable")
+        sidecar_ref = ray.put((okeys[order_sort], high_np[order_sort].astype(np.int8)))
+
+        def li_partial(batch: pa.Table) -> pa.Table:
+            sorted_keys, sorted_high = ray.get(sidecar_ref)
+            m = _window_mask(batch)
+            t = batch.filter(pa.array(m))
+            keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            idx_c, hit = _probe_sorted(sorted_keys, keys)
+            t = t.filter(pa.array(hit))
+            high = sorted_high[idx_c[hit]].astype(bool)
+            return _flag_partial(t["l_returnflag"].combine_chunks(), high)
+
+        return (
+            li.map_batches(li_partial, batch_format="pyarrow")
+            .groupby(["flag_key", "flag_null"])
+            .aggregate(Sum("high_cnt", alias_name="high_cnt"),
+                       Sum("low_cnt", alias_name="low_cnt"))
+            .map_batches(_finalize, batch_format="pyarrow")
+        )
+
+    # ---- bucket co-partition fallback (orders side too large) ------------
+    def li_rows(batch: pa.Table) -> pa.Table:
+        m = _window_mask(batch)
+        t = batch.filter(pa.array(m))
+        keys = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        flag_arr = t["l_returnflag"].combine_chunks()
+        isnull = _pc.is_null(flag_arr).to_numpy(zero_copy_only=False).astype(bool)
+        fd = _pc.fill_null(flag_arr, "").dictionary_encode()
+        names = np.asarray(fd.dictionary.to_pylist() + [None], dtype=object)
+        nf = len(names) - 1
+        codes = fd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = codes + nf * isnull  # NULL flags keep their own pre-agg group
+        # pre-agg: one row per (orderkey, flag) pair per batch
+        o = np.lexsort((codes, keys))
+        k, c = keys[o], codes[o]
+        if len(k):
+            newg = np.r_[True, (k[1:] != k[:-1]) | (c[1:] != c[:-1])]
+            gidx = np.nonzero(newg)[0]
+            cnt = np.diff(np.r_[gidx, len(k)])
+            k, c = k[gidx], c[gidx]
+        else:
+            cnt = np.zeros(0, dtype=np.int64)
+        fnull = c >= nf
+        fkey = np.where(fnull, "", names[np.minimum(c, nf - 1) if nf else c])
+        return pa.table(
+            {
+                "bucket": pa.array(k % n_buckets, pa.int64()),
+                "okey": pa.array(k, pa.int64()),
+                "fkey": pa.array(fkey.astype(object), pa.string()),
+                "fnull": pa.array(fnull),
+                "cnt": pa.array(cnt, pa.int64()),
+                "is_order": pa.array(np.zeros(len(k), dtype=bool)),
+                "is_high": pa.array(np.zeros(len(k), dtype=bool)),
+            }
+        )
+
+    def ord_rows(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        high = _pc.fill_null(
+            _pc.is_in(batch["o_orderpriority"], value_set=pa.array(["1-URGENT", "2-HIGH"])),
+            False,
+        ).to_numpy(zero_copy_only=False).astype(bool)
+        n = len(keys)
+        return pa.table(
+            {
+                "bucket": pa.array(keys % n_buckets, pa.int64()),
+                "okey": pa.array(keys, pa.int64()),
+                "fkey": pa.array([""] * n, pa.string()),
+                "fnull": pa.array(np.zeros(n, dtype=bool)),
+                "cnt": pa.array(np.zeros(n, dtype=np.int64)),
+                "is_order": pa.array(np.ones(n, dtype=bool)),
+                "is_high": pa.array(high),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        is_ord = group["is_order"].to_numpy(zero_copy_only=False).astype(bool)
+        okeys = group["okey"].to_numpy(zero_copy_only=False)
+        osort = np.argsort(okeys[is_ord], kind="stable")
+        skeys = okeys[is_ord][osort]
+        shigh = group["is_high"].to_numpy(zero_copy_only=False).astype(bool)[is_ord][osort]
+        lt = group.filter(pa.array(~is_ord))
+        lkeys = okeys[~is_ord]
+        idx_c, hit = _probe_sorted(skeys, lkeys)
+        lt = lt.filter(pa.array(hit))
+        high = shigh[idx_c[hit]]
+        cnt = lt["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # fold the (fkey, fnull) pair back into one nullable array so the
+        # shared _flag_partial re-derives collision-free codes
+        flags = _pc.if_else(
+            lt["fnull"], pa.scalar(None, pa.string()), lt["fkey"]
+        ).combine_chunks()
+        return _flag_partial(flags, high, weights=cnt)
+
+    orders = rd.read_parquet(orders_path, columns=["o_orderkey", "o_orderpriority"])
+    return (
+        li.map_batches(li_rows, batch_format="pyarrow")
+        .union(orders.map_batches(ord_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["flag_key", "flag_null"])
+        .aggregate(Sum("high_cnt", alias_name="high_cnt"),
+                   Sum("low_cnt", alias_name="low_cnt"))
+        .map_batches(_finalize, batch_format="pyarrow")
+    )

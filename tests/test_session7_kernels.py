@@ -1,0 +1,271 @@
+"""Round-4 session-7 kernels: hand-built value pins plus the never-raise
+hardening contract for returnflag_priority_counts (Q12 shape, both physical
+plans), lang_source_rollup (grouping sets + SQL SUM-NULL semantics),
+edit2_word_pairs (SymSpell deletion-blocking completeness), inverted_index
+blocks, event_volume_trend (grouped regression edge cases) and
+top_bigram_per_lang (grouped argmax tie-breaks).  Oracle parity at sf runs
+in test_queries_oracle.py; these pin the small-case semantics the driver
+fixtures can't isolate (NULL keys/dates, dangling orderkeys, degenerate
+regressions, tie-breaks)."""
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from language_identification_ray.pipelines import analysis, relational
+
+
+def _w(d, name, cols):
+    pq.write_table(pa.table(cols), d / f"{name}.parquet")
+
+
+TS = pa.timestamp("us")
+
+
+def _d(day):
+    return datetime.datetime(1996, 6, 1) + datetime.timedelta(days=day)
+
+
+# ---------------------------------------------------------------------------
+# returnflag_priority_counts (Q12 shape)
+
+
+def _q12_tables(d):
+    """Orders: 1 high, 2 low, 3 NULL priority (counts as low), 4 high but
+    never referenced in-window.  Lineitems: in-window rows for orders 1-3,
+    one out-of-window row, one NULL-shipdate row, one dangling orderkey,
+    one NULL returnflag row (its own group)."""
+    _w(d, "orders", {
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_orderpriority": pa.array(["1-URGENT", "5-LOW", None, "2-HIGH"], pa.string()),
+    })
+    _w(d, "lineitem", {
+        "l_orderkey": pa.array([1, 1, 2, 3, 4, 1, 99, 2], pa.int64()),
+        "l_returnflag": pa.array(["A", "B", "A", "A", "A", "A", "A", None], pa.string()),
+        "l_shipdate": pa.array(
+            [_d(0), _d(1), _d(2), _d(3),
+             datetime.datetime(1897, 1, 1),  # out of window
+             None,                            # NULL shipdate: excluded
+             _d(4),                           # dangling orderkey: dropped
+             _d(5)],                          # NULL flag, low order 2
+            TS,
+        ),
+    })
+    return str(d)
+
+
+def _rfp_rows(sf):
+    out = {}
+    for r in relational.returnflag_priority_counts(sf).take_all():
+        out[r["l_returnflag"]] = (r["high_count"], r["low_count"])
+    return out
+
+
+def test_returnflag_priority_counts_semantics(ray_session, tmp_path):
+    sf = _q12_tables(tmp_path)
+    # A: order1 high (1), order2 low (1), order3 NULL-prio -> low (1)
+    # B: order1 high (1)
+    # NULL flag: order2 low (1)
+    assert _rfp_rows(sf) == {"A": (1, 2), "B": (1, 0), None: (0, 1)}
+
+
+def test_returnflag_priority_counts_plan_parity(ray_session, tmp_path, monkeypatch):
+    sf = _q12_tables(tmp_path)
+    want = _rfp_rows(sf)
+    monkeypatch.setattr(relational, "_BROADCAST_MAX_BYTES", 0)
+    assert _rfp_rows(sf) == want
+
+
+def test_returnflag_priority_counts_empty_sides(ray_session, tmp_path, monkeypatch):
+    _w(tmp_path, "orders", {
+        "o_orderkey": pa.array([], pa.int64()),
+        "o_orderpriority": pa.array([], pa.string()),
+    })
+    _w(tmp_path, "lineitem", {
+        "l_orderkey": pa.array([1], pa.int64()),
+        "l_returnflag": pa.array(["A"], pa.string()),
+        "l_shipdate": pa.array([_d(0)], TS),
+    })
+    assert relational.returnflag_priority_counts(str(tmp_path)).take_all() == []
+    monkeypatch.setattr(relational, "_BROADCAST_MAX_BYTES", 0)
+    assert relational.returnflag_priority_counts(str(tmp_path)).take_all() == []
+
+
+# ---------------------------------------------------------------------------
+# lang_source_rollup
+
+
+def test_lang_source_rollup_levels_and_null_sums(ray_session, tmp_path):
+    _w(tmp_path, "documents", {
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["a", "b", "c", "d"], pa.string()),
+        "lang": pa.array(["en", "en", None, "de"], pa.string()),
+        "source": pa.array(["s1", "s2", "s1", None], pa.string()),
+        "n_chars": pa.array([10, 20, None, None], pa.int64()),
+    })
+    rows = {
+        (r["lang"], r["source"], r["g_lang"], r["g_source"]):
+            (r["n_docs"], r["total_chars"])
+        for r in analysis.lang_source_rollup(str(tmp_path)).take_all()
+    }
+    # finest level: real NULL keys distinct from rollup NULLs via g ids
+    assert rows[("en", "s1", 0, 0)] == (1, 10)
+    assert rows[("en", "s2", 0, 0)] == (1, 20)
+    assert rows[(None, "s1", 0, 0)] == (1, None)   # all-NULL chars -> NULL sum
+    assert rows[("de", None, 0, 0)] == (1, None)
+    # lang subtotals
+    assert rows[("en", None, 0, 1)] == (2, 30)
+    assert rows[(None, None, 0, 1)] == (1, None)   # real NULL lang subtotal
+    assert rows[("de", None, 0, 1)] == (1, None)
+    # grand total: NULL chars ignored like SQL sum
+    assert rows[(None, None, 1, 1)] == (4, 30)
+    assert len(rows) == 4 + 3 + 1
+
+
+def test_lang_source_rollup_empty(ray_session, tmp_path):
+    _w(tmp_path, "documents", {
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64()),
+    })
+    assert analysis.lang_source_rollup(str(tmp_path)).take_all() == []
+
+
+# ---------------------------------------------------------------------------
+# edit2_word_pairs
+
+
+def test_edit2_word_pairs_blocking_is_complete(ray_session, tmp_path):
+    # cat~bat (sub, 1), cat~cart (ins, 1), cat~carts (2), bat~cart (2 via
+    # sub+ins), frog isolated; NULL text contributes '' which pairs with
+    # nothing <= 2 away except short words ('' ~ 'at' etc. absent here)
+    _w(tmp_path, "documents", {
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["cat bat frog", "cart carts", None], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([12, 10, 0], pa.int64()),
+    })
+    got = {
+        (r["w1"], r["w2"]): r["dist"]
+        for r in analysis.edit2_word_pairs(str(tmp_path)).take_all()
+    }
+    # hand-computed: bat~carts = 3 (excluded), frog isolated, '' (from the
+    # NULL text) is >= 3 from every word; pairs ordered w1 < w2
+    assert got == {
+        ("bat", "cat"): 1,
+        ("cart", "cat"): 1,
+        ("carts", "cat"): 2,
+        ("bat", "cart"): 2,
+        ("cart", "carts"): 1,
+    }
+
+
+def test_edit2_word_pairs_max_len_cap(ray_session, tmp_path):
+    long_w = "x" * 40
+    _w(tmp_path, "documents", {
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array([f"{long_w} {long_w}y"], pa.string()),
+        "lang": pa.array(["en"], pa.string()),
+        "source": pa.array(["s"], pa.string()),
+        "n_chars": pa.array([81], pa.int64()),
+    })
+    assert analysis.edit2_word_pairs(str(tmp_path)).take_all() == []
+
+
+# ---------------------------------------------------------------------------
+# inverted_index_blocks
+
+
+def test_inverted_index_blocks(ray_session, tmp_path):
+    _w(tmp_path, "documents", {
+        "doc_id": pa.array([0, 99, 100, 205, None], pa.int64()),
+        "text": pa.array(["w w q", "w", "w", "q", "w"], pa.string()),
+        "lang": pa.array(["en"] * 5, pa.string()),
+        "source": pa.array(["s"] * 5, pa.string()),
+        "n_chars": pa.array([5, 1, 1, 1, 1], pa.int64()),
+    })
+    rows = {
+        (r["word"], r["block"]): (r["df"], r["postings"])
+        for r in analysis.inverted_index_blocks(str(tmp_path)).take_all()
+    }
+    # NULL doc_id row excluded entirely; duplicates within a doc collapse
+    assert rows == {
+        ("w", 0): (2, "0,99"),
+        ("w", 1): (1, "100"),
+        ("q", 0): (1, "0"),
+        ("q", 2): (1, "205"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# event_volume_trend
+
+
+def _events(d, rows):
+    ts, typ = zip(*rows) if rows else ((), ())
+    _w(d, "events", {
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array(list(ts), TS),
+        "user_id": pa.array([1] * len(rows), pa.int64()),
+        "event_type": pa.array(list(typ), pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+
+
+def test_event_volume_trend_edges(ray_session, tmp_path):
+    d0 = datetime.datetime(2024, 1, 1)
+
+    def day(n, h=0):
+        return d0 + datetime.timedelta(days=n, hours=h)
+
+    _events(tmp_path, [
+        # 'up': counts 1,2,3 on days 0,1,2 -> slope exactly 1
+        (day(0), "up"), (day(1), "up"), (day(1, 1), "up"),
+        (day(2), "up"), (day(2, 1), "up"), (day(2, 2), "up"),
+        # 'one': a single day -> zero variance -> NULL slope, n_days 1
+        (day(5), "one"), (day(5, 3), "one"),
+        # 'ghost': only NULL timestamps -> n_days 0, NULL slope
+        (None, "ghost"),
+        # NULL type keeps its own group
+        (day(0), None), (day(1), None), (day(1, 2), None),
+    ])
+    rows = {
+        r["event_type"]: (r["n_days"], r["slope"])
+        for r in analysis.event_volume_trend(str(tmp_path)).take_all()
+    }
+    assert rows["up"] == (3, 1.0)
+    assert rows["one"] == (1, None)
+    assert rows["ghost"] == (0, None)
+    assert rows[None] == (2, 1.0)  # counts 1,2 on days 0,1
+
+
+# ---------------------------------------------------------------------------
+# top_bigram_per_lang
+
+
+def test_top_bigram_per_lang_ties_and_nulls(ray_session, tmp_path):
+    _w(tmp_path, "documents", {
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        # en: 'b c' x2 beats 'a b' x1; tie 'z z' vs 'a a' (1 each) in de
+        # resolves bigram-ASC -> 'a a'; NULL lang has its own winner; a
+        # single-word doc contributes no bigram (fr absent from output)
+        "text": pa.array(["a b c b c", "z z a a", "q q", "solo"], pa.string()),
+        "lang": pa.array(["en", "de", None, "fr"], pa.string()),
+        "source": pa.array(["s"] * 4, pa.string()),
+        "n_chars": pa.array([9, 7, 3, 4], pa.int64()),
+    })
+    rows = {
+        r["lang"]: (r["bigram"], r["cnt"])
+        for r in analysis.top_bigram_per_lang(str(tmp_path)).take_all()
+    }
+    assert rows == {
+        "en": ("b c", 2),
+        "de": ("a a", 1),
+        None: ("q q", 1),
+    }
