@@ -2539,13 +2539,17 @@ def oracle_sql() -> dict[str, str]:
             FROM wd GROUP BY word, floor(doc_id / 100.0)
         """,
         "event_volume_trend": """
+            -- day-nullness is tested on the RAW ts column: this DuckDB
+            -- build constant-folds `date_trunc(...) IS [NOT] NULL` to a
+            -- constant via expression statistics, ignoring NULL inputs
             WITH d AS (
                 SELECT event_type, date_trunc('day', ts) AS day,
+                       (ts IS NULL) AS day_null,
                        CAST(count(*) AS BIGINT) AS cnt
-                FROM events GROUP BY 1, 2
+                FROM events GROUP BY 1, 2, 3
             )
             SELECT event_type,
-                   CAST(count(CASE WHEN day IS NOT NULL THEN 1 END) AS BIGINT)
+                   CAST(count(CASE WHEN NOT day_null THEN 1 END) AS BIGINT)
                        AS n_days,
                    round(regr_slope(cnt,
                                     date_diff('day', DATE '2024-01-01', day)),
