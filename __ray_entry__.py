@@ -351,7 +351,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # / user_cumulative_spend) --------------------------------------
         "events_latest_per_user": analysis.events_latest_per_user,
         "mixture_plan": analysis.mixture_plan,
-        "substring_dup_pairs": analysis.substring_dup_pairs,
+        # (events_collapse_consecutive is NEW session-7 — LAG-run stream
+        # compaction; holds the slot ceded by substring_dup_pairs, r3-green
+        # and byte-unchanged, whose LSH-prefiltered exact-verify machinery
+        # stays driven in-window by minhash_lsh_pairs)
+        "events_collapse_consecutive": analysis.events_collapse_consecutive,
         "stratified_sample": analysis.stratified_sample,
         # (rolling_active_users is NEW r4 — sliding-window DISTINCT via
         # fan-out dedup; holds the slot ceded by word_entropy, r3-green and
@@ -401,10 +405,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_item_revenue": relational.returned_item_revenue,
         "large_order_customers": relational.large_order_customers,
         "promo_revenue": relational.promo_revenue,
-        # (pmi_top100 holds the slot ceded by word_lang_incidence —
-        # distinct_words_per_lang drives the same distinct-count
-        # combiner shape in-window; stays pytest-gated)
-        "pmi_top100": analysis.pmi_top100,
+        # (top_lengths_dense_per_source is NEW session-7 — DENSE_RANK
+        # top-k-with-ties via stats-pass + broadcast filter; holds the slot
+        # ceded by pmi_top100, r3-green and byte-unchanged, whose pair+
+        # unigram count fold stays driven in-window by top_bigram_per_lang;
+        # stays pytest-gated)
+        "top_lengths_dense_per_source": analysis.top_lengths_dense_per_source,
         # (brand_bracket_revenue is NEW r4 — Q19 disjunctive combo-mask
         # bracket join; holds the slot ceded by customer_order_histogram,
         # r3-green and unchanged, whose grouped-count + customer-attach
@@ -510,6 +516,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_bpe": analysis.token_count_bpe,
         "tfidf_top5_per_lang": analysis.tfidf_top5_per_lang,
         "boilerplate_ngram_stats": analysis.boilerplate_ngram_stats,
+        "pmi_top100": analysis.pmi_top100,
+        "substring_dup_pairs": analysis.substring_dup_pairs,
         # (r4 session-6 cedes — each r3-driver-green and byte-unchanged
         # since, with the named in-window sibling; see the slot comments
         # above and QUERIES.md)
@@ -603,6 +611,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": analysis.doc_fingerprint,
         "word_freq_top100_mg": analysis.word_freq_top100_mg,
         "mixture_sample": analysis.mixture_sample,
+        # (CMS heavy hitters: rows-only by design — approximate; accuracy
+        # gated in tests/test_sketches.py against word_freq_top100)
+        "word_freq_top100_cms": analysis.word_freq_top100_cms,
         "normalize_umlauts": analysis.normalize_umlauts,
         "edit_distance_sample": analysis.edit_distance_sample,
         "char_bigram_top50": analysis.char_bigram_top50,
@@ -2555,6 +2566,34 @@ def oracle_sql() -> dict[str, str]:
                                     date_diff('day', DATE '2024-01-01', day)),
                          6) AS slope
             FROM d GROUP BY event_type
+        """,
+        "events_collapse_consecutive": """
+            WITH r AS (
+                SELECT event_id, user_id, ts, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts NULLS LAST, event_id
+                       ) AS prev_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts NULLS LAST, event_id
+                       ) AS rn
+                FROM events
+            )
+            SELECT event_id, user_id, ts, event_type FROM r
+            WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+        """,
+        "top_lengths_dense_per_source": """
+            WITH r AS (
+                SELECT doc_id, source, n_chars,
+                       dense_rank() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC NULLS LAST
+                       ) AS lr
+                FROM documents
+            )
+            SELECT doc_id, source, n_chars, CAST(lr AS BIGINT) AS length_rank
+            FROM r WHERE lr <= 3
         """,
         "top_bigram_per_lang": """
             WITH words AS (

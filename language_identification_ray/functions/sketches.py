@@ -217,3 +217,58 @@ def bloom_contains_hashes(bits: np.ndarray, h32: np.ndarray, k: int = 7) -> np.n
     idx = _bloom_indices(h32, k, len(bits) << 3)
     got = (bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & np.uint8(1)
     return got.all(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+
+
+def cms_empty(d: int = 4, w: int = 1 << 14) -> np.ndarray:
+    """Empty Count-Min sketch: a (d, w) int64 counter grid (w a power of
+    two).  Mergeable by elementwise ADD — associative/commutative, the
+    same any-order combine contract as the other sketches here.  Point
+    estimates NEVER undercount; overcount ≤ 2N/w with probability
+    ≥ 1 - 2^-d (N = total stream weight)."""
+    assert w & (w - 1) == 0, "w must be a power of two"
+    return np.zeros((d, w), np.int64)
+
+
+_CMS_SALTS = (0x9E3779B1, 0x85EBCA6B, 0xC2B2AE35, 0x27D4EB2F,
+              0x165667B1, 0xD3A2646C, 0xFD7046C5, 0xB55A4F09)
+
+
+def _cms_indices(h32: np.ndarray, d: int, w: int) -> np.ndarray:
+    """(d, len(h32)) column indices — one avalanche per row salt, all
+    uint32 arithmetic (64-bit multiplies are emulated in this sandbox)."""
+    return np.stack(
+        [
+            _avalanche32(h32 ^ np.uint32(_CMS_SALTS[i % len(_CMS_SALTS)] + i),
+                         0x7FEB352D, 0x846CA68B) & np.uint32(w - 1)
+            for i in range(d)
+        ]
+    )
+
+
+def cms_add_hashes(regs: np.ndarray, h32: np.ndarray, counts: np.ndarray) -> None:
+    """Add ``counts[j]`` at every row's column for hash j, in place
+    (vectorized scatter-add per row)."""
+    if not len(h32):
+        return
+    d, w = regs.shape
+    idx = _cms_indices(h32, d, w)
+    for i in range(d):
+        np.add.at(regs[i], idx[i], counts)
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return a + b
+
+
+def cms_estimate(regs: np.ndarray, h32: np.ndarray) -> np.ndarray:
+    """Point estimates: min over rows of the addressed counters (the CM
+    upper-bound estimator; never below the true count)."""
+    if not len(h32):
+        return np.zeros(0, np.int64)
+    d, w = regs.shape
+    idx = _cms_indices(h32, d, w)
+    return np.min(np.stack([regs[i][idx[i]] for i in range(d)]), axis=0)

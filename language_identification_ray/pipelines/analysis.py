@@ -8172,3 +8172,227 @@ def top_bigram_per_lang(sf_dir: str) -> "rd.Dataset":
         .groupby(["lang_key", "lang_null"])
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+def events_collapse_consecutive(sf_dir: str) -> "rd.Dataset":
+    """Consecutive-duplicate collapse per user: keep each event that STARTS
+    a run of equal event_types in the user's (ts, event_id) order — the
+    LAG-based stream compaction every event ingest runs after sensor /
+    client retries (distinct from :func:`events_dedup_idempotent`, which
+    collapses within a clock window regardless of interleaving; this
+    collapses exact adjacency runs of any length).  NULL-type runs collapse
+    too (SQL ``IS DISTINCT FROM`` semantics); the first row of every user
+    always survives; NULL ts sorts last (ties broken by event_id, the
+    corpus PK).
+
+    Scale shape: one shuffle on user_id (the event family's shared key),
+    one vectorized sort + shifted-comparison pass per group; no
+    corpus-sized state anywhere."""
+
+    def collapse(group: pa.Table) -> pa.Table:
+        ts64 = group["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        key = ts64.astype(np.int64).copy()
+        key[np.isnat(ts64)] = np.iinfo(np.int64).max  # NULLS LAST
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, key))
+        t = group.take(pa.array(order, pa.int64()))
+        typ = t["event_type"].combine_chunks()
+        isnull = pc.is_null(typ).to_numpy(zero_copy_only=False).astype(bool)
+        codes = (
+            pc.fill_null(typ, "").dictionary_encode().indices
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        codes = codes + (codes.max() + 1 if len(codes) else 0) * isnull
+        keep = np.r_[True, codes[1:] != codes[:-1]] if len(codes) else np.zeros(0, bool)
+        return t.filter(pa.array(keep)).select(
+            ["event_id", "user_id", "ts", "event_type"]
+        )
+
+    from language_identification_ray.pipelines.relational import _group_spread
+
+    return (
+        _group_spread(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "user_id", "ts", "event_type"],
+            )
+        )
+        .groupby("user_id")
+        .map_groups(collapse, batch_format="pyarrow")
+    )
+
+
+def top_lengths_dense_per_source(sf_dir: str, k: int = 3) -> "rd.Dataset":
+    """Top-k WITH TIES per source: every document whose ``n_chars`` is among
+    its source's ``k`` largest DISTINCT lengths, with its dense rank — the
+    ``DENSE_RANK() <= k`` window shape (:func:`per_source_cap` keeps a row
+    quota; this keeps VALUE-tier membership, the "all docs tied at the top
+    sizes" report).  NULL lengths rank after every real length as ONE
+    shared tier (SQL ``NULLS LAST`` + dense_rank's tie collapse), so they
+    surface only when a source has fewer than ``k`` distinct real lengths;
+    NULL source is its own partition.
+
+    Scale shape: per-batch top-``k``-distinct partials (≤ k+1 rows per
+    source per batch — a distinct top-k union is closed under merging), one
+    catalog-keyed groupby, a ≤ (k+1)·|sources| driver collect for the
+    cutoff table (bounded by the source catalog, never the corpus), then
+    one broadcast map-side filter pass — the stats-pass → broadcast-filter
+    two-pass of :func:`length_outlier_filter`."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src_key, src_null = _null_safe_key(batch["source"])
+        lens = batch["n_chars"].to_numpy(zero_copy_only=False)
+        lens = np.where(
+            pc.is_null(batch["n_chars"]).to_numpy(zero_copy_only=False),
+            np.iinfo(np.int64).min,  # NULL tier: below every real length
+            np.nan_to_num(lens.astype(np.float64), nan=0.0),
+        ).astype(np.int64)
+        t = pa.table(
+            {"src_key": src_key, "src_null": src_null, "len": pa.array(lens, pa.int64())}
+        )
+        g = t.group_by(["src_key", "src_null", "len"]).aggregate([([], "count_all")])
+        # per (source) keep only the k+1 largest distinct lens of this batch
+        df = g.to_pandas().sort_values("len", ascending=False)
+        df = df.groupby(["src_key", "src_null"], dropna=False).head(k + 1)
+        return pa.Table.from_pandas(df[["src_key", "src_null", "len"]], preserve_index=False)
+
+    stats = (
+        _docs(sf_dir, ["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["src_key", "src_null", "len"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    ).take_all()  # bounded: ≤ (k+1) × |sources| × n_batches post-dedup rows
+
+    cutoffs: dict = {}
+    for r in stats:
+        key = (r["src_key"], bool(r["src_null"]))
+        cutoffs.setdefault(key, []).append(int(r["len"]))
+    import ray
+
+    cut_sorted = {
+        key: sorted(lens, reverse=True)[:k] for key, lens in cutoffs.items()
+    }
+    cut_ref = ray.put(cut_sorted)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        # broadcast cutoff table → one vectorized hash-merge per batch
+        cuts = ray.get(cut_ref)
+        cut_df = pd.DataFrame(
+            [
+                (sk, sn, ln, r + 1)
+                for (sk, sn), lens in cuts.items()
+                for r, ln in enumerate(lens)
+            ],
+            columns=["sk", "sn", "len", "length_rank"],
+        )
+        src_key, src_null = _null_safe_key(batch["source"])
+        isnull = pc.is_null(batch["n_chars"]).to_numpy(zero_copy_only=False).astype(bool)
+        lens = np.where(
+            isnull, np.iinfo(np.int64).min,
+            np.nan_to_num(
+                batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64),
+                nan=0.0,
+            ),
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "row": np.arange(batch.num_rows, dtype=np.int64),
+                "sk": src_key.to_numpy(zero_copy_only=False).astype(object),
+                "sn": src_null.to_numpy(zero_copy_only=False).astype(bool),
+                "len": lens,
+            }
+        )
+        hit = df.merge(cut_df, on=["sk", "sn", "len"], how="inner")
+        idx = pa.array(hit["row"].to_numpy(), pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].take(idx),
+                "source": batch["source"].take(idx),
+                "n_chars": batch["n_chars"].take(idx),
+                "length_rank": pa.array(hit["length_rank"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        tag, batch_format="pyarrow"
+    )
+
+
+def word_freq_top100_cms(
+    sf_dir: str, d: int = 4, w: int = 1 << 14, cand_k: int = 256
+) -> "rd.Dataset":
+    """Heavy hitters via a Count-Min sketch (Cormode & Muthukrishnan 2005)
+    — the fixed-memory 100 TB companion to ``word_freq_top100_mg``: MG
+    keeps a bounded candidate list with LOWER-bound counts, CMS keeps a
+    constant ``d×w`` counter grid whose estimates never UNDERcount
+    (overcount ≤ 2N/w w.p. ≥ 1-2^-d).  Production dedup/stats pipelines
+    run exactly this pair: MG for who, CMS for how much.
+
+    Per batch: one Arrow ``value_counts``, word hashes (crc32, uint32 —
+    64-bit multiplies are emulated in this sandbox), a vectorized
+    scatter-add into the grid, and an MG-compressed candidate partial.
+    The exchange carries ONE serialized grid per batch (d·w·8 bytes,
+    constant) plus ≤ cand_k candidate words per batch; the merge block
+    sums grids (associative ADD) and estimates only candidate words.
+    Candidates are the union of per-batch MG summaries — every word with
+    global frequency > N/(cand_k+1) survives at least one batch's
+    summary, so the head is never silently lost.  Rows-only by design
+    (approximate); accuracy gated in pytest against the exact
+    ``word_freq_top100``."""
+    import zlib
+
+    from language_identification_ray.functions import sketches as sk
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(_one_chunk(_word_lists(batch).flatten()))
+        words = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        regs = sk.cms_empty(d, w)
+        h32 = np.array([zlib.crc32(wd.encode()) for wd in words], dtype=np.uint32)
+        sk.cms_add_hashes(regs, h32, cnts)
+        mg_w, _ = sk.mg_compress(words, cnts, cand_k)
+        return pa.table(
+            {
+                "kind": pa.array([0] + [1] * len(mg_w), pa.int8()),
+                "word": pa.array([""] + list(mg_w), pa.string()),
+                "sketch": pa.array(
+                    [regs.tobytes()] + [b""] * len(mg_w), pa.binary()
+                ),
+            }
+        )
+
+    def final(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "cnt_est": pa.array([], pa.int64())}
+            )
+        kind = batch["kind"].to_numpy(zero_copy_only=False)
+        regs = sk.cms_empty(d, w)
+        for buf in batch.filter(pa.array(kind == 0))["sketch"].to_pylist():
+            regs = sk.cms_merge(regs, np.frombuffer(buf, np.int64).reshape(d, w))
+        cands = sorted(
+            set(batch.filter(pa.array(kind == 1))["word"].to_pylist())
+        )
+        if not cands:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "cnt_est": pa.array([], pa.int64())}
+            )
+        h32 = np.array([zlib.crc32(wd.encode()) for wd in cands], dtype=np.uint32)
+        est = sk.cms_estimate(regs, h32)
+        order = np.lexsort((np.asarray(cands, dtype=object), -est))[:100]
+        return pa.table(
+            {
+                "word": pa.array(np.asarray(cands, dtype=object)[order], pa.string()),
+                "cnt_est": pa.array(est[order], pa.int64()),
+            }
+        )
+
+    # merge block is (1 + cand_k) × n_batches rows — sketch-sized, not
+    # corpus-sized; the repartition(1) is the sketch family's one-reducer
+    # merge, identical to the HLL/t-digest path
+    return (
+        _docs(sf_dir, ["text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(final, batch_format="pyarrow")
+    )

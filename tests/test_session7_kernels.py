@@ -269,3 +269,86 @@ def test_top_bigram_per_lang_ties_and_nulls(ray_session, tmp_path):
         "de": ("a a", 1),
         None: ("q q", 1),
     }
+
+
+# ---------------------------------------------------------------------------
+# events_collapse_consecutive
+
+
+def test_events_collapse_consecutive_runs_and_nulls(ray_session, tmp_path):
+    d0 = datetime.datetime(2024, 1, 1)
+
+    def t(m):
+        return d0 + datetime.timedelta(minutes=m)
+
+    _events(tmp_path, [
+        # user 1: A A A B B A -> A B A (runs collapse, reappearance kept)
+        (t(0), "A"), (t(1), "A"), (t(2), "A"),
+        (t(3), "B"), (t(4), "B"), (t(5), "A"),
+        # NULL-type run collapses too (IS DISTINCT FROM semantics)
+        (t(6), None), (t(7), None), (t(8), "A"),
+    ])
+    df = analysis.events_collapse_consecutive(str(tmp_path)).to_pandas()
+    df = df.sort_values("event_id")
+    assert list(df["event_type"].fillna("~")) == ["A", "B", "A", "~", "A"]
+
+
+def test_events_collapse_consecutive_null_ts_sorts_last(ray_session, tmp_path):
+    d0 = datetime.datetime(2024, 1, 1)
+    # NULL-ts row sorts last: run is B(ts0) B(NULL) -> second drops
+    _events(tmp_path, [(d0, "B"), (None, "B")])
+    df = analysis.events_collapse_consecutive(str(tmp_path)).to_pandas()
+    assert len(df) == 1 and df.iloc[0]["event_type"] == "B"
+
+
+def test_events_collapse_consecutive_null_user_partition(ray_session, tmp_path):
+    d0 = datetime.datetime(2024, 1, 1)
+    _w(tmp_path, "events", {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([d0, d0 + datetime.timedelta(minutes=1),
+                        d0 + datetime.timedelta(minutes=2)], TS),
+        "user_id": pa.array([None, None, 7], pa.int64()),
+        "event_type": pa.array(["A", "A", "A"], pa.string()),
+        "value": pa.array([1.0] * 3, pa.float64()),
+        "props": pa.array(["{}"] * 3, pa.string()),
+    })
+    df = analysis.events_collapse_consecutive(str(tmp_path)).to_pandas()
+    # NULL users form ONE partition (SQL window semantics): their A-run
+    # collapses to one row; user 7 keeps its own row
+    assert len(df) == 2
+
+
+# ---------------------------------------------------------------------------
+# top_lengths_dense_per_source
+
+
+def test_top_lengths_dense_ties_and_null_tier(ray_session, tmp_path):
+    _w(tmp_path, "documents", {
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array(["x"] * 7, pa.string()),
+        "lang": pa.array(["en"] * 7, pa.string()),
+        # s1: lengths 30,30,20,10,5 -> ranks 1,1,2,3 (5 excluded)
+        # s2: lengths 9, NULL -> NULL is rank 2 (fewer than 3 real tiers)
+        "source": pa.array(["s1", "s1", "s1", "s1", "s1", "s2", "s2"], pa.string()),
+        "n_chars": pa.array([30, 30, 20, 10, 5, 9, None], pa.int64()),
+    })
+    df = analysis.top_lengths_dense_per_source(str(tmp_path)).to_pandas()
+    got = {
+        (r.doc_id): (r.source, r.n_chars if r.n_chars == r.n_chars else None, r.length_rank)
+        for r in df.itertuples(index=False)
+    }
+    assert got == {
+        0: ("s1", 30, 1), 1: ("s1", 30, 1), 2: ("s1", 20, 2), 3: ("s1", 10, 3),
+        5: ("s2", 9, 1), 6: ("s2", None, 2),
+    }
+
+
+def test_top_lengths_dense_empty(ray_session, tmp_path):
+    _w(tmp_path, "documents", {
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64()),
+    })
+    assert analysis.top_lengths_dense_per_source(str(tmp_path)).take_all() == []

@@ -190,3 +190,68 @@ def test_bloom_incremental_dedup_matches_exact(ray_session, sf_dir):
     assert int(got["n_seen_docs"].sum()) <= int(exact["n_seen"].sum()) + max(
         1, int(0.01 * got["n_new_docs"].sum())
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+
+
+def test_cms_never_undercounts_and_exact_when_sparse():
+    import numpy as np
+    import zlib
+    from language_identification_ray.functions import sketches as sk
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(500)]
+    true = rng.integers(1, 1000, size=len(words)).astype(np.int64)
+    h32 = np.array([zlib.crc32(w.encode()) for w in words], dtype=np.uint32)
+    regs = sk.cms_empty(d=4, w=1 << 14)
+    sk.cms_add_hashes(regs, h32, true)
+    est = sk.cms_estimate(regs, h32)
+    assert (est >= true).all()                      # CM never undercounts
+    assert (est == true).all()                      # sparse: no collisions at w=16k
+
+
+def test_cms_forced_collisions_still_upper_bound():
+    import numpy as np
+    import zlib
+    from language_identification_ray.functions import sketches as sk
+
+    # tiny grid forces collisions; estimates must stay upper bounds
+    words = [f"x{i}" for i in range(200)]
+    true = np.arange(1, 201, dtype=np.int64)
+    h32 = np.array([zlib.crc32(w.encode()) for w in words], dtype=np.uint32)
+    regs = sk.cms_empty(d=3, w=1 << 5)
+    sk.cms_add_hashes(regs, h32, true)
+    est = sk.cms_estimate(regs, h32)
+    assert (est >= true).all()
+    assert (est > true).any()                       # collisions actually happened
+    # error bound: overcount <= 2N/w with prob >= 1 - 2^-d; allow the full
+    # union bound slack x4 to keep the test deterministic-tight
+    assert (est - true).max() <= 8 * true.sum() // (1 << 5)
+
+
+def test_cms_merge_is_add():
+    import numpy as np
+    import zlib
+    from language_identification_ray.functions import sketches as sk
+
+    words = ["a", "b", "c"]
+    h32 = np.array([zlib.crc32(w.encode()) for w in words], dtype=np.uint32)
+    r1, r2 = sk.cms_empty(2, 1 << 6), sk.cms_empty(2, 1 << 6)
+    sk.cms_add_hashes(r1, h32, np.array([1, 2, 3], np.int64))
+    sk.cms_add_hashes(r2, h32, np.array([10, 20, 30], np.int64))
+    merged = sk.cms_merge(r1, r2)
+    assert (sk.cms_estimate(merged, h32) >= np.array([11, 22, 33])).all()
+
+
+def test_cms_pipeline_matches_exact(ray_session, sf_dir):
+    from language_identification_ray.pipelines import analysis
+
+    exact = analysis.word_freq_top100(sf_dir).to_pandas()
+    cms = analysis.word_freq_top100_cms(sf_dir).to_pandas()
+    e = dict(zip(exact["word"], exact["cnt"]))
+    c = dict(zip(cms["word"], cms["cnt_est"]))
+    assert set(e) == set(c)
+    # w=16384 >> vocab at test scale: estimates are exact
+    assert all(c[w] == e[w] for w in e)
