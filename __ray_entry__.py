@@ -301,6 +301,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
             np.save(cent_path, index.centroids)
         return ivf_pruned_topk(layout, index, q, k=10, n_probe=4)
 
+    def zorder_range_count_q(sf_dir: str):
+        """Z-order-clustered range aggregate: the documents table is
+        rewritten Morton-interleaved on (n_chars bucket, lang hash) —
+        Delta/Iceberg OPTIMIZE ZORDER — and the two-predicate count runs a
+        FILE-SKIPPING scan over the recorded per-file layout (pruning
+        proven by input-file count in tests/test_maintenance.py; the
+        layout build is cached per input table like the IVF layout).  The
+        exact predicate re-applies on surviving files, so the SQL oracle
+        is hash-exact regardless of how coarse the pruning is."""
+        import hashlib
+        import json
+        import os
+        import pickle
+
+        import pyarrow as pa
+        from language_identification_ray.pipelines.maintenance import (
+            zorder_pruned_scan,
+            zorder_write,
+        )
+
+        src = f"{sf_dir}/documents.parquet"
+        key = hashlib.md5(
+            f"{os.path.realpath(src)}|{os.path.getmtime(src)}|{os.path.getsize(src)}".encode()
+        ).hexdigest()[:12]
+        layout_dir = f"/tmp/zorder_layout_{key}"
+        marker = f"{layout_dir}_layout.pkl"
+        if os.path.exists(marker):
+            with open(marker, "rb") as fh:
+                layout = pickle.load(fh)
+        else:
+            import shutil
+
+            shutil.rmtree(layout_dir, ignore_errors=True)
+            layout = zorder_write(src, layout_dir)
+            with open(marker, "wb") as fh:
+                pickle.dump(layout, fh)
+        ds, _read, _total = zorder_pruned_scan(
+            layout, "n_chars", "lang", 200, 400, "en"
+        )
+        if ds is None:
+            return pa.table(
+                {
+                    "n_docs": pa.array([0], pa.int64()),
+                    "total_chars": pa.array([None], pa.int64()),
+                }
+            )
+        from ray.data.aggregate import Count, Sum
+
+        agg = ds.aggregate(Count(alias_name="n_docs"),
+                           Sum("n_chars", alias_name="total_chars"))
+        n = int((agg or {}).get("n_docs", 0) or 0)
+        tc = (agg or {}).get("total_chars")
+        return pa.table(
+            {
+                "n_docs": pa.array([n], pa.int64()),
+                "total_chars": pa.array(
+                    [None if n == 0 or tc is None else int(tc)], pa.int64()
+                ),
+            }
+        )
+
     # NOTE on ordering: the driver verifies only the FIRST 50 entries, and
     # more than 50 are oracle-backed.  Slot policy: every kernel that is NEW
     # or was MODIFIED this round sits inside the window; displaced entries
@@ -315,7 +376,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-2-unchecked oracle-backed operators first ---------------
         "minhash_lsh_pairs": minhash_pairs_q,
         "dup_clusters": analysis.dup_clusters,
-        "decontaminate_docs": analysis.decontaminate_docs,
+        # (zorder_range_count is NEW session-7 — Z-order clustering +
+        # file-skipping range scan; holds the slot ceded by
+        # decontaminate_docs, r3-driver-green and byte-unchanged, whose
+        # broadcast-set map-only machinery stays driven in-window by
+        # blocklist_filter)
+        "zorder_range_count": zorder_range_count_q,
         "semantic_dedup_docs": analysis.semantic_dedup_docs,
         "media_metadata": media_metadata_q,
         # --- NEW session-7 kernels: hold the slots ceded by
@@ -518,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_ngram_stats": analysis.boilerplate_ngram_stats,
         "pmi_top100": analysis.pmi_top100,
         "substring_dup_pairs": analysis.substring_dup_pairs,
+        "decontaminate_docs": analysis.decontaminate_docs,
         # (r4 session-6 cedes — each r3-driver-green and byte-unchanged
         # since, with the named in-window sibling; see the slot comments
         # above and QUERIES.md)
@@ -2566,6 +2633,12 @@ def oracle_sql() -> dict[str, str]:
                                     date_diff('day', DATE '2024-01-01', day)),
                          6) AS slope
             FROM d GROUP BY event_type
+        """,
+        "zorder_range_count": """
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            WHERE lang = 'en' AND n_chars BETWEEN 200 AND 400
         """,
         "events_collapse_consecutive": """
             WITH r AS (

@@ -88,3 +88,150 @@ def compact_parquet(
         "rows": out.count_rows(),
         "bytes_before": total_bytes,
     }
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering (Morton interleave) — multi-column pruning layout
+
+
+def _spread8() -> "np.ndarray":
+    """256-entry lookup: 8-bit value -> its bits spread to even positions of
+    a 16-bit word (the Morton half-interleave)."""
+    import numpy as np
+
+    v = np.arange(256, dtype=np.uint32)
+    v = (v | (v << 4)) & np.uint32(0x0F0F)
+    v = (v | (v << 2)) & np.uint32(0x3333)
+    v = (v | (v << 1)) & np.uint32(0x5555)
+    return v.astype(np.uint16)
+
+
+def zorder_write(
+    src_path: str,
+    out_dir: str,
+    key_num: str = "n_chars",
+    key_cat: str = "lang",
+    n_files: int = 16,
+) -> dict:
+    """Write a table Z-ORDERED on (``key_num``, ``key_cat``): each row's
+    sort key is the Morton interleave of an 8-bit equal-width bucket of the
+    numeric key and an 8-bit hash of the categorical key, so EVERY output
+    file covers a narrow range of BOTH columns at once — the multi-column
+    generalization of :func:`cluster_write` (single-key clustering makes one
+    column's ranges disjoint and leaves the other spanning every file;
+    Z-ordering is what Delta/Iceberg OPTIMIZE ZORDER runs so that either
+    predicate, or both, can prune files).
+
+    The numeric bucket bounds come from the parquet FOOTER statistics (no
+    data scan); the categorical code is crc32 & 0xFF (deterministic across
+    runs — a re-cluster of the same table yields the same layout).  Returns
+    the per-file (num-min, num-max, cat-code set) layout table callers use
+    for file-skipping reads; at 100 TB this layout row set is
+    files-count-sized, the table itself streams sort → write through the
+    distributed exchange exactly once."""
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    meta = pq.read_metadata(src_path)
+    los, his = [], []
+    for rg in range(meta.num_row_groups):
+        for i in range(meta.num_columns):
+            c = meta.row_group(rg).column(i)
+            if c.path_in_schema == key_num and c.statistics is not None:
+                los.append(c.statistics.min)
+                his.append(c.statistics.max)
+    lo = min(los) if los else 0
+    hi = max(his) if his else 1
+    span = max(1, hi - lo)
+    spread = _spread8()
+
+    def add_z(batch: pa.Table) -> pa.Table:
+        v = batch[key_num].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = np.clip(
+            np.nan_to_num((v - lo) / span, nan=0.0) * 255.0, 0, 255
+        ).astype(np.uint16)
+        cat = batch[key_cat].combine_chunks()
+        d = pc.fill_null(cat, "").dictionary_encode()
+        codes8 = np.array(
+            [zlib.crc32(s.encode()) & 0xFF for s in d.dictionary.to_pylist()],
+            dtype=np.uint16,
+        )
+        cb = codes8[d.indices.to_numpy(zero_copy_only=False)]
+        z = (spread[nb].astype(np.uint32) << 1) | spread[cb].astype(np.uint32)
+        return batch.append_column("_z", pa.array(z.astype(np.int64), pa.int64()))
+
+    ds = rd.read_parquet(src_path)
+    (
+        ds.map_batches(add_z, batch_format="pyarrow")
+        .sort("_z")
+        .repartition(n_files)
+        .map_batches(lambda t: t.drop_columns(["_z"]), batch_format="pyarrow")
+        .write_parquet(out_dir)
+    )
+
+    out = pads.dataset(out_dir)
+    layout = []
+    for f in sorted(out.files):
+        t = pq.read_table(f, columns=[key_num, key_cat])
+        v = t[key_num].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        cats = set(
+            zlib.crc32(("" if s is None else s).encode()) & 0xFF
+            for s in t[key_cat].to_pylist()
+        )
+        layout.append(
+            {
+                "file": f,
+                "num_min": float(v.min()) if len(v) else float("inf"),
+                "num_max": float(v.max()) if len(v) else float("-inf"),
+                "cat_codes": cats,
+            }
+        )
+    return {"files": len(out.files), "layout": layout, "lo": lo, "hi": hi}
+
+
+def zorder_pruned_scan(
+    layout: dict,
+    key_num: str,
+    key_cat: str,
+    num_lo: int,
+    num_hi: int,
+    cat: str,
+) -> tuple["rd.Dataset", int, int]:
+    """File-skipping scan over a :func:`zorder_write` layout: read ONLY the
+    files whose recorded (num range, cat-code set) intersect the predicate
+    — the read-side half of Z-order maintenance, same proof pattern as the
+    IVF hive layout (pruning measured by input-file count).  Returns
+    (dataset of surviving rows, files_read, files_total); the exact
+    predicate is re-applied to the surviving files, so pruning can only
+    skip work, never change the answer."""
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    code = zlib.crc32(cat.encode()) & 0xFF
+    files = [
+        e["file"]
+        for e in layout["layout"]
+        if e["num_min"] <= num_hi and e["num_max"] >= num_lo and code in e["cat_codes"]
+    ]
+    total = layout["files"]
+    if not files:
+        return None, 0, total
+
+    def exact(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(batch[key_num], num_lo),
+                pc.less_equal(batch[key_num], num_hi),
+            ),
+            pc.equal(batch[key_cat], cat),
+        )
+        return batch.filter(pc.fill_null(keep, False))
+
+    ds = rd.read_parquet(files).map_batches(exact, batch_format="pyarrow")
+    return ds, len(files), total

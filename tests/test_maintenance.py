@@ -88,3 +88,46 @@ def test_cluster_write_produces_pruning_ranges(ray_session, tmp_path):
     import pyarrow.dataset as pads
 
     assert pads.dataset(str(out)).count_rows() == 20_000
+
+
+def test_zorder_write_prunes_both_predicates(ray_session, tmp_path, sf_dir):
+    """Z-order layout: a two-predicate range scan must read strictly fewer
+    files than the layout holds, and the pruned answer must equal the
+    unpruned full-scan answer (pruning skips work, never rows)."""
+    import pyarrow.parquet as pq
+    from language_identification_ray.pipelines.maintenance import (
+        zorder_pruned_scan,
+        zorder_write,
+    )
+
+    src = f"{sf_dir}/documents.parquet"
+    out = str(tmp_path / "zorder")
+    layout = zorder_write(src, out, n_files=8)
+    assert layout["files"] > 1
+
+    ds, files_read, files_total = zorder_pruned_scan(
+        layout, "n_chars", "lang", 200, 400, "en"
+    )
+    assert files_total == layout["files"]
+    assert 0 < files_read < files_total, (files_read, files_total)
+
+    got = sorted(r["doc_id"] for r in ds.take_all())
+    t = pq.read_table(src, columns=["doc_id", "lang", "n_chars"]).to_pandas()
+    want = sorted(
+        t[(t["lang"] == "en") & (t["n_chars"] >= 200) & (t["n_chars"] <= 400)][
+            "doc_id"
+        ]
+    )
+    assert got == want
+
+
+def test_zorder_same_input_same_layout(ray_session, tmp_path, sf_dir):
+    """Deterministic re-cluster: same table -> same per-file key ranges."""
+    from language_identification_ray.pipelines.maintenance import zorder_write
+
+    src = f"{sf_dir}/documents.parquet"
+    a = zorder_write(src, str(tmp_path / "za"), n_files=4)
+    b = zorder_write(src, str(tmp_path / "zb"), n_files=4)
+    ka = [(e["num_min"], e["num_max"], sorted(e["cat_codes"])) for e in a["layout"]]
+    kb = [(e["num_min"], e["num_max"], sorted(e["cat_codes"])) for e in b["layout"]]
+    assert ka == kb
