@@ -374,7 +374,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # so a regression outside the window still fails the suite.
     return {
         # --- round-2-unchecked oracle-backed operators first ---------------
-        "minhash_lsh_pairs": minhash_pairs_q,
+        # (segment_revenue_bloom is NEW session-7 — Bloom runtime-filter
+        # semi-join rollup; holds the slot ceded by minhash_lsh_pairs,
+        # r3-driver-green and byte-unchanged, whose banded-LSH exact-verify
+        # machinery stays pytest- and self-check-gated)
+        "segment_revenue_bloom": relational.segment_revenue_bloom,
         "dup_clusters": analysis.dup_clusters,
         # (zorder_range_count is NEW session-7 — Z-order clustering +
         # file-skipping range scan; holds the slot ceded by
@@ -383,7 +387,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # blocklist_filter)
         "zorder_range_count": zorder_range_count_q,
         "semantic_dedup_docs": analysis.semantic_dedup_docs,
-        "media_metadata": media_metadata_q,
+        # (score_percent_rank is NEW session-7 — PERCENT_RANK score
+        # calibration via the partitioned histogram-rank primitive; holds
+        # the slot ceded by media_metadata, r3-driver-green and
+        # byte-unchanged, whose binary round-trip decoders stay driven by
+        # the audio_metadata/video_metadata oracle siblings + pytest)
+        "score_percent_rank": analysis.score_percent_rank,
         # --- NEW session-7 kernels: hold the slots ceded by
         # events_user_interarrival and source_unigram_kl (both r3-driver-
         # green, byte-unchanged since; the groupby-user ordered machinery
@@ -562,7 +571,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_volume_trend": analysis.event_volume_trend,
         # (grouped argmax over a grouped count: top collocation per lang)
         "top_bigram_per_lang": analysis.top_bigram_per_lang,
-        "gopher_quality_flags": analysis.gopher_quality_flags,
+        # (lang_stats_incremental is NEW session-7 — mergeable-state
+        # incremental aggregation, shares lang_stats' oracle; holds the
+        # slot ceded by gopher_quality_flags, r3-driver-green and
+        # byte-unchanged, whose shared Gopher kernel stays driven by the
+        # gopher_keep_rates oracle sibling + pytest)
+        "lang_stats_incremental": analysis.lang_stats_incremental,
         # --- NEW r4 kernel: holds the slot ceded by gopher_keep_rates and,
         # after session-4 additions shifted it to position 50, by
         # top_revenue_orders (r3-green; its Q18 bucket co-partition is
@@ -585,6 +599,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_top100": analysis.pmi_top100,
         "substring_dup_pairs": analysis.substring_dup_pairs,
         "decontaminate_docs": analysis.decontaminate_docs,
+        "minhash_lsh_pairs": minhash_pairs_q,
+        "media_metadata": media_metadata_q,
+        "gopher_quality_flags": analysis.gopher_quality_flags,
         # (r4 session-6 cedes — each r3-driver-green and byte-unchanged
         # since, with the named in-window sibling; see the slot comments
         # above and QUERIES.md)
@@ -2633,6 +2650,28 @@ def oracle_sql() -> dict[str, str]:
                                     date_diff('day', DATE '2024-01-01', day)),
                          6) AS slope
             FROM d GROUP BY event_type
+        """,
+        "score_percent_rank": """
+            SELECT doc_id, source, n_chars,
+                   round(percent_rank() OVER (
+                       PARTITION BY source ORDER BY n_chars
+                   ), 6) AS pct_rank
+            FROM documents
+        """,
+        "lang_stats_incremental": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   avg(n_chars) AS avg_chars
+            FROM documents
+            GROUP BY lang
+        """,
+        "segment_revenue_bloom": """
+            SELECT CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT)
+                       AS revenue_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
         """,
         "zorder_range_count": """
             SELECT CAST(count(*) AS BIGINT) AS n_docs,

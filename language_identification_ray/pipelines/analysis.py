@@ -8241,12 +8241,13 @@ def top_lengths_dense_per_source(sf_dir: str, k: int = 3) -> "rd.Dataset":
 
     def partial(batch: pa.Table) -> pa.Table:
         src_key, src_null = _null_safe_key(batch["source"])
-        lens = batch["n_chars"].to_numpy(zero_copy_only=False)
-        lens = np.where(
-            pc.is_null(batch["n_chars"]).to_numpy(zero_copy_only=False),
-            np.iinfo(np.int64).min,  # NULL tier: below every real length
-            np.nan_to_num(lens.astype(np.float64), nan=0.0),
+        lens = np.nan_to_num(
+            batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64),
+            nan=0.0,
         ).astype(np.int64)
+        lens[
+            pc.is_null(batch["n_chars"]).to_numpy(zero_copy_only=False).astype(bool)
+        ] = np.iinfo(np.int64).min  # NULL tier: below every real length
         t = pa.table(
             {"src_key": src_key, "src_null": src_null, "len": pa.array(lens, pa.int64())}
         )
@@ -8287,13 +8288,11 @@ def top_lengths_dense_per_source(sf_dir: str, k: int = 3) -> "rd.Dataset":
         )
         src_key, src_null = _null_safe_key(batch["source"])
         isnull = pc.is_null(batch["n_chars"]).to_numpy(zero_copy_only=False).astype(bool)
-        lens = np.where(
-            isnull, np.iinfo(np.int64).min,
-            np.nan_to_num(
-                batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64),
-                nan=0.0,
-            ),
+        lens = np.nan_to_num(
+            batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64),
+            nan=0.0,
         ).astype(np.int64)
+        lens[isnull] = np.iinfo(np.int64).min
         df = pd.DataFrame(
             {
                 "row": np.arange(batch.num_rows, dtype=np.int64),
@@ -8395,4 +8394,188 @@ def word_freq_top100_cms(
         .map_batches(partial, batch_format="pyarrow")
         .repartition(1)
         .map_batches(final, batch_format="pyarrow")
+    )
+
+
+def score_percent_rank(sf_dir: str) -> "rd.Dataset":
+    """Per-source PERCENT_RANK of document length — the cross-source score
+    calibration every mixed-corpus ranking needs (raw quality scores from
+    different sources/classifiers are incomparable; their within-source
+    quantile ranks are).  ``pct_rank = (rank - 1) / (n_partition - 1)``
+    with rank = first-peer rank (SQL ``PERCENT_RANK() OVER (PARTITION BY
+    source ORDER BY n_chars)``), rounded to 6 decimals; a single-row
+    partition is 0.0; NULL lengths sort LAST as one shared tier; NULL
+    source is its own partition.
+
+    Scale shape: the histogram-rank primitive (``global_length_rank``'s
+    approach, partitioned): per-batch (source, len) count partials → one
+    histogram-cardinality groupby → driver collect bounded by distinct
+    (source, length) pairs — never the corpus — → cumulative first-peer
+    ranks per source → broadcast → one map-side merge pass tags every
+    row.  No global sort anywhere."""
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        src_key, src_null = _null_safe_key(batch["source"])
+        isnull = pc.is_null(batch["n_chars"]).to_numpy(zero_copy_only=False).astype(bool)
+        lens = np.nan_to_num(
+            batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64),
+            nan=0.0,
+        ).astype(np.int64)
+        lens[isnull] = np.iinfo(np.int64).max  # NULLS LAST tier (int write:
+        # int64 max is not float-representable, a np.where would overflow)
+        t = pa.table(
+            {"src_key": src_key, "src_null": src_null, "len": pa.array(lens, pa.int64())}
+        )
+        g = t.group_by(["src_key", "src_null", "len"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "src_key": g["src_key"],
+                "src_null": g["src_null"],
+                "len": g["len"],
+                "cnt": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    hist = (
+        _docs(sf_dir, ["source", "n_chars"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["src_key", "src_null", "len"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    ).take_all()  # bounded by distinct (source, length) pairs
+
+    # first-peer rank per (source, len): 1 + count of strictly smaller lens
+    by_src: dict = {}
+    for r in hist:
+        by_src.setdefault((r["src_key"], bool(r["src_null"])), []).append(
+            (int(r["len"]), int(r["cnt"]))
+        )
+    rank_map: dict = {}
+    for skey, pairs in by_src.items():
+        pairs.sort()
+        n = sum(c for _, c in pairs)
+        cum = 0
+        for ln, c in pairs:
+            rank_map[(skey[0], skey[1], ln)] = (
+                0.0 if n <= 1 else round(cum / (n - 1), 6)
+            )
+            cum += c
+    import ray
+
+    map_ref = ray.put(rank_map)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        rm = ray.get(map_ref)
+        src_key, src_null = _null_safe_key(batch["source"])
+        isnull = pc.is_null(batch["n_chars"]).to_numpy(zero_copy_only=False).astype(bool)
+        lens = np.nan_to_num(
+            batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64),
+            nan=0.0,
+        ).astype(np.int64)
+        lens[isnull] = np.iinfo(np.int64).max  # NULLS LAST tier (int write:
+        # int64 max is not float-representable, a np.where would overflow)
+        df = pd.DataFrame(
+            {
+                "sk": src_key.to_numpy(zero_copy_only=False).astype(object),
+                "sn": src_null.to_numpy(zero_copy_only=False).astype(bool),
+                "len": lens,
+            }
+        )
+        key_df = pd.DataFrame(
+            [(sk, sn, ln, pr) for (sk, sn, ln), pr in rm.items()],
+            columns=["sk", "sn", "len", "pct_rank"],
+        )
+        merged = df.merge(key_df, on=["sk", "sn", "len"], how="left")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "n_chars": batch["n_chars"],
+                "pct_rank": pa.array(
+                    merged["pct_rank"].to_numpy(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "source", "n_chars"]).map_batches(
+        tag, batch_format="pyarrow"
+    )
+
+
+def lang_stats_incremental(sf_dir: str) -> "rd.Dataset":
+    """``lang_stats`` computed INCREMENTALLY: two independent partial
+    aggregations (even / odd doc_id shards — standing for "yesterday's
+    materialized state" and "today's delta partition") merged by
+    re-aggregating their mergeable states — the materialized-view
+    maintenance shape every incremental ETL runs (never re-scan the full
+    corpus; combine (count, sum, non-null count) states, derive avg LAST).
+    Result is IDENTICAL to the one-shot groupby — proven by sharing
+    ``lang_stats``'s SQL oracle, like the salted variant.
+
+    Scale shape: each shard's partial is a ≤ |langs|-row state; the merge
+    exchange is 2 × |langs| rows.  At 100 TB the 'shards' are crawl
+    snapshots and the states live in the lineage store."""
+
+    def shard_partial(parity: int):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = batch.filter(pa.array(ids % 2 == parity))
+            key, isnull = _null_safe_key(t["lang"])
+            tt = pa.table(
+                {
+                    "lang_key": key,
+                    "lang_null": isnull,
+                    "chars": pc.fill_null(t["n_chars"], 0).cast(pa.int64()),
+                    "n_vals": pc.is_valid(t["n_chars"]).cast(pa.int64()),
+                }
+            )
+            g = tt.group_by(["lang_key", "lang_null"]).aggregate(
+                [("chars", "sum"), ("n_vals", "sum"), ([], "count_all")]
+            )
+            return pa.table(
+                {
+                    "lang_key": g["lang_key"],
+                    "lang_null": g["lang_null"],
+                    "total_chars": g["chars_sum"].cast(pa.int64()),
+                    "n_vals": g["n_vals_sum"].cast(pa.int64()),
+                    "n_docs": g["count_all"].cast(pa.int64()),
+                }
+            )
+
+        return f
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    state_a = docs.map_batches(shard_partial(0), batch_format="pyarrow")
+    state_b = docs.map_batches(shard_partial(1), batch_format="pyarrow")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nv = batch["n_vals"].to_numpy(zero_copy_only=False).astype(np.float64)
+        tot = batch["total_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lang = pc.if_else(
+            batch["lang_null"], pa.scalar(None, pa.string()), batch["lang_key"]
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            avg = tot / nv
+        return pa.table(
+            {
+                "lang": lang,
+                "n_docs": batch["n_docs"],
+                "total_chars": pc.if_else(
+                    pa.array(nv == 0), pa.scalar(None, pa.int64()),
+                    batch["total_chars"],
+                ),
+                "avg_chars": pa.array(
+                    np.where(nv == 0, 0.0, avg), pa.float64(), mask=(nv == 0)
+                ),
+            }
+        )
+
+    return (
+        state_a.union(state_b)
+        .groupby(["lang_key", "lang_null"])
+        .aggregate(
+            Sum("total_chars", alias_name="total_chars"),
+            Sum("n_vals", alias_name="n_vals"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        .map_batches(finalize, batch_format="pyarrow")
     )

@@ -3783,3 +3783,146 @@ def returnflag_priority_counts(
                    Sum("low_cnt", alias_name="low_cnt"))
         .map_batches(_finalize, batch_format="pyarrow")
     )
+
+
+def segment_revenue_bloom(
+    sf_dir: str,
+    segment: str = "BUILDING",
+    n_buckets: int = 512,
+    m_bits: int = 1 << 17,
+) -> "rd.Dataset":
+    """Bloom-runtime-filtered semi-join rollup: total order count and exact
+    cent revenue from customers in one market segment — the sideways-
+    information-passing optimization every warehouse planner applies (build
+    a compact filter from the join's build side, push it into the probe
+    side's SCAN so non-joining rows die map-side, BEFORE the exchange).
+    The Bloom never decides membership — it only prunes: surviving rows
+    still go through the exact orderkey-bucket co-partition join, so false
+    positives cost work, never correctness (hash-exact SQL oracle).
+
+    Scale shape: the segment key filter is built DISTRIBUTED (per-batch
+    Bloom partials, OR-merged — bounded by m_bits/8 bytes per batch
+    through a files-count collect), broadcast once via ``ray.put``
+    (~10 bits/key at any build size, where raw keys might not fit a
+    broadcast); orders pre-aggregate map-side AFTER the bloom cut, so the
+    one keyed exchange carries only maybe-matching (custkey, cents)
+    partials plus the segment keys.  SQL semantics: NULL custkey never
+    joins; NULL totalprice counts the order but adds no cents (SQL sum
+    ignores NULL)."""
+    from language_identification_ray.functions import sketches as sk
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+
+    def seg_keys(batch: pa.Table) -> pa.Table:
+        keep = _pc.fill_null(_pc.equal(batch["c_mktsegment"], segment), False)
+        t = batch.filter(keep)
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        keys = keys[~np.isnan(keys.astype(np.float64))].astype(np.int64)
+        bits = sk.bloom_empty(m_bits)
+        sk.bloom_add_hashes(bits, keys.astype(np.uint32))
+        return pa.table(
+            {
+                "keys": pa.array([keys], pa.list_(pa.int64())),
+                "bloom": pa.array([bits.tobytes()], pa.binary()),
+            }
+        )
+
+    # bounded collect: one (keys, bloom) row per customer batch
+    parts = cust.map_batches(seg_keys, batch_format="pyarrow").take_all()
+    bits = sk.bloom_empty(m_bits)
+    all_keys = []
+    for p in parts:
+        bits = sk.bloom_merge(bits, np.frombuffer(p["bloom"], np.uint8))
+        all_keys.append(np.asarray(p["keys"], dtype=np.int64))
+    skeys = np.unique(np.concatenate(all_keys)) if all_keys else np.zeros(0, np.int64)
+    bloom_ref = ray.put(bits)
+    keys_ref = ray.put(skeys)
+
+    def ord_partial(batch: pa.Table) -> pa.Table:
+        b = ray.get(bloom_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.float64)
+        valid = ~np.isnan(ck)
+        ck64 = ck.astype(np.int64)
+        maybe = np.zeros(len(ck), dtype=bool)
+        if valid.any():
+            maybe[valid] = sk.bloom_contains_hashes(b, ck64[valid].astype(np.uint32))
+        t = batch.filter(pa.array(maybe))
+        ck64 = ck64[maybe]
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        has_p = ~np.isnan(price)
+        cents = np.where(has_p, _cents_np(np.nan_to_num(price)), 0)
+        # pre-agg per custkey within the batch; carry the priced-row count
+        # so an all-NULL-price group can yield SQL's NULL sum downstream
+        o = np.argsort(ck64, kind="stable")
+        k = ck64[o]
+        c = cents[o]
+        hp = has_p[o].astype(np.int64)
+        n = np.ones(len(k), dtype=np.int64)
+        if len(k):
+            newg = np.r_[True, k[1:] != k[:-1]]
+            gidx = np.nonzero(newg)[0]
+            cnt = np.add.reduceat(n, gidx)
+            cs = np.add.reduceat(c, gidx)
+            nps = np.add.reduceat(hp, gidx)
+            k = k[gidx]
+        else:
+            cnt = cs = nps = np.zeros(0, dtype=np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(k % n_buckets, pa.int64()),
+                "custkey": pa.array(k, pa.int64()),
+                "n": pa.array(cnt, pa.int64()),
+                "n_priced": pa.array(nps.astype(np.int64), pa.int64()),
+                "cents": pa.array(cs.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        keys = group["custkey"].to_numpy(zero_copy_only=False)
+        idx_c, hit = _probe_sorted(ks, keys)
+        n = group["n"].to_numpy(zero_copy_only=False)[hit].sum()
+        n_priced = group["n_priced"].to_numpy(zero_copy_only=False)[hit].sum()
+        cents = group["cents"].to_numpy(zero_copy_only=False)[hit].sum()
+        return pa.table(
+            {
+                "n": pa.array([int(n)], pa.int64()),
+                "n_priced": pa.array([int(n_priced)], pa.int64()),
+                "cents": pa.array([int(cents)], pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = int(batch["n"].to_numpy(zero_copy_only=False).sum()) if batch.num_rows else 0
+        n_priced = (
+            int(batch["n_priced"].to_numpy(zero_copy_only=False).sum())
+            if batch.num_rows
+            else 0
+        )
+        cents = (
+            int(batch["cents"].to_numpy(zero_copy_only=False).sum())
+            if batch.num_rows
+            else 0
+        )
+        # SQL sum ignores NULL prices and is NULL when no priced row joined
+        return pa.table(
+            {
+                "n_orders": pa.array([n], pa.int64()),
+                "revenue_cents": pa.array(
+                    [cents if n_priced > 0 else None], pa.int64()
+                ),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    return (
+        orders.map_batches(ord_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finalize, batch_format="pyarrow")
+    )

@@ -352,3 +352,82 @@ def test_top_lengths_dense_empty(ray_session, tmp_path):
         "n_chars": pa.array([], pa.int64()),
     })
     assert analysis.top_lengths_dense_per_source(str(tmp_path)).take_all() == []
+
+
+# ---------------------------------------------------------------------------
+# score_percent_rank / lang_stats_incremental / segment_revenue_bloom
+
+
+def test_score_percent_rank_single_row_partition_and_ties(ray_session, tmp_path):
+    _w(tmp_path, "documents", {
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["x"] * 5, pa.string()),
+        "lang": pa.array(["en"] * 5, pa.string()),
+        # s1: 10,10,20 -> pct 0,0,1; s2 single row -> 0; NULL length in s1
+        # sorts LAST
+        "source": pa.array(["s1", "s1", "s1", "s2", "s1"], pa.string()),
+        "n_chars": pa.array([10, 10, 20, 7, None], pa.int64()),
+    })
+    df = analysis.score_percent_rank(str(tmp_path)).to_pandas()
+    got = {r.doc_id: round(r.pct_rank, 6) for r in df.itertuples(index=False)}
+    # s1 has 4 rows: ranks 10,10 -> 1; 20 -> 3; NULL -> 4; pct = (r-1)/3
+    assert got == {0: 0.0, 1: 0.0, 2: round(2 / 3, 6), 3: 0.0, 4: 1.0}
+
+
+def test_segment_revenue_bloom_actually_prunes(ray_session, tmp_path):
+    """The bloom must cut non-segment orders map-side: with disjoint key
+    ranges and a real filter, the surviving partial rows are far fewer than
+    the orders table (checked through the kernel's own bloom primitives)."""
+    import numpy as np
+    from language_identification_ray.functions import sketches as sk
+
+    keys = np.arange(1000, dtype=np.int64)
+    seg = keys[:50]
+    bits = sk.bloom_empty(1 << 17)
+    sk.bloom_add_hashes(bits, seg.astype(np.uint32))
+    maybe = sk.bloom_contains_hashes(bits, keys.astype(np.uint32))
+    assert maybe[:50].all()                       # no false negatives
+    assert maybe[50:].sum() < 50                  # prunes the bulk
+
+
+def test_segment_revenue_bloom_null_semantics(ray_session, tmp_path):
+    _w(tmp_path, "customer", {
+        "c_custkey": pa.array([1, 2, None], pa.int64()),
+        "c_mktsegment": pa.array(["BUILDING", "AUTO", "BUILDING"], pa.string()),
+    })
+    _w(tmp_path, "orders", {
+        # order 10: cust 1 (in segment, priced); 11: cust 1 NULL price
+        # (counts, adds nothing); 12: cust 2 (out); 13: NULL cust (drops)
+        "o_orderkey": pa.array([10, 11, 12, 13], pa.int64()),
+        "o_custkey": pa.array([1, 1, 2, None], pa.int64()),
+        "o_totalprice": pa.array([100.25, None, 7.0, 5.0], pa.float64()),
+    })
+    rows = relational.segment_revenue_bloom(str(tmp_path)).take_all()
+    assert rows == [{"n_orders": 2, "revenue_cents": 10025}]
+
+
+def test_segment_revenue_bloom_all_null_prices(ray_session, tmp_path):
+    _w(tmp_path, "customer", {
+        "c_custkey": pa.array([1], pa.int64()),
+        "c_mktsegment": pa.array(["BUILDING"], pa.string()),
+    })
+    _w(tmp_path, "orders", {
+        "o_orderkey": pa.array([10], pa.int64()),
+        "o_custkey": pa.array([1], pa.int64()),
+        "o_totalprice": pa.array([None], pa.float64()),
+    })
+    rows = relational.segment_revenue_bloom(str(tmp_path)).take_all()
+    assert rows == [{"n_orders": 1, "revenue_cents": None}]
+
+
+def test_lang_stats_incremental_matches_one_shot(ray_session, sf_dir):
+    a = analysis.lang_stats(sf_dir).to_pandas().sort_values("lang").reset_index(drop=True)
+    b = (
+        analysis.lang_stats_incremental(sf_dir)
+        .to_pandas().sort_values("lang").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False, atol=1e-9
+    )
