@@ -6298,13 +6298,11 @@ def zipf_alpha(sf_dir: str, top_n: int = 1000) -> "rd.Dataset":
     ever leaves the aggregate."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        c = Counter()
-        for t in batch["text"].to_pylist():
-            c.update((t or "").split(" "))
-        if not c:
-            return pa.table({"word": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
-        words, cnts = zip(*c.items())
-        return pa.table({"word": pa.array(words, pa.string()), "cnt": pa.array(cnts, pa.int64())})
+        # one Arrow value_counts over the flattened split — no per-row Python
+        vc = pc.value_counts(_one_chunk(_word_lists(batch).flatten()))
+        return pa.table(
+            {"word": vc.field("values"), "cnt": vc.field("counts").cast(pa.int64())}
+        )
 
     head = (
         _docs(sf_dir, ["text"])
@@ -6537,21 +6535,27 @@ def word_burstiness(sf_dir: str, min_df: int = 5, k: int = 100) -> "rd.Dataset":
     ints per distinct word per batch, never tokens."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        cnt = Counter()
-        df = Counter()
-        for t in batch["text"].to_pylist():
-            ws = (t or "").split(" ")
-            cnt.update(ws)
-            df.update(set(ws))
-        if not cnt:
+        # fused vectorized pass: cnt from one value_counts over the
+        # flattened split; df from distinct (word-code, doc-index) pairs
+        # (docs are unique per batch, so per-batch distinct-doc counts sum
+        # to the global df exactly) — no per-row Python
+        words = _word_lists(batch)
+        flat = _one_chunk(words.flatten())
+        if len(flat) == 0:
             e = pa.array([], pa.int64())
             return pa.table({"word": pa.array([], pa.string()), "cnt": e, "df": e})
-        words = list(cnt)
+        wd = flat.dictionary_encode()
+        codes = wd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nw = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(nw), dtype=np.int64), nw)
+        cnt = np.bincount(codes, minlength=len(wd.dictionary)).astype(np.int64)
+        uc, _ud = _unique_pairs(codes, doc_idx)
+        df = np.bincount(uc, minlength=len(wd.dictionary)).astype(np.int64)
         return pa.table(
             {
-                "word": pa.array(words, pa.string()),
-                "cnt": pa.array([cnt[w] for w in words], pa.int64()),
-                "df": pa.array([df[w] for w in words], pa.int64()),
+                "word": wd.dictionary,
+                "cnt": pa.array(cnt, pa.int64()),
+                "df": pa.array(df, pa.int64()),
             }
         )
 
