@@ -8261,12 +8261,30 @@ def top_lengths_dense_per_source(sf_dir: str, k: int = 3) -> "rd.Dataset":
         df = df.groupby(["src_key", "src_null"], dropna=False).head(k + 1)
         return pa.Table.from_pandas(df[["src_key", "src_null", "len"]], preserve_index=False)
 
+    def batch_cut(b: pa.Table) -> pa.Table:
+        # keep only each source's k+1 largest lens of this block (a distinct
+        # top-k union is closed under merging, so no tier can be lost)
+        df = (
+            b.to_pandas()
+            .sort_values("len", ascending=False)
+            .groupby(["src_key", "src_null"], dropna=False)
+            .head(k + 1)
+        )
+        return pa.Table.from_pandas(
+            df[["src_key", "src_null", "len"]], preserve_index=False
+        )
+
     stats = (
         _docs(sf_dir, ["source", "n_chars"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["src_key", "src_null", "len"])
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-    ).take_all()  # bounded: ≤ (k+1) × |sources| × n_batches post-dedup rows
+        # re-cut per block, then a per-source final cut, so the collect is
+        # catalog-sized no matter how many batches fed the histogram
+        .map_batches(batch_cut, batch_format="pyarrow")
+        .groupby(["src_key", "src_null"])
+        .map_groups(batch_cut, batch_format="pyarrow")
+    ).take_all()  # bounded: ≤ (k+1) × |sources| rows — catalog-sized
 
     cutoffs: dict = {}
     for r in stats:
