@@ -532,26 +532,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (slot from value_zscore_outliers — the new idle_rich_customers
         # drives the same broadcast-global-scalar filter gate in-window)
         "doc_length_histogram": analysis.doc_length_histogram,
-        # (slot from lang_centroids — r3-green, unchanged; its union-tag
-        # bucket-join machinery stays driven in-window by bitext_mine_pairs,
-        # and the new customer_order_full_join completes the join-type
-        # surface with the same union-tag groupby)
-        "customer_order_full_join": relational.customer_order_full_join,
-        # (slot from sequence_pack_offsets — r3-green, unchanged; its
-        # histogram-offset prefix-sum machinery stays driven in-window by
-        # stratified_sample's histogram-rank banding)
-        "crawl_delta": analysis.crawl_delta,
-        # (slot from fuzzy_dedup_keep — r3-green, unchanged; in-window
-        # semantic_dedup_docs drives the same union-tag anti-join keep over
-        # the same embedding pair source)
-        "events_dedup_idempotent": analysis.events_dedup_idempotent,
+        # (chars_tokens_corr is NEW session-7 — Pearson corr from Σ-partials;
+        # holds the slot ceded by customer_order_full_join, r4-session-4,
+        # self-check-green and unchanged since, whose union-tag groupby
+        # machinery stays driven in-window by idle_rich_customers'
+        # anti-join composition)
+        "chars_tokens_corr": analysis.chars_tokens_corr,
+        # (user_event_type_pivot is NEW session-7 — PIVOT/crosstab widening;
+        # holds the slot ceded by crawl_delta, r4-session-5,
+        # self-check-green and unchanged since, whose md5-content-key
+        # rollup stays driven in-window by normalized_exact_dedup and
+        # url_dedup)
+        "user_event_type_pivot": analysis.user_event_type_pivot,
+        # (word_burstiness re-enters the window: its cnt/df partial was
+        # VECTORIZED this session; holds the slot ceded by
+        # events_dedup_idempotent, r4-session-5, self-check-green and
+        # unchanged since, whose per-user window compaction stays driven
+        # in-window by events_collapse_consecutive + events_latest_per_user)
+        "word_burstiness": analysis.word_burstiness,
         # (slot from revenue_by_supplier_nation — r2-green, unchanged; the
         # new in-window top_supplier_revenue drives the same dimension
         # broadcast + grouped-cents machinery)
         "kmeans_train": analysis.kmeans_train,
-        # (slot from per_source_cap — r2-green, unchanged; in-window
-        # top_revenue_orders drives the same per-batch top-k cut machinery)
-        "knn_self_top1": analysis.knn_self_top1,
+        # (events_weekday_hour_heatmap is NEW session-7 — epoch-arithmetic
+        # date-part heatmap; holds the slot ceded by knn_self_top1,
+        # r4-session-5, self-check-green and unchanged since, whose
+        # broadcast-matrix exact matmul stays driven in-window by
+        # kmeans_train's assignment step)
+        "events_weekday_hour_heatmap": analysis.events_weekday_hour_heatmap,
         # (slot from bm25_topk — r2-green, unchanged; pytest oracle gate +
         # self-check artifact)
         "nation_trade_volume": relational.nation_trade_volume,
@@ -602,6 +610,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_pairs": minhash_pairs_q,
         "media_metadata": media_metadata_q,
         "gopher_quality_flags": analysis.gopher_quality_flags,
+        # (r4 session-7 cedes, second wave — each r4-new but
+        # self-check-green and byte-unchanged since its last green check,
+        # with the named in-window sibling; see slot comments above)
+        "customer_order_full_join": relational.customer_order_full_join,
+        "crawl_delta": analysis.crawl_delta,
+        "events_dedup_idempotent": analysis.events_dedup_idempotent,
+        "knn_self_top1": analysis.knn_self_top1,
         # (r4 session-6 cedes — each r3-driver-green and byte-unchanged
         # since, with the named in-window sibling; see the slot comments
         # above and QUERIES.md)
@@ -631,7 +646,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (word_burstiness is new but out-of-window by design: in-window
         # zipf_alpha drives the same word-freq combiner → groupby →
         # sorted-head machinery; pytest-gated like every oracle entry)
-        "word_burstiness": analysis.word_burstiness,
         # (line_dedup_docs is new but out-of-window by design: in-window
         # boilerplate_ngram_stats drives the same combiner-cascade →
         # broadcast-set → map-only rebuild machinery at finer (n-gram)
@@ -2650,6 +2664,31 @@ def oracle_sql() -> dict[str, str]:
                                     date_diff('day', DATE '2024-01-01', day)),
                          6) AS slope
             FROM d GROUP BY event_type
+        """,
+        "events_weekday_hour_heatmap": """
+            SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+                   CAST(hour(ts) AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        """,
+        "user_event_type_pivot": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE event_type = 'view')
+                        AS BIGINT) AS view_cnt,
+                   CAST(count(*) FILTER (WHERE event_type = 'click')
+                        AS BIGINT) AS click_cnt,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                        AS BIGINT) AS purchase_cnt,
+                   CAST(count(*) AS BIGINT) AS total_cnt
+            FROM events GROUP BY user_id
+        """,
+        "chars_tokens_corr": """
+            SELECT CAST(count(*) FILTER (WHERE n_chars IS NOT NULL)
+                        AS BIGINT) AS n_rows,
+                   round(corr(n_chars,
+                              len(string_split(coalesce(text, ''), ' '))),
+                         6) AS corr
+            FROM documents
         """,
         "score_percent_rank": """
             SELECT doc_id, source, n_chars,

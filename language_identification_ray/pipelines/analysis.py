@@ -8601,3 +8601,188 @@ def lang_stats_incremental(sf_dir: str) -> "rd.Dataset":
         )
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def events_weekday_hour_heatmap(sf_dir: str) -> "rd.Dataset":
+    """Traffic heatmap: event count per (ISO weekday, hour-of-day) — the
+    7×24 load profile behind crawl-rate scheduling and anomaly baselines.
+    ISO weekday (Mon=1..Sun=7) and hour are derived with pure epoch
+    arithmetic (epoch day 0 = 1970-01-01 = Thursday ⇒ isodow =
+    (epoch_day + 3) mod 7 + 1), exactly matching SQL ``isodow``/``hour``;
+    NULL timestamps keep one (NULL, NULL) group, as SQL date functions
+    propagate NULL.
+
+    Scale shape: map-side vectorized timestamp decode + per-batch Arrow
+    group_by pre-aggregation — the exchange carries ≤ 7×24+1 rows per
+    batch, the final groupby is constant-cardinality."""
+    us_day = np.int64(86_400_000_000)
+    us_hour = np.int64(3_600_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts64 = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        isnat = np.isnat(ts64)
+        ts = ts64.astype(np.int64)
+        eday = np.floor_divide(ts, us_day)
+        dow = ((eday + 3) % 7 + 1).astype(np.int64)
+        hour = np.floor_divide(ts - eday * us_day, us_hour).astype(np.int64)
+        dow[isnat] = 0
+        hour[isnat] = 0
+        t = pa.table(
+            {
+                "dow": pa.array(dow, pa.int64()),
+                "hour": pa.array(hour, pa.int64()),
+                "is_null": pa.array(isnat),
+            }
+        )
+        g = t.group_by(["dow", "hour", "is_null"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "dow": g["dow"],
+                "hour": g["hour"],
+                "is_null": g["is_null"],
+                "cnt": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        isnull = batch["is_null"].to_numpy(zero_copy_only=False).astype(bool)
+        return pa.table(
+            {
+                "dow": pa.array(
+                    batch["dow"].to_numpy(zero_copy_only=False), pa.int64(),
+                    mask=isnull,
+                ),
+                "hour": pa.array(
+                    batch["hour"].to_numpy(zero_copy_only=False), pa.int64(),
+                    mask=isnull,
+                ),
+                "cnt": batch["cnt"],
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["dow", "hour", "is_null"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def user_event_type_pivot(sf_dir: str) -> "rd.Dataset":
+    """Per-user event-type crosstab: one WIDE row per user with view /
+    click / purchase counts and total — the PIVOT (long→wide) shape every
+    ML feature-table build runs (SQL expresses it as FILTER aggregates).
+    Event types outside the three known columns (and NULL types) count
+    only toward ``total_cnt``; NULL user_id is its own row (SQL GROUP BY).
+
+    Scale shape: per-batch Arrow group_by pre-aggregates to one row per
+    (user, type) per batch; the keyed exchange then carries partials, and
+    the widening happens inside the final per-user fold — the pivot never
+    materializes a long table after the combine."""
+    KNOWN = ("view", "click", "purchase")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        typ = batch["event_type"].combine_chunks()
+        code = np.full(len(typ), 3, dtype=np.int64)  # 3 = other/NULL
+        for i, k in enumerate(KNOWN):
+            hit = pc.fill_null(pc.equal(typ, k), False).to_numpy(
+                zero_copy_only=False
+            ).astype(bool)
+            code[hit] = i
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "code": pa.array(code, pa.int64()),
+            }
+        )
+        g = t.group_by(["user_id", "code"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "user_id": g["user_id"],
+                "code": g["code"],
+                "cnt": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    def widen(group: pa.Table) -> pa.Table:
+        codes = group["code"].to_numpy(zero_copy_only=False)
+        cnts = group["cnt"].to_numpy(zero_copy_only=False)
+        by = np.bincount(codes, weights=cnts, minlength=4).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": group["user_id"].slice(0, 1),
+                "view_cnt": pa.array([int(by[0])], pa.int64()),
+                "click_cnt": pa.array([int(by[1])], pa.int64()),
+                "purchase_cnt": pa.array([int(by[2])], pa.int64()),
+                "total_cnt": pa.array([int(by.sum())], pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(widen, batch_format="pyarrow")
+    )
+
+
+def chars_tokens_corr(sf_dir: str) -> "rd.Dataset":
+    """Pearson correlation between stored ``n_chars`` and computed
+    whitespace token count across the corpus — the metadata-sanity audit
+    (a stored length column drifting from the text it describes is how
+    silent ETL corruption surfaces), and the ``corr`` aggregate shape the
+    regression family was missing.  One row: (n_rows, corr) rounded to 6
+    decimals = DuckDB ``corr`` (sample covariance over sample stddevs);
+    rows where EITHER side is NULL are excluded (SQL pairwise-null rule;
+    NULL text counts as '' per the engine-wide convention, so only NULL
+    n_chars excludes).  Degenerate variance ⇒ NULL.
+
+    Scale shape: one map pass emits 6 Σ-partial doubles per batch; the
+    fold is a single constant-width reduction."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_value_length(_word_lists(batch)).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        chars = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(chars)
+        x, y = chars[ok], toks[ok]
+        return pa.table(
+            {
+                "n": pa.array([float(len(x))]),
+                "sx": pa.array([float(x.sum())]),
+                "sy": pa.array([float(y.sum())]),
+                "sxx": pa.array([float((x * x).sum())]),
+                "syy": pa.array([float((y * y).sum())]),
+                "sxy": pa.array([float((x * y).sum())]),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = float(batch["n"].to_numpy().sum())
+        sx = float(batch["sx"].to_numpy().sum())
+        sy = float(batch["sy"].to_numpy().sum())
+        sxx = float(batch["sxx"].to_numpy().sum())
+        syy = float(batch["syy"].to_numpy().sum())
+        sxy = float(batch["sxy"].to_numpy().sum())
+        bad = n < 2
+        if not bad:
+            vx = sxx - sx * sx / n
+            vy = syy - sy * sy / n
+            cov = sxy - sx * sy / n
+            bad = vx <= 0 or vy <= 0
+            r = 0.0 if bad else round(cov / np.sqrt(vx * vy), 6)
+        return pa.table(
+            {
+                "n_rows": pa.array([int(n)], pa.int64()),
+                "corr": pa.array([0.0 if bad else r], pa.float64(), mask=[bool(bad)]),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["text", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(finalize, batch_format="pyarrow")
+    )
