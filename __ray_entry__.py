@@ -531,7 +531,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_filter": analysis.blocklist_filter,
         # (slot from value_zscore_outliers — the new idle_rich_customers
         # drives the same broadcast-global-scalar filter gate in-window)
-        "doc_length_histogram": analysis.doc_length_histogram,
+        # (monthly_revenue_growth is NEW session-7 — LAG over a grouped
+        # aggregate, months-bounded ordered diff; holds the slot ceded by
+        # doc_length_histogram, r4-session-5, self-check-green and
+        # unchanged since, whose map-only vectorized banding stays driven
+        # in-window by readability_scores + documents_profile)
+        "monthly_revenue_growth": relational.monthly_revenue_growth,
         # (chars_tokens_corr is NEW session-7 — Pearson corr from Σ-partials;
         # holds the slot ceded by customer_order_full_join, r4-session-4,
         # self-check-green and unchanged since, whose union-tag groupby
@@ -617,6 +622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_delta": analysis.crawl_delta,
         "events_dedup_idempotent": analysis.events_dedup_idempotent,
         "knn_self_top1": analysis.knn_self_top1,
+        "doc_length_histogram": analysis.doc_length_histogram,
         # (r4 session-6 cedes — each r3-driver-green and byte-unchanged
         # since, with the named in-window sibling; see the slot comments
         # above and QUERIES.md)
@@ -2664,6 +2670,20 @@ def oracle_sql() -> dict[str, str]:
                                     date_diff('day', DATE '2024-01-01', day)),
                          6) AS slope
             FROM d GROUP BY event_type
+        """,
+        "monthly_revenue_growth": """
+            WITH m AS (
+                SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m')
+                           AS month,
+                       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT)
+                           AS cents
+                FROM orders WHERE o_orderdate IS NOT NULL
+                GROUP BY 1
+            )
+            SELECT month, cents,
+                   lag(cents) OVER (ORDER BY month) AS prev_cents,
+                   cents - lag(cents) OVER (ORDER BY month) AS delta_cents
+            FROM m
         """,
         "events_weekday_hour_heatmap": """
             SELECT CAST(isodow(ts) AS BIGINT) AS dow,

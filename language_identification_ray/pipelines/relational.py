@@ -3926,3 +3926,105 @@ def segment_revenue_bloom(
         .repartition(1)
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def monthly_revenue_growth(sf_dir: str) -> "rd.Dataset":
+    """Month-over-month revenue trend: per order month, exact cent revenue,
+    the previous month's revenue, and the delta — the LAG-over-aggregate
+    report every revenue/ingest dashboard leads with (for a crawl pipeline:
+    month-over-month ingest-volume drift).  ``prev_cents``/``delta_cents``
+    are NULL for the first month (SQL ``LAG`` semantics); months are
+    calendar-derived with vectorized epoch arithmetic (days → civil
+    year/month via the Howard Hinnant algorithm, matching SQL
+    ``date_trunc('month')``); NULL order dates keep their own group with
+    NULL lag fields (SQL: a NULL month sorts last and LAG still assigns its
+    neighbor — excluded here on BOTH engines via ``WHERE o_orderdate IS NOT
+    NULL`` to keep the trend well-defined).
+
+    Scale shape: per-batch month-keyed cent partials (≤ months rows per
+    batch), one month-cardinality groupby, then the ordered diff folds
+    inside ONE months-sized block — the same bounded-head pattern as
+    ``zipf_alpha``'s regression."""
+    us_day = np.int64(86_400_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts64 = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        ok = ~np.isnat(ts64)
+        t = batch.filter(pa.array(ok))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "ym": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                    "n_priced": pa.array([], pa.int64()),
+                }
+            )
+        days = np.floor_divide(ts64[ok].astype(np.int64), us_day)
+        # civil-from-days (Hinnant): days since 1970-01-01 -> (y, m)
+        z = days + 719468
+        era = np.floor_divide(z, 146097)
+        doe = z - era * 146097
+        yoe = np.floor_divide(doe - doe // 1460 + doe // 36524 - doe // 146096, 365)
+        y = yoe + era * 400
+        doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+        mp = np.floor_divide(5 * doy + 2, 153)
+        m = mp + np.where(mp < 10, 3, -9)
+        y = y + (m <= 2)
+        ym = y * 12 + (m - 1)
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        has_p = ~np.isnan(price)
+        cents = np.where(has_p, _cents_np(np.nan_to_num(price)), 0)
+        o = np.argsort(ym, kind="stable")
+        k, c, hp = ym[o], cents[o], has_p[o].astype(np.int64)
+        newg = np.r_[True, k[1:] != k[:-1]]
+        gidx = np.nonzero(newg)[0]
+        return pa.table(
+            {
+                "ym": pa.array(k[gidx], pa.int64()),
+                "cents": pa.array(
+                    np.add.reduceat(c, gidx).astype(np.int64), pa.int64()
+                ),
+                "n_priced": pa.array(
+                    np.add.reduceat(hp, gidx).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def diff(batch: pa.Table) -> pa.Table:
+        ym = batch["ym"].to_numpy(zero_copy_only=False)
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        npr = batch["n_priced"].to_numpy(zero_copy_only=False)
+        o = np.argsort(ym, kind="stable")
+        ym, cents, npr = ym[o], cents[o], npr[o]
+        # an all-NULL-price month has a NULL sum (SQL); its neighbors' lag
+        # fields go NULL with it
+        cnull = npr == 0
+        prev = np.r_[0, cents[:-1]].astype(np.int64)
+        pnull = np.r_[True, cnull[:-1]]
+        y = ym // 12
+        m = ym - y * 12 + 1
+        month = np.array(
+            ["%04d-%02d" % (yy, mm) for yy, mm in zip(y, m)], dtype=object
+        )
+        return pa.table(
+            {
+                "month": pa.array(month, pa.string()),
+                "cents": pa.array(cents, pa.int64(), mask=cnull),
+                "prev_cents": pa.array(prev, pa.int64(), mask=pnull),
+                "delta_cents": pa.array(
+                    cents - prev, pa.int64(), mask=(pnull | cnull)
+                ),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("ym")
+        .aggregate(Sum("cents", alias_name="cents"),
+                   Sum("n_priced", alias_name="n_priced"))
+        .repartition(1)
+        .map_batches(diff, batch_format="pyarrow")
+    )

@@ -431,3 +431,36 @@ def test_lang_stats_incremental_matches_one_shot(ray_session, sf_dir):
     pd.testing.assert_frame_equal(
         a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False, atol=1e-9
     )
+
+
+# ---------------------------------------------------------------------------
+# monthly_revenue_growth
+
+
+def test_monthly_revenue_growth_null_month_and_lag(ray_session, tmp_path):
+    _w(tmp_path, "orders", {
+        "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "o_orderdate": pa.array(
+            [datetime.datetime(1996, 1, 5), datetime.datetime(1996, 1, 20),
+             datetime.datetime(1996, 2, 1),   # all-NULL-price month
+             datetime.datetime(1996, 3, 9), None], pa.timestamp("us")),
+        "o_totalprice": pa.array([10.0, 20.0, None, 40.0, 99.0], pa.float64()),
+    })
+    rows = {
+        r["month"]: (r["cents"], r["prev_cents"], r["delta_cents"])
+        for r in relational.monthly_revenue_growth(str(tmp_path)).take_all()
+    }
+    assert rows == {
+        "1996-01": (3000, None, None),       # first month: NULL lag
+        "1996-02": (None, 3000, None),       # all-NULL prices: NULL sum
+        "1996-03": (4000, None, None),       # lag of a NULL month is NULL
+    }
+
+
+def test_monthly_revenue_growth_empty(ray_session, tmp_path):
+    _w(tmp_path, "orders", {
+        "o_orderkey": pa.array([], pa.int64()),
+        "o_orderdate": pa.array([], pa.timestamp("us")),
+        "o_totalprice": pa.array([], pa.float64()),
+    })
+    assert relational.monthly_revenue_growth(str(tmp_path)).take_all() == []
