@@ -522,13 +522,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_pagerank": analysis.domain_pagerank,
         # (slot from orders_by_mktsegment — in-window top_revenue_orders
         # drives the same size-gated broadcast/sidecar dual-plan machinery)
-        "bpe_pair_counts": analysis.bpe_pair_counts,
+        # (value_mad_outliers is NEW session-7 — robust median/MAD outlier
+        # gate, two grouped exact medians + broadcast stats; holds the slot
+        # ceded by bpe_pair_counts, r4-session-5, self-check-green and
+        # unchanged since, whose word-freq combiner cascade stays driven
+        # in-window by top_bigram_per_lang and zipf_alpha)
+        "value_mad_outliers": analysis.value_mad_outliers,
         # (slot from distinct_words_per_lang — in-window
         # tfidf_top5_per_lang drives the same distinct-count combiner)
         "gram_novelty_by_bucket": analysis.gram_novelty_by_bucket,
         # (slot from late_shipment_priority — in-window top_revenue_orders
         # drives the same size-gated broadcast-vs-join dual plan)
-        "blocklist_filter": analysis.blocklist_filter,
+        # (part_cube_stats is NEW session-7 — GROUP BY CUBE grouping sets,
+        # completes the ROLLUP/CUBE pair; holds the slot ceded by
+        # blocklist_filter, r4-session-5, self-check-green and unchanged
+        # since, whose broadcast-membership map-side filter stays driven
+        # in-window by segment_revenue_bloom)
+        "part_cube_stats": analysis.part_cube_stats,
         # (slot from value_zscore_outliers — the new idle_rich_customers
         # drives the same broadcast-global-scalar filter gate in-window)
         # (monthly_revenue_growth is NEW session-7 — LAG over a grouped
@@ -623,6 +633,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dedup_idempotent": analysis.events_dedup_idempotent,
         "knn_self_top1": analysis.knn_self_top1,
         "doc_length_histogram": analysis.doc_length_histogram,
+        "bpe_pair_counts": analysis.bpe_pair_counts,
+        "blocklist_filter": analysis.blocklist_filter,
         # (r4 session-6 cedes — each r3-driver-green and byte-unchanged
         # since, with the named in-window sibling; see the slot comments
         # above and QUERIES.md)
@@ -2670,6 +2682,38 @@ def oracle_sql() -> dict[str, str]:
                                     date_diff('day', DATE '2024-01-01', day)),
                          6) AS slope
             FROM d GROUP BY event_type
+        """,
+        "value_mad_outliers": """
+            WITH m AS (
+                SELECT event_type, median(value) AS med
+                FROM events GROUP BY event_type
+            ),
+            d AS (
+                SELECT e.event_id, e.event_type, e.value, m.med
+                FROM events e
+                JOIN m ON e.event_type IS NOT DISTINCT FROM m.event_type
+            ),
+            md AS (
+                SELECT event_type, median(abs(value - med)) AS mad
+                FROM d GROUP BY event_type
+            )
+            SELECT d.event_id, d.event_type, d.value,
+                   round(d.med, 6) AS med, round(md.mad, 6) AS mad
+            FROM d
+            JOIN md ON d.event_type IS NOT DISTINCT FROM md.event_type
+            WHERE abs(d.value - d.med) > 6.0 * md.mad
+        """,
+        "part_cube_stats": """
+            SELECT p_brand,
+                   CAST(floor(p_size / 10.0) AS BIGINT) AS size_band,
+                   CAST(GROUPING(p_brand) AS BIGINT) AS g_brand,
+                   CAST(GROUPING(CAST(floor(p_size / 10.0) AS BIGINT))
+                        AS BIGINT) AS g_band,
+                   CAST(count(*) AS BIGINT) AS n_parts,
+                   CAST(sum(floor(p_retailprice * 100 + 0.5)) AS BIGINT)
+                       AS retail_cents
+            FROM part
+            GROUP BY CUBE(p_brand, CAST(floor(p_size / 10.0) AS BIGINT))
         """,
         "monthly_revenue_growth": """
             WITH m AS (

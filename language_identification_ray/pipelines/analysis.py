@@ -8786,3 +8786,252 @@ def chars_tokens_corr(sf_dir: str) -> "rd.Dataset":
         .repartition(1)
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def value_mad_outliers(sf_dir: str, k: float = 6.0) -> "rd.Dataset":
+    """Robust per-type outlier detection via Median Absolute Deviation:
+    events whose value deviates from their type's MEDIAN by more than ``k``
+    × MAD — the robust alternative to :func:`value_zscore_outliers` (a few
+    extreme outliers inflate a z-score's own mean/stddev and mask each
+    other; the median/MAD pair is breakdown-resistant, the standard robust
+    anomaly gate).  Two grouped medians (value, then |value − median|),
+    both `quantile_cont`-interpolation-exact; NULL values never flag (SQL
+    comparison semantics); NULL event_type is its own group; a zero-MAD
+    type flags only values strictly different from the median.
+
+    Scale shape: two passes over a (type, value) projection — each a
+    type-keyed groupby with a vectorized per-group quantile (type
+    cardinality is small; at corpus scale the exact median swaps for the
+    repo's mergeable quantile digest, same contract as
+    ``lang_percentiles_sketch``) — then the broadcast (median, mad) table
+    gates one map-only pass."""
+
+    def med(group: pa.Table) -> pa.Table:
+        v = group["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = np.sort(v[~np.isnan(v)])
+        if len(v) == 0:
+            return pa.table(
+                {
+                    "type_key": group["type_key"].slice(0, 1),
+                    "type_null": group["type_null"].slice(0, 1),
+                    "med": pa.array([None], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "type_key": group["type_key"].slice(0, 1),
+                "type_null": group["type_null"].slice(0, 1),
+                "med": pa.array([_quantile_cont(v, 0.5)], pa.float64()),
+            }
+        )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        key, isnull = _null_safe_key(batch["event_type"])
+        return pa.table(
+            {"type_key": key, "type_null": isnull, "value": batch["value"],
+             "event_id": batch["event_id"]}
+        )
+
+    src = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    ).map_batches(keyed, batch_format="pyarrow")
+
+    med_rows = src.groupby(["type_key", "type_null"]).map_groups(
+        med, batch_format="pyarrow"
+    ).take_all()  # bounded by event-type cardinality
+    med_map = {(r["type_key"], bool(r["type_null"])): r["med"] for r in med_rows}
+    import ray
+
+    med_ref = ray.put(med_map)
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        mm = ray.get(med_ref)
+        keys = batch["type_key"].to_numpy(zero_copy_only=False).astype(object)
+        nulls = batch["type_null"].to_numpy(zero_copy_only=False).astype(bool)
+        meds = np.array(
+            [np.nan if mm.get((k, n)) is None else mm[(k, n)]
+             for k, n in zip(keys, nulls)],
+            dtype=np.float64,
+        )
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "type_key": batch["type_key"],
+                "type_null": batch["type_null"],
+                "value": pa.array(np.abs(v - meds), pa.float64()),
+                "event_id": batch["event_id"],
+            }
+        )
+
+    mad_rows = (
+        src.map_batches(absdev, batch_format="pyarrow")
+        .groupby(["type_key", "type_null"])
+        .map_groups(med, batch_format="pyarrow")
+    ).take_all()
+    mad_map = {(r["type_key"], bool(r["type_null"])): r["med"] for r in mad_rows}
+    stats_ref = ray.put((med_map, mad_map))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        mm, dd = ray.get(stats_ref)
+        keys = batch["type_key"].to_numpy(zero_copy_only=False).astype(object)
+        nulls = batch["type_null"].to_numpy(zero_copy_only=False).astype(bool)
+        meds = np.array(
+            [np.nan if mm.get((kk, n)) is None else mm[(kk, n)]
+             for kk, n in zip(keys, nulls)],
+            dtype=np.float64,
+        )
+        mads = np.array(
+            [np.nan if dd.get((kk, n)) is None else dd[(kk, n)]
+             for kk, n in zip(keys, nulls)],
+            dtype=np.float64,
+        )
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            out = np.abs(v - meds) > k * mads
+        out &= ~np.isnan(v)
+        t = batch.filter(pa.array(out))
+        meds_t, mads_t = meds[out], mads[out]
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": pc.if_else(
+                    t["type_null"], pa.scalar(None, pa.string()), t["type_key"]
+                ),
+                "value": t["value"],
+                "med": pa.array(np.round(meds_t, 6), pa.float64()),
+                "mad": pa.array(np.round(mads_t, 6), pa.float64()),
+            }
+        )
+
+    return src.map_batches(flag, batch_format="pyarrow")
+
+
+def part_cube_stats(sf_dir: str) -> "rd.Dataset":
+    """GROUP BY CUBE(p_brand, size_band) over the part table: part counts
+    and exact retail-cent sums at ALL FOUR grouping levels — (brand, band),
+    (brand), (band), () — completing the grouping-sets surface next to
+    :func:`lang_source_rollup` (ROLLUP omits the (band)-only level; CUBE is
+    what OLAP dashboards precompute).  ``size_band`` = p_size // 10 (NULL
+    size keeps a NULL band); SQL ``GROUPING()`` ids disambiguate cube NULLs
+    from real NULL keys; retail sums follow SQL SUM-NULL semantics through
+    every level (a non-null count rides the cascade).
+
+    Scale shape: identical to the ROLLUP kernel — one distributed
+    finest-level groupby (catalog-cardinality), three coarser levels
+    re-derived inside a single catalog-sized block."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        size = batch["p_size"].to_numpy(zero_copy_only=False).astype(np.float64)
+        isnull = np.isnan(size)
+        band = np.floor_divide(np.nan_to_num(size, nan=0.0), 10).astype(np.int64)
+        brand_key, brand_null = _null_safe_key(batch["p_brand"])
+        t = pa.table(
+            {
+                "brand_key": brand_key,
+                "brand_null": brand_null,
+                "band": pa.array(band, pa.int64()),
+                "band_null": pa.array(isnull),
+                "cents": pa.array(
+                    np.where(
+                        np.isnan(
+                            batch["p_retailprice"].to_numpy(zero_copy_only=False)
+                            .astype(np.float64)
+                        ),
+                        0,
+                        np.floor(
+                            np.nan_to_num(
+                                batch["p_retailprice"].to_numpy(zero_copy_only=False)
+                                .astype(np.float64)
+                            ) * 100.0 + 0.5
+                        ),
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+                "n_priced": pc.is_valid(batch["p_retailprice"]).cast(pa.int64()),
+            }
+        )
+        g = t.group_by(["brand_key", "brand_null", "band", "band_null"]).aggregate(
+            [("cents", "sum"), ("n_priced", "sum"), ([], "count_all")]
+        )
+        return pa.table(
+            {
+                "brand_key": g["brand_key"],
+                "brand_null": g["brand_null"],
+                "band": g["band"],
+                "band_null": g["band_null"],
+                "cents": g["cents_sum"].cast(pa.int64()),
+                "n_priced": g["n_priced_sum"].cast(pa.int64()),
+                "n_parts": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    def cube(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        finest: dict = {}
+        for r in rows:
+            kk = (
+                None if r["brand_null"] else r["brand_key"],
+                None if r["band_null"] else int(r["band"]),
+                r["brand_null"], r["band_null"],
+            )
+            c, p, n = finest.get(kk, (0, 0, 0))
+            finest[kk] = (c + r["cents"], p + r["n_priced"], n + r["n_parts"])
+
+        def roll(level):
+            out: dict = {}
+            for (bk, bd, bkn, bdn), v in finest.items():
+                key = (
+                    (bk, None, bkn, False) if level == "brand"
+                    else (None, bd, False, bdn) if level == "band"
+                    else (None, None, False, False)
+                )
+                c0, p0, n0 = out.get(key, (0, 0, 0))
+                out[key] = (c0 + v[0], p0 + v[1], n0 + v[2])
+            return out
+
+        def emit(d, g_brand, g_band):
+            bks, bds, cs, ps, ns = [], [], [], [], []
+            for (bk, bd, _, _), (c, p, n) in d.items():
+                bks.append(bk)
+                bds.append(bd)
+                cs.append(c)
+                ps.append(p)
+                ns.append(n)
+            return pa.table(
+                {
+                    "p_brand": pa.array(bks, pa.string()),
+                    "size_band": pa.array(bds, pa.int64()),
+                    "g_brand": pa.array([g_brand] * len(cs), pa.int64()),
+                    "g_band": pa.array([g_band] * len(cs), pa.int64()),
+                    "n_parts": pa.array(ns, pa.int64()),
+                    "retail_cents": pa.array(
+                        [c if p > 0 else None for c, p in zip(cs, ps)], pa.int64()
+                    ),
+                }
+            )
+
+        if not finest:
+            return emit({}, 0, 0)
+        return pa.concat_tables(
+            [
+                emit(finest, 0, 0),
+                emit(roll("brand"), 0, 1),
+                emit(roll("band"), 1, 0),
+                emit(roll("all"), 1, 1),
+            ]
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/part.parquet", columns=["p_brand", "p_size", "p_retailprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["brand_key", "brand_null", "band", "band_null"])
+        .aggregate(
+            Sum("cents", alias_name="cents"),
+            Sum("n_priced", alias_name="n_priced"),
+            Sum("n_parts", alias_name="n_parts"),
+        )
+        .repartition(1)
+        .map_batches(cube, batch_format="pyarrow")
+    )
