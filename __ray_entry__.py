@@ -442,7 +442,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DISTINCT; holds the slot ceded by events_json_kpi, r2-green and
         # unchanged, whose vectorized-RE2 extraction machinery stays driven
         # in-window by token_count_bpe; still pytest-gated)
-        "events_hourly_distinct_users": analysis.events_hourly_distinct_users,
+        # (daily_top_spenders is NEW session-7 — grouped top-k on a derived
+        # calendar key with full SQL NULLS-LAST ordering; holds the slot
+        # ceded by events_hourly_distinct_users, r4-session-3,
+        # self-check-green and unchanged since, whose windowed grouped
+        # DISTINCT stays driven in-window by rolling_active_users and
+        # events_weekday_hour_heatmap)
+        "daily_top_spenders": analysis.daily_top_spenders,
         # (documents_profile is back IN-window in r4: its kernel was
         # rewritten this round — one fused scan instead of three executions
         # — taking the slot ceded by event_type_transitions, r3-green and
@@ -565,10 +571,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unchanged since, whose per-user window compaction stays driven
         # in-window by events_collapse_consecutive + events_latest_per_user)
         "word_burstiness": analysis.word_burstiness,
-        # (slot from revenue_by_supplier_nation — r2-green, unchanged; the
-        # new in-window top_supplier_revenue drives the same dimension
-        # broadcast + grouped-cents machinery)
-        "kmeans_train": analysis.kmeans_train,
+        # (langs_in_every_source is NEW session-7 — relational DIVISION via
+        # grouped distinct-count vs a broadcast divisor scalar; holds the
+        # slot ceded by kmeans_train, r4-session-5, self-check-green and
+        # unchanged since, whose broadcast-matrix matmul partials stay
+        # driven in-window by embedding_covariance)
+        "langs_in_every_source": analysis.langs_in_every_source,
         # (events_weekday_hour_heatmap is NEW session-7 — epoch-arithmetic
         # date-part heatmap; holds the slot ceded by knn_self_top1,
         # r4-session-5, self-check-green and unchanged since, whose
@@ -635,6 +643,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": analysis.doc_length_histogram,
         "bpe_pair_counts": analysis.bpe_pair_counts,
         "blocklist_filter": analysis.blocklist_filter,
+        "kmeans_train": analysis.kmeans_train,
+        "events_hourly_distinct_users": analysis.events_hourly_distinct_users,
         # (r4 session-6 cedes — each r3-driver-green and byte-unchanged
         # since, with the named in-window sibling; see the slot comments
         # above and QUERIES.md)
@@ -2682,6 +2692,34 @@ def oracle_sql() -> dict[str, str]:
                                     date_diff('day', DATE '2024-01-01', day)),
                          6) AS slope
             FROM d GROUP BY event_type
+        """,
+        "langs_in_every_source": """
+            WITH p AS (
+                SELECT DISTINCT lang, source FROM documents
+                WHERE source IS NOT NULL
+            ),
+            d AS (SELECT count(DISTINCT source) AS ns FROM p)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_sources
+            FROM p GROUP BY lang
+            HAVING count(*) = (SELECT ns FROM d)
+        """,
+        "daily_top_spenders": """
+            WITH s AS (
+                SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       user_id,
+                       CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS cents
+                FROM events GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT day, user_id, cents,
+                       row_number() OVER (
+                           PARTITION BY day
+                           ORDER BY cents DESC NULLS LAST, user_id NULLS LAST
+                       ) AS rank
+                FROM s
+            )
+            SELECT day, user_id, cents, CAST(rank AS BIGINT) AS rank
+            FROM r WHERE rank <= 3
         """,
         "value_mad_outliers": """
             WITH m AS (

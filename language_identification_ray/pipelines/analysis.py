@@ -9035,3 +9035,164 @@ def part_cube_stats(sf_dir: str) -> "rd.Dataset":
         .repartition(1)
         .map_batches(cube, batch_format="pyarrow")
     )
+
+
+def langs_in_every_source(sf_dir: str) -> "rd.Dataset":
+    """Relational DIVISION: languages that appear in EVERY source — the
+    "suppliers who stock all parts" textbook shape (here: the coverage
+    audit answering "which languages does every shard contribute?", the
+    gate a balanced multi-source mixture checks before fixing per-source
+    language quotas).  NULL sources are excluded from the divisor on both
+    engines (a NULL shard is not a source); NULL langs can still divide.
+
+    Scale shape: per-batch DISTINCT (lang, source) pairs (vocabulary-of-
+    catalogs-sized), one grouped distinct-source count per lang, and the
+    divisor cardinality broadcast as ONE driver scalar — no join anywhere."""
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        lang_key, lang_null = _null_safe_key(batch["lang"])
+        t = pa.table(
+            {
+                "lang_key": lang_key,
+                "lang_null": lang_null,
+                "source": batch["source"],
+            }
+        ).filter(pc.is_valid(batch["source"]))
+        g = t.group_by(["lang_key", "lang_null", "source"]).aggregate([([], "count_all")])
+        return g.select(["lang_key", "lang_null", "source"])
+
+    distinct_pairs = (
+        _docs(sf_dir, ["lang", "source"])
+        .map_batches(pairs, batch_format="pyarrow")
+        .groupby(["lang_key", "lang_null", "source"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+
+    # divisor: global distinct source count (catalog-sized driver scalar)
+    n_sources = len(
+        set(
+            r["source"]
+            for r in distinct_pairs.groupby("source")
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+            .select_columns(["source"])
+            .take_all()
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["n_sources"], n_sources)
+        t = batch.filter(pc.fill_null(keep, False))
+        return pa.table(
+            {
+                "lang": pc.if_else(
+                    t["lang_null"], pa.scalar(None, pa.string()), t["lang_key"]
+                ),
+                "n_sources": t["n_sources"],
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    return (
+        distinct_pairs.groupby(["lang_key", "lang_null"])
+        .aggregate(Count(alias_name="n_sources"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )
+
+
+def daily_top_spenders(sf_dir: str, k: int = 3) -> "rd.Dataset":
+    """Per-day top-``k`` users by exact cent spend — grouped top-k over a
+    DERIVED calendar key (the daily-leaderboard shape: ``row_number() OVER
+    (PARTITION BY day ORDER BY cents DESC, user_id)`` ≤ k).  Ties break by
+    user_id ASC; NULL-timestamp events form their own "day" (SQL GROUP BY
+    over a NULL date), NULL users aggregate as one user per SQL GROUP BY
+    and can place; NULL values add no cents (SQL sum) — a (day, user)
+    whose spend sum is NULL ranks after every real sum (ORDER BY cents
+    DESC NULLS LAST).
+
+    Scale shape: per-batch (day, user) cent partials, one keyed exchange,
+    then a per-batch partial top-k cut and a ≤ days-cardinality final
+    argsort — the ``top_docs_per_lang`` pattern on a derived key."""
+    us_day = np.int64(86_400_000_000)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts64 = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        isnat = np.isnat(ts64)
+        day = np.floor_divide(ts64.astype(np.int64), us_day)
+        day[isnat] = 0
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.float64)
+        unull = np.isnan(uid)
+        uid64 = np.nan_to_num(uid, nan=0.0).astype(np.int64)
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        has_v = ~np.isnan(v)
+        cents = np.where(has_v, np.floor(np.nan_to_num(v) * 100.0 + 0.5), 0).astype(
+            np.int64
+        )
+        t = pa.table(
+            {
+                "day": pa.array(day, pa.int64()),
+                "day_null": pa.array(isnat),
+                "uid": pa.array(uid64, pa.int64()),
+                "uid_null": pa.array(unull),
+                "cents": pa.array(cents, pa.int64()),
+                "n_val": pa.array(has_v.astype(np.int64), pa.int64()),
+            }
+        )
+        return (
+            t.group_by(["day", "day_null", "uid", "uid_null"])
+            .aggregate([("cents", "sum"), ("n_val", "sum")])
+            .rename_columns(
+                ["day", "day_null", "uid", "uid_null", "cents", "n_val"]
+            )
+        )
+
+    def cut(batch: pa.Table) -> pa.Table:
+        # partial top-k per (day) inside the block: NULL sums last, then
+        # cents desc, then (uid_null, uid) asc — SQL's full ordering
+        df = batch.to_pandas()
+        df["sum_null"] = df["n_val"] == 0
+        df = df.sort_values(
+            ["day", "day_null", "sum_null", "cents", "uid_null", "uid"],
+            ascending=[True, True, True, False, True, True],
+        )
+        df = df.groupby(["day", "day_null"], dropna=False).head(k)
+        return pa.Table.from_pandas(
+            df[["day", "day_null", "uid", "uid_null", "cents", "n_val"]],
+            preserve_index=False,
+        )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        df = group.to_pandas()
+        df["sum_null"] = df["n_val"] == 0
+        df = df.sort_values(
+            ["sum_null", "cents", "uid_null", "uid"],
+            ascending=[True, False, True, True],
+        ).head(k)
+        day = df["day"].to_numpy()
+        epoch = np.datetime64("1970-01-01", "us")
+        days = (epoch + day * np.timedelta64(86_400_000_000, "us"))
+        return pa.table(
+            {
+                "day": pa.array(days, pa.timestamp("us"), mask=df["day_null"].to_numpy()),
+                "user_id": pa.array(
+                    df["uid"].to_numpy(), pa.int64(), mask=df["uid_null"].to_numpy()
+                ),
+                "cents": pa.array(
+                    df["cents"].to_numpy(), pa.int64(),
+                    mask=df["sum_null"].to_numpy(),
+                ),
+                "rank": pa.array(np.arange(1, len(df) + 1), pa.int64()),
+            }
+        )
+
+    return (
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "day_null", "uid", "uid_null"])
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n_val", alias_name="n_val"))
+        .map_batches(cut, batch_format="pyarrow")
+        .groupby(["day", "day_null"])
+        .map_groups(finalize, batch_format="pyarrow")
+    )
