@@ -464,3 +464,151 @@ def test_monthly_revenue_growth_empty(ray_session, tmp_path):
         "o_totalprice": pa.array([], pa.float64()),
     })
     assert relational.monthly_revenue_growth(str(tmp_path)).take_all() == []
+
+
+# ---------------------------------------------------------------------------
+# late-session kernels: hand value pins
+
+
+def test_events_weekday_hour_heatmap_epoch_arith(ray_session, tmp_path):
+    # 2024-01-01 is a Monday (isodow 1); NULL ts -> (NULL, NULL) group
+    _events(tmp_path, [
+        (datetime.datetime(2024, 1, 1, 0, 30), "a"),   # Mon, hour 0
+        (datetime.datetime(2024, 1, 1, 23, 59), "a"),  # Mon, hour 23
+        (datetime.datetime(2024, 1, 7, 12, 0), "a"),   # Sun (isodow 7)
+        (None, "a"),
+    ])
+    rows = {
+        (r["dow"], r["hour"]): r["cnt"]
+        for r in analysis.events_weekday_hour_heatmap(str(tmp_path)).take_all()
+    }
+    assert rows == {(1, 0): 1, (1, 23): 1, (7, 12): 1, (None, None): 1}
+
+
+def test_user_event_type_pivot_other_and_null(ray_session, tmp_path):
+    _w(tmp_path, "events", {
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array([datetime.datetime(2024, 1, 1)] * 5, TS),
+        "user_id": pa.array([7, 7, 7, None, 7], pa.int64()),
+        "event_type": pa.array(["view", "click", "weird", "purchase", None], pa.string()),
+        "value": pa.array([1.0] * 5, pa.float64()),
+        "props": pa.array(["{}"] * 5, pa.string()),
+    })
+    rows = {
+        r["user_id"]: (r["view_cnt"], r["click_cnt"], r["purchase_cnt"], r["total_cnt"])
+        for r in analysis.user_event_type_pivot(str(tmp_path)).take_all()
+    }
+    # 'weird' and NULL types count only in total; NULL user is its own row
+    assert rows == {7: (1, 1, 0, 4), None: (0, 0, 1, 1)}
+
+
+def test_chars_tokens_corr_perfect_and_degenerate(ray_session, tmp_path):
+    # n_chars == 10 * tokens -> corr exactly 1.0
+    _w(tmp_path, "documents", {
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["a", "a b", "a b c"], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([10, 20, 30], pa.int64()),
+    })
+    rows = analysis.chars_tokens_corr(str(tmp_path)).take_all()
+    assert rows == [{"n_rows": 3, "corr": 1.0}]
+    # constant n_chars -> zero variance -> NULL corr
+    _w(tmp_path, "documents", {
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a", "a b"], pa.string()),
+        "lang": pa.array(["en"] * 2, pa.string()),
+        "source": pa.array(["s"] * 2, pa.string()),
+        "n_chars": pa.array([5, 5], pa.int64()),
+    })
+    rows = analysis.chars_tokens_corr(str(tmp_path)).take_all()
+    assert rows == [{"n_rows": 2, "corr": None}]
+
+
+def test_value_mad_outliers_zero_mad_and_nulls(ray_session, tmp_path):
+    _w(tmp_path, "events", {
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "ts": pa.array([datetime.datetime(2024, 1, 1)] * 6, TS),
+        "user_id": pa.array([1] * 6, pa.int64()),
+        # type 'a': values 5,5,5,500 -> med 5, mad 0 -> only 500 flags
+        # (|500-5| > 6*0); NULL value never flags; type with one value: mad 0
+        "event_type": pa.array(["a", "a", "a", "a", "a", "b"], pa.string()),
+        "value": pa.array([5.0, 5.0, 5.0, 500.0, None, 9.0], pa.float64()),
+        "props": pa.array(["{}"] * 6, pa.string()),
+    })
+    rows = {r["event_id"]: (r["med"], r["mad"]) for r in
+            analysis.value_mad_outliers(str(tmp_path)).take_all()}
+    assert rows == {4: (5.0, 0.0)}
+
+
+def test_part_cube_stats_levels(ray_session, tmp_path):
+    _w(tmp_path, "part", {
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_name": pa.array(["x", "y", "z"], pa.string()),
+        "p_brand": pa.array(["B1", "B1", "B2"], pa.string()),
+        "p_type": pa.array(["t"] * 3, pa.string()),
+        "p_size": pa.array([5, 15, None], pa.int32()),
+        "p_retailprice": pa.array([1.0, 2.0, None], pa.float64()),
+    })
+    rows = {
+        (r["p_brand"], r["size_band"], r["g_brand"], r["g_band"]):
+            (r["n_parts"], r["retail_cents"])
+        for r in analysis.part_cube_stats(str(tmp_path)).take_all()
+    }
+    # finest: (B1,0) (B1,1) (B2,NULL size -> NULL band, all-NULL price)
+    assert rows[("B1", 0, 0, 0)] == (1, 100)
+    assert rows[("B1", 1, 0, 0)] == (1, 200)
+    assert rows[("B2", None, 0, 0)] == (1, None)
+    # brand level
+    assert rows[("B1", None, 0, 1)] == (2, 300)
+    assert rows[("B2", None, 0, 1)] == (1, None)
+    # band level (g_brand=1)
+    assert rows[(None, 0, 1, 0)] == (1, 100)
+    assert rows[(None, 1, 1, 0)] == (1, 200)
+    assert rows[(None, None, 1, 0)] == (1, None)
+    # grand total
+    assert rows[(None, None, 1, 1)] == (3, 300)
+    assert len(rows) == 3 + 2 + 3 + 1
+
+
+def test_langs_in_every_source_division(ray_session, tmp_path):
+    _w(tmp_path, "documents", {
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["x"] * 6, pa.string()),
+        # en in s1+s2 (divides); de only s1; NULL lang in s1+s2 (divides);
+        # a NULL-source row never counts toward the divisor
+        "lang": pa.array(["en", "en", "de", None, None, "fr"], pa.string()),
+        "source": pa.array(["s1", "s2", "s1", "s1", "s2", None], pa.string()),
+        "n_chars": pa.array([1] * 6, pa.int64()),
+    })
+    rows = {r["lang"]: r["n_sources"] for r in
+            analysis.langs_in_every_source(str(tmp_path)).take_all()}
+    assert rows == {"en": 2, None: 2}
+
+
+def test_daily_top_spenders_ties_and_nulls(ray_session, tmp_path):
+    d0 = datetime.datetime(2024, 1, 1)
+    _w(tmp_path, "events", {
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "ts": pa.array([d0, d0, d0, d0, d0, None, d0], TS),
+        "user_id": pa.array([1, 2, 3, 4, 2, 9, None], pa.int64()),
+        # day totals: u2=5.0 (two events), u1=2.0, u3=2.0 (tie -> user asc),
+        # u4=0.5 (cut at k=3); NULL-ts day has u9; NULL user has NULL value
+        # -> NULL sum, ranks last but still inside k on its day
+        "event_type": pa.array(["a"] * 7, pa.string()),
+        "value": pa.array([2.0, 3.0, 2.0, 0.5, 2.0, 1.0, None], pa.float64()),
+        "props": pa.array(["{}"] * 7, pa.string()),
+    })
+    rows = [
+        (r["day"] is None, r["user_id"], r["cents"], r["rank"])
+        for r in sorted(
+            analysis.daily_top_spenders(str(tmp_path)).take_all(),
+            key=lambda r: (r["day"] is None, r["rank"]),
+        )
+    ]
+    assert rows == [
+        (False, 2, 500, 1),
+        (False, 1, 200, 2),
+        (False, 3, 200, 3),
+        (True, 9, 100, 1),
+    ]
