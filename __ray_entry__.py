@@ -536,7 +536,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad_outliers": analysis.value_mad_outliers,
         # (slot from distinct_words_per_lang — in-window
         # tfidf_top5_per_lang drives the same distinct-count combiner)
-        "gram_novelty_by_bucket": analysis.gram_novelty_by_bucket,
+        # (user_metrics_long is NEW session-7 — UNPIVOT wide→long melt,
+        # the inverse of user_event_type_pivot, which it composes
+        # in-window; holds the slot ceded by gram_novelty_by_bucket,
+        # r4-session-5, self-check-green and byte-unchanged since, whose
+        # packed-min gram-attribution combiner stays gated by the
+        # source_novelty oracle sibling + the 149-query self-check)
+        "user_metrics_long": analysis.user_metrics_long,
         # (slot from late_shipment_priority — in-window top_revenue_orders
         # drives the same size-gated broadcast-vs-join dual plan)
         # (part_cube_stats is NEW session-7 — GROUP BY CUBE grouping sets,
@@ -645,6 +651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_filter": analysis.blocklist_filter,
         "kmeans_train": analysis.kmeans_train,
         "events_hourly_distinct_users": analysis.events_hourly_distinct_users,
+        "gram_novelty_by_bucket": analysis.gram_novelty_by_bucket,
         # (r4 session-6 cedes — each r3-driver-green and byte-unchanged
         # since, with the named in-window sibling; see the slot comments
         # above and QUERIES.md)
@@ -2692,6 +2699,20 @@ def oracle_sql() -> dict[str, str]:
                                     date_diff('day', DATE '2024-01-01', day)),
                          6) AS slope
             FROM d GROUP BY event_type
+        """,
+        "user_metrics_long": """
+            WITH w AS (
+                SELECT user_id,
+                       CAST(count(*) FILTER (WHERE event_type = 'view')
+                            AS BIGINT) AS view_cnt,
+                       CAST(count(*) FILTER (WHERE event_type = 'click')
+                            AS BIGINT) AS click_cnt,
+                       CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                            AS BIGINT) AS purchase_cnt
+                FROM events GROUP BY user_id
+            )
+            SELECT user_id, metric, cnt FROM w
+            UNPIVOT (cnt FOR metric IN (view_cnt, click_cnt, purchase_cnt))
         """,
         "langs_in_every_source": """
             WITH p AS (

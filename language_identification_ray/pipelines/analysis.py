@@ -9196,3 +9196,35 @@ def daily_top_spenders(sf_dir: str, k: int = 3) -> "rd.Dataset":
         .groupby(["day", "day_null"])
         .map_groups(finalize, batch_format="pyarrow")
     )
+
+
+def user_metrics_long(sf_dir: str) -> "rd.Dataset":
+    """UNPIVOT — the wide→long inverse of :func:`user_event_type_pivot`:
+    each user's (view/click/purchase) counts re-emitted as (user_id,
+    metric, cnt) rows — the normalization step that feeds wide feature
+    tables back into long-format stores (SQL ``UNPIVOT`` /
+    ``UNION ALL`` of per-column projections).  Zero-count metrics are kept
+    (SQL UNPIVOT INCLUDE NULLS analogue: the wide table's explicit zeros
+    survive), so the output is exactly 3 rows per user.
+
+    Scale shape: the pivot's exchange plus a map-only 3× fan-out — the
+    widening and the melt never co-materialize more than a batch."""
+    wide = user_event_type_pivot(sf_dir)
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        uids = pa.concat_arrays([batch["user_id"].combine_chunks()] * 3)
+        metric = pa.array(
+            ["view_cnt"] * n + ["click_cnt"] * n + ["purchase_cnt"] * n,
+            pa.string(),
+        )
+        cnt = pa.concat_arrays(
+            [
+                batch["view_cnt"].combine_chunks(),
+                batch["click_cnt"].combine_chunks(),
+                batch["purchase_cnt"].combine_chunks(),
+            ]
+        )
+        return pa.table({"user_id": uids, "metric": metric, "cnt": cnt})
+
+    return wide.map_batches(melt, batch_format="pyarrow")
