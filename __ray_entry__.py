@@ -525,7 +525,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance": analysis.embedding_covariance,
         # (slot from source_novelty — in-window boilerplate_ngram_stats
         # drives the same distinct-gram combiner attribution machinery)
-        "domain_pagerank": analysis.domain_pagerank,
+        # (domain_triangles is NEW session-7 — triangle counting on the
+        # bounded outlink-domain graph via the distinct-edge combiner;
+        # holds the slot ceded by domain_pagerank, r4-session-4,
+        # self-check-green and unchanged since — the SAME synthesized
+        # domain graph and edge-combiner machinery now run in-window here)
+        "domain_triangles": analysis.domain_triangles,
         # (slot from orders_by_mktsegment — in-window top_revenue_orders
         # drives the same size-gated broadcast/sidecar dual-plan machinery)
         # (value_mad_outliers is NEW session-7 — robust median/MAD outlier
@@ -652,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_train": analysis.kmeans_train,
         "events_hourly_distinct_users": analysis.events_hourly_distinct_users,
         "gram_novelty_by_bucket": analysis.gram_novelty_by_bucket,
+        "domain_pagerank": analysis.domain_pagerank,
         # (r4 session-6 cedes — each r3-driver-green and byte-unchanged
         # since, with the named in-window sibling; see the slot comments
         # above and QUERIES.md)
@@ -2699,6 +2705,28 @@ def oracle_sql() -> dict[str, str]:
                                     date_diff('day', DATE '2024-01-01', day)),
                          6) AS slope
             FROM d GROUP BY event_type
+        """,
+        "domain_triangles": """
+            WITH e0 AS (
+                SELECT DISTINCT doc_id % 40 AS a, (doc_id * 7 + 3) % 40 AS b
+                FROM documents WHERE doc_id IS NOT NULL
+                UNION
+                SELECT DISTINCT doc_id % 40 AS a,
+                       CAST(floor(doc_id / 7.0) AS BIGINT) % 40 AS b
+                FROM documents WHERE doc_id IS NOT NULL
+            ),
+            e AS (
+                SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+                FROM e0 WHERE a <> b
+            )
+            SELECT CAST((SELECT count(*) FROM e e1
+                         JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+                         JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+                        AS BIGINT) AS n_triangles,
+                   CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+                   CAST((SELECT count(*) FROM
+                         (SELECT u FROM e UNION SELECT v FROM e))
+                        AS BIGINT) AS n_nodes
         """,
         "user_metrics_long": """
             WITH w AS (
