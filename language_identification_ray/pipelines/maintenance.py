@@ -172,24 +172,34 @@ def zorder_write(
         .write_parquet(out_dir)
     )
 
-    out = pads.dataset(out_dir)
-    layout = []
-    for f in sorted(out.files):
-        t = pq.read_table(f, columns=[key_num, key_cat])
-        v = t[key_num].to_numpy(zero_copy_only=False).astype(np.float64)
-        v = v[~np.isnan(v)]
+    import ray
+
+    @ray.remote
+    def _file_stats(f: str) -> dict:
+        # per-file layout row, computed WHERE the file is: numeric range +
+        # distinct cat codes from one pruned two-column read.  The driver
+        # only collects files-count rows, never data.
+        import zlib as _z
+
+        import numpy as _np
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(f, columns=[key_num, key_cat])
+        v = t[key_num].to_numpy(zero_copy_only=False).astype(_np.float64)
+        v = v[~_np.isnan(v)]
         cats = set(
-            zlib.crc32(("" if s is None else s).encode()) & 0xFF
+            _z.crc32(("" if s is None else s).encode()) & 0xFF
             for s in t[key_cat].to_pylist()
         )
-        layout.append(
-            {
-                "file": f,
-                "num_min": float(v.min()) if len(v) else float("inf"),
-                "num_max": float(v.max()) if len(v) else float("-inf"),
-                "cat_codes": cats,
-            }
-        )
+        return {
+            "file": f,
+            "num_min": float(v.min()) if len(v) else float("inf"),
+            "num_max": float(v.max()) if len(v) else float("-inf"),
+            "cat_codes": cats,
+        }
+
+    out = pads.dataset(out_dir)
+    layout = ray.get([_file_stats.remote(f) for f in sorted(out.files)])
     return {"files": len(out.files), "layout": layout, "lo": lo, "hi": hi}
 
 
