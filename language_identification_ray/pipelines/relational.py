@@ -3800,45 +3800,55 @@ def segment_revenue_bloom(
     still go through the exact orderkey-bucket co-partition join, so false
     positives cost work, never correctness (hash-exact SQL oracle).
 
-    Scale shape: the segment key filter is built DISTRIBUTED (per-batch
-    Bloom partials, OR-merged — bounded by m_bits/8 bytes per batch
-    through a files-count collect), broadcast once via ``ray.put``
-    (~10 bits/key at any build size, where raw keys might not fit a
-    broadcast); orders pre-aggregate map-side AFTER the bloom cut, so the
-    one keyed exchange carries only maybe-matching (custkey, cents)
-    partials plus the segment keys.  SQL semantics: NULL custkey never
-    joins; NULL totalprice counts the order but adds no cents (SQL sum
-    ignores NULL)."""
+    Scale shape: the segment Bloom is built DISTRIBUTED (per-batch
+    partials, OR-merged — the collect is bounded at m_bits/8 bytes per
+    customer batch) and broadcast once via ``ray.put`` (~10 bits/key at
+    any build size — the point of a Bloom is that raw keys need NOT fit a
+    broadcast); the RAW segment keys never touch the driver: they ship
+    through the same custkey-bucket exchange as the order partials, and
+    each bucket verifies its own keys locally.  Orders pre-aggregate
+    map-side AFTER the bloom cut, so the one keyed exchange carries only
+    maybe-matching (custkey, cents) partials plus the per-bucket key rows.
+    SQL semantics: NULL custkey never joins; NULL totalprice counts the
+    order but adds no cents (SQL sum ignores NULL)."""
     from language_identification_ray.functions import sketches as sk
 
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
 
-    def seg_keys(batch: pa.Table) -> pa.Table:
+    def _seg_slice(batch: pa.Table) -> np.ndarray:
         keep = _pc.fill_null(_pc.equal(batch["c_mktsegment"], segment), False)
         t = batch.filter(keep)
         keys = t["c_custkey"].to_numpy(zero_copy_only=False)
-        keys = keys[~np.isnan(keys.astype(np.float64))].astype(np.int64)
+        return keys[~np.isnan(keys.astype(np.float64))].astype(np.int64)
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        keys = _seg_slice(batch)
         bits = sk.bloom_empty(m_bits)
         sk.bloom_add_hashes(bits, keys.astype(np.uint32))
-        return pa.table(
-            {
-                "keys": pa.array([keys], pa.list_(pa.int64())),
-                "bloom": pa.array([bits.tobytes()], pa.binary()),
-            }
-        )
+        return pa.table({"bloom": pa.array([bits.tobytes()], pa.binary())})
 
-    # bounded collect: one (keys, bloom) row per customer batch
-    parts = cust.map_batches(seg_keys, batch_format="pyarrow").take_all()
+    # bounded collect: one m_bits/8-byte row per customer batch
+    parts = cust.map_batches(bloom_partial, batch_format="pyarrow").take_all()
     bits = sk.bloom_empty(m_bits)
-    all_keys = []
     for p in parts:
         bits = sk.bloom_merge(bits, np.frombuffer(p["bloom"], np.uint8))
-        all_keys.append(np.asarray(p["keys"], dtype=np.int64))
-    skeys = np.unique(np.concatenate(all_keys)) if all_keys else np.zeros(0, np.int64)
     bloom_ref = ray.put(bits)
-    keys_ref = ray.put(skeys)
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        keys = _seg_slice(batch)
+        n = len(keys)
+        return pa.table(
+            {
+                "bucket": pa.array(keys % n_buckets, pa.int64()),
+                "custkey": pa.array(keys, pa.int64()),
+                "n": pa.array(np.zeros(n, dtype=np.int64)),
+                "n_priced": pa.array(np.zeros(n, dtype=np.int64)),
+                "cents": pa.array(np.zeros(n, dtype=np.int64)),
+                "is_cust": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
 
     def ord_partial(batch: pa.Table) -> pa.Table:
         b = ray.get(bloom_ref)
@@ -3876,13 +3886,18 @@ def segment_revenue_bloom(
                 "n": pa.array(cnt, pa.int64()),
                 "n_priced": pa.array(nps.astype(np.int64), pa.int64()),
                 "cents": pa.array(cs.astype(np.int64), pa.int64()),
+                "is_cust": pa.array(np.zeros(len(k), dtype=bool)),
             }
         )
 
     def per_bucket(group: pa.Table) -> pa.Table:
-        ks = ray.get(keys_ref)
+        is_c = group["is_cust"].to_numpy(zero_copy_only=False).astype(bool)
         keys = group["custkey"].to_numpy(zero_copy_only=False)
-        idx_c, hit = _probe_sorted(ks, keys)
+        ks = np.unique(keys[is_c])  # this bucket's segment keys
+        hit = np.zeros(len(keys), dtype=bool)
+        if len(ks):
+            _, hit_probe = _probe_sorted(ks, keys[~is_c])
+            hit[~is_c] = hit_probe
         n = group["n"].to_numpy(zero_copy_only=False)[hit].sum()
         n_priced = group["n_priced"].to_numpy(zero_copy_only=False)[hit].sum()
         cents = group["cents"].to_numpy(zero_copy_only=False)[hit].sum()
@@ -3921,6 +3936,7 @@ def segment_revenue_bloom(
     )
     return (
         orders.map_batches(ord_partial, batch_format="pyarrow")
+        .union(cust.map_batches(cust_rows, batch_format="pyarrow"))
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
         .repartition(1)
