@@ -497,7 +497,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r3-green and unchanged, whose grouped-count + customer-attach
         # machinery stays driven in-window by large_order_customers and
         # inactive_customers; still pytest-gated)
-        "brand_bracket_revenue": relational.brand_bracket_revenue,
+        # (top_user_paths is NEW session-7 — whole-sequence journey mining:
+        # per-user ordered path build + path-frequency combiner + bounded
+        # head; holds the slot ceded by brand_bracket_revenue,
+        # r4-session-4, self-check-green and unchanged since, whose
+        # combo-mask lineitem window machinery stays driven in-window by
+        # returnflag_priority_counts and small_quantity_revenue)
+        "top_user_paths": analysis.top_user_paths,
         # --- NEW r4 kernels (session 4): each holds a slot ceded by an
         # unchanged-since-green entry whose machinery an in-window sibling
         # (often the new kernel itself) drives end-to-end; audit trail in
@@ -658,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_distinct_users": analysis.events_hourly_distinct_users,
         "gram_novelty_by_bucket": analysis.gram_novelty_by_bucket,
         "domain_pagerank": analysis.domain_pagerank,
+        "brand_bracket_revenue": relational.brand_bracket_revenue,
         # (r4 session-6 cedes — each r3-driver-green and byte-unchanged
         # since, with the named in-window sibling; see the slot comments
         # above and QUERIES.md)
@@ -2705,6 +2712,24 @@ def oracle_sql() -> dict[str, str]:
                                     date_diff('day', DATE '2024-01-01', day)),
                          6) AS slope
             FROM d GROUP BY event_type
+        """,
+        "top_user_paths": """
+            WITH o AS (
+                SELECT user_id, coalesce(event_type, '∅') AS t,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts NULLS LAST, event_id
+                       ) AS rn
+                FROM events
+            ),
+            p AS (
+                SELECT user_id, string_agg(t, ' > ' ORDER BY rn) AS path
+                FROM o WHERE rn <= 8 GROUP BY user_id
+            )
+            SELECT path, CAST(count(*) AS BIGINT) AS n_users
+            FROM p GROUP BY path
+            ORDER BY n_users DESC, path ASC
+            LIMIT 10
         """,
         "domain_triangles": """
             WITH e0 AS (

@@ -9301,3 +9301,54 @@ def domain_triangles(sf_dir: str, n_domains: int = 40) -> "rd.Dataset":
         .repartition(1)
         .map_batches(count_triangles, batch_format="pyarrow")
     )
+
+
+def top_user_paths(sf_dir: str, k: int = 10, max_steps: int = 8) -> "rd.Dataset":
+    """Top-``k`` user journey paths: each user's time-ordered event-type
+    sequence (first ``max_steps`` steps), counted across users — the
+    whole-sequence journey-mining report (:func:`event_type_transitions`
+    counts Markov PAIRS; this ranks complete paths, the Sankey-diagram
+    input).  Ordering is (ts NULLS LAST, event_id); NULL types render as
+    ``∅`` inside the path string (a visible token, since SQL
+    ``string_agg`` would silently drop them — the oracle coalesces
+    identically); ties in the ranking break path-ASC.
+
+    Scale shape: one shuffle on user_id (the event family's key), one
+    vectorized per-group path build, then the path-frequency combiner —
+    per-batch ``value_counts`` partials through a path-keyed groupby, with
+    the bounded ``sort().limit()`` head cut (paths are capped at
+    ``max_steps`` tokens, so the exchange carries short strings)."""
+
+    def build_path(group: pa.Table) -> pa.Table:
+        ts64 = group["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        key = ts64.astype(np.int64).copy()
+        key[np.isnat(ts64)] = np.iinfo(np.int64).max
+        eid = group["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, key))[:max_steps]
+        typ = group["event_type"].take(pa.array(order, pa.int64()))
+        toks = ["∅" if t is None else t for t in typ.to_pylist()]
+        return pa.table({"path": pa.array([" > ".join(toks)], pa.string())})
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(_one_chunk(batch["path"].combine_chunks()))
+        return pa.table(
+            {"path": vc.field("values"), "n_users": vc.field("counts").cast(pa.int64())}
+        )
+
+    from language_identification_ray.pipelines.relational import _group_spread
+
+    return (
+        _group_spread(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["event_id", "user_id", "ts", "event_type"],
+            )
+        )
+        .groupby("user_id")
+        .map_groups(build_path, batch_format="pyarrow")
+        .map_batches(count_partial, batch_format="pyarrow")
+        .groupby("path")
+        .aggregate(Sum("n_users", alias_name="n_users"))
+        .sort(["n_users", "path"], descending=[True, False])
+        .limit(k)
+    )
