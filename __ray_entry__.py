@@ -528,7 +528,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": analysis.url_dedup,
         # (slot from vocab_coverage_90 — in-window distinct_words_per_lang
         # + tfidf_top5_per_lang drive the same word-freq combiner cascade)
-        "embedding_covariance": analysis.embedding_covariance,
+        # (dau_wau_stickiness is NEW session-7 — the DAU/WAU engagement
+        # ratio composing the daily-DISTINCT and trailing-window fan-out
+        # dedup shapes; holds the slot ceded by embedding_covariance,
+        # r4-session-4, self-check-green and unchanged since, whose
+        # Σ-partial constant-width reduction stays driven in-window by
+        # chars_tokens_corr)
+        "dau_wau_stickiness": analysis.dau_wau_stickiness,
         # (slot from source_novelty — in-window boilerplate_ngram_stats
         # drives the same distinct-gram combiner attribution machinery)
         # (domain_triangles is NEW session-7 — triangle counting on the
@@ -665,6 +671,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gram_novelty_by_bucket": analysis.gram_novelty_by_bucket,
         "domain_pagerank": analysis.domain_pagerank,
         "brand_bracket_revenue": relational.brand_bracket_revenue,
+        "embedding_covariance": analysis.embedding_covariance,
         # (r4 session-6 cedes — each r3-driver-green and byte-unchanged
         # since, with the named in-window sibling; see the slot comments
         # above and QUERIES.md)
@@ -2712,6 +2719,25 @@ def oracle_sql() -> dict[str, str]:
                                     date_diff('day', DATE '2024-01-01', day)),
                          6) AS slope
             FROM d GROUP BY event_type
+        """,
+        "dau_wau_stickiness": """
+            WITH p AS (
+                SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                           AS day, user_id
+                FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ),
+            d AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                  FROM p GROUP BY day),
+            w AS (
+                SELECT d1.day, CAST(count(DISTINCT p.user_id) AS BIGINT)
+                           AS wau
+                FROM d d1
+                JOIN p ON p.day BETWEEN d1.day - INTERVAL 6 DAY AND d1.day
+                GROUP BY d1.day
+            )
+            SELECT d.day, d.dau, w.wau,
+                   round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+            FROM d JOIN w ON d.day = w.day
         """,
         "top_user_paths": """
             WITH o AS (

@@ -9352,3 +9352,138 @@ def top_user_paths(sf_dir: str, k: int = 10, max_steps: int = 8) -> "rd.Dataset"
         .sort(["n_users", "path"], descending=[True, False])
         .limit(k)
     )
+
+
+def dau_wau_stickiness(sf_dir: str, window_days: int = 7) -> "rd.Dataset":
+    """DAU/WAU stickiness per day: daily active users over trailing-window
+    active users — THE product-analytics engagement ratio (a corpus-ops
+    reading: what share of this week's contributing sources/users showed up
+    today).  Composes the two distinct-counting shapes the catalog already
+    carries — per-day DISTINCT (``events_hourly_distinct_users``) and
+    trailing-window fan-out dedup (``rolling_active_users``) — into one
+    report: ``(day, dau, wau, stickiness)`` with the ratio rounded to 6
+    decimals.  NULL ts / NULL user rows are excluded on both engines (they
+    can join no window; COUNT(DISTINCT) ignores NULLs); only observed days
+    report.
+
+    Scale shape: raw events collapse to distinct (day, user) pairs ONCE
+    (per-batch unique → one keyed groupby, materialized and reused by both
+    branches); the DAU branch is a day-keyed count, the WAU branch fans
+    pairs to ≤ ``window_days`` window-end days and dedups; the final join
+    runs inside one calendar-bounded block."""
+    DAY_US = 86_400_000_000
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["user_id"]))
+        t = batch.filter(ok)
+        d = (
+            pc.floor_temporal(t["ts"], unit="day")
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        u = t["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dd, uu = _unique_pairs(d.astype(np.int64), u.astype(np.int64))
+        return pa.table(
+            {"day": pa.array(dd, pa.int64()), "user": pa.array(uu, pa.int64())}
+        )
+
+    pairs = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+        .map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["day", "user"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .materialize()
+    )
+
+    observed = np.unique(
+        np.array([r["day"] for r in pairs.select_columns(["day"]).take_all()],
+                 dtype=np.int64)
+    )  # calendar-bounded
+    import ray
+
+    obs_ref = ray.put(observed)
+
+    def dau_rows(batch: pa.Table) -> pa.Table:
+        t = pa.table({"day": batch["day"], "one": pa.array([1] * batch.num_rows, pa.int64())})
+        g = t.group_by(["day"]).aggregate([("one", "sum")])
+        return pa.table(
+            {
+                "day": g["day"],
+                "user": pa.array(np.full(g.num_rows, -1, np.int64)),
+                "n": g["one_sum"].cast(pa.int64()),
+                "is_wau": pa.array(np.zeros(g.num_rows, dtype=bool)),
+            }
+        )
+
+    def wau_fanout(batch: pa.Table) -> pa.Table:
+        obs = ray.get(obs_ref)
+        d = batch["day"].to_numpy(zero_copy_only=False)
+        u = batch["user"].to_numpy(zero_copy_only=False)
+        ends = (d[:, None] + np.arange(window_days, dtype=np.int64)[None, :] * DAY_US).ravel()
+        users = np.repeat(u, window_days)
+        keep = np.isin(ends, obs)
+        ends, users = ends[keep], users[keep]
+        ee, uu = _unique_pairs(ends, users)
+        return pa.table(
+            {
+                "day": pa.array(ee, pa.int64()),
+                "user": pa.array(uu, pa.int64()),
+                "n": pa.array(np.ones(len(ee), np.int64)),
+                "is_wau": pa.array(np.ones(len(ee), dtype=bool)),
+            }
+        )
+
+    def wau_count(group: pa.Table) -> pa.Table:
+        # distinct (window-end day, user) rows for one day → wau
+        u = np.unique(group["user"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "day": group["day"].slice(0, 1),
+                "user": pa.array([-1], pa.int64()),
+                "n": pa.array([len(u)], pa.int64()),
+                "is_wau": pa.array([True]),
+            }
+        )
+
+    wau = (
+        pairs.map_batches(wau_fanout, batch_format="pyarrow")
+        .groupby("day")
+        .map_groups(wau_count, batch_format="pyarrow")
+    )
+    dau = pairs.map_batches(dau_rows, batch_format="pyarrow").groupby("day").aggregate(
+        Sum("n", alias_name="n")
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "day": b["day"],
+                "user": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "n": b["n"],
+                "is_wau": pa.array(np.zeros(b.num_rows, dtype=bool)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d = df[~df["is_wau"]][["day", "n"]].rename(columns={"n": "dau"})
+        w = df[df["is_wau"]][["day", "n"]].rename(columns={"n": "wau"})
+        m = d.merge(w, on="day", how="inner")
+        epoch = np.datetime64("1970-01-01", "us")
+        return pa.table(
+            {
+                "day": pa.array(
+                    epoch + m["day"].to_numpy() * np.timedelta64(1, "us"),
+                    pa.timestamp("us"),
+                ),
+                "dau": pa.array(m["dau"].to_numpy(), pa.int64()),
+                "wau": pa.array(m["wau"].to_numpy(), pa.int64()),
+                "stickiness": pa.array(
+                    np.round(m["dau"].to_numpy() / m["wau"].to_numpy(), 6),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return dau.union(wau).repartition(1).map_batches(finalize, batch_format="pyarrow")
