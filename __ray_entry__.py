@@ -525,7 +525,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (slot from events_hopping_window — in-window
         # events_hourly_distinct_users drives the same window-key partial
         # machinery)
-        "url_dedup": analysis.url_dedup,
+        # (source_mix_entropy is NEW session-7 — per-language provenance
+        # diversity entropy over the (lang, source) catalog combiner;
+        # holds the slot ceded by url_dedup, r4-session-4, self-check-green
+        # and unchanged since, whose canonicalize + md5-content-key rollup
+        # stays driven in-window by normalized_exact_dedup)
+        "source_mix_entropy": analysis.source_mix_entropy,
         # (slot from vocab_coverage_90 — in-window distinct_words_per_lang
         # + tfidf_top5_per_lang drive the same word-freq combiner cascade)
         # (dau_wau_stickiness is NEW session-7 — the DAU/WAU engagement
@@ -672,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_pagerank": analysis.domain_pagerank,
         "brand_bracket_revenue": relational.brand_bracket_revenue,
         "embedding_covariance": analysis.embedding_covariance,
+        "url_dedup": analysis.url_dedup,
         # (r4 session-6 cedes — each r3-driver-green and byte-unchanged
         # since, with the named in-window sibling; see the slot comments
         # above and QUERIES.md)
@@ -2719,6 +2725,20 @@ def oracle_sql() -> dict[str, str]:
                                     date_diff('day', DATE '2024-01-01', day)),
                          6) AS slope
             FROM d GROUP BY event_type
+        """,
+        "source_mix_entropy": """
+            WITH c AS (
+                SELECT lang, source, CAST(count(*) AS BIGINT) AS cnt
+                FROM documents GROUP BY lang, source
+            ),
+            t AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n
+                  FROM c GROUP BY lang)
+            SELECT c.lang, CAST(count(*) AS BIGINT) AS n_sources,
+                   t.n AS n_docs,
+                   round(-sum((CAST(cnt AS DOUBLE) / t.n)
+                              * ln(CAST(cnt AS DOUBLE) / t.n)), 6) AS entropy
+            FROM c JOIN t ON c.lang IS NOT DISTINCT FROM t.lang
+            GROUP BY c.lang, t.n
         """,
         "dau_wau_stickiness": """
             WITH p AS (

@@ -9487,3 +9487,68 @@ def dau_wau_stickiness(sf_dir: str, window_days: int = 7) -> "rd.Dataset":
         )
 
     return dau.union(wau).repartition(1).map_batches(finalize, batch_format="pyarrow")
+
+
+def source_mix_entropy(sf_dir: str) -> "rd.Dataset":
+    """Per-language source-mix Shannon entropy (nats) — the diversity audit
+    behind mixture rebalancing: a language whose docs come from one source
+    has entropy 0 (and a single takedown or license change wipes it); a
+    uniform K-source mix scores ln K.  Emits ``(lang, n_sources,
+    n_docs, entropy)`` rounded to 6 decimals; NULL sources form their own
+    mix component (they are still a provenance bucket), NULL langs their
+    own group.
+
+    Scale shape: one (lang, source) count combiner (per-batch Arrow
+    group_by partials → one catalog-cardinality groupby), then the entropy
+    folds per lang inside the grouped finalize — nothing bigger than the
+    lang×source catalog moves."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang_key, lang_null = _null_safe_key(batch["lang"])
+        src_key, src_null = _null_safe_key(batch["source"])
+        t = pa.table(
+            {
+                "lang_key": lang_key,
+                "lang_null": lang_null,
+                "src_key": src_key,
+                "src_null": src_null,
+            }
+        )
+        g = t.group_by(["lang_key", "lang_null", "src_key", "src_null"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "lang_key": g["lang_key"],
+                "lang_null": g["lang_null"],
+                "src_key": g["src_key"],
+                "src_null": g["src_null"],
+                "cnt": g["count_all"].cast(pa.int64()),
+            }
+        )
+
+    def entropy(group: pa.Table) -> pa.Table:
+        c = group["cnt"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = c.sum()
+        p = c / n
+        h = float(-(p * np.log(p)).sum())
+        lang = group["lang_key"][0].as_py()
+        return pa.table(
+            {
+                "lang": pa.array(
+                    [None if group["lang_null"][0].as_py() else lang], pa.string()
+                ),
+                "n_sources": pa.array([group.num_rows], pa.int64()),
+                "n_docs": pa.array([int(n)], pa.int64()),
+                "entropy": pa.array([round(h, 6)], pa.float64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["lang", "source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang_key", "lang_null", "src_key", "src_null"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .groupby(["lang_key", "lang_null"])
+        .map_groups(entropy, batch_format="pyarrow")
+    )
