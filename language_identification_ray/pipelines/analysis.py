@@ -7744,6 +7744,19 @@ def lang_source_rollup(sf_dir: str) -> "rd.Dataset":
     def rollup(batch: pa.Table) -> pa.Table:
         # one catalog-sized block: the finest grouping. Re-derive the
         # (lang) and () levels from it.
+        if batch.num_rows == 0 or "lang_key" not in batch.schema.names:
+            # SQL ROLLUP over an empty table still emits the grand-total
+            # grouping set: one (NULL, NULL) row with COUNT(*)=0, NULL sum.
+            return pa.table(
+                {
+                    "lang": pa.array([None], pa.string()),
+                    "source": pa.array([None], pa.string()),
+                    "g_lang": pa.array([1], pa.int64()),
+                    "g_source": pa.array([1], pa.int64()),
+                    "n_docs": pa.array([0], pa.int64()),
+                    "total_chars": pa.array([None], pa.int64()),
+                }
+            )
         lang = pa.array(
             batch["lang_key"].to_pylist(), pa.string(),
             mask=batch["lang_null"].to_numpy(zero_copy_only=False).astype(bool),
@@ -7784,8 +7797,12 @@ def lang_source_rollup(sf_dir: str) -> "rd.Dataset":
             k = (lang[i].as_py(), src[i].as_py())
             c, v, n = finest.get(k, (0, 0, 0))
             finest[k] = (c + int(chars[i]), v + int(valid[i]), n + int(ndocs[i]))
+        # The empty-input sentinel row (n_docs=0) is not a real SQL group at
+        # the finest/lang levels — SQL groups always have COUNT(*) >= 1 —
+        # but its zeros still fold into the always-emitted grand total.
+        finest_real = {k: cvn for k, cvn in finest.items() if cvn[2] > 0}
         by_lang: dict = {}
-        for (lg, _), (c, v, n) in finest.items():
+        for (lg, _), (c, v, n) in finest_real.items():
             k = (lg, None)
             c0, v0, n0 = by_lang.get(k, (0, 0, 0))
             by_lang[k] = (c0 + c, v0 + v, n0 + n)
@@ -7793,7 +7810,8 @@ def lang_source_rollup(sf_dir: str) -> "rd.Dataset":
             sum(c for c, _, _ in finest.values()),
             sum(v for _, v, _ in finest.values()),
             sum(n for _, _, n in finest.values()),
-        )} if finest else {}
+        )}
+        finest = finest_real
         return pa.concat_tables(
             [
                 level_rows(None, None, 0, 0, finest),
@@ -7802,9 +7820,23 @@ def lang_source_rollup(sf_dir: str) -> "rd.Dataset":
             ]
         )
 
+    # Zero-count sentinel: guarantees the final block is non-empty so the
+    # grand-total grouping-set row is emitted even over an empty table (SQL
+    # ROLLUP always yields the () row).  It merges into a real (NULL, NULL)
+    # group as +0 and is dropped from the finest/lang levels by n_docs > 0.
+    sentinel = rd.from_arrow(pa.table({
+        "lang_key": pa.array([""], pa.string()),
+        "lang_null": pa.array([True]),
+        "source_key": pa.array([""], pa.string()),
+        "source_null": pa.array([True]),
+        "chars": pa.array([0], pa.int64()),
+        "chars_valid": pa.array([0], pa.int64()),
+        "n_docs": pa.array([0], pa.int64()),
+    }))
     return (
         _docs(sf_dir, ["lang", "source", "n_chars"])
         .map_batches(partial, batch_format="pyarrow")
+        .union(sentinel)
         .groupby(["lang_key", "lang_null", "source_key", "source_null"])
         .aggregate(
             Sum("chars", alias_name="chars"),
@@ -8834,7 +8866,10 @@ def value_mad_outliers(sf_dir: str, k: float = 6.0) -> "rd.Dataset":
 
     src = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
-    ).map_batches(keyed, batch_format="pyarrow")
+    ).map_batches(keyed, batch_format="pyarrow").materialize()
+    # ^ materialize: three consumers (median pass, MAD pass, flag pass) reuse
+    # the keyed projection from the object store instead of re-reading and
+    # re-projecting the events scan per pass.
 
     med_rows = src.groupby(["type_key", "type_null"]).map_groups(
         med, batch_format="pyarrow"
@@ -9010,22 +9045,38 @@ def part_cube_stats(sf_dir: str) -> "rd.Dataset":
                 }
             )
 
-        if not finest:
-            return emit({}, 0, 0)
+        # The empty-input sentinel (n_parts=0) is not a real group at the
+        # finest / single-key levels (SQL groups have COUNT(*) >= 1) but its
+        # zeros still fold into the always-emitted () grouping-set row.
+        grand = roll("all")  # over ALL finest entries, sentinel included
+        finest = {k: v for k, v in finest.items() if v[2] > 0}
         return pa.concat_tables(
             [
                 emit(finest, 0, 0),
                 emit(roll("brand"), 0, 1),
                 emit(roll("band"), 1, 0),
-                emit(roll("all"), 1, 1),
+                emit(grand, 1, 1),
             ]
         )
 
+    # Zero-count sentinel: keeps the final block non-empty so CUBE over an
+    # empty table still emits the () grouping-set row (same pattern as
+    # lang_source_rollup); merges as +0 into any real (NULL, NULL) group.
+    sentinel = rd.from_arrow(pa.table({
+        "brand_key": pa.array([""], pa.string()),
+        "brand_null": pa.array([True]),
+        "band": pa.array([0], pa.int64()),
+        "band_null": pa.array([True]),
+        "cents": pa.array([0], pa.int64()),
+        "n_priced": pa.array([0], pa.int64()),
+        "n_parts": pa.array([0], pa.int64()),
+    }))
     return (
         rd.read_parquet(
             f"{sf_dir}/part.parquet", columns=["p_brand", "p_size", "p_retailprice"]
         )
         .map_batches(partial, batch_format="pyarrow")
+        .union(sentinel)
         .groupby(["brand_key", "brand_null", "band", "band_null"])
         .aggregate(
             Sum("cents", alias_name="cents"),
@@ -9066,7 +9117,10 @@ def langs_in_every_source(sf_dir: str) -> "rd.Dataset":
         .map_batches(pairs, batch_format="pyarrow")
         .groupby(["lang_key", "lang_null", "source"])
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-    )
+    ).materialize()
+    # ^ materialize: the divisor count and the final grouped count both
+    # consume the pair set; without it each consumer re-runs the scan and
+    # the distinct-pair shuffle (same pattern as dau_wau_stickiness).
 
     # divisor: global distinct source count (catalog-sized driver scalar)
     n_sources = len(

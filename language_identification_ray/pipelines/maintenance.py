@@ -140,7 +140,11 @@ def zorder_write(
     for rg in range(meta.num_row_groups):
         for i in range(meta.num_columns):
             c = meta.row_group(rg).column(i)
-            if c.path_in_schema == key_num and c.statistics is not None:
+            if (
+                c.path_in_schema == key_num
+                and c.statistics is not None
+                and c.statistics.has_min_max  # all-NULL row groups carry stats objects without min/max
+            ):
                 los.append(c.statistics.min)
                 his.append(c.statistics.max)
     lo = min(los) if los else 0

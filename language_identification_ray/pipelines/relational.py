@@ -3671,6 +3671,7 @@ def returnflag_priority_counts(
         import pyarrow.parquet as _pq
 
         otab = _pq.read_table(orders_path, columns=["o_orderkey", "o_orderpriority"])
+        otab = otab.filter(_pc.is_valid(otab["o_orderkey"]))  # NULL keys never join
         okeys = otab["o_orderkey"].to_numpy()
         is_high = _pc.is_in(
             otab["o_orderpriority"], value_set=pa.array(["1-URGENT", "2-HIGH"])
@@ -3684,6 +3685,7 @@ def returnflag_priority_counts(
             sorted_keys, sorted_high = ray.get(sidecar_ref)
             m = _window_mask(batch)
             t = batch.filter(pa.array(m))
+            t = t.filter(_pc.is_valid(t["l_orderkey"]))  # NULL keys never join
             keys = t["l_orderkey"].to_numpy(zero_copy_only=False)
             idx_c, hit = _probe_sorted(sorted_keys, keys)
             t = t.filter(pa.array(hit))
@@ -3702,6 +3704,10 @@ def returnflag_priority_counts(
     def li_rows(batch: pa.Table) -> pa.Table:
         m = _window_mask(batch)
         t = batch.filter(pa.array(m))
+        # NULL orderkeys can never inner-join (SQL semantics); drop them before
+        # the int64 cast or NaN would collapse onto the INT64_MIN sentinel and
+        # spuriously match NULL keys from the orders side.
+        t = t.filter(_pc.is_valid(t["l_orderkey"]))
         keys = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         flag_arr = t["l_returnflag"].combine_chunks()
         isnull = _pc.is_null(flag_arr).to_numpy(zero_copy_only=False).astype(bool)
@@ -3735,6 +3741,7 @@ def returnflag_priority_counts(
         )
 
     def ord_rows(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(_pc.is_valid(batch["o_orderkey"]))  # NULL keys never join
         keys = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
         high = _pc.fill_null(
             _pc.is_in(batch["o_orderpriority"], value_set=pa.array(["1-URGENT", "2-HIGH"])),

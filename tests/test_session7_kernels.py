@@ -36,20 +36,25 @@ def _q12_tables(d):
     """Orders: 1 high, 2 low, 3 NULL priority (counts as low), 4 high but
     never referenced in-window.  Lineitems: in-window rows for orders 1-3,
     one out-of-window row, one NULL-shipdate row, one dangling orderkey,
-    one NULL returnflag row (its own group)."""
+    one NULL returnflag row (its own group).  NULL orderkeys on BOTH sides
+    must drop (inner-join NULL semantics) rather than meet at an int-cast
+    sentinel."""
     _w(d, "orders", {
-        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
-        "o_orderpriority": pa.array(["1-URGENT", "5-LOW", None, "2-HIGH"], pa.string()),
+        "o_orderkey": pa.array([1, 2, 3, 4, None], pa.int64()),
+        "o_orderpriority": pa.array(
+            ["1-URGENT", "5-LOW", None, "2-HIGH", "1-URGENT"], pa.string()),
     })
     _w(d, "lineitem", {
-        "l_orderkey": pa.array([1, 1, 2, 3, 4, 1, 99, 2], pa.int64()),
-        "l_returnflag": pa.array(["A", "B", "A", "A", "A", "A", "A", None], pa.string()),
+        "l_orderkey": pa.array([1, 1, 2, 3, 4, 1, 99, 2, None], pa.int64()),
+        "l_returnflag": pa.array(
+            ["A", "B", "A", "A", "A", "A", "A", None, "A"], pa.string()),
         "l_shipdate": pa.array(
             [_d(0), _d(1), _d(2), _d(3),
              datetime.datetime(1897, 1, 1),  # out of window
              None,                            # NULL shipdate: excluded
              _d(4),                           # dangling orderkey: dropped
-             _d(5)],                          # NULL flag, low order 2
+             _d(5),                           # NULL flag, low order 2
+             _d(6)],                          # NULL orderkey: dropped
             TS,
         ),
     })
@@ -132,7 +137,14 @@ def test_lang_source_rollup_empty(ray_session, tmp_path):
         "source": pa.array([], pa.string()),
         "n_chars": pa.array([], pa.int64()),
     })
-    assert analysis.lang_source_rollup(str(tmp_path)).take_all() == []
+    # SQL ROLLUP over an empty table still emits the grand-total grouping
+    # set: one (NULL, NULL) row with COUNT(*)=0 and a NULL sum.
+    rows = analysis.lang_source_rollup(str(tmp_path)).take_all()
+    assert [
+        (r["lang"], r["source"], r["g_lang"], r["g_source"],
+         r["n_docs"], r["total_chars"])
+        for r in rows
+    ] == [(None, None, 1, 1, 0, None)]
 
 
 # ---------------------------------------------------------------------------
@@ -569,6 +581,24 @@ def test_part_cube_stats_levels(ray_session, tmp_path):
     # grand total
     assert rows[(None, None, 1, 1)] == (3, 300)
     assert len(rows) == 3 + 2 + 3 + 1
+
+
+def test_part_cube_stats_empty(ray_session, tmp_path):
+    # SQL CUBE over an empty table still emits the () grouping-set row.
+    _w(tmp_path, "part", {
+        "p_partkey": pa.array([], pa.int64()),
+        "p_name": pa.array([], pa.string()),
+        "p_brand": pa.array([], pa.string()),
+        "p_type": pa.array([], pa.string()),
+        "p_size": pa.array([], pa.int32()),
+        "p_retailprice": pa.array([], pa.float64()),
+    })
+    rows = analysis.part_cube_stats(str(tmp_path)).take_all()
+    assert [
+        (r["p_brand"], r["size_band"], r["g_brand"], r["g_band"],
+         r["n_parts"], r["retail_cents"])
+        for r in rows
+    ] == [(None, None, 1, 1, 0, None)]
 
 
 def test_langs_in_every_source_division(ray_session, tmp_path):
