@@ -484,7 +484,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ordered-numpy shape, revenue_by_supplier_nation the broadcast
         # star gather) --------------------------------------------------
         "returned_item_revenue": relational.returned_item_revenue,
-        "large_order_customers": relational.large_order_customers,
+        # (large_order_customers lives in the main block below — a duplicate
+        # literal key here silently overwrote it and wasted a catalog slot)
         "promo_revenue": relational.promo_revenue,
         # (top_lengths_dense_per_source is NEW session-7 — DENSE_RANK
         # top-k-with-ties via stats-pass + broadcast filter; holds the slot
@@ -699,6 +700,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_zscore_outliers": analysis.value_zscore_outliers,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "large_order_customers": relational.large_order_customers,
+        # NEW r5: the two classic join shapes the suite still lacked —
+        # Q2-shaped correlated-min join and Q20-shaped nested semi-join
+        "min_cost_suppliers": relational.min_cost_suppliers,
+        "dominant_share_suppliers": relational.dominant_share_suppliers,
         "inactive_customers": relational.inactive_customers,
         "ccnet_tercile_buckets": analysis.ccnet_tercile_buckets,
         "events_hopping_window": analysis.events_hopping_window,
@@ -1037,6 +1042,45 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON o.o_orderkey = q.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
             ORDER BY totalprice DESC, orderkey LIMIT 100
+        """,
+        "min_cost_suppliers": """
+            WITH pp AS (
+                SELECT l_partkey, l_suppkey,
+                       min(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)) AS min_cents
+                FROM lineitem
+                WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT pp.l_partkey AS partkey, pp.l_suppkey AS suppkey,
+                   s.s_name AS supplier_name, pp.min_cents/100.0 AS min_price
+            FROM pp
+            JOIN supplier s ON s.s_suppkey = pp.l_suppkey
+            WHERE pp.min_cents = (
+                SELECT min(p2.min_cents) FROM pp p2
+                WHERE p2.l_partkey = pp.l_partkey
+            )
+            ORDER BY min_price DESC, partkey, suppkey LIMIT 100
+        """,
+        "dominant_share_suppliers": """
+            WITH ps AS (
+                SELECT l_partkey, l_suppkey,
+                       sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS qty
+                FROM lineitem
+                WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+                  AND l_quantity IS NOT NULL
+                GROUP BY 1, 2
+            ), t AS (
+                SELECT l_partkey, sum(qty) AS total FROM ps GROUP BY 1
+            )
+            SELECT s.s_suppkey AS suppkey, s.s_name AS supplier_name,
+                   count(*) AS n_dominated_parts
+            FROM ps
+            JOIN t ON t.l_partkey = ps.l_partkey
+            JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+            WHERE 8*ps.qty > t.total
+            GROUP BY 1, 2
+            ORDER BY n_dominated_parts DESC, suppkey LIMIT 100
         """,
         "promo_revenue": """
             WITH w AS (

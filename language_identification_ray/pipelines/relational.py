@@ -4051,3 +4051,230 @@ def monthly_revenue_growth(sf_dir: str) -> "rd.Dataset":
         .repartition(1)
         .map_batches(diff, batch_format="pyarrow")
     )
+
+
+def min_cost_suppliers(sf_dir: str, k: int = 100) -> "rd.Dataset":
+    """TPC-H-Q2-shaped correlated-MIN join: for each part, the supplier(s)
+    whose unit offer (min lineitem extended-price cents for that
+    (part, supplier) pair) equals the part's GLOBAL minimum — the
+    ``WHERE price = (SELECT min(...) ... WHERE partkey = outer.partkey)``
+    shape, the last classic join form the relational suite lacked.
+    Ties all survive, like the SQL correlated subquery; the report is the
+    top-``k`` by (min_price DESC, partkey, suppkey) — a unique sort key,
+    so LIMIT is deterministic on both engines.  (Reference parity: the
+    per-key best-match selection of SURVEY §2.5 G7, lifted to a
+    distributed correlated aggregate.)
+
+    Scale shape: each batch pre-aggregates to (partkey, suppkey,
+    min_cents) partials, so the ONE fact exchange moves a row per distinct
+    pair per batch, keyed on partkey; each part group resolves its
+    correlated min locally and emits only the achieving pair(s).  Supplier
+    names attach via the sorted broadcast sidecar (dimension-sized, same
+    rule as ``top_supplier_revenue``); the final sort ranks a
+    |parts|-bounded aggregate, never the fact table.  NULL partkey /
+    suppkey / price rows drop exactly like the oracle's inner joins and
+    NULL-skipping min()."""
+    import pyarrow.parquet as _pq
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    sup = sup.filter(_pc.is_valid(sup["s_suppkey"]))
+    skeys = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(skeys)
+    skeys_sorted = skeys[order]
+    snames = np.asarray(sup["s_name"].to_pylist(), dtype=object)[order]
+    sidecar = ray.put((skeys_sorted, snames))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            _pc.and_(
+                _pc.and_(
+                    _pc.is_valid(batch["l_partkey"]),
+                    _pc.is_valid(batch["l_suppkey"]),
+                ),
+                _pc.is_valid(batch["l_extendedprice"]),
+            )
+        )
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _cents(t["l_extendedprice"])
+        # per-batch min per (partkey, suppkey): sort by pair, min via reduceat
+        o = np.lexsort((cents, sk, pk))
+        pk, sk, cents = pk[o], sk[o], cents[o]
+        if len(pk):
+            newg = np.r_[True, (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])]
+            gidx = np.nonzero(newg)[0]
+            pk, sk, cents = pk[gidx], sk[gidx], cents[gidx]  # first = min (cents sorted)
+        return pa.table(
+            {
+                "l_partkey": pa.array(pk, pa.int64()),
+                "l_suppkey": pa.array(sk, pa.int64()),
+                "min_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def per_part(group: pa.Table) -> pa.Table:
+        pk = group["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = group["l_suppkey"].to_numpy(zero_copy_only=False)
+        cents = group["min_cents"].to_numpy(zero_copy_only=False)
+        # combine cross-batch partials for the same (partkey, suppkey)
+        o = np.lexsort((cents, sk, pk))
+        pk, sk, cents = pk[o], sk[o], cents[o]
+        newg = np.r_[True, (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])]
+        gidx = np.nonzero(newg)[0]
+        pk, sk, cents = pk[gidx], sk[gidx], cents[gidx]
+        # correlated min per part; emit every achieving supplier (ties)
+        newp = np.r_[True, pk[1:] != pk[:-1]]
+        pidx = np.nonzero(newp)[0]
+        pmin = np.minimum.reduceat(cents, pidx)
+        keep = cents == np.repeat(pmin, np.diff(np.r_[pidx, len(pk)]))
+        return pa.table(
+            {
+                "partkey": pa.array(pk[keep], pa.int64()),
+                "suppkey": pa.array(sk[keep], pa.int64()),
+                "min_cents": pa.array(cents[keep], pa.int64()),
+            }
+        )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        keys_sorted, names = ray.get(sidecar)
+        sk = batch["suppkey"].to_numpy(zero_copy_only=False)
+        pos, found = _probe_sorted(keys_sorted, sk)
+        t = batch.filter(pa.array(found))  # dangling suppkeys: inner join drops
+        return pa.table(
+            {
+                "partkey": t["partkey"],
+                "suppkey": t["suppkey"],
+                "supplier_name": pa.array(names[pos[found]], pa.string()),
+                "min_price": _pc.divide(
+                    _pc.cast(t["min_cents"], pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .map_groups(per_part, batch_format="pyarrow")
+        .map_batches(attach, batch_format="pyarrow")
+        .sort(["min_price", "partkey", "suppkey"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
+def dominant_share_suppliers(
+    sf_dir: str, k: int = 100, share_den: int = 8
+) -> "rd.Dataset":
+    """TPC-H-Q20-shaped nested semi-join aggregate: suppliers that DOMINATE
+    at least one part — shipped more than ``1/share_den`` of that part's
+    total quantity — reported as (suppkey, name, n_dominated_parts), the
+    ``s_suppkey IN (SELECT ... HAVING qty > frac * correlated total)``
+    shape turned into a countable semi-join (Q20 gates suppliers on a
+    correlated availability threshold; this dataset's analogue gates on
+    shipped-share — its uniform supplier mix caps any share near 25%, so
+    the default gate is a >1/8 share).  Quantities round half-up to exact
+    int64 on both engines, and the share test is the cross-multiplied
+    ``share_den*qty > total`` — no float division anywhere, so the hash
+    cannot be tripped.
+
+    Scale shape: per-batch (partkey, suppkey, qty) partials make the first
+    exchange pair-distinct-per-batch, keyed on partkey; each part group
+    resolves its total locally and emits only dominating suppkeys; the
+    second exchange counts per supplier over that (≤ one row per
+    (part, dominator)) set — both groupbys move compressed aggregates,
+    never lineitem rows.  NULL partkey / suppkey / quantity rows drop,
+    matching the oracle's WHERE and inner joins."""
+    import pyarrow.parquet as _pq
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    )
+
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
+    sup = sup.filter(_pc.is_valid(sup["s_suppkey"]))
+    skeys = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(skeys)
+    sidecar = ray.put(
+        (skeys[order], np.asarray(sup["s_name"].to_pylist(), dtype=object)[order])
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            _pc.and_(
+                _pc.and_(
+                    _pc.is_valid(batch["l_partkey"]),
+                    _pc.is_valid(batch["l_suppkey"]),
+                ),
+                _pc.is_valid(batch["l_quantity"]),
+            )
+        )
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = np.floor(
+            t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.float64) + 0.5
+        ).astype(np.int64)
+        o = np.lexsort((sk, pk))
+        pk, sk, qty = pk[o], sk[o], qty[o]
+        if len(pk):
+            newg = np.r_[True, (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])]
+            gidx = np.nonzero(newg)[0]
+            sums = np.add.reduceat(qty, gidx).astype(np.int64)
+            pk, sk, qty = pk[gidx], sk[gidx], sums
+        return pa.table(
+            {
+                "l_partkey": pa.array(pk, pa.int64()),
+                "l_suppkey": pa.array(sk, pa.int64()),
+                "qty": pa.array(qty, pa.int64()),
+            }
+        )
+
+    def per_part(group: pa.Table) -> pa.Table:
+        pk = group["l_partkey"].to_numpy(zero_copy_only=False)
+        sk = group["l_suppkey"].to_numpy(zero_copy_only=False)
+        qty = group["qty"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((sk, pk))
+        pk, sk, qty = pk[o], sk[o], qty[o]
+        newg = np.r_[True, (pk[1:] != pk[:-1]) | (sk[1:] != sk[:-1])]
+        gidx = np.nonzero(newg)[0]
+        qsum = np.add.reduceat(qty, gidx).astype(np.int64)
+        pk, sk = pk[gidx], sk[gidx]
+        newp = np.r_[True, pk[1:] != pk[:-1]]
+        pidx = np.nonzero(newp)[0]
+        totals = np.add.reduceat(qsum, pidx).astype(np.int64)
+        tot = np.repeat(totals, np.diff(np.r_[pidx, len(pk)]))
+        keep = share_den * qsum > tot  # strict share gate, cross-multiplied
+        return pa.table(
+            {
+                "suppkey": pa.array(sk[keep], pa.int64()),
+                "n": pa.array(np.ones(int(keep.sum()), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def attach(batch: pa.Table) -> pa.Table:
+        keys_sorted, names = ray.get(sidecar)
+        sk = batch["suppkey"].to_numpy(zero_copy_only=False)
+        pos, found = _probe_sorted(keys_sorted, sk)
+        t = batch.filter(pa.array(found))
+        return pa.table(
+            {
+                "suppkey": t["suppkey"],
+                "supplier_name": pa.array(names[pos[found]], pa.string()),
+                "n_dominated_parts": t["n_dominated_parts"],
+            }
+        )
+
+    return (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .map_groups(per_part, batch_format="pyarrow")
+        .groupby("suppkey")
+        .aggregate(Sum("n", alias_name="n_dominated_parts"))
+        .map_batches(attach, batch_format="pyarrow")
+        .sort(["n_dominated_parts", "suppkey"], descending=[True, False])
+        .limit(k)
+    )

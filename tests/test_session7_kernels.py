@@ -642,3 +642,62 @@ def test_daily_top_spenders_ties_and_nulls(ray_session, tmp_path):
         (False, 3, 200, 3),
         (True, 9, 100, 1),
     ]
+
+
+# ---------------------------------------------------------------------------
+# min_cost_suppliers (Q2 correlated-min shape) / dominant_share_suppliers
+# (Q20 nested-semi-join shape)
+
+
+def test_min_cost_suppliers_ties_and_nulls(ray_session, tmp_path):
+    _w(tmp_path, "supplier", {
+        "s_suppkey": pa.array([10, 11, 12], pa.int64()),
+        "s_name": pa.array(["S10", "S11", "S12"], pa.string()),
+        "s_nationkey": pa.array([0, 0, 0], pa.int32()),
+        "s_acctbal": pa.array([0.0, 0.0, 0.0], pa.float64()),
+    })
+    _w(tmp_path, "lineitem", {
+        # part 1: suppliers 10 and 11 tie at the min (5.00), 12 higher;
+        # part 2: single supplier 10; NULL partkey / suppkey / price rows
+        # drop; supplier 99 is dangling (no supplier row -> inner join drop)
+        "l_partkey": pa.array([1, 1, 1, 1, 2, None, 3, 3, 4], pa.int64()),
+        "l_suppkey": pa.array([10, 11, 12, 10, 10, 10, None, 99, 10], pa.int64()),
+        "l_extendedprice": pa.array(
+            [5.0, 5.0, 7.0, 9.0, 3.0, 1.0, 1.0, 2.0, None], pa.float64()),
+        "l_quantity": pa.array([1.0] * 9, pa.float64()),
+    })
+    rows = [
+        (r["partkey"], r["suppkey"], r["supplier_name"], r["min_price"])
+        for r in relational.min_cost_suppliers(str(tmp_path)).take_all()
+    ]
+    # sort: min_price DESC, partkey, suppkey
+    assert rows == [
+        (1, 10, "S10", 5.0),
+        (1, 11, "S11", 5.0),
+        (2, 10, "S10", 3.0),
+    ]
+
+
+def test_dominant_share_suppliers_boundary(ray_session, tmp_path):
+    _w(tmp_path, "supplier", {
+        "s_suppkey": pa.array([10, 11], pa.int64()),
+        "s_name": pa.array(["S10", "S11"], pa.string()),
+        "s_nationkey": pa.array([0, 0], pa.int32()),
+        "s_acctbal": pa.array([0.0, 0.0], pa.float64()),
+    })
+    _w(tmp_path, "lineitem", {
+        # part 1 total=8: supp 10 qty=1 (8*1 == 8, NOT > -> excluded),
+        #                 supp 11 qty=7 (dominates)
+        # part 2 total=15: supp 10 qty=2 (8*2=16 > 15 -> dominates),
+        #                  supp 11 qty=13 (dominates)
+        "l_partkey": pa.array([1, 1, 2, 2, 2], pa.int64()),
+        "l_suppkey": pa.array([10, 11, 10, 11, 11], pa.int64()),
+        "l_extendedprice": pa.array([1.0] * 5, pa.float64()),
+        "l_quantity": pa.array([1.0, 7.0, 2.0, 6.0, 7.0], pa.float64()),
+    })
+    rows = [
+        (r["suppkey"], r["supplier_name"], r["n_dominated_parts"])
+        for r in relational.dominant_share_suppliers(str(tmp_path)).take_all()
+    ]
+    # sort: n_dominated_parts DESC, suppkey ASC
+    assert rows == [(11, "S11", 2), (10, "S10", 1)]
