@@ -1,14 +1,22 @@
-"""Import-gated adapters for third-party language-ID libraries (A2-A5, A1).
+"""Adapters for the third-party language-ID detector panel (A1-A5).
 
 The reference wraps five external detectors behind one contract
 (``fasttext_wrapper.py``, ``langid_wrapper.py``, ``langdetect_wrapper.py``,
 ``cld2_wrapper.py``, ``nltk_wrapper.py`` — each exposing
-``SUPPORTED_LANGUAGES`` + ``detect_language → [(lang, prob), ...]``).  None
-of those wheels are installable in this container, so each adapter here is
-gated behind an import-try: on a machine where the wheel exists the adapter
-is a drop-in detector for the agreement harness and the
+``SUPPORTED_LANGUAGES`` + ``detect_language → [(lang, prob), ...]``).
+
+fastText (A1) is NOT import-gated here: the from-scratch format reader
+(``functions/fasttext_format.py``) loads and runs real ``.bin``/``.ftz``
+supervised models with numpy only, so :class:`FastTextDetector` always
+constructs — against the vendored in-repo-trained model by default, or the
+reference's actual lid.176 via ``$FASTTEXT_LID_MODEL``.  The wheel, when
+present, is preferred for speed.
+
+The remaining four wheels are not installable in this container, so those
+adapters stay gated behind an import-try: on a machine where the wheel
+exists each is a drop-in detector for the agreement harness and the
 :class:`~language_identification_ray.stages.langid.LangIdStage` contract
-(``predict_batch``); here it raises a clear ImportError at construction.
+(``predict_batch``); here they raise a clear ImportError at construction.
 
 ``available_external_detectors()`` reports what the current environment can
 actually load — the agreement harness uses it to widen its panel
@@ -43,27 +51,66 @@ class _ExternalBase:
         raise NotImplementedError
 
 
-class FastTextDetector(_ExternalBase):
-    """fastText lid.176 (reference ``fasttext_wrapper.py:25-45``): predict
-    all labels, strip ``__label__``, sort desc."""
+def _default_ft_model_path() -> str:
+    """Model resolution order: $FASTTEXT_LID_MODEL (point it at a real
+    lid.176.bin/.ftz to run the reference's actual model), else the
+    in-repo-trained fastText-format mini model."""
+    import os
 
-    def __init__(self, model_path: str):
+    env = os.environ.get("FASTTEXT_LID_MODEL")
+    if env:
+        return env
+    from pathlib import Path
+
+    return str(
+        Path(__file__).resolve().parents[1]
+        / "state" / "assets" / "langid_ft_mini.bin"
+    )
+
+
+class FastTextDetector(_ExternalBase):
+    """fastText supervised model (reference ``fasttext_wrapper.py:25-45``):
+    predict all labels, strip ``__label__``, sort desc.
+
+    No longer import-gated: when the fasttext wheel is absent the model
+    file is loaded and run by the from-scratch format reader
+    (``functions/fasttext_format.py`` — dense ``.bin`` AND quantized
+    ``.ftz``, softmax and hierarchical-softmax losses), so the REAL
+    lid.176 model runs here wheel-free; the wheel, when installed, is
+    preferred for its C++ speed.  Default model:
+    :func:`_default_ft_model_path`."""
+
+    def __init__(self, model_path: Optional[str] = None):
+        model_path = model_path or _default_ft_model_path()
+        self._native = None
+        self._pure = None
         try:
             import fasttext  # type: ignore
-        except ImportError as e:
-            raise ImportError(
-                "fasttext is not installed in this environment; use "
-                "stages.langid.EnsembleDetector (the built-in stand-in)"
-            ) from e
-        self.model = fasttext.load_model(model_path)
+
+            self._native = fasttext.load_model(model_path)
+            labels = self._native.get_labels()
+        except ImportError:
+            from language_identification_ray.functions.fasttext_format import (
+                FastTextModel,
+            )
+
+            self._pure = FastTextModel.load(model_path)
+            labels = self._pure.labels
         self.SUPPORTED_LANGUAGES = sorted(
-            l.replace("__label__", "") for l in self.model.get_labels()
+            l.replace("__label__", "") for l in labels
         )
 
     def _rank(self, text: str) -> Ranking:
-        labels, probs = self.model.predict(text.replace("\n", " "), k=len(self.SUPPORTED_LANGUAGES))
-        pairs = [(l.replace("__label__", ""), float(p)) for l, p in zip(labels, probs)]
-        return sorted(pairs, key=lambda x: -x[1])
+        text = text.replace("\n", " ")
+        k = len(self.SUPPORTED_LANGUAGES)
+        if self._native is not None:
+            labels, probs = self._native.predict(text, k=k)
+            pairs = [
+                (l.replace("__label__", ""), float(p))
+                for l, p in zip(labels, probs)
+            ]
+            return sorted(pairs, key=lambda x: -x[1])
+        return self._pure.predict(text, k=k)
 
 
 class LangidPyDetector(_ExternalBase):
@@ -164,6 +211,7 @@ class NltkTextCatDetector(_ExternalBase):
 
 
 _REGISTRY = {
+    "fasttext": FastTextDetector,  # wheel-free since the format reader
     "langid_py": LangidPyDetector,
     "langdetect": LangdetectDetector,
     "cld2": Cld2Detector,
@@ -172,11 +220,13 @@ _REGISTRY = {
 
 
 def available_external_detectors() -> dict:
-    """name → constructed detector, for every adapter whose wheel imports."""
+    """name → constructed detector, for every adapter that can load here
+    (fasttext always can — the format reader needs no wheel; the rest
+    require their library)."""
     out = {}
     for name, cls in _REGISTRY.items():
         try:
             out[name] = cls()
-        except ImportError:
+        except (ImportError, OSError, ValueError):
             continue
     return out

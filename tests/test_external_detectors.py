@@ -192,10 +192,13 @@ def test_nltk_adapter_remaps_merges_and_normalizes(monkeypatch):
 
 
 def test_registry_reports_only_importable(monkeypatch):
-    # only langdetect "installed": the registry constructs exactly that one
+    # only langdetect "installed": the registry constructs that one PLUS
+    # fasttext, which no longer needs a wheel (the in-repo format reader
+    # loads the vendored model)
     _fake_langdetect(monkeypatch)
     for absent in ("langid", "langid.langid", "pycld2", "nltk", "nltk.classify", "nltk.classify.textcat"):
         monkeypatch.setitem(sys.modules, absent, None)  # force ImportError
     got = available_external_detectors()
-    assert set(got) == {"langdetect"}
+    assert set(got) == {"langdetect", "fasttext"}
     assert isinstance(got["langdetect"], LangdetectDetector)
+    assert isinstance(got["fasttext"], FastTextDetector)

@@ -107,7 +107,10 @@ def test_batch_equals_single(ensemble):
 
 def test_external_detectors_gated():
     """A2-A5 adapters raise clear ImportErrors here and report availability
-    honestly (no third-party langid wheels in this container)."""
+    honestly (no third-party langid wheels in this container).  fastText
+    (A1) is the exception: the in-repo format reader makes it wheel-free,
+    so it is ALWAYS available, and a missing model file surfaces as
+    FileNotFoundError, not ImportError."""
     import pytest as _pytest
 
     from language_identification_ray.stages.external_detectors import (
@@ -118,11 +121,11 @@ def test_external_detectors_gated():
         available_external_detectors,
     )
 
-    assert available_external_detectors() == {}
+    assert set(available_external_detectors()) == {"fasttext"}
     for cls in (LangidPyDetector, LangdetectDetector, Cld2Detector):
         with _pytest.raises(ImportError):
             cls()
-    with _pytest.raises(ImportError):
+    with _pytest.raises(OSError):
         FastTextDetector("/nonexistent/lid.176.ftz")
 
 
