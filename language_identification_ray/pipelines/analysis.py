@@ -2280,7 +2280,7 @@ def train_val_test_split(sf_dir: str) -> "rd.Dataset":
 def semantic_dedup_docs(
     sf_dir: str,
     threshold: float = 0.4,
-    block: str = "label",
+    block: str = "auto",
     n_cells: int = 16,
     probes: "int | None" = None,
 ) -> "rd.Dataset":
@@ -2301,9 +2301,12 @@ def semantic_dedup_docs(
     drop side, the NORMAL case for dedup, crashes it.  The union-tag
     groupby has no such failure mode and costs the same single shuffle.)
 
-    ``block="ivf"`` routes the pair source through cluster-first IVF cell
-    blocking (quadratic work bounded by cell size — SemDeDup's actual
-    recipe; lossless with ``probes=None``, see ``_ivf_cell_expand``)."""
+    ``block="auto"`` (default) size-gates the pair plan: blocks at or
+    under the gate run the exact label plan, a larger block routes
+    through cluster-first IVF cell blocking (quadratic work bounded by
+    cell size — SemDeDup's actual recipe) in its LOSSLESS
+    ``probes=None`` form, so the result is identical either way; pass
+    ``block="ivf"`` / ``"label"`` to pin a plan."""
     from language_identification_ray.stages.dedup import embedding_dup_pairs
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")

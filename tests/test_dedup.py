@@ -289,3 +289,44 @@ def test_embedding_dup_pairs_ivf_adversarial_shapes(ray_session):
         ).to_pandas().shape[0]
         == 0
     )
+
+
+def test_embedding_dup_pairs_auto_gate_plans_agree(ray_session):
+    """block="auto" must produce the identical pair set whichever physical
+    plan the size gate picks: over-gate + high threshold routes through
+    lossless IVF, over-gate + low threshold widens the tile fan, under-gate
+    stays on the plain label plan."""
+    tbl, X = _clustered_embeddings()
+    ds = rd.from_arrow(tbl)
+    lab = tbl["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+    # high threshold: gate trips -> lossless IVF plan
+    want_hi = _brute_pairs(X, 0.9, labels=lab)
+    got_ivf = _canon_pairs(
+        embedding_dup_pairs(ds, threshold=0.9, auto_gate=10).to_pandas()
+    )
+    assert got_ivf == want_hi
+    # low threshold: gate trips -> label plan with widened tile fan
+    want_lo = _brute_pairs(X, 0.4, labels=lab)
+    got_tiles = _canon_pairs(
+        embedding_dup_pairs(ds, threshold=0.4, auto_gate=10).to_pandas()
+    )
+    assert got_tiles == want_lo
+    # under-gate: plain label plan, same answer
+    got_label = _canon_pairs(
+        embedding_dup_pairs(ds, threshold=0.9, auto_gate=10**6).to_pandas()
+    )
+    assert got_label == want_hi
+
+
+def test_embedding_dup_pairs_auto_global(ray_session):
+    """auto + block_column=None: the single global block follows the same
+    threshold rule and still matches brute force at both regimes."""
+    tbl, X = _clustered_embeddings(noise=30, per_cluster=15)
+    ds = rd.from_arrow(tbl.select(["vec_id", "embedding"]))
+    for t in (0.4, 0.9):
+        got = _canon_pairs(
+            embedding_dup_pairs(
+                ds, block_column=None, threshold=t, n_cells=8
+            ).to_pandas()
+        )
+        assert got == _brute_pairs(X, t)
