@@ -707,6 +707,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inactive_customers": relational.inactive_customers,
         "ccnet_tercile_buckets": analysis.ccnet_tercile_buckets,
         "events_hopping_window": analysis.events_hopping_window,
+        # NEW r5: bounded-out-of-orderness (watermark) variant — late
+        # arrivals dropped by a distributed prefix-scan before windowing
+        "events_hopping_window_watermark": analysis.events_hopping_window_watermark,
         "vocab_coverage_90": analysis.vocab_coverage_90,
         "source_novelty": analysis.source_novelty,
         # (word_burstiness is new but out-of-window by design: in-window
@@ -785,6 +788,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- non-SQL-expressible pipelines (rows-only checks) -------------
         "incremental_dedup_bloom": analysis.incremental_dedup_bloom,
         "quality_filter_pages": quality_filter.run,
+        # NEW r5: hash-exact DuckDB replica of the keep/drop rule cascade
+        # (order + first-failing-rule attribution + threshold boundaries)
+        "quality_rules_audit": quality_filter.quality_rules_audit,
         "langid_documents": langid_documents,
         "perplexity_documents": perplexity_documents,
         "distinct_words_per_lang_hll": analysis.distinct_words_per_lang_hll,
@@ -1042,6 +1048,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN orders o ON o.o_orderkey = q.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey
             ORDER BY totalprice DESC, orderkey LIMIT 100
+        """,
+        "quality_rules_audit": """
+            WITH s AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(COALESCE(text, ''), '[^ \t\n\r\f\v]+')) AS n_words,
+                       length(regexp_replace(COALESCE(text, ''), '[ \t\n\r\f\v]', '', 'g')) AS word_chars,
+                       length(regexp_replace(COALESCE(text, ''), '[^0-9]', '', 'g')) AS digits,
+                       length(regexp_replace(COALESCE(text, ''), '[^#…]', '', 'g')) AS symbols
+                FROM documents
+            ), r AS (
+                SELECT doc_id, n_words,
+                       CASE WHEN n_words > 0 THEN word_chars * 1.0 / n_words ELSE 0.0 END AS mean_wl,
+                       CASE WHEN n_words > 0 THEN symbols * 1.0 / n_words ELSE 0.0 END AS symbol_ratio,
+                       CASE WHEN word_chars > 0 THEN digits * 1.0 / word_chars ELSE 0.0 END AS digit_ratio
+                FROM s
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS q_n_words,
+                   (CASE
+                        WHEN n_words = 0 THEN 'empty'
+                        WHEN n_words < 5 THEN 'too_short'
+                        WHEN mean_wl < 2.0 OR mean_wl > 12.0 THEN 'mean_word_len'
+                        WHEN symbol_ratio > 1.5 THEN 'symbol_ratio'
+                        WHEN digit_ratio > 0.3 THEN 'digit_ratio'
+                        ELSE '' END) AS drop_reason,
+                   (CASE
+                        WHEN n_words = 0 THEN 'empty'
+                        WHEN n_words < 5 THEN 'too_short'
+                        WHEN mean_wl < 2.0 OR mean_wl > 12.0 THEN 'mean_word_len'
+                        WHEN symbol_ratio > 1.5 THEN 'symbol_ratio'
+                        WHEN digit_ratio > 0.3 THEN 'digit_ratio'
+                        ELSE '' END) = '' AS keep
+            FROM r
         """,
         "min_cost_suppliers": """
             WITH pp AS (
@@ -1730,6 +1769,30 @@ def oracle_sql() -> dict[str, str]:
                            - (h.i * INTERVAL 15 MINUTE) AS window_start
                 FROM events e, UNNEST(range(0, 4)) AS h(i)
                 WHERE e.ts IS NOT NULL
+            )
+            SELECT window_start, event_type, count(*) AS n_events,
+                   CAST(COALESCE(sum(cents), 0) AS BIGINT) AS value_cents
+            FROM hops GROUP BY window_start, event_type
+        """,
+        "events_hopping_window_watermark": """
+            WITH src AS (
+                SELECT event_id, ts, event_type, value
+                FROM events
+                WHERE event_id IS NOT NULL AND ts IS NOT NULL
+            ), wm AS (
+                SELECT *,
+                       max(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS high
+                FROM src
+            ), kept AS (
+                SELECT ts, event_type, value FROM wm
+                WHERE high IS NULL OR ts >= high - INTERVAL 30 MINUTE
+            ), hops AS (
+                SELECT e.event_type,
+                       CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents,
+                       time_bucket(INTERVAL 15 MINUTE, e.ts)
+                           - (h.i * INTERVAL 15 MINUTE) AS window_start
+                FROM kept e, UNNEST(range(0, 4)) AS h(i)
             )
             SELECT window_start, event_type, count(*) AS n_events,
                    CAST(COALESCE(sum(cents), 0) AS BIGINT) AS value_cents

@@ -280,3 +280,57 @@ def to_baseline_schema(ds: "rd.Dataset") -> "rd.Dataset":
     on e.g. ``q_dup_ngram_frac`` works on flat columns at 100 TB); this view
     is for consumers that want the documented nested shape."""
     return ds.map_batches(_to_structs, batch_format="pyarrow")
+
+
+def quality_rules_audit(sf_dir: str) -> "rd.Dataset":
+    """Hash-exact audit of the keep/drop RULE CASCADE (VERDICT r4 next-#5):
+    the four SQL-expressible quality stats (word count, mean word length,
+    symbol-per-word ratio, digit ratio — identical regex definitions on
+    both engines) are computed per document and pushed through the REAL
+    :class:`~language_identification_ray.stages.rules.KeepDropRules`
+    engine, so the cascade's rule ORDER, first-failing-rule attribution
+    and threshold boundaries get a DuckDB-verified row instead of only the
+    synthetic F1 gate.  Rules whose stats are tokenizer-internal
+    (stopword, repetition, langid, PII, perplexity) skip via the
+    declared-columns contract — their stats stay pytest-pinned; this row
+    pins the DECISION ENGINE.
+
+    Scale shape: map-only — one projected read, vectorized
+    ``count_substring_regex`` kernels, no exchange."""
+    import pyarrow.compute as _pc
+
+    from language_identification_ray.stages.rules import KeepDropRules
+
+    rules = KeepDropRules()
+
+    def stats_and_rules(batch: pa.Table) -> pa.Table:
+        text = _pc.fill_null(batch["text"], "")
+        n_words = _pc.count_substring_regex(
+            text, "[^ \t\n\r\f\v]+").cast(pa.int64())
+        word_chars = _pc.count_substring_regex(
+            text, "[^ \t\n\r\f\v]").cast(pa.int64())
+        digits = _pc.count_substring_regex(text, "[0-9]").cast(pa.int64())
+        symbols = _pc.count_substring_regex(text, "[#…]").cast(pa.int64())
+        nw = n_words.to_numpy(zero_copy_only=False).astype(np.float64)
+        wc = word_chars.to_numpy(zero_copy_only=False).astype(np.float64)
+        dg = digits.to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = symbols.to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean_wl = np.where(nw > 0, wc / nw, 0.0)
+            digit_ratio = np.where(wc > 0, dg / wc, 0.0)
+            symbol_ratio = np.where(nw > 0, sy / nw, 0.0)
+        staged = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "q_n_words": n_words,
+                "q_mean_word_len": pa.array(mean_wl, pa.float64()),
+                "q_symbol_word_ratio": pa.array(symbol_ratio, pa.float64()),
+                "q_digit_ratio": pa.array(digit_ratio, pa.float64()),
+            }
+        )
+        out = rules(staged)
+        return out.select(["doc_id", "q_n_words", "keep", "drop_reason"])
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(stats_and_rules, batch_format="pyarrow")

@@ -701,3 +701,52 @@ def test_dominant_share_suppliers_boundary(ray_session, tmp_path):
     ]
     # sort: n_dominated_parts DESC, suppkey ASC
     assert rows == [(11, "S11", 2), (10, "S10", 1)]
+
+
+# ---------------------------------------------------------------------------
+# events_hopping_window_watermark (bounded out-of-orderness)
+
+
+def test_watermark_drops_late_arrivals(ray_session, tmp_path):
+    """Arrival order = event_id; watermark = running max(ts); an event
+    older than watermark - lateness drops, a within-allowance straggler
+    survives, NULL id / NULL ts rows are excluded."""
+    base = datetime.datetime(1996, 6, 1, 12, 0, 0)
+
+    def m(minutes):
+        return base + datetime.timedelta(minutes=minutes)
+
+    _w(tmp_path, "events", {
+        # arrival:   1      2      3        4        5      6     null-id
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, None], pa.int64()),
+        "ts": pa.array(
+            [m(0),           # wm after: 0
+             m(120),         # jumps ahead; wm: 120
+             m(100),         # 20 min late < 30 allowance -> KEPT
+             m(60),          # 60 min late -> DROPPED
+             None,           # NULL ts -> excluded
+             m(121),         # in order -> kept
+             m(300)],        # NULL event_id -> excluded
+            TS),
+        "user_id": pa.array([1] * 7, pa.int64()),
+        "event_type": pa.array(["a"] * 7, pa.string()),
+        "value": pa.array([1.0] * 7, pa.float64()),
+        "props": pa.array([""] * 7, pa.string()),
+    })
+    out = analysis.events_hopping_window_watermark(
+        str(tmp_path), lateness_min=30).take_all()
+    total = sum(r["n_events"] for r in out)
+    # kept events: ids 1 (12:00), 2 (14:00), 3 (13:40), 6 (14:01) -> 4
+    # hop windows each
+    assert total == 4 * 4
+    starts = {r["window_start"] for r in out}
+    # the dropped 13:00 event's EXCLUSIVE windows (12:30, 12:15 — its
+    # 13:00/12:45 windows are also covered by the kept 13:40 event) are
+    # absent; the shared ones are present
+    assert m(30) not in starts and m(15) not in starts
+    assert m(60) in starts and m(45) in starts
+    # and the plain (no-watermark) window DOES contain the late event's
+    # exclusive windows — the two kernels genuinely differ on this input
+    plain_starts = {r["window_start"]
+                    for r in analysis.events_hopping_window(str(tmp_path)).take_all()}
+    assert m(30) in plain_starts and m(15) in plain_starts
