@@ -247,27 +247,37 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
-    p0 = _spin_probe()
-    r_lo = one(lo)
-    p1 = _spin_probe()
-    r_hi = one(hi)
-    p2 = _spin_probe()
-    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    # three widths by default (VERDICT r4 #6: a middle leg makes steal-skew
+    # easier to reject — a genuine scaling curve is monotone across 8/16/32,
+    # an asymmetric steal window breaks one pairwise efficiency only)
+    widths = [
+        int(w) for w in os.environ.get("SCALING_WIDTHS", "8,16,32").split(",")
+    ]
+    probes = [_spin_probe()]
+    legs = {}
+    for w in widths:
+        legs[w] = one(w)
+        probes.append(_spin_probe())
+    lo, hi = widths[0], widths[-1]
+    eff = (legs[lo]["value"] / legs[hi]["value"]) / (hi / lo)
     result = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": r_lo["value"],
-        "sec_32": r_hi["value"],
-        "docs_per_sec_8": r_lo["docs_per_sec"],
-        "docs_per_sec_32": r_hi["docs_per_sec"],
-        "probe_before": p0,
-        "probe_mid": p1,
-        "probe_after": p2,
+        "probe_before": probes[0],
+        "probe_mid": probes[len(probes) // 2],
+        "probe_after": probes[-1],
+        "probes": probes,
         "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "sf": SF_DIR,
     }
+    for w in widths:
+        result[f"sec_{w}"] = legs[w]["value"]
+        result[f"docs_per_sec_{w}"] = legs[w]["docs_per_sec"]
+    for a, b in zip(widths, widths[1:]):
+        result[f"eff_{a}_{b}"] = round(
+            (legs[a]["value"] / legs[b]["value"]) / (b / a), 3
+        )
     _append_campaign(result)
     return result
 

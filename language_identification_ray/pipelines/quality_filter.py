@@ -77,11 +77,15 @@ class QualityFilterStage:
         language_codes: Optional[Sequence[str]] = None,
         with_perplexity: bool = False,
         perplexity_per_language: bool = False,
+        detector: str = "ensemble",
     ):
         from language_identification_ray.perf import tune_malloc
 
         tune_malloc()  # once per worker: reuse heap pages (see perf.py)
-        self.langid = LangIdStage(language_codes=language_codes)
+        # detector="fasttext" runs real fastText-format inference (the
+        # north-star hot path: lid.176 via $FASTTEXT_LID_MODEL, else the
+        # vendored in-repo model) — warm-loaded once per actor
+        self.langid = LangIdStage(language_codes=language_codes, detector=detector)
         self.quality = QualityStats()
         self.scrub = Scrubber()
         self.rules = KeepDropRules()
@@ -127,6 +131,7 @@ def build(
     batch_size: int = 1024,
     with_perplexity: bool = False,
     perplexity_per_language: bool = False,
+    detector: str = "ensemble",
 ) -> "rd.Dataset":
     """Compose the flagship pipeline over a pages Dataset (lazy).
 
@@ -147,6 +152,7 @@ def build(
             "language_codes": list(language_codes) if language_codes else None,
             "with_perplexity": with_perplexity,
             "perplexity_per_language": perplexity_per_language,
+            "detector": detector,
         },
     )
 

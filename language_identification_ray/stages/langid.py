@@ -455,6 +455,16 @@ class LangIdStage:
             self.detector = NgramDetector()
         elif detector == "script":
             self.detector = ScriptDetector()
+        elif detector == "fasttext":
+            # real fastText-format inference (north-star hot path): the
+            # vendored in-repo model by default, the actual lid.176 when
+            # $FASTTEXT_LID_MODEL points at it — warm-loaded once per
+            # actor, wheel-free (stages/external_detectors.py)
+            from language_identification_ray.stages.external_detectors import (
+                FastTextDetector,
+            )
+
+            self.detector = FastTextDetector()
         else:
             raise ValueError(f"unknown detector {detector!r}")
         self.text_column = text_column

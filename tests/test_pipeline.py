@@ -148,3 +148,19 @@ def test_partitioned_resume_prunes_and_redoes(ray_session, sf_dir, tmp_path):
     info2 = write_partitioned(run(sf_dir), out, resume=True)
     assert set(info2["partitions"]) == set(parts)
     assert rd.read_parquet(out).count() == total  # no dups, nothing missing
+
+
+def test_flagship_fasttext_detector_variant(ray_session, sf_dir):
+    """detector="fasttext" runs the flagship with real fastText-format
+    inference warm-loaded per actor (the north-star hot path) — same
+    schema, sane langs, keep-majority preserved."""
+    from language_identification_ray.pipelines.quality_filter import run
+
+    df = run(sf_dir, detector="fasttext").to_pandas()
+    assert len(df) == 500
+    for col in ["url", "lang", "lang_conf", "keep", "drop_reason", "scrubbed_text"]:
+        assert col in df.columns, col
+    # the corpus is majority-English synthetic text: the fastText model
+    # must agree on the bulk label and keep most documents
+    assert (df["lang"] == "en").mean() > 0.5
+    assert df["keep"].mean() > 0.5
