@@ -16,7 +16,7 @@ def ray_session():
     if not ray.is_initialized():
         ray.init(
             address="local",
-            num_cpus=4,
+            num_cpus=int(os.environ.get("GRAFT_TEST_RAY_CPUS", "4")),
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
