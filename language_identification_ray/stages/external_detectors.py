@@ -31,17 +31,27 @@ Ranking = List[Tuple[str, float]]
 
 
 class _ExternalBase:
-    """Shared adapter shape: batch loop over a per-text ``_rank``."""
+    """Shared adapter shape: batch loop over a per-text ``_rank``.
+
+    Every reference wrapper runs ``clean_text`` before its library call
+    (``fasttext_wrapper.py:42``, ``langid_wrapper.py:27``,
+    ``langdetect_wrapper.py:20``, ``nltk_wrapper.py:61`` — decode, strip
+    standalone numbers, collapse whitespace); the adapters mirror that,
+    except an empty cleaned text yields an empty ranking instead of the
+    reference's ValueError (a Dataset row must not throw)."""
 
     SUPPORTED_LANGUAGES: List[str] = []
 
     def predict_batch(
         self, texts: Sequence[str], language_codes: Optional[Iterable[str]] = None
     ) -> List[Ranking]:
+        from language_identification_ray.functions.textnorm import clean_text
+
         allowed = set(language_codes) if language_codes else None
         out = []
         for t in texts:
-            r = self._rank(t or "")
+            t = clean_text(t or "")
+            r = self._rank(t) if t else []
             if allowed is not None:
                 r = [(l, p) for l, p in r if l in allowed]
             out.append(r)
