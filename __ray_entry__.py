@@ -430,7 +430,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # compaction; holds the slot ceded by substring_dup_pairs, r3-green
         # and byte-unchanged, whose LSH-prefiltered exact-verify machinery
         # stays driven in-window by minhash_lsh_pairs)
-        "events_collapse_consecutive": analysis.events_collapse_consecutive,
+        # (min_cost_suppliers is NEW r5 — Q2-shaped correlated-min join;
+        # holds the slot ceded by events_collapse_consecutive, r4-green and
+        # unchanged, whose groupby-user ordered-scan machinery stays driven
+        # in-window by events_latest_per_user and top_user_paths)
+        "min_cost_suppliers": relational.min_cost_suppliers,
         "stratified_sample": analysis.stratified_sample,
         # (rolling_active_users is NEW r4 — sliding-window DISTINCT via
         # fan-out dedup; holds the slot ceded by word_entropy, r3-green and
@@ -486,7 +490,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_item_revenue": relational.returned_item_revenue,
         # (large_order_customers lives in the main block below — a duplicate
         # literal key here silently overwrote it and wasted a catalog slot)
-        "promo_revenue": relational.promo_revenue,
+        # (dominant_share_suppliers is NEW r5 — Q20-shaped nested semi-join
+        # share gate; holds the slot ceded by promo_revenue, r4-green and
+        # unchanged, whose part-dimension broadcast + cents-partial machinery
+        # stays driven in-window by returned_item_revenue and
+        # top_supplier_revenue)
+        "dominant_share_suppliers": relational.dominant_share_suppliers,
         # (top_lengths_dense_per_source is NEW session-7 — DENSE_RANK
         # top-k-with-ties via stats-pass + broadcast filter; holds the slot
         # ceded by pmi_top100, r3-green and byte-unchanged, whose pair+
@@ -565,7 +574,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4-session-5, self-check-green and byte-unchanged since, whose
         # packed-min gram-attribution combiner stays gated by the
         # source_novelty oracle sibling + the 149-query self-check)
-        "user_metrics_long": analysis.user_metrics_long,
+        # (events_hopping_window_watermark is NEW r5 — bounded-out-of-
+        # orderness windowing via a distributed prefix scan; holds the slot
+        # ceded by user_metrics_long, r4-green and unchanged, the trivial
+        # UNPIVOT inverse of the in-window user_event_type_pivot)
+        "events_hopping_window_watermark": analysis.events_hopping_window_watermark,
         # (slot from late_shipment_priority — in-window top_revenue_orders
         # drives the same size-gated broadcast-vs-join dual plan)
         # (part_cube_stats is NEW session-7 — GROUP BY CUBE grouping sets,
@@ -587,7 +600,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # self-check-green and unchanged since, whose union-tag groupby
         # machinery stays driven in-window by idle_rich_customers'
         # anti-join composition)
-        "chars_tokens_corr": analysis.chars_tokens_corr,
+        # (quality_rules_audit is NEW r5 — hash-exact DuckDB replica of the
+        # keep/drop rule cascade; holds the slot ceded by chars_tokens_corr,
+        # r4-green and unchanged, whose grouped sum-of-products machinery
+        # stays driven in-window by event_volume_trend)
+        "quality_rules_audit": quality_filter.quality_rules_audit,
         # (user_event_type_pivot is NEW session-7 — PIVOT/crosstab widening;
         # holds the slot ceded by crawl_delta, r4-session-5,
         # self-check-green and unchanged since, whose md5-content-key
@@ -702,14 +719,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_order_customers": relational.large_order_customers,
         # NEW r5: the two classic join shapes the suite still lacked —
         # Q2-shaped correlated-min join and Q20-shaped nested semi-join
-        "min_cost_suppliers": relational.min_cost_suppliers,
-        "dominant_share_suppliers": relational.dominant_share_suppliers,
+        "events_collapse_consecutive": analysis.events_collapse_consecutive,
+        "promo_revenue": relational.promo_revenue,
         "inactive_customers": relational.inactive_customers,
         "ccnet_tercile_buckets": analysis.ccnet_tercile_buckets,
         "events_hopping_window": analysis.events_hopping_window,
         # NEW r5: bounded-out-of-orderness (watermark) variant — late
         # arrivals dropped by a distributed prefix-scan before windowing
-        "events_hopping_window_watermark": analysis.events_hopping_window_watermark,
+        "user_metrics_long": analysis.user_metrics_long,
         "vocab_coverage_90": analysis.vocab_coverage_90,
         "source_novelty": analysis.source_novelty,
         # (word_burstiness is new but out-of-window by design: in-window
@@ -788,9 +805,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- non-SQL-expressible pipelines (rows-only checks) -------------
         "incremental_dedup_bloom": analysis.incremental_dedup_bloom,
         "quality_filter_pages": quality_filter.run,
-        # NEW r5: hash-exact DuckDB replica of the keep/drop rule cascade
-        # (order + first-failing-rule attribution + threshold boundaries)
-        "quality_rules_audit": quality_filter.quality_rules_audit,
+        # (chars_tokens_corr ceded its window slot to quality_rules_audit
+        # in r5 — grouped sum-of-products machinery stays driven in-window
+        # by event_volume_trend; the entry itself remains catalog-green)
+        "chars_tokens_corr": analysis.chars_tokens_corr,
         "langid_documents": langid_documents,
         "perplexity_documents": perplexity_documents,
         "distinct_words_per_lang_hll": analysis.distinct_words_per_lang_hll,

@@ -139,6 +139,23 @@ Historical cede decisions (why each out-of-window entry is safe):
   `dsir_importance_weights` (r3-green; in-window `source_unigram_kl`
   drives the same unigram log-ratio machinery) → `readability_scores`
   (map-only Flesch reading ease, three RE2 count kernels per batch).
+- **r5 cedes** (four new kernels in, four r4-driver-green
+  unchanged-since-green out): `events_collapse_consecutive` (r4-green;
+  in-window `events_latest_per_user` + `top_user_paths` drive the same
+  groupby-user ordered-scan machinery) → `min_cost_suppliers` (Q2-shaped
+  correlated-min join, one partkey-keyed exchange over pair-min partials);
+  `promo_revenue` (r4-green; in-window `returned_item_revenue` +
+  `top_supplier_revenue` drive the same part/supplier-dimension broadcast
+  + cents-partial machinery) → `dominant_share_suppliers` (Q20-shaped
+  nested-semi-join share gate, cross-multiplied int64, two compressed
+  exchanges); `user_metrics_long` (r4-green; the trivial UNPIVOT inverse
+  of the in-window `user_event_type_pivot`) →
+  `events_hopping_window_watermark` (bounded-out-of-orderness windowing:
+  distributed prefix scan, then the shared hop expansion);
+  `chars_tokens_corr` (r4-green; in-window `event_volume_trend` drives the
+  same grouped sum-of-products machinery) → `quality_rules_audit`
+  (hash-exact DuckDB replica of the KeepDropRules cascade — rule order,
+  first-failing-rule attribution, threshold boundaries).
 """
 
 
