@@ -392,7 +392,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the slot ceded by media_metadata, r3-driver-green and
         # byte-unchanged, whose binary round-trip decoders stay driven by
         # the audio_metadata/video_metadata oracle siblings + pytest)
-        "score_percent_rank": analysis.score_percent_rank,
+        # (weighted_sample_docs is NEW r5 — Efraimidis-Spirtes weighted
+        # reservoir with deterministic md5 keys; holds the slot ceded by
+        # score_percent_rank, r4-green and unchanged, whose histogram-rank
+        # machinery stays driven in-window by stratified_sample)
+        "weighted_sample_docs": analysis.weighted_sample_docs,
         # --- NEW session-7 kernels: hold the slots ceded by
         # events_user_interarrival and source_unigram_kl (both r3-driver-
         # green, byte-unchanged since; the groupby-user ordered machinery
@@ -802,6 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_sample": analysis.edit_distance_sample,
         "char_bigram_top50": analysis.char_bigram_top50,
         "sample_docs_hash": analysis.sample_docs_hash,
+        "score_percent_rank": analysis.score_percent_rank,
         # --- non-SQL-expressible pipelines (rows-only checks) -------------
         "incremental_dedup_bloom": analysis.incremental_dedup_bloom,
         "quality_filter_pages": quality_filter.run,
@@ -937,6 +942,17 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(n_chars, 0.9) AS p90_chars
             FROM documents
             GROUP BY lang
+        """,
+        "weighted_sample_docs": """
+            WITH w AS (
+                SELECT doc_id,
+                       GREATEST(COALESCE(n_chars, 1), 1) AS weight,
+                       (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1)
+                           / 4294967297.0 AS u
+                FROM documents WHERE doc_id IS NOT NULL
+            )
+            SELECT doc_id, CAST(weight AS BIGINT) AS weight
+            FROM w ORDER BY ln(u)/weight DESC, doc_id LIMIT 100
         """,
         "sample_docs_hash": """
             SELECT doc_id, lang, n_chars

@@ -9740,3 +9740,55 @@ def source_mix_entropy(sf_dir: str) -> "rd.Dataset":
         .groupby(["lang_key", "lang_null"])
         .map_groups(entropy, batch_format="pyarrow")
     )
+
+
+def weighted_sample_docs(sf_dir: str, k: int = 100) -> "rd.Dataset":
+    """Weighted sampling WITHOUT replacement at corpus scale — the
+    Efraimidis–Spirtes A-ES reservoir (each item ranked by
+    ``u^(1/weight)``, top-``k`` kept; here equivalently ``ln(u)/weight``),
+    the primitive behind quality-weighted training-data selection (sample
+    documents proportional to a quality/length weight, exactly once).
+    The randomness is a DETERMINISTIC per-document md5 hash (the
+    ``train_val_test_split`` convention), so the sample is reproducible
+    run-to-run AND SQL-expressible — the oracle computes the identical
+    keys and the driver hash-checks the selected set.  Weight =
+    ``max(n_chars, 1)`` (NULL → 1); NULL doc_ids are excluded (no hashable
+    identity) on both engines.
+
+    Scale shape: map-only per-batch key computation with a LOCAL top-``k``
+    prefilter (argpartition), then one ``k``-bounded global sort — the
+    exchange moves at most ``k`` rows per batch, never the corpus."""
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["doc_id"]))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.maximum(np.nan_to_num(chars, nan=1.0), 1.0)
+        v = np.fromiter(
+            (int(hashlib.md5(str(int(i)).encode()).hexdigest()[:8], 16)
+             for i in ids),
+            dtype=np.int64, count=len(ids),
+        )
+        u = (v + 1) / 4294967297.0  # (0, 1]
+        key = np.log(u) / w
+        if len(key) > k:  # local prefilter: only k candidates can survive
+            top = np.argpartition(-key, k - 1)[:k]
+            ids, w, key = ids[top], w[top], key[top]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "weight": pa.array(w.astype(np.int64), pa.int64()),
+                "es_key": pa.array(key, pa.float64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow")
+        .sort(["es_key", "doc_id"], descending=[True, False])
+        .limit(k)
+        .map_batches(
+            lambda t: t.select(["doc_id", "weight"]), batch_format="pyarrow"
+        )
+    )

@@ -156,6 +156,10 @@ Historical cede decisions (why each out-of-window entry is safe):
   same grouped sum-of-products machinery) → `quality_rules_audit`
   (hash-exact DuckDB replica of the KeepDropRules cascade — rule order,
   first-failing-rule attribution, threshold boundaries).
+  Fifth r5 cede: `score_percent_rank` (r4-green; in-window
+  `stratified_sample` drives the same histogram-rank machinery) →
+  `weighted_sample_docs` (Efraimidis-Spirtes weighted reservoir, per-batch
+  top-k prefilter + one k-bounded sort, deterministic md5 keys).
 """
 
 
