@@ -48,8 +48,11 @@ def test_lsh_topk_recall(ray_session):
     vecs = np.vstack([c + rng.standard_normal((15, 32)) * 0.05 for c in centers])
     ds = rd.from_items([{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(len(vecs))])
     hits = 0
-    trials = 8
-    for qi in range(0, trials * 15, 15):
+    # 4 cluster-spread queries: the fixture is deterministic, so recall is
+    # a fixed number either way — fewer trials just trims the ~4 s-per-call
+    # Ray fixed cost (suite-latency item, VERDICT r4 #8)
+    trials = 4
+    for qi in range(0, trials * 30, 30):
         q = vecs[qi]
         approx = set(lsh_topk(ds, q, k=5, n_bits=6, n_probe=3).to_pandas()["vec_id"])
         exact = set(_exact_topk(vecs, q, 5))
