@@ -632,7 +632,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r4-session-5, self-check-green and unchanged since, whose
         # broadcast-matrix exact matmul stays driven in-window by
         # kmeans_train's assignment step)
-        "events_weekday_hour_heatmap": analysis.events_weekday_hour_heatmap,
+        # (nation_year_profit is NEW r5 — Q9-shaped five-way star profit
+        # rollup; holds the slot ceded by events_weekday_hour_heatmap,
+        # r4-green and unchanged, whose calendar-key grouped-count
+        # machinery stays driven in-window by daily_top_spenders and
+        # monthly_revenue_growth)
+        "nation_year_profit": relational.nation_year_profit,
         # (slot from bm25_topk — r2-green, unchanged; pytest oracle gate +
         # self-check artifact)
         "nation_trade_volume": relational.nation_trade_volume,
@@ -718,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_centroids": analysis.lang_centroids,
         "distinct_words_per_lang": analysis.distinct_words_per_lang,
         "late_shipment_priority": relational.late_shipment_priority,
+        "events_weekday_hour_heatmap": analysis.events_weekday_hour_heatmap,
         "value_zscore_outliers": analysis.value_zscore_outliers,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "large_order_customers": relational.large_order_customers,
@@ -1115,6 +1121,30 @@ def oracle_sql() -> dict[str, str]:
                         WHEN digit_ratio > 0.3 THEN 'digit_ratio'
                         ELSE '' END) = '' AS keep
             FROM r
+        """,
+        "nation_year_profit": """
+            WITH li AS (
+                SELECT l.l_orderkey,
+                       s.s_nationkey AS natkey,
+                       CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)
+                         - CAST(floor(p.p_retailprice*100 + 0.5) AS BIGINT)
+                           * CAST(floor(l.l_quantity + 0.5) AS BIGINT) AS cents
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                WHERE p.p_name LIKE '%red%' AND p.p_retailprice IS NOT NULL
+                  AND l.l_extendedprice IS NOT NULL AND l.l_discount IS NOT NULL
+                  AND l.l_quantity IS NOT NULL AND l.l_orderkey IS NOT NULL
+            )
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   sum(li.cents)/100.0 AS profit
+            FROM li
+            JOIN orders o ON o.o_orderkey = li.l_orderkey
+            JOIN nation n ON n.n_nationkey = li.natkey
+            WHERE o.o_orderdate IS NOT NULL
+            GROUP BY 1, 2
+            ORDER BY nation, o_year DESC
         """,
         "min_cost_suppliers": """
             WITH pp AS (

@@ -4278,3 +4278,179 @@ def dominant_share_suppliers(
         .sort(["n_dominated_parts", "suppkey"], descending=[True, False])
         .limit(k)
     )
+
+
+def nation_year_profit(
+    sf_dir: str, name_like: str = "red", n_buckets: int = 1024
+) -> "rd.Dataset":
+    """TPC-H-Q9-shaped product-profit report: for parts whose name contains
+    ``name_like`` (Q9's ``p_name LIKE '%green%'`` filter), the pseudo-profit
+    ``sum(l_extendedprice*(1-l_discount) − p_retailprice*l_quantity)`` per
+    (supplier nation, order year) — the five-way star+fact-fact join
+    (lineitem ⋈ part ⋈ supplier ⋈ nation ⋈ orders) that completes the
+    classic-join suite next to Q7 (``nation_trade_volume``).  This schema
+    has no partsupp, so part retail price stands in for Q9's supplycost —
+    the join/aggregation SHAPE is identical.  All money in exact int64
+    cents; NULL-key rows drop like the oracle's inner joins; rows with a
+    NULL price/discount/quantity are excluded from the profit sum on both
+    engines (their SQL profit expression is NULL, and sum skips NULL
+    addends).
+
+    Scale shape: part (filtered, catalog-sized), supplier and nation
+    broadcast as sorted sidecars; lineitem pre-aggregates per batch to
+    (orderkey, nationkey, profit_cents) partials — the ONLY fact-fact
+    exchange is the orderkey-bucket co-partition against the (orderkey,
+    year) projection of orders (one row per order), then a
+    |nations×years|-bounded final groupby."""
+    import pyarrow.parquet as _pq
+
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    sup = sup.filter(
+        _pc.and_(_pc.is_valid(sup["s_suppkey"]), _pc.is_valid(sup["s_nationkey"]))
+    )
+    skeys = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    so = np.argsort(skeys)
+    s_sorted = skeys[so]
+    s_nat = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)[so]
+
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nat = nat.filter(_pc.is_valid(nat["n_nationkey"]))
+    nkeys = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    no = np.argsort(nkeys)
+    n_sorted = nkeys[no]
+    n_names = np.asarray(nat["n_name"].to_pylist(), dtype=object)[no]
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"])
+    pm = _pc.match_substring(_pc.fill_null(part["p_name"], ""), name_like)
+    part = part.filter(
+        _pc.and_(
+            _pc.and_(_pc.is_valid(part["p_partkey"]), pm),
+            _pc.is_valid(part["p_retailprice"]),
+        )
+    )
+    pkeys = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    po = np.argsort(pkeys)
+    p_sorted = pkeys[po]
+    p_cents = _cents(part["p_retailprice"])[po]
+
+    sidecar = ray.put((s_sorted, s_nat, n_sorted, n_names, p_sorted, p_cents))
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount", "l_quantity"],
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        ss, sn, _, _, ps, pc_ = ray.get(sidecar)
+        m = batch
+        for c in ("l_orderkey", "l_partkey", "l_suppkey",
+                  "l_extendedprice", "l_discount", "l_quantity"):
+            m = m.filter(_pc.is_valid(m[c]))
+        ok = m["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pk = m["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sk = m["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # part filter probe (dangling/unmatched parts drop: inner join)
+        pi, phit = _probe_sorted(ps, pk)
+        si, shit = _probe_sorted(ss, sk)
+        keep = phit & shit
+        ok, pk, sk = ok[keep], pk[keep], sk[keep]
+        retail = pc_[pi[keep]]
+        natk = sn[si[keep]]
+        price = m["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        disc = m["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        qty = m["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+        profit = (
+            _cents_np(price * (1.0 - disc))
+            - retail * np.floor(qty + 0.5).astype(np.int64)
+        )
+        # per-batch pre-agg to (orderkey, nationkey) partials
+        o = np.lexsort((natk, ok))
+        ok, natk, profit = ok[o], natk[o], profit[o]
+        if len(ok):
+            newg = np.r_[True, (ok[1:] != ok[:-1]) | (natk[1:] != natk[:-1])]
+            gidx = np.nonzero(newg)[0]
+            profit = np.add.reduceat(profit, gidx).astype(np.int64)
+            ok, natk = ok[gidx], natk[gidx]
+        return pa.table(
+            {
+                "bucket": pa.array(ok % n_buckets, pa.int64()),
+                "okey": pa.array(ok, pa.int64()),
+                "natkey": pa.array(natk, pa.int64()),
+                "cents": pa.array(profit, pa.int64()),
+                "is_order": pa.array(np.zeros(len(ok), dtype=bool)),
+                "year": pa.array(np.zeros(len(ok), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def ord_rows(batch: pa.Table) -> pa.Table:
+        t = batch.filter(
+            _pc.and_(_pc.is_valid(batch["o_orderkey"]), _pc.is_valid(batch["o_orderdate"]))
+        )
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        yr = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        )
+        n = len(ok)
+        return pa.table(
+            {
+                "bucket": pa.array(ok % n_buckets, pa.int64()),
+                "okey": pa.array(ok, pa.int64()),
+                "natkey": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "cents": pa.array(np.zeros(n, dtype=np.int64), pa.int64()),
+                "is_order": pa.array(np.ones(n, dtype=bool)),
+                "year": pa.array(yr, pa.int64()),
+            }
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        is_ord = group["is_order"].to_numpy(zero_copy_only=False).astype(bool)
+        okeys = group["okey"].to_numpy(zero_copy_only=False)
+        years = group["year"].to_numpy(zero_copy_only=False)
+        osort = np.argsort(okeys[is_ord], kind="stable")
+        o_keys = okeys[is_ord][osort]
+        o_years = years[is_ord][osort]
+        lk = okeys[~is_ord]
+        idx, hit = _probe_sorted(o_keys, lk)
+        natk = group["natkey"].to_numpy(zero_copy_only=False)[~is_ord][hit]
+        cents = group["cents"].to_numpy(zero_copy_only=False)[~is_ord][hit]
+        yr = o_years[idx[hit]]
+        key = natk * 10000 + yr
+        uk, inv = np.unique(key, return_inverse=True)
+        sums = np.zeros(len(uk), dtype=np.int64)
+        np.add.at(sums, inv, cents)
+        return pa.table(
+            {
+                "natkey": pa.array(uk // 10000, pa.int64()),
+                "year": pa.array(uk % 10000, pa.int64()),
+                "cents": pa.array(sums, pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        _, _, ns, nn, _, _ = ray.get(sidecar)
+        nk = batch["natkey"].to_numpy(zero_copy_only=False)
+        pos, hit = _probe_sorted(ns, nk)
+        t = batch.filter(pa.array(hit))  # dangling nationkeys: inner join
+        return pa.table(
+            {
+                "nation": pa.array(nn[pos[hit]], pa.string()),
+                "o_year": t["year"],
+                "profit": _pc.divide(_pc.cast(t["cents"], pa.float64()), 100.0),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    )
+    return (
+        li.map_batches(li_partial, batch_format="pyarrow")
+        .union(orders.map_batches(ord_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["natkey", "year"])
+        .aggregate(Sum("cents", alias_name="cents"))
+        .map_batches(finalize, batch_format="pyarrow")
+        .sort(["nation", "o_year"], descending=[False, True])
+    )

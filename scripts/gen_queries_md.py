@@ -160,6 +160,12 @@ Historical cede decisions (why each out-of-window entry is safe):
   `stratified_sample` drives the same histogram-rank machinery) →
   `weighted_sample_docs` (Efraimidis-Spirtes weighted reservoir, per-batch
   top-k prefilter + one k-bounded sort, deterministic md5 keys).
+  Sixth r5 cede: `events_weekday_hour_heatmap` (r4-green; in-window
+  `daily_top_spenders` + `monthly_revenue_growth` drive the same
+  calendar-key grouped-count machinery) → `nation_year_profit` (Q9-shaped
+  five-way star profit rollup: part/supplier/nation broadcast sidecars,
+  one orderkey-bucket fact-fact co-partition, nations×years final
+  groupby).
 """
 
 
