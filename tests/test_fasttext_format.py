@@ -232,3 +232,62 @@ def test_lid176_through_adapter(monkeypatch):
     assert len(det.SUPPORTED_LANGUAGES) == 176
     (ranking,) = det.predict_batch(["das ist ein deutscher satz über hunde"])
     assert ranking[0][0] == "de"
+
+
+# ---------------------------------------------------------------------------
+# property lane: random dense models round-trip and predict consistently
+
+
+def test_random_models_roundtrip(tmp_path):
+    rng = np.random.default_rng(99)
+    words_pool = [b"the", b"a", "été".encode(), "中文".encode(),
+                  "łódź".encode(), b"x" * 30, b"q", "ñandú".encode()]
+    for trial in range(8):
+        dim = int(rng.integers(2, 24))
+        minn = int(rng.integers(0, 3))
+        maxn = int(rng.integers(minn, 5)) if minn else 0
+        args = FastTextArgs(
+            dim=dim,
+            bucket=int(rng.integers(16, 512)),
+            minn=minn, maxn=maxn,
+            word_ngrams=int(rng.integers(1, 4)),
+        )
+        nv = int(rng.integers(1, len(words_pool)))
+        vocab = [(EOS, 9)] + [(w, int(rng.integers(1, 50)))
+                              for w in words_pool[:nv]]
+        labels = [(b"__label__l%d" % i, int(rng.integers(1, 9)))
+                  for i in range(int(rng.integers(2, 6)))]
+        m = new_dense_model(args, vocab, labels, 100, rng)
+        m.output.data[:] = rng.normal(size=m.output.data.shape).astype(np.float32)
+        p = str(tmp_path / f"m{trial}.bin")
+        m.save(p)
+        m2 = FastTextModel.load(p)
+        assert m2.words == m.words and m2.args == m.args
+        np.testing.assert_array_equal(m2.input.data, m.input.data)
+        np.testing.assert_array_equal(m2.output.data, m.output.data)
+        for text in ["the a", "été 中文 łódź", "unseen tokens here", "", "   "]:
+            assert m2.predict(text, k=3) == m.predict(text, k=3)
+            lp = m.label_log_probs(text)
+            if lp is not None:  # softmax: smoothed probs ~ simplex
+                total = float(np.exp(lp).sum())
+                assert 0.99 <= total <= 1.01
+
+
+def test_hs_model_roundtrip_and_simplex(tmp_path):
+    # hierarchical softmax end-to-end on a WRITTEN model: tree rebuild from
+    # stored label counts + dfs scoring survive the save/load boundary
+    rng = np.random.default_rng(5)
+    args = FastTextArgs(dim=8, bucket=64, minn=2, maxn=3, loss=1)
+    vocab = [(EOS, 9), (b"alpha", 5), (b"beta", 3)]
+    labels = [(b"__label__a", 7), (b"__label__b", 5), (b"__label__c", 2),
+              (b"__label__d", 1)]
+    m = new_dense_model(args, vocab, labels, 50, rng)
+    m.output.data[:] = rng.normal(size=m.output.data.shape).astype(np.float32)
+    p = str(tmp_path / "hs.bin")
+    m.save(p)
+    m2 = FastTextModel.load(p)
+    lp = m2.label_log_probs("alpha beta")
+    total = float(np.exp(lp).sum())
+    # hs leaves form an exact simplex before the +1e-5 smoothing
+    assert 0.99 <= total <= 1.01
+    assert m2.predict("alpha beta", k=4) == m.predict("alpha beta", k=4)
