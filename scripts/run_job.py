@@ -33,6 +33,10 @@ def main() -> int:
     ap.add_argument("--batch-size", type=int, default=4096)
     ap.add_argument("--concurrency", type=int, default=0, help="actor pool size (0 = cpus-2)")
     ap.add_argument("--no-perplexity", action="store_true")
+    ap.add_argument("--detector", default="ensemble",
+                    choices=["ensemble", "ngram", "script", "fasttext"],
+                    help="langid detector; fasttext loads a real fastText-format "
+                         "model (set FASTTEXT_LID_MODEL for lid.176)")
     ap.add_argument("--per-language-ppl", action="store_true")
     ap.add_argument("--num-cpus", type=int, default=0, help="standalone only; 0 = all")
     args = ap.parse_args()
@@ -68,6 +72,7 @@ def main() -> int:
         batch_size=args.batch_size,
         with_perplexity=not args.no_perplexity,
         perplexity_per_language=args.per_language_ppl,
+        detector=args.detector,
     )
     wall = time.time() - t0
     rows = info["counters"].get("rows", 0)
