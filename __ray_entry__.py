@@ -697,6 +697,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_self_top1": analysis.knn_self_top1,
         "doc_length_histogram": analysis.doc_length_histogram,
         "bpe_pair_counts": analysis.bpe_pair_counts,
+        # NEW r5: the full iterative merge-table trainer over the same
+        # distributed word-frequency stage (rows-only: iterative algorithm)
+        "bpe_train": lambda sf_dir: analysis.bpe_train(sf_dir, n_merges=20),
         "blocklist_filter": analysis.blocklist_filter,
         "kmeans_train": analysis.kmeans_train,
         "events_hourly_distinct_users": analysis.events_hourly_distinct_users,

@@ -9792,3 +9792,93 @@ def weighted_sample_docs(sf_dir: str, k: int = 100) -> "rd.Dataset":
             lambda t: t.select(["doc_id", "weight"]), batch_format="pyarrow"
         )
     )
+
+
+def bpe_train(
+    sf_dir: str,
+    n_merges: int = 50,
+    top_vocab: int = 50000,
+    max_word: int = 64,
+) -> "pa.Table":
+    """Full iterative BPE merge-table training (Sennrich et al. 2016) —
+    the loop whose single step :func:`bpe_pair_counts` exposes.  Emits the
+    learned merge table (rank, left, right, token, cnt): the artifact a
+    tokenizer ships.
+
+    Scale shape — the standard distributed-BPE split: the CORPUS-scale
+    work is one word-frequency combiner cascade (per-batch value_counts →
+    one vocabulary-keyed groupby, the ``word_freq_top100`` shape) plus a
+    ``top_vocab``-bounded sort; the merge loop then runs DRIVER-SIDE over
+    that bounded (word, freq) table — exactly how production tokenizer
+    trainers work (count distributed once, merge locally), because each
+    of the ``n_merges`` iterations touches only the vocabulary, never the
+    corpus.  Words are truncated to ``max_word`` chars (crawl-pathology
+    guard, same as ``bpe_pair_counts``); pair counting includes
+    overlapping occurrences (count stage) while application is greedy
+    leftmost (standard).  Ties break by (count desc, left asc, right asc)
+    — fully deterministic.  No SQL oracle (iterative); the first learned
+    merge is pinned against ``bpe_pair_counts``'s top pair and the loop
+    against a hand-checkable fixture in pytest."""
+
+    def word_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(_one_chunk(_word_lists(batch).flatten()))
+        return pa.table(
+            {"word": vc.field("values"), "f": vc.field("counts").cast(pa.int64())}
+        )
+
+    rows = (
+        _docs(sf_dir, ["text"])
+        .map_batches(word_partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("f", alias_name="f"))
+        .sort(["f", "word"], descending=[True, False])
+        .limit(top_vocab)
+        .take_all()  # bounded: top_vocab rows
+    )
+    words = [tuple(r["word"][:max_word]) for r in rows if r["word"]]
+    freqs = [int(r["f"]) for r in rows if r["word"]]
+
+    out_rank, out_left, out_right, out_tok, out_cnt = [], [], [], [], []
+    for rank in range(n_merges):
+        counts: dict = {}
+        for syms, f in zip(words, freqs):
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merged = a + b
+        new_words = []
+        for syms in words:
+            if len(syms) < 2:
+                new_words.append(syms)
+                continue
+            out = []
+            i = 0
+            n = len(syms)
+            while i < n:
+                if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words.append(tuple(out))
+        words = new_words
+        out_rank.append(rank)
+        out_left.append(a)
+        out_right.append(b)
+        out_tok.append(merged)
+        out_cnt.append(cnt)
+
+    return pa.table(
+        {
+            "rank": pa.array(out_rank, pa.int64()),
+            "left": pa.array(out_left, pa.string()),
+            "right": pa.array(out_right, pa.string()),
+            "token": pa.array(out_tok, pa.string()),
+            "cnt": pa.array(out_cnt, pa.int64()),
+        }
+    )

@@ -750,3 +750,40 @@ def test_watermark_drops_late_arrivals(ray_session, tmp_path):
     plain_starts = {r["window_start"]
                     for r in analysis.events_hopping_window(str(tmp_path)).take_all()}
     assert m(30) in plain_starts and m(15) in plain_starts
+
+
+# ---------------------------------------------------------------------------
+# bpe_train (iterative merge-table trainer)
+
+
+def test_bpe_train_hand_checked_merges(ray_session, tmp_path):
+    """Classic Sennrich-style fixture: 'aaab' x5 and 'aab' x3.
+    Char pairs (overlap counted): (a,a): 5*2 + 3 = 13; (a,b): 5+3 = 8.
+    merge0 = a+a -> 'aa' (13).  After: aaab -> [aa, a, b]; aab -> [aa, b].
+    Then (aa,b): 3, (aa,a): 5, (a,b): 5 -> tie 5 breaks by left asc:
+    ('a','b') < ('aa','a'), so merge1 = a+b 'ab'(5); then (aa,ab):5,
+    (aa,b):3 -> merge2 = aa+ab 'aaab'(5); then (aa,b):3 -> merge3."""
+    _w(tmp_path, "documents", {
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["aaab aaab aaab aaab aaab", "aab aab aab"], pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+        "source": pa.array(["s", "s"], pa.string()),
+        "n_chars": pa.array([24, 11], pa.int64()),
+    })
+    t = analysis.bpe_train(str(tmp_path), n_merges=4)
+    got = list(zip(t["rank"].to_pylist(), t["left"].to_pylist(),
+                   t["right"].to_pylist(), t["token"].to_pylist(),
+                   t["cnt"].to_pylist()))
+    assert got == [
+        (0, "a", "a", "aa", 13),
+        (1, "a", "b", "ab", 5),
+        (2, "aa", "ab", "aaab", 5),
+        (3, "aa", "b", "aab", 3),
+    ]
+
+
+def test_bpe_train_first_merge_matches_pair_counts(ray_session, sf_dir):
+    top = analysis.bpe_pair_counts(sf_dir, k=1).take_all()[0]
+    t = analysis.bpe_train(sf_dir, n_merges=1)
+    assert t["token"][0].as_py() == top["pair"]
+    assert t["cnt"][0].as_py() == top["cnt"]
