@@ -700,6 +700,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # NEW r5: the full iterative merge-table trainer over the same
         # distributed word-frequency stage (rows-only: iterative algorithm)
         "bpe_train": lambda sf_dir: analysis.bpe_train(sf_dir, n_merges=20),
+        # NEW r5: train-then-apply round trip — actor-pool encoder with the
+        # merge table shipped once per actor (rows-only: procedural encode)
+        "bpe_token_counts": analysis.bpe_token_counts,
         "blocklist_filter": analysis.blocklist_filter,
         "kmeans_train": analysis.kmeans_train,
         "events_hourly_distinct_users": analysis.events_hourly_distinct_users,

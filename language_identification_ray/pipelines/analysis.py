@@ -9882,3 +9882,112 @@ def bpe_train(
             "cnt": pa.array(out_cnt, pa.int64()),
         }
     )
+
+
+class BpeEncoder:
+    """Actor-pool stage applying a learned BPE merge table: per batch, the
+    distinct words are encoded once (memoized across batches — web text
+    repeats its vocabulary heavily) by standard best-rank-first merging,
+    and per-document token counts come from the words' counts.  The merge
+    table ships once per actor via the constructor (broadcast pattern);
+    state lives in ``__init__`` per the actor-pool contract."""
+
+    def __init__(self, merges):
+        # merges: list of (left, right) in rank order
+        self.ranks = {pair: i for i, pair in enumerate(merges)}
+        self._cache: dict = {}
+
+    def encode_len(self, word: str) -> int:
+        hit = self._cache.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word)
+        ranks = self.ranks
+        while len(syms) > 1:
+            best_i, best_r = -1, None
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        n = len(syms)
+        if len(self._cache) < 1 << 20:
+            self._cache[word] = n
+        return n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        words = _word_lists(batch)
+        flat = _one_chunk(words.flatten())
+        vc = pc.value_counts(flat)
+        uniq = vc.field("values").to_pylist()
+        lens = np.asarray([self.encode_len(w) for w in uniq], dtype=np.int64)
+        cnt_map = dict(zip(uniq, lens))
+        # per-doc token totals from the per-doc word lists; offsets are
+        # rebased so a sliced ListArray (flatten() returns the slice's
+        # values, raw offsets keep their absolute base) still aligns
+        offsets = words.offsets.to_numpy(zero_copy_only=False)
+        offsets = offsets - offsets[0]
+        per_word = np.asarray(
+            [cnt_map[w] for w in flat.to_pylist()], dtype=np.int64
+        )
+        totals = np.add.reduceat(
+            np.r_[per_word, 0], offsets[:-1]
+        ) if len(per_word) else np.zeros(len(offsets) - 1, dtype=np.int64)
+        totals = np.where(np.diff(offsets) == 0, 0, totals)
+        lang_key, lang_null = _null_safe_key(batch["lang"])
+        return pa.table(
+            {
+                "lang_key": lang_key,
+                "lang_null": lang_null,
+                "n_tokens": pa.array(totals.astype(np.int64), pa.int64()),
+                "n_docs": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+
+def bpe_token_counts(sf_dir: str, n_merges: int = 20) -> "rd.Dataset":
+    """Train-then-apply BPE round trip: learn ``n_merges`` merges with
+    :func:`bpe_train`, then encode every document with an actor-pool
+    :class:`BpeEncoder` and roll up exact BPE token counts per language —
+    the end-to-end tokenizer-budget audit (how many tokens does each
+    language contribute under THIS tokenizer?).
+
+    Scale shape: training as in ``bpe_train``; the merge table (a few
+    hundred pairs) ships to each encoder actor once via the constructor;
+    encoding is per-DISTINCT-word, memoized across batches; the rollup is
+    a |langs|-bounded groupby over per-batch partials.  Rows-only
+    (iterative training + procedural encode); determinism pinned in
+    pytest."""
+    merges_tbl = bpe_train(sf_dir, n_merges=n_merges)
+    merges = list(zip(merges_tbl["left"].to_pylist(),
+                      merges_tbl["right"].to_pylist()))
+
+    return (
+        _docs(sf_dir, ["text", "lang"])
+        .map_batches(
+            BpeEncoder,
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=2,
+            fn_constructor_args=(merges,),
+        )
+        .groupby(["lang_key", "lang_null"])
+        .aggregate(
+            Sum("n_tokens", alias_name="n_tokens"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "lang": pc.if_else(
+                        t["lang_null"], pa.scalar(None, pa.string()), t["lang_key"]
+                    ),
+                    "n_tokens": t["n_tokens"].cast(pa.int64()),
+                    "n_docs": t["n_docs"].cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

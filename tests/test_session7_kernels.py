@@ -787,3 +787,21 @@ def test_bpe_train_first_merge_matches_pair_counts(ray_session, sf_dir):
     t = analysis.bpe_train(sf_dir, n_merges=1)
     assert t["token"][0].as_py() == top["pair"]
     assert t["cnt"][0].as_py() == top["cnt"]
+
+
+def test_bpe_token_counts_hand_checked(ray_session, tmp_path):
+    """After merges [aa(13), ab(5), aaab(5), aab(3)] (see the bpe_train
+    fixture), encoding 'aaab' collapses best-rank-first to one token
+    (aa|ab -> aaab) and 'aab' to one token (aa|b -> aab), so the en doc
+    (5 words) totals 5 tokens and the de doc (3 words) 3; an empty doc
+    with a NULL lang contributes (NULL, 0 tokens, 1 doc)."""
+    _w(tmp_path, "documents", {
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["aaab aaab aaab aaab aaab", "aab aab aab", ""], pa.string()),
+        "lang": pa.array(["en", "de", None], pa.string()),
+        "source": pa.array(["s", "s", "s"], pa.string()),
+        "n_chars": pa.array([24, 11, 0], pa.int64()),
+    })
+    rows = {r["lang"]: (r["n_tokens"], r["n_docs"])
+            for r in analysis.bpe_token_counts(str(tmp_path), n_merges=4).take_all()}
+    assert rows == {"en": (5, 1), "de": (3, 1), None: (0, 1)}
