@@ -351,12 +351,14 @@ class FastTextModel:
                 out[lbl] = np.log(p.astype(np.float64) + _LOG_EPS).sum()
             return out
         scores = (self.output.rows(np.arange(self.nlabels)) @ h).astype(np.float64)
-        if self.args.loss in (LOSS_SOFTMAX, LOSS_NS, LOSS_HS):
+        if self.args.loss == LOSS_SOFTMAX:
             scores -= scores.max()
             p = np.exp(scores)
             p /= p.sum()
             return np.log(p + _LOG_EPS)
-        if self.args.loss == LOSS_OVA:
+        if self.args.loss in (LOSS_OVA, LOSS_NS):
+            # both inherit fastText's BinaryLogisticLoss::computeOutput:
+            # independent per-label sigmoids, no normalization
             return np.log(1.0 / (1.0 + np.exp(-scores)) + _LOG_EPS)
         raise ValueError(f"unsupported loss {self.args.loss}")
 

@@ -2301,12 +2301,15 @@ def semantic_dedup_docs(
     drop side, the NORMAL case for dedup, crashes it.  The union-tag
     groupby has no such failure mode and costs the same single shuffle.)
 
-    ``block="auto"`` (default) size-gates the pair plan: blocks at or
-    under the gate run the exact label plan, a larger block routes
-    through cluster-first IVF cell blocking (quadratic work bounded by
-    cell size — SemDeDup's actual recipe) in its LOSSLESS
-    ``probes=None`` form, so the result is identical either way; pass
-    ``block="ivf"`` / ``"label"`` to pin a plan."""
+    ``block="auto"`` (default) size-gates the pair plan; all plans emit
+    identical pairs.  At this kernel's default ``threshold=0.4`` the IVF
+    cover radius cannot prune, so over-gate blocks stay on the exact
+    label plan with a WIDENED tile fan (memory-bounded reducers, work
+    still O(block²) spread over up to 16 tiles); at ``threshold >= 0.75``
+    over-gate blocks route through lossless cluster-first IVF cell
+    blocking (SemDeDup's actual recipe — pass a high threshold to get
+    cell-bounded quadratic work at 100 TB).  ``block="ivf"`` /
+    ``"label"`` pin a plan explicitly."""
     from language_identification_ray.stages.dedup import embedding_dup_pairs
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -3284,9 +3287,13 @@ def events_hopping_window_watermark(
         m = pc.and_(pc.is_valid(batch["event_id"]), pc.is_valid(batch["ts"]))
         t = batch.filter(m)
         ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # clip: with footer stats absent (or lying) the range estimate can
+        # miss real ids; clipping keeps the mapping monotone in event_id —
+        # all the prefix scan needs — instead of indexing out of bmax
+        bucket = np.clip((ids - int(id_lo)) // width, 0, n_buckets)
         return pa.table(
             {
-                "bucket": pa.array((ids - int(id_lo)) // width, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
                 "event_id": pa.array(ids, pa.int64()),
                 "ts": t["ts"],
                 "event_type": t["event_type"],

@@ -1088,6 +1088,39 @@ def _probe_sorted(sorted_keys: np.ndarray, keys: np.ndarray):
     return idx, sorted_keys[idx] == keys
 
 
+def _sorted_sidecar(path: str, key_col: str, *val_cols: str,
+                    drop_null_vals: bool = False):
+    """Load a dimension parquet as a broadcast-ready sorted sidecar:
+    NULL-key rows dropped (inner-join semantics), keys int64-sorted,
+    value columns reordered to match.  ``drop_null_vals`` also drops rows
+    with a NULL in any value column — for values that feed a FURTHER
+    inner join (e.g. supplier.nationkey); leave False when a NULL value
+    should survive to the output (SQL keeps a NULL name through a
+    key-valid join).  Returns ``(sorted_keys, *values)`` where string
+    values come back as object ndarrays and numeric ones as int64 — the
+    shared prologue of every name/attribute-attach plan in this module
+    (pair with :func:`_probe_sorted`)."""
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(path, columns=[key_col, *val_cols])
+    t = t.filter(_pc.is_valid(t[key_col]))
+    if drop_null_vals:
+        for c in val_cols:
+            t = t.filter(_pc.is_valid(t[c]))
+    keys = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(keys)
+    out = [keys[order]]
+    for c in val_cols:
+        col = t[c]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            out.append(np.asarray(col.to_pylist(), dtype=object)[order])
+        else:
+            out.append(
+                col.to_numpy(zero_copy_only=False).astype(np.int64)[order]
+            )
+    return tuple(out)
+
+
 # empty partial shape shared by returned_item_revenue's two fact emitters
 _EMPTY_RII_PARTIAL = pa.table(
     {
@@ -4074,20 +4107,13 @@ def min_cost_suppliers(sf_dir: str, k: int = 100) -> "rd.Dataset":
     |parts|-bounded aggregate, never the fact table.  NULL partkey /
     suppkey / price rows drop exactly like the oracle's inner joins and
     NULL-skipping min()."""
-    import pyarrow.parquet as _pq
-
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_suppkey", "l_extendedprice"],
     )
-
-    sup = _pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
-    sup = sup.filter(_pc.is_valid(sup["s_suppkey"]))
-    skeys = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(skeys)
-    skeys_sorted = skeys[order]
-    snames = np.asarray(sup["s_name"].to_pylist(), dtype=object)[order]
-    sidecar = ray.put((skeys_sorted, snames))
+    sidecar = ray.put(
+        _sorted_sidecar(f"{sf_dir}/supplier.parquet", "s_suppkey", "s_name")
+    )
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.filter(
@@ -4188,19 +4214,12 @@ def dominant_share_suppliers(
     (part, dominator)) set — both groupbys move compressed aggregates,
     never lineitem rows.  NULL partkey / suppkey / quantity rows drop,
     matching the oracle's WHERE and inner joins."""
-    import pyarrow.parquet as _pq
-
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_partkey", "l_suppkey", "l_quantity"],
     )
-
-    sup = _pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"])
-    sup = sup.filter(_pc.is_valid(sup["s_suppkey"]))
-    skeys = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(skeys)
     sidecar = ray.put(
-        (skeys[order], np.asarray(sup["s_name"].to_pylist(), dtype=object)[order])
+        _sorted_sidecar(f"{sf_dir}/supplier.parquet", "s_suppkey", "s_name")
     )
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -4304,21 +4323,14 @@ def nation_year_profit(
     |nations×years|-bounded final groupby."""
     import pyarrow.parquet as _pq
 
-    sup = _pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
-    sup = sup.filter(
-        _pc.and_(_pc.is_valid(sup["s_suppkey"]), _pc.is_valid(sup["s_nationkey"]))
+    # supplier rows with a NULL nationkey cannot reach the nation join
+    s_sorted, s_nat = _sorted_sidecar(
+        f"{sf_dir}/supplier.parquet", "s_suppkey", "s_nationkey",
+        drop_null_vals=True,
     )
-    skeys = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    so = np.argsort(skeys)
-    s_sorted = skeys[so]
-    s_nat = sup["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)[so]
-
-    nat = _pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    nat = nat.filter(_pc.is_valid(nat["n_nationkey"]))
-    nkeys = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    no = np.argsort(nkeys)
-    n_sorted = nkeys[no]
-    n_names = np.asarray(nat["n_name"].to_pylist(), dtype=object)[no]
+    n_sorted, n_names = _sorted_sidecar(
+        f"{sf_dir}/nation.parquet", "n_nationkey", "n_name"
+    )
 
     part = _pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"])
     pm = _pc.match_substring(_pc.fill_null(part["p_name"], ""), name_like)

@@ -1274,7 +1274,12 @@ def embedding_dup_pairs(
             if threshold >= _IVF_MIN_T:
                 block, probes = "ivf", None  # lossless multi-probe: exact pairs
             else:
-                block = "label"  # one global block; sharding bounds reducers
+                # one global block: same widening rule as an over-gate label
+                # (count() is metadata-cheap on a parquet source)
+                n_rows = ds.count()
+                if n_rows > auto_gate:
+                    n_tiles = min(16, max(n_tiles, -(-int(n_rows) // auto_gate)))
+                block = "label"
                 block_column = "__all"
                 ds = ds.map_batches(
                     lambda t: t.append_column(
@@ -1285,13 +1290,18 @@ def embedding_dup_pairs(
         else:
             # stats pass over the label column ONLY (projection pushes into
             # the parquet read): per-batch partial counts -> one
-            # label-cardinality groupby -> bounded driver max
+            # label-cardinality groupby -> bounded driver max.  This is a
+            # deliberate SECOND pass over the source rather than a
+            # materialize(): for the normal parquet-backed input a projected
+            # re-scan is far cheaper than pinning the full embedding table
+            # in the object store; if ``ds`` is an expensive DERIVED
+            # dataset, materialize it before calling (the stats pass will
+            # then read the cached blocks).
             import pyarrow.compute as _pc
             from ray.data.aggregate import Sum as _Sum
 
             def _label_counts(batch: pa.Table) -> pa.Table:
-                t = batch.select([block_column])
-                t = t.filter(_pc.is_valid(t[block_column]))  # NULLs never pair
+                t = batch.filter(_pc.is_valid(batch[block_column]))  # NULLs never pair
                 g = t.group_by([block_column]).aggregate([([], "count_all")])
                 return pa.table(
                     {block_column: g[block_column], "__n": g["count_all"]}

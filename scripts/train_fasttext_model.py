@@ -105,7 +105,10 @@ def main() -> None:
             alpha[targets[li]] += lr
             grad_h = alpha @ wo  # pre-update rows, like fastText
             wo += alpha[:, None] * h[None, :]
-            wi[ids] += grad_h / np.float32(len(ids))
+            # add.at: repeated feature ids (a word twice in a line, or two
+            # subwords sharing a bucket) must each receive the gradient —
+            # fancy-index += silently collapses duplicates to one add
+            np.add.at(wi, ids, grad_h / np.float32(len(ids)))
             seen += 1
 
     # self-consistency report
