@@ -805,3 +805,26 @@ def test_bpe_token_counts_hand_checked(ray_session, tmp_path):
     rows = {r["lang"]: (r["n_tokens"], r["n_docs"])
             for r in analysis.bpe_token_counts(str(tmp_path), n_merges=4).take_all()}
     assert rows == {"en": (5, 1), "de": (3, 1), None: (0, 1)}
+
+
+def test_watermark_survives_statless_footer(ray_session, tmp_path):
+    """A parquet written without column statistics (or with ids far past
+    the bucket count under the degenerate width fallback) must not index
+    out of the prefix arrays — buckets clamp, the scan stays monotone."""
+    base = datetime.datetime(1996, 6, 1, 12, 0, 0)
+    ids = [5000, 6000, 7000]  # >> n_buckets under width=1 fallback
+    tbl = pa.table({
+        "event_id": pa.array(ids, pa.int64()),
+        "ts": pa.array([base + datetime.timedelta(minutes=m)
+                        for m in (0, 120, 60)], TS),
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "event_type": pa.array(["a"] * 3, pa.string()),
+        "value": pa.array([1.0] * 3, pa.float64()),
+        "props": pa.array([""] * 3, pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / "events.parquet", write_statistics=False)
+    out = analysis.events_hopping_window_watermark(
+        str(tmp_path), lateness_min=30).take_all()
+    # arrival order 5000,6000,7000: ts 12:00 then 14:00 then 13:00 (60 min
+    # late -> dropped); kept = 2 events x 4 windows
+    assert sum(r["n_events"] for r in out) == 8
