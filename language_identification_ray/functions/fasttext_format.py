@@ -466,3 +466,131 @@ def new_dense_model(args: FastTextArgs,
     outp = _DenseMatrix(np.zeros((len(labels), args.dim), dtype=np.float32))
     return FastTextModel(args, words, len(vocab), len(labels), ntokens,
                          inp, outp)
+
+
+def _train_pq(rows: np.ndarray, dsub: int, seed: int,
+              iters: int = 12) -> Tuple[np.ndarray, int, int, int]:
+    """Per-subspace 256-centroid k-means (the fastText product quantizer's
+    layout): returns (flat centroids, nsubq, dsub, lastdsub) matching
+    ProductQuantizer's on-disk shape.  Deterministic (seeded)."""
+    m, dim = rows.shape
+    nsubq = (dim + dsub - 1) // dsub
+    lastdsub = dim - (nsubq - 1) * dsub or dsub
+    rng = np.random.default_rng(seed)
+    flat = np.zeros(dim * _KSUB, dtype=np.float32)
+    for sq in range(nsubq):
+        d = lastdsub if sq == nsubq - 1 else dsub
+        lo = sq * dsub
+        X = rows[:, lo:lo + d].astype(np.float32)
+        if m >= _KSUB:
+            C = X[rng.choice(m, _KSUB, replace=False)].copy()
+        else:
+            C = X[rng.integers(0, m, _KSUB)].copy()
+        for _ in range(iters):
+            a = np.argmin(
+                ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+                if m * _KSUB * d <= 2_000_000
+                else np.stack([((X - c) ** 2).sum(-1) for c in C], 1),
+                axis=1,
+            )
+            for k in range(_KSUB):
+                sel = a == k
+                if sel.any():
+                    C[k] = X[sel].mean(axis=0)
+        off = sq * _KSUB * dsub
+        flat[off:off + _KSUB * d] = C.reshape(-1)
+    return flat, nsubq, dsub, lastdsub
+
+
+def _pq_encode(rows: np.ndarray, flat: np.ndarray, nsubq: int, dsub: int,
+               lastdsub: int) -> np.ndarray:
+    codes = np.empty((len(rows), nsubq), dtype=np.uint8)
+    for sq in range(nsubq):
+        d = lastdsub if sq == nsubq - 1 else dsub
+        off = sq * _KSUB * dsub
+        C = flat[off:off + _KSUB * d].reshape(_KSUB, d)
+        X = rows[:, sq * dsub:sq * dsub + d]
+        # chunked nearest-centroid to bound the distance matrix
+        for i in range(0, len(X), 65536):
+            xb = X[i:i + 65536]
+            d2 = (xb ** 2).sum(1)[:, None] - 2.0 * xb @ C.T + (C ** 2).sum(1)[None, :]
+            codes[i:i + 65536, sq] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def quantize_model(model: FastTextModel, dsub: int = 2, qnorm: bool = True,
+                   seed: int = 7) -> FastTextModel:
+    """Product-quantize a dense model's INPUT matrix (the fastText
+    ``quantize`` recipe sans cutoff/retrain: optional per-row norm
+    codebook + per-subspace 256-centroid codes over the normalized rows).
+    The output matrix stays dense (``qout`` false, the usual setting).
+    Returns a NEW model whose ``save`` emits a loadable ``.ftz``-style
+    quantized file."""
+    if not isinstance(model.input, _DenseMatrix):
+        raise ValueError("model input is already quantized")
+    rows = model.input.data.astype(np.float32)
+    norms = None
+    if qnorm:
+        norms = np.linalg.norm(rows, axis=1).astype(np.float32)
+        safe = np.where(norms == 0, 1.0, norms)
+        rows = rows / safe[:, None]
+    flat, nsubq, dsub_, lastdsub = _train_pq(rows, dsub, seed)
+    codes = _pq_encode(rows, flat, nsubq, dsub_, lastdsub)
+    norm_obj = None
+    if qnorm:
+        nflat, _, _, _ = _train_pq(norms[:, None].astype(np.float32), 1, seed + 1)
+        ncodes = _pq_encode(norms[:, None].astype(np.float32), nflat, 1, 1, 1)
+        norm_obj = (nflat, ncodes[:, 0])
+    qm = _QuantMatrix(model.input.m, model.input.n, codes, flat, nsubq,
+                      dsub_, lastdsub,
+                      nflat[:_KSUB][ncodes[:, 0]].astype(np.float32)
+                      if qnorm else None)
+    qm._save_parts = (qnorm, codes, flat, nsubq, dsub_, lastdsub, norm_obj)
+    out = FastTextModel(model.args, model.words, model.nwords, model.nlabels,
+                        model.ntokens, qm, model.output,
+                        dict(model.pruneidx), model.pruneidx_size)
+    return out
+
+
+def _save_pq(f, flat: np.ndarray, nsubq: int, dsub: int, lastdsub: int,
+             dim: int) -> None:
+    f.write(struct.pack("<4i", dim, nsubq, dsub, lastdsub))
+    f.write(np.ascontiguousarray(flat[:dim * _KSUB], dtype="<f4").tobytes())
+
+
+def save_quantized(model: FastTextModel, path: str) -> None:
+    """Write the quantized-input format (quant_input=true, dense output)."""
+    qm = model.input
+    if not isinstance(qm, _QuantMatrix) or not hasattr(qm, "_save_parts"):
+        raise ValueError("quantize_model() first")
+    qnorm, codes, flat, nsubq, dsub, lastdsub, norm_obj = qm._save_parts
+    a = model.args
+    with open(path, "wb") as f:
+        f.write(struct.pack("<2i", MAGIC, VERSION))
+        f.write(struct.pack(
+            "<12i", a.dim, a.ws, a.epoch, a.min_count, a.neg,
+            a.word_ngrams, a.loss, a.model, a.bucket, a.minn, a.maxn,
+            a.lr_update_rate))
+        f.write(struct.pack("<d", a.t))
+        f.write(struct.pack("<3i", len(model.words), model.nwords,
+                            model.nlabels))
+        f.write(struct.pack("<2q", model.ntokens, model.pruneidx_size))
+        for w, count, wtype in model.words:
+            f.write(w + b"\x00")
+            f.write(struct.pack("<q", count))
+            f.write(struct.pack("<b", wtype))
+        for kk in sorted(model.pruneidx):
+            f.write(struct.pack("<2i", kk, model.pruneidx[kk]))
+        f.write(b"\x01")  # quant_input = true
+        f.write(b"\x01" if qnorm else b"\x00")
+        f.write(struct.pack("<2q", qm.m, qm.n))
+        f.write(struct.pack("<i", codes.size))
+        f.write(np.ascontiguousarray(codes, dtype=np.uint8).tobytes())
+        _save_pq(f, flat, nsubq, dsub, lastdsub, qm.n)
+        if qnorm:
+            nflat, ncodes = norm_obj
+            f.write(np.ascontiguousarray(ncodes, dtype=np.uint8).tobytes())
+            _save_pq(f, nflat, 1, 1, 1, 1)
+        f.write(b"\x00")  # qout = false
+        f.write(struct.pack("<2q", model.output.m, model.output.n))
+        f.write(np.ascontiguousarray(model.output.data, dtype="<f4").tobytes())

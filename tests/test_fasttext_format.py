@@ -291,3 +291,36 @@ def test_hs_model_roundtrip_and_simplex(tmp_path):
     # hs leaves form an exact simplex before the +1e-5 smoothing
     assert 0.99 <= total <= 1.01
     assert m2.predict("alpha beta", k=4) == m.predict("alpha beta", k=4)
+
+
+# ---------------------------------------------------------------------------
+# quantization (write side of the .ftz format)
+
+
+def test_quantize_save_load_roundtrip(tmp_path):
+    from language_identification_ray.functions.fasttext_format import (
+        quantize_model, save_quantized,
+    )
+
+    m = FastTextModel.load(str(ASSET))
+    q = quantize_model(m)
+    p = str(tmp_path / "mini.ftz")
+    save_quantized(q, p)
+    assert os.path.getsize(p) < os.path.getsize(str(ASSET)) / 3
+    m2 = FastTextModel.load(p)
+    assert m2.input.norms is not None  # qnorm codebook survived
+    assert m2.words == m.words
+    # PQ is lossy; top-1 must still agree with the dense model on nearly
+    # all of the training corpus
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    from train_fasttext_model import build_corpus
+
+    lines = build_corpus()
+    agree = sum(
+        1 for text, _ in lines
+        if (a := m.predict(text, k=1)) and (b := m2.predict(text, k=1))
+        and a[0][0] == b[0][0]
+    )
+    assert agree / len(lines) >= 0.95
