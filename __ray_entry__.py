@@ -841,6 +841,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": audio_features_q,
         "detector_agreement": detector_agreement_q,
         "source_vocab_overlap": analysis.source_vocab_overlap,
+        # NEW r5: KMV-sketched companion — k hashes per source instead of
+        # the full vocabulary (rows-only: estimation; exact-regime equality
+        # with the exact kernel pinned in pytest)
+        "source_vocab_overlap_kmv": analysis.source_vocab_overlap_kmv,
     }
 
 

@@ -272,3 +272,45 @@ def cms_estimate(regs: np.ndarray, h32: np.ndarray) -> np.ndarray:
     d, w = regs.shape
     idx = _cms_indices(h32, d, w)
     return np.min(np.stack([regs[i][idx[i]] for i in range(d)]), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k / k-minimum-values) distinct sketch — Bar-Yossef et al. 2002.
+# Unlike HLL it supports SET OPERATIONS: the bottom-k of a union is
+# computable from two sketches, so Jaccard between two streams is the
+# fraction of the union's bottom-k present in both — the primitive behind
+# sketched vocabulary-overlap matrices at 100 TB (exact overlap needs a
+# per-pair join; KMV ships k hashes per group).
+
+
+def kmv_from_hashes(h64: np.ndarray, k: int = 1024) -> np.ndarray:
+    """Bottom-``k`` DISTINCT uint64 hashes, ascending (a partial)."""
+    u = np.unique(np.asarray(h64, dtype=np.uint64))
+    return u[:k]
+
+
+def kmv_merge(a: np.ndarray, b: np.ndarray, k: int = 1024) -> np.ndarray:
+    """Merged bottom-``k`` distinct of two partials (associative)."""
+    return np.unique(np.concatenate([a, b]))[:k]
+
+
+def kmv_estimate(sk: np.ndarray, k: int = 1024) -> float:
+    """Distinct-count estimate: exact when the stream had < k distinct
+    values (the sketch holds them all), else the order-statistic estimator
+    (k-1) / kth_min scaled to the uint64 hash space."""
+    if len(sk) < k:
+        return float(len(sk))
+    kth = float(sk[k - 1]) + 1.0
+    return (k - 1) / (kth / 2.0 ** 64)
+
+
+def kmv_jaccard(a: np.ndarray, b: np.ndarray, k: int = 1024) -> float:
+    """Jaccard estimate: fraction of the UNION's bottom-k found in both
+    sketches (exact when both streams had < k distinct values)."""
+    union = np.unique(np.concatenate([a, b]))[:k]
+    if len(union) == 0:
+        return 0.0
+    both = np.isin(union, a, assume_unique=True) & np.isin(
+        union, b, assume_unique=True
+    )
+    return float(both.sum()) / float(len(union))

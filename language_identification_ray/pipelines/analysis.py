@@ -9998,3 +9998,84 @@ def bpe_token_counts(sf_dir: str, n_merges: int = 20) -> "rd.Dataset":
             batch_format="pyarrow",
         )
     )
+
+
+def source_vocab_overlap_kmv(sf_dir: str, k: int = 1024) -> "pa.Table":
+    """Sketched vocabulary-overlap matrix: pairwise Jaccard between each
+    source's word vocabulary, estimated from mergeable KMV (bottom-k)
+    sketches — the 100 TB companion of the exact
+    :func:`source_vocab_overlap` (whose per-pair machinery needs the full
+    vocabulary per source; KMV ships exactly ``k`` hashes per source,
+    supports union algebra, and is EXACT whenever a source's vocabulary is
+    under ``k``).  Deterministic (hashes via the pandas siphash, the
+    engine-stable convention).
+
+    Scale shape: per-batch distinct (source, word) pairs collapse to
+    per-source bottom-``k`` partials (one ``k``-long row per source per
+    batch); ONE source-keyed groupby merges them; the pairwise matrix is
+    computed driver-side over the |sources|-bounded sketch set.
+    Rows-only (estimation); accuracy + exact-regime equality gated in
+    pytest."""
+    from language_identification_ray.functions.sketches import (
+        kmv_from_hashes, kmv_jaccard, kmv_merge, kmv_estimate,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = _word_lists(batch)
+        flat = _one_chunk(words.flatten())
+        counts = np.diff(words.offsets.to_numpy(zero_copy_only=False))
+        src = batch["source"].to_numpy(zero_copy_only=False)
+        src_rep = np.repeat(src, counts)
+        valid = pd.notna(src_rep)
+        if not valid.any():
+            return pa.table({
+                "source": pa.array([], pa.string()),
+                "sketch": pa.array([], pa.list_(pa.uint64())),
+            })
+        h = pd.util.hash_array(np.asarray(flat.to_pylist(), dtype=object))
+        h, src_rep = h[valid], src_rep[valid]
+        out_src, out_sk = [], []
+        for s in pd.unique(src_rep):
+            out_src.append(s)
+            out_sk.append(kmv_from_hashes(h[src_rep == s], k))
+        return pa.table({
+            "source": pa.array(out_src, pa.string()),
+            "sketch": pa.array([sk.tolist() for sk in out_sk],
+                               pa.list_(pa.uint64())),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        sk = np.asarray([], dtype=np.uint64)
+        for row in group["sketch"].to_pylist():
+            sk = kmv_merge(sk, np.asarray(row, dtype=np.uint64), k)
+        return pa.table({
+            "source": group["source"].slice(0, 1),
+            "sketch": pa.array([sk.tolist()], pa.list_(pa.uint64())),
+        })
+
+    rows = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(merge, batch_format="pyarrow")
+        .take_all()  # bounded by source cardinality
+    )
+    sketches = {
+        r["source"]: np.asarray(r["sketch"], dtype=np.uint64) for r in rows
+    }
+    srcs = sorted(sketches)
+    a_col, b_col, j_col, da_col, db_col = [], [], [], [], []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            a_col.append(a)
+            b_col.append(b)
+            j_col.append(round(kmv_jaccard(sketches[a], sketches[b], k), 6))
+            da_col.append(round(kmv_estimate(sketches[a], k), 1))
+            db_col.append(round(kmv_estimate(sketches[b], k), 1))
+    return pa.table({
+        "src_a": pa.array(a_col, pa.string()),
+        "src_b": pa.array(b_col, pa.string()),
+        "jaccard_est": pa.array(j_col, pa.float64()),
+        "distinct_a_est": pa.array(da_col, pa.float64()),
+        "distinct_b_est": pa.array(db_col, pa.float64()),
+    })

@@ -255,3 +255,66 @@ def test_cms_pipeline_matches_exact(ray_session, sf_dir):
     assert set(e) == set(c)
     # w=16384 >> vocab at test scale: estimates are exact
     assert all(c[w] == e[w] for w in e)
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) distinct sketch
+
+
+def test_kmv_exact_regime_and_merge():
+    import numpy as np
+    import pandas as pd
+
+    from language_identification_ray.functions.sketches import (
+        kmv_estimate, kmv_from_hashes, kmv_jaccard, kmv_merge,
+    )
+
+    A = pd.util.hash_array(np.arange(100, dtype=np.int64))
+    B = pd.util.hash_array(np.arange(60, 160, dtype=np.int64))
+    sa, sb = kmv_from_hashes(A, 1024), kmv_from_hashes(B, 1024)
+    # under k: sketch IS the set -> exact estimates
+    assert kmv_estimate(sa, 1024) == 100.0
+    assert kmv_jaccard(sa, sb, 1024) == 40 / 160
+    # merge associativity + bottom-k property
+    m = kmv_merge(sa, sb, 1024)
+    assert (m == np.unique(np.concatenate([sa, sb]))[:1024]).all()
+
+
+def test_kmv_estimation_accuracy():
+    import numpy as np
+    import pandas as pd
+
+    from language_identification_ray.functions.sketches import (
+        kmv_estimate, kmv_from_hashes, kmv_jaccard,
+    )
+
+    rng = np.random.default_rng(3)
+    A = rng.integers(0, 2**62, 40000, dtype=np.int64)
+    B = np.concatenate([A[:25000], rng.integers(0, 2**62, 15000, dtype=np.int64)])
+    sa = kmv_from_hashes(pd.util.hash_array(A), 1024)
+    sb = kmv_from_hashes(pd.util.hash_array(B), 1024)
+    nA = len(np.unique(A))
+    true_j = len(np.intersect1d(A, B)) / len(np.union1d(A, B))
+    assert abs(kmv_estimate(sa, 1024) - nA) / nA < 0.1
+    assert abs(kmv_jaccard(sa, sb, 1024) - true_j) < 0.08
+
+
+def test_source_vocab_overlap_kmv_matches_exact_under_k(ray_session, sf_dir):
+    """Every sf0.001 source vocabulary is far under k, so the sketched
+    Jaccard must EQUAL the exact kernel's on every pair it reports."""
+    from language_identification_ray.pipelines.analysis import (
+        source_vocab_overlap, source_vocab_overlap_kmv,
+    )
+
+    exact = {
+        (r["s1"], r["s2"]): r["jaccard"]
+        for r in source_vocab_overlap(sf_dir).to_pylist()
+    }
+    est = source_vocab_overlap_kmv(sf_dir)
+    checked = 0
+    for r in est.to_pylist():
+        key = (r["src_a"], r["src_b"])
+        if key in exact:
+            assert abs(r["jaccard_est"] - exact[key]) < 1e-6, key
+            checked += 1
+    assert checked >= 10
