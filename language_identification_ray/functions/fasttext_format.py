@@ -113,12 +113,15 @@ class _QuantMatrix:
     subspace codebooks, optional per-row scalar norm codebook."""
 
     def __init__(self, m, n, codes, centroids, nsubq, dsub, lastdsub,
-                 norms: Optional[np.ndarray]):
+                 norms: Optional[np.ndarray],
+                 norm_flat: Optional[np.ndarray] = None,
+                 norm_codes: Optional[np.ndarray] = None):
         self.m, self.n = m, n
         self.codes = codes  # (m, nsubq) uint8
         self.nsubq, self.dsub, self.lastdsub = nsubq, dsub, lastdsub
+        self.flat = centroids  # (dim * 256,) float32, dim == n
         # reshape centroids into per-subspace lookup tables
-        flat = centroids  # (dim * 256,) float32, dim == n
+        flat = centroids
         tabs = []
         for sq in range(nsubq):
             d = lastdsub if sq == nsubq - 1 else dsub
@@ -126,6 +129,10 @@ class _QuantMatrix:
             tabs.append(flat[off:off + _KSUB * d].reshape(_KSUB, d))
         self._tabs = tabs
         self.norms = norms  # (m,) float32 or None
+        # raw norm-quantizer parts kept so a loaded/constructed quantized
+        # matrix can be re-serialized without a side-channel
+        self.norm_flat = norm_flat
+        self.norm_codes = norm_codes
 
     def rows(self, idx: np.ndarray) -> np.ndarray:
         """Decode rows ``idx`` -> (len(idx), n) float32."""
@@ -170,12 +177,13 @@ def _load_matrix(f, quant: bool):
     codes = np.frombuffer(_read_exact(f, codesize), dtype=np.uint8).copy()
     cents, nsubq, dsub, lastdsub = _load_pq(f)
     norms = None
+    nflat = ncodes = None
     if qnorm:
         ncodes = np.frombuffer(_read_exact(f, m), dtype=np.uint8).copy()
-        ncents, _, _, _ = _load_pq(f)  # dim=1 quantizer: 256 scalars
-        norms = ncents[:_KSUB][ncodes].astype(np.float32)
+        nflat, _, _, _ = _load_pq(f)  # dim=1 quantizer: 256 scalars
+        norms = nflat[:_KSUB][ncodes].astype(np.float32)
     return _QuantMatrix(m, n, codes.reshape(m, nsubq), cents, nsubq, dsub,
-                        lastdsub, norms)
+                        lastdsub, norms, nflat, ncodes)
 
 
 class FastTextModel:
@@ -510,10 +518,11 @@ def _pq_encode(rows: np.ndarray, flat: np.ndarray, nsubq: int, dsub: int,
         off = sq * _KSUB * dsub
         C = flat[off:off + _KSUB * d].reshape(_KSUB, d)
         X = rows[:, sq * dsub:sq * dsub + d]
+        c2 = (C ** 2).sum(1)[None, :]  # loop-invariant centroid norms
         # chunked nearest-centroid to bound the distance matrix
         for i in range(0, len(X), 65536):
             xb = X[i:i + 65536]
-            d2 = (xb ** 2).sum(1)[:, None] - 2.0 * xb @ C.T + (C ** 2).sum(1)[None, :]
+            d2 = (xb ** 2).sum(1)[:, None] - 2.0 * xb @ C.T + c2
             codes[i:i + 65536, sq] = np.argmin(d2, axis=1).astype(np.uint8)
     return codes
 
@@ -536,20 +545,18 @@ def quantize_model(model: FastTextModel, dsub: int = 2, qnorm: bool = True,
         rows = rows / safe[:, None]
     flat, nsubq, dsub_, lastdsub = _train_pq(rows, dsub, seed)
     codes = _pq_encode(rows, flat, nsubq, dsub_, lastdsub)
-    norm_obj = None
+    nflat = ncodes1 = None
     if qnorm:
         nflat, _, _, _ = _train_pq(norms[:, None].astype(np.float32), 1, seed + 1)
-        ncodes = _pq_encode(norms[:, None].astype(np.float32), nflat, 1, 1, 1)
-        norm_obj = (nflat, ncodes[:, 0])
+        ncodes1 = _pq_encode(norms[:, None].astype(np.float32), nflat, 1, 1, 1)[:, 0]
     qm = _QuantMatrix(model.input.m, model.input.n, codes, flat, nsubq,
                       dsub_, lastdsub,
-                      nflat[:_KSUB][ncodes[:, 0]].astype(np.float32)
-                      if qnorm else None)
-    qm._save_parts = (qnorm, codes, flat, nsubq, dsub_, lastdsub, norm_obj)
-    out = FastTextModel(model.args, model.words, model.nwords, model.nlabels,
-                        model.ntokens, qm, model.output,
-                        dict(model.pruneidx), model.pruneidx_size)
-    return out
+                      nflat[:_KSUB][ncodes1].astype(np.float32)
+                      if qnorm else None,
+                      nflat, ncodes1)
+    return FastTextModel(model.args, model.words, model.nwords, model.nlabels,
+                         model.ntokens, qm, model.output,
+                         dict(model.pruneidx), model.pruneidx_size)
 
 
 def _save_pq(f, flat: np.ndarray, nsubq: int, dsub: int, lastdsub: int,
@@ -559,11 +566,17 @@ def _save_pq(f, flat: np.ndarray, nsubq: int, dsub: int, lastdsub: int,
 
 
 def save_quantized(model: FastTextModel, path: str) -> None:
-    """Write the quantized-input format (quant_input=true, dense output)."""
+    """Write the quantized-input format (quant_input=true, dense output).
+    Works for models produced by :func:`quantize_model` AND for loaded
+    quantized files (the loader keeps the raw codebooks)."""
     qm = model.input
-    if not isinstance(qm, _QuantMatrix) or not hasattr(qm, "_save_parts"):
-        raise ValueError("quantize_model() first")
-    qnorm, codes, flat, nsubq, dsub, lastdsub, norm_obj = qm._save_parts
+    if not isinstance(qm, _QuantMatrix):
+        raise ValueError("quantize_model() first (input matrix is dense)")
+    if not isinstance(model.output, _DenseMatrix):
+        raise ValueError("qout (quantized output) models cannot be re-saved")
+    qnorm = qm.norm_codes is not None
+    codes, flat = qm.codes, qm.flat
+    nsubq, dsub, lastdsub = qm.nsubq, qm.dsub, qm.lastdsub
     a = model.args
     with open(path, "wb") as f:
         f.write(struct.pack("<2i", MAGIC, VERSION))
@@ -588,9 +601,8 @@ def save_quantized(model: FastTextModel, path: str) -> None:
         f.write(np.ascontiguousarray(codes, dtype=np.uint8).tobytes())
         _save_pq(f, flat, nsubq, dsub, lastdsub, qm.n)
         if qnorm:
-            nflat, ncodes = norm_obj
-            f.write(np.ascontiguousarray(ncodes, dtype=np.uint8).tobytes())
-            _save_pq(f, nflat, 1, 1, 1, 1)
+            f.write(np.ascontiguousarray(qm.norm_codes, dtype=np.uint8).tobytes())
+            _save_pq(f, qm.norm_flat, 1, 1, 1, 1)
         f.write(b"\x00")  # qout = false
         f.write(struct.pack("<2q", model.output.m, model.output.n))
         f.write(np.ascontiguousarray(model.output.data, dtype="<f4").tobytes())

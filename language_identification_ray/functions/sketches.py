@@ -306,7 +306,10 @@ def kmv_estimate(sk: np.ndarray, k: int = 1024) -> float:
 
 def kmv_jaccard(a: np.ndarray, b: np.ndarray, k: int = 1024) -> float:
     """Jaccard estimate: fraction of the UNION's bottom-k found in both
-    sketches (exact when both streams had < k distinct values)."""
+    sketches.  Exact only when the UNION of the two streams has < k
+    distinct values (both sketches then hold their full sets AND the
+    union's bottom-k is the whole union); two individually-unsaturated
+    sketches whose union exceeds k still yield an estimate."""
     union = np.unique(np.concatenate([a, b]))[:k]
     if len(union) == 0:
         return 0.0

@@ -10006,9 +10006,10 @@ def source_vocab_overlap_kmv(sf_dir: str, k: int = 1024) -> "pa.Table":
     sketches — the 100 TB companion of the exact
     :func:`source_vocab_overlap` (whose per-pair machinery needs the full
     vocabulary per source; KMV ships exactly ``k`` hashes per source,
-    supports union algebra, and is EXACT whenever a source's vocabulary is
-    under ``k``).  Deterministic (hashes via the pandas siphash, the
-    engine-stable convention).
+    supports union algebra, and is EXACT for a pair whenever the UNION of
+    the two vocabularies is under ``k`` — individually small sketches
+    whose union exceeds ``k`` still only estimate).  Deterministic
+    (hashes via the pandas siphash, the engine-stable convention).
 
     Scale shape: per-batch distinct (source, word) pairs collapse to
     per-source bottom-``k`` partials (one ``k``-long row per source per
@@ -10032,12 +10033,26 @@ def source_vocab_overlap_kmv(sf_dir: str, k: int = 1024) -> "pa.Table":
                 "source": pa.array([], pa.string()),
                 "sketch": pa.array([], pa.list_(pa.uint64())),
             })
-        h = pd.util.hash_array(np.asarray(flat.to_pylist(), dtype=object))
-        h, src_rep = h[valid], src_rep[valid]
+        # hash the batch DICTIONARY once (vocabulary-sized), not every
+        # token occurrence, then gather per occurrence via the codes
+        d = flat.dictionary_encode()
+        dict_h = pd.util.hash_array(
+            np.asarray(d.dictionary.to_pylist(), dtype=object)
+        )
+        h = dict_h[d.indices.to_numpy(zero_copy_only=False)][valid]
+        src_rep = src_rep[valid]
+        # one sort groups the stream by source: per-source slices in
+        # O(n log n) instead of a boolean scan per source
+        scodes, sinv = np.unique(src_rep.astype(str), return_inverse=True)
+        order = np.argsort(sinv, kind="stable")
+        h_sorted, sinv_sorted = h[order], sinv[order]
+        bounds = np.searchsorted(sinv_sorted, np.arange(len(scodes) + 1))
         out_src, out_sk = [], []
-        for s in pd.unique(src_rep):
-            out_src.append(s)
-            out_sk.append(kmv_from_hashes(h[src_rep == s], k))
+        for si, s in enumerate(scodes):
+            out_src.append(str(s))
+            out_sk.append(
+                kmv_from_hashes(h_sorted[bounds[si]:bounds[si + 1]], k)
+            )
         return pa.table({
             "source": pa.array(out_src, pa.string()),
             "sketch": pa.array([sk.tolist() for sk in out_sk],
@@ -10064,14 +10079,15 @@ def source_vocab_overlap_kmv(sf_dir: str, k: int = 1024) -> "pa.Table":
         r["source"]: np.asarray(r["sketch"], dtype=np.uint64) for r in rows
     }
     srcs = sorted(sketches)
+    est = {s_: round(kmv_estimate(sketches[s_], k), 1) for s_ in srcs}
     a_col, b_col, j_col, da_col, db_col = [], [], [], [], []
     for i, a in enumerate(srcs):
         for b in srcs[i + 1:]:
             a_col.append(a)
             b_col.append(b)
             j_col.append(round(kmv_jaccard(sketches[a], sketches[b], k), 6))
-            da_col.append(round(kmv_estimate(sketches[a], k), 1))
-            db_col.append(round(kmv_estimate(sketches[b], k), 1))
+            da_col.append(est[a])
+            db_col.append(est[b])
     return pa.table({
         "src_a": pa.array(a_col, pa.string()),
         "src_b": pa.array(b_col, pa.string()),

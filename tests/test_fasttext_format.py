@@ -324,3 +324,21 @@ def test_quantize_save_load_roundtrip(tmp_path):
         and a[0][0] == b[0][0]
     )
     assert agree / len(lines) >= 0.95
+
+
+@needs_lid176
+def test_lid176_reserializes_identically(lid176, tmp_path):
+    """A LOADED quantized model re-saves (the loader keeps the raw
+    codebooks) and the reloaded copy scores identically."""
+    from language_identification_ray.functions.fasttext_format import (
+        save_quantized,
+    )
+
+    p = str(tmp_path / "resave.ftz")
+    save_quantized(lid176, p)
+    m2 = FastTextModel.load(p)
+    for text in ["hello world how are you", "bonjour tout le monde",
+                 "привет мир", "こんにちは世界"]:
+        a = lid176.predict(text, k=5)
+        b = m2.predict(text, k=5)
+        assert a == b, text

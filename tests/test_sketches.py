@@ -300,8 +300,10 @@ def test_kmv_estimation_accuracy():
 
 
 def test_source_vocab_overlap_kmv_matches_exact_under_k(ray_session, sf_dir):
-    """Every sf0.001 source vocabulary is far under k, so the sketched
-    Jaccard must EQUAL the exact kernel's on every pair it reports."""
+    """Every sf0.001 source-pair vocabulary UNION is far under k (the
+    KMV exactness condition — per-source smallness alone is not enough),
+    so the sketched Jaccard must EQUAL the exact kernel's on every pair
+    it reports."""
     from language_identification_ray.pipelines.analysis import (
         source_vocab_overlap, source_vocab_overlap_kmv,
     )
