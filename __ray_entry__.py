@@ -583,6 +583,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ceded by user_metrics_long, r4-green and unchanged, the trivial
         # UNPIVOT inverse of the in-window user_event_type_pivot)
         "events_hopping_window_watermark": analysis.events_hopping_window_watermark,
+        # NEW r5: the same watermark filter composed with gaps-and-islands
+        # sessionization (late-tolerant session windows)
+        "events_sessionize_watermark": analysis.events_sessionize_watermark,
         # (slot from late_shipment_priority — in-window top_revenue_orders
         # drives the same size-gated broadcast-vs-join dual plan)
         # (part_cube_stats is NEW session-7 — GROUP BY CUBE grouping sets,
@@ -662,7 +665,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # slot ceded by gopher_quality_flags, r3-driver-green and
         # byte-unchanged, whose shared Gopher kernel stays driven by the
         # gopher_keep_rates oracle sibling + pytest)
-        "lang_stats_incremental": analysis.lang_stats_incremental,
         # --- NEW r4 kernel: holds the slot ceded by gopher_keep_rates and,
         # after session-4 additions shifted it to position 50, by
         # top_revenue_orders (r3-green; its Q18 bucket co-partition is
@@ -672,6 +674,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (each unchanged since its green row, or a trivial variant with a
         # checked in-window sibling — audit trail in QUERIES.md)
         "top_revenue_orders": relational.top_revenue_orders,
+        # (lang_stats_incremental ceded its window slot to the r5
+        # events_sessionize_watermark insertion — r-green, unchanged,
+        # and the salted lang_stats machinery it composes stays driven
+        # in-window by lang_stats_salted)
+        "lang_stats_incremental": analysis.lang_stats_incremental,
         "gopher_keep_rates": analysis.gopher_keep_rates,
         # (r4 session-7 cedes — each r3-driver-green and byte-unchanged
         # since, with the named in-window sibling; see the slot comments
@@ -1847,6 +1854,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_start, event_type, count(*) AS n_events,
                    CAST(COALESCE(sum(cents), 0) AS BIGINT) AS value_cents
             FROM hops GROUP BY window_start, event_type
+        """,
+        "events_sessionize_watermark": """
+            WITH src AS (
+                SELECT event_id, ts, user_id
+                FROM events
+                WHERE event_id IS NOT NULL AND ts IS NOT NULL
+            ), wm AS (
+                SELECT *,
+                       max(ts) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS high
+                FROM src
+            ), kept AS (
+                SELECT user_id, ts FROM wm
+                WHERE high IS NULL OR ts >= high - INTERVAL 30 MINUTE
+            ), marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM kept
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM marked
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   min(ts) AS t_start, max(ts) AS t_end
+            FROM sess GROUP BY 1, 2
         """,
         "events_hopping_window_watermark": """
             WITH src AS (

@@ -558,6 +558,18 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
     operator Ray Data expresses as groupby(key) + per-group ordered pandas
     (ray_guide 'Streaming-shaped workloads'; ordering assumption: events of
     one user fit one group and are sorted by ts inside it)."""
+    from language_identification_ray.pipelines.relational import _group_spread
+
+    return (
+        _group_spread(rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
+        .groupby("user_id")
+        .map_groups(_session_groups(gap_minutes), batch_format="pyarrow")
+    )
+
+
+def _session_groups(gap_minutes: int):
+    """Per-user-group session builder shared by :func:`events_sessionize`
+    and its watermark variant (semantics documented there)."""
     gap = np.timedelta64(gap_minutes * 60, "s")
 
     def sessions(group: pa.Table) -> pa.Table:
@@ -598,13 +610,7 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30) -> "rd.Dataset":
             }
         )
 
-    from language_identification_ray.pipelines.relational import _group_spread
-
-    return (
-        _group_spread(rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"]))
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pyarrow")
-    )
+    return sessions
 
 
 def events_funnel(sf_dir: str, window_hours: int = 24) -> "rd.Dataset":
@@ -3260,8 +3266,34 @@ def events_hopping_window_watermark(
 
     import ray
 
-    lateness_ns = np.int64(lateness_min) * np.int64(60_000_000_000)
     hop_ns = np.int64(hop_min) * np.int64(60_000_000_000)
+    kept = _watermark_kept_events(
+        sf_dir, lateness_min, ["event_type", "value"], n_buckets
+    )
+    partial = _hop_expand_partial(hop_ns, hops)
+    return (
+        kept.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", "type_key", "type_null"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("value_cents", alias_name="value_cents"),
+        )
+        .map_batches(_hop_finalize, batch_format="pyarrow")
+    )
+
+
+def _watermark_kept_events(
+    sf_dir: str, lateness_min: int, extra_cols: list, n_buckets: int = 1024
+) -> "rd.Dataset":
+    """Shared bounded-out-of-orderness filter (see
+    :func:`events_hopping_window_watermark` for the semantics and scale
+    shape): returns the events that survive the ``event_id``-ordered
+    watermark, carrying ``ts`` plus ``extra_cols``."""
+    import pyarrow.parquet as _pq
+
+    import ray
+
+    lateness_ns = np.int64(lateness_min) * np.int64(60_000_000_000)
     NEG = np.int64(-(2**63))
 
     path = f"{sf_dir}/events.parquet"
@@ -3279,9 +3311,7 @@ def events_hopping_window_watermark(
         id_lo, id_hi = 0, 0
     width = max(1, (int(id_hi) - int(id_lo)) // n_buckets + 1)
 
-    src = rd.read_parquet(
-        path, columns=["event_id", "ts", "event_type", "value"]
-    )
+    src = rd.read_parquet(path, columns=["event_id", "ts", *extra_cols])
 
     def keyed(batch: pa.Table) -> pa.Table:
         m = pc.and_(pc.is_valid(batch["event_id"]), pc.is_valid(batch["ts"]))
@@ -3291,15 +3321,14 @@ def events_hopping_window_watermark(
         # miss real ids; clipping keeps the mapping monotone in event_id —
         # all the prefix scan needs — instead of indexing out of bmax
         bucket = np.clip((ids - int(id_lo)) // width, 0, n_buckets)
-        return pa.table(
-            {
-                "bucket": pa.array(bucket, pa.int64()),
-                "event_id": pa.array(ids, pa.int64()),
-                "ts": t["ts"],
-                "event_type": t["event_type"],
-                "value": t["value"],
-            }
-        )
+        cols = {
+            "bucket": pa.array(bucket, pa.int64()),
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": t["ts"],
+        }
+        for c in extra_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
 
     keyed_ds = src.map_batches(keyed, batch_format="pyarrow").materialize()
     # ^ materialize: the bucket-max stats pass and the scan both consume it
@@ -3340,18 +3369,33 @@ def events_hopping_window_watermark(
         run = np.maximum(run, seed)
         keep = (run == NEG) | (ts_o >= run - lateness_ns)
         kept = group.take(pa.array(order[keep]))
-        return kept.select(["ts", "event_type", "value"])
+        return kept.select(["ts", *extra_cols])
 
-    kept = keyed_ds.groupby("bucket").map_groups(scan, batch_format="pyarrow")
-    partial = _hop_expand_partial(hop_ns, hops)
+    return keyed_ds.groupby("bucket").map_groups(scan, batch_format="pyarrow")
+
+
+def events_sessionize_watermark(
+    sf_dir: str, gap_minutes: int = 30, lateness_min: int = 30
+) -> "rd.Dataset":
+    """Late-data-tolerant sessionization: the watermark filter of
+    :func:`events_hopping_window_watermark` (arrival order = event_id,
+    drop events older than watermark − lateness) composed with the
+    per-user inactivity-gap session build of :func:`events_sessionize` —
+    what a streaming engine's session windows with bounded
+    out-of-orderness compute, batch-emulated.  Late rows are just rows,
+    so the oracle stays hash-exact (the same running-max window filter in
+    SQL feeding the same gaps-and-islands sessionization).
+
+    Scale shape: the shared distributed prefix scan (two bounded
+    exchanges), then the user-keyed session groupby — exchanges at
+    (bucket) and (user) granularity, never driver-side."""
+    kept = _watermark_kept_events(sf_dir, lateness_min, ["user_id"])
+    from language_identification_ray.pipelines.relational import _group_spread
+
     return (
-        kept.map_batches(partial, batch_format="pyarrow")
-        .groupby(["window_start", "type_key", "type_null"])
-        .aggregate(
-            Sum("n_events", alias_name="n_events"),
-            Sum("value_cents", alias_name="value_cents"),
-        )
-        .map_batches(_hop_finalize, batch_format="pyarrow")
+        _group_spread(kept.select_columns(["user_id", "ts"]))
+        .groupby("user_id")
+        .map_groups(_session_groups(gap_minutes), batch_format="pyarrow")
     )
 
 

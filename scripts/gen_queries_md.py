@@ -166,6 +166,11 @@ Historical cede decisions (why each out-of-window entry is safe):
   five-way star profit rollup: part/supplier/nation broadcast sidecars,
   one orderkey-bucket fact-fact co-partition, nations×years final
   groupby).
+  Seventh r5 cede: `lang_stats_incremental` (r-green; in-window
+  `lang_stats_salted` drives the same salted lang-stats aggregate the
+  incremental variant composes) → `events_sessionize_watermark` (the
+  shared watermark prefix-scan composed with gaps-and-islands
+  sessionization — late-tolerant session windows, hash-exact oracle).
 """
 
 
